@@ -1,0 +1,248 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.queries.Q
+import graft.sources.Tables
+
+/** Portable hashing primitives shared by the dedup/fingerprint operators.
+  *
+  * Both engines (Spark for the run, DuckDB for the oracle) evaluate the same
+  * polynomial rolling hash — fold(chars, acc -> (acc*31 + codepoint) mod p) —
+  * with identical left-to-right order and exact 64-bit integer arithmetic, so
+  * row hashes match bit-for-bit. Engine-native hashes (murmur3/xxhash) are
+  * deliberately avoided: they differ across engines.
+  */
+object PortableHash {
+  val P = 1000000007L
+
+  /** Spark SQL: polynomial hash of string expression `e` (codegen'd HOF). */
+  def sparkPoly(e: String): String =
+    s"aggregate(sequence(1, length($e)), CAST(0 AS BIGINT), " +
+      s"(acc, i) -> (acc * 31 + ascii(substr($e, i, 1))) % $P)"
+
+  /** DuckDB: same fold (list_reduce over a 0-prepended codepoint list). */
+  def duckPoly(e: String): String =
+    s"CAST(list_reduce(list_prepend(CAST(0 AS BIGINT), " +
+      s"list_transform(range(1, length($e) + 1), i -> ascii(substr($e, i, 1)))), " +
+      s"(acc, c) -> (acc * 31 + c) % $P) AS BIGINT)"
+
+  /** Per-token hash array for `text` split on single spaces. */
+  val sparkTokenHashes: String =
+    s"transform(split(text, ' '), t -> ${sparkPoly("t")})"
+  val duckTokenHashes: String =
+    s"list_transform(string_split(text, ' '), t -> ${duckPoly("t")})"
+
+  /** Word-bigram shingle hashes combined from adjacent token hashes —
+    * O(len(text)) total hashing work instead of rehashing every shingle's
+    * characters. `th` is a BIGINT array column name.
+    */
+  def sparkShingles(th: String): String =
+    s"transform(sequence(1, size($th) - 1), " +
+      s"i -> (element_at($th, i) * 31 + element_at($th, i + 1)) % $P)"
+  def duckShingles(th: String): String =
+    s"list_transform(range(1, len($th)), " +
+      s"i -> ($th[i] * 31 + $th[i + 1]) % $P)"
+}
+
+/** Deduplication operators for training-data pipelines (north-star ops; the
+  * reference itself has no dedup — its nearest analogue is dropna hygiene,
+  * utils/spark_transforming.py:145).
+  *
+  * Scale design (100 TB posture):
+  *   - exact dedup  = hash + groupBy: one shuffle on a 128-bit digest, no
+  *     text comparison; map-side partial aggregation halves shuffle volume.
+  *   - MinHash+LSH  = per-row signature (shuffle-free) → band-bucket
+  *     self-equi-join: candidates only, never the O(n²) pair space. Bands
+  *     are equi-join keys so Catalyst shuffles on band value — skew-safe
+  *     because signatures are near-uniform.
+  *   - SimHash      = per-row 16-bit fingerprint, shuffle-free.
+  *   - Jaccard      = verification only on LSH candidates (the cheap set
+  *     intersection runs on ~0.1% of pairs).
+  *   - embedding near-dup = label-blocked pair join (blocking key caps the
+  *     quadratic blowup), sequential-fold cosine for oracle parity.
+  */
+object Dedup {
+  import PortableHash._
+
+  /** MinHash permutation constants: mh_j = min over shingles of (a_j*h+b_j)%p.
+    * a_j*h stays < 2^63 (a_j < 5e7, h < 1e9+7).
+    */
+  val A = Seq(2971L, 4297L, 6553L, 8191L, 104729L, 15485863L, 32452843L, 49979687L)
+  val B = Seq(7L, 12343L, 2003L, 4999L, 73L, 3947L, 1117L, 1009L)
+  val k = A.length
+  /** 4 bands × 2 rows: P(candidate | jaccard j) = 1-(1-j²)⁴. */
+  val bands: Seq[(Int, Int)] = Seq((0, 1), (2, 3), (4, 5), (6, 7))
+
+  /** doc_id + mh0..mh7 MinHash signature (≥2 tokens required for bigrams). */
+  def minhash(docs: DataFrame): DataFrame = {
+    val sig = docs
+      .filter(size(split(col("text"), " ")) >= 2)
+      .withColumn("th", expr(sparkTokenHashes))
+      .withColumn("sh", expr(sparkShingles("th")))
+    sig.select(
+      col("doc_id") +:
+        (0 until k).map(j =>
+          expr(s"array_min(transform(sh, h -> (${A(j)} * h + ${B(j)}) % $P))")
+            .as(s"mh$j")): _*)
+  }
+
+  /** DuckDB subquery mirroring [[minhash]] (aliased `sig`). */
+  def minhashSql: String = {
+    val mhs = (0 until k).map { j =>
+      s"list_min(list_transform(sh, h -> (${A(j)} * h + ${B(j)}) % $P)) AS mh$j"
+    }.mkString(", ")
+    s"""SELECT doc_id, $mhs
+        FROM (SELECT doc_id, ${duckShingles("th")} AS sh
+              FROM (SELECT doc_id, $duckTokenHashes AS th
+                    FROM documents
+                    WHERE len(string_split(text, ' ')) >= 2))"""
+  }
+
+  /** LSH candidate pairs: docs sharing any (mh_x, mh_y) band, doc_a < doc_b.
+    * The band equi-join is the scale path — shuffle on band value, never a
+    * cartesian.
+    */
+  def lshPairs(docs: DataFrame): DataFrame = {
+    val sig = minhash(docs)
+    bands.map { case (x, y) =>
+      val a = sig.select(col("doc_id").as("doc_a"),
+        col(s"mh$x").as("bx"), col(s"mh$y").as("by"))
+      val b = sig.select(col("doc_id").as("doc_b"),
+        col(s"mh$x").as("bx2"), col(s"mh$y").as("by2"))
+      a.join(b, col("bx") === col("bx2") && col("by") === col("by2") &&
+          col("doc_a") < col("doc_b"))
+        .select("doc_a", "doc_b")
+    }.reduce(_ unionByName _).distinct()
+  }
+
+  def lshPairsSql: String = {
+    val arms = bands.map { case (x, y) =>
+      s"""SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+          FROM sig a JOIN sig b
+            ON a.mh$x = b.mh$x AND a.mh$y = b.mh$y AND a.doc_id < b.doc_id"""
+    }.mkString(" UNION ")
+    s"WITH sig AS ($minhashSql) $arms"
+  }
+
+  /** 16-bit SimHash over token hashes: bit b set iff the ±1 vote sum over
+    * tokens (bit b of each token hash) is positive. Per-row, shuffle-free.
+    */
+  val simhashBits = 16
+  def simhash(docs: DataFrame): DataFrame = {
+    val bitsums = (0 until simhashBits).map { b =>
+      s"""aggregate(th, 0, (acc, h) ->
+            acc + (CASE WHEN (h DIV ${1L << b}) % 2 = 1 THEN 1 ELSE -1 END))"""
+    }
+    val sh = bitsums.zipWithIndex
+      .map { case (s, b) => s"(CASE WHEN ($s) > 0 THEN ${1L << b} ELSE 0 END)" }
+      .mkString(" + ")
+    docs.filter(length(col("text")) > 0)
+      .withColumn("th", expr(sparkTokenHashes))
+      .select(col("doc_id"), expr(s"CAST($sh AS BIGINT)").as("simhash"))
+  }
+
+  def simhashSql: String = {
+    val bitsums = (0 until simhashBits).map { b =>
+      s"""list_sum(list_transform(th, h ->
+            CASE WHEN (h // ${1L << b}) % 2 = 1 THEN 1 ELSE -1 END))"""
+    }
+    val sh = bitsums.zipWithIndex
+      .map { case (s, b) => s"(CASE WHEN ($s) > 0 THEN ${1L << b} ELSE 0 END)" }
+      .mkString(" + ")
+    s"""SELECT doc_id, CAST($sh AS BIGINT) AS simhash
+        FROM (SELECT doc_id, $duckTokenHashes AS th
+              FROM documents WHERE length(text) > 0)"""
+  }
+
+  /** Jaccard verification on LSH candidates: distinct-token set overlap.
+    * Runs only on the candidate pairs — the quadratic space is never built.
+    */
+  def jaccardPairs(docs: DataFrame): DataFrame = {
+    val toks = docs.select(col("doc_id"),
+      array_distinct(split(col("text"), " ")).as("toks"))
+    lshPairs(docs)
+      .join(toks.select(col("doc_id").as("doc_a"), col("toks").as("ta")), "doc_a")
+      .join(toks.select(col("doc_id").as("doc_b"), col("toks").as("tb")), "doc_b")
+      .select(col("doc_a"), col("doc_b"),
+        (size(array_intersect(col("ta"), col("tb"))).cast("double") /
+          size(array_union(col("ta"), col("tb")))).as("jaccard"))
+  }
+
+  def jaccardPairsSql: String =
+    s"""WITH pairs AS ($lshPairsSql),
+             toks AS (SELECT doc_id, list_distinct(string_split(text, ' ')) AS t
+                      FROM documents)
+        SELECT doc_a, doc_b,
+               CAST(len(list_intersect(a.t, b.t)) AS DOUBLE)
+                 / len(list_distinct(list_concat(a.t, b.t))) AS jaccard
+        FROM pairs JOIN toks a ON doc_a = a.doc_id
+                   JOIN toks b ON doc_b = b.doc_id"""
+
+  /** Embedding-cosine near-duplicates: label-blocked pair join over a
+    * deterministic sample, sequential-fold double cosine (bit-exact vs the
+    * oracle), threshold 0.8. Blocking key = label (stand-in for an ANN
+    * bucket) keeps the join linear-ish in cluster size, not O(n²).
+    */
+  def embedNearDup(embeddings: DataFrame): DataFrame = {
+    val e = embeddings.filter(col("vec_id") % 4 === 0)
+    val a = e.select(col("vec_id").as("vec_a"), col("label"),
+      col("embedding").as("ea"))
+    val b = e.select(col("vec_id").as("vec_b"), col("label").as("label_b"),
+      col("embedding").as("eb"))
+    val dot  = Similarity.sparkDot("ea", "eb")
+    val na   = Similarity.sparkDot("ea", "ea")
+    val nb   = Similarity.sparkDot("eb", "eb")
+    a.join(b, col("label") === col("label_b") && col("vec_a") < col("vec_b"))
+      .withColumn("cos_sim", expr(s"($dot) / (sqrt($na) * sqrt($nb))"))
+      .filter(col("cos_sim") > 0.8)
+      .select("vec_a", "vec_b", "cos_sim")
+  }
+
+  def embedNearDupSql: String = {
+    val dot = Similarity.duckDot("a.embedding", "b.embedding")
+    val na  = Similarity.duckDot("a.embedding", "a.embedding")
+    val nb  = Similarity.duckDot("b.embedding", "b.embedding")
+    s"""SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+               ($dot) / (sqrt($na) * sqrt($nb)) AS cos_sim
+        FROM embeddings a JOIN embeddings b
+          ON a.label = b.label AND a.vec_id < b.vec_id
+        WHERE a.vec_id % 4 = 0 AND b.vec_id % 4 = 0
+          AND ($dot) / (sqrt($na) * sqrt($nb)) > 0.8"""
+  }
+}
+
+object DedupQueries {
+  val queries: Seq[Q] = Seq(
+    // Exact dedup: digest + groupBy — the canonical 100 TB exact-dedup plan
+    // (shuffle carries 16-byte hashes, not documents).
+    Q("d01_dedup_exact",
+      (s, d) => Tables.documents(s, d)
+        .groupBy(md5(col("text")).as("h"))
+        .agg(min("doc_id").as("keep_id"), count(lit(1)).as("n_copies")),
+      Some("""SELECT md5(text) AS h, min(doc_id) AS keep_id,
+                     CAST(count(*) AS BIGINT) AS n_copies
+              FROM documents GROUP BY 1""")),
+
+    Q("d02_dedup_minhash",
+      (s, d) => Dedup.minhash(Tables.documents(s, d)),
+      Some(Dedup.minhashSql)),
+
+    Q("d03_dedup_lsh_pairs",
+      (s, d) => Dedup.lshPairs(Tables.documents(s, d)),
+      Some(Dedup.lshPairsSql)),
+
+    Q("d04_dedup_simhash",
+      (s, d) => Dedup.simhash(Tables.documents(s, d)),
+      Some(Dedup.simhashSql)),
+
+    Q("d05_dedup_jaccard",
+      (s, d) => Dedup.jaccardPairs(Tables.documents(s, d)),
+      Some(Dedup.jaccardPairsSql)),
+
+    Q("d06_dedup_embed",
+      (s, d) => Dedup.embedNearDup(Tables.embeddings(s, d)),
+      Some(Dedup.embedNearDupSql))
+  )
+}

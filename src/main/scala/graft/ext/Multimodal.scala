@@ -1,0 +1,169 @@
+package graft.ext
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.queries.Q
+import graft.sources.Tables
+
+/** Multimodal column handling: image/audio/video payloads are opaque
+  * `binary` columns with typed metadata travelling alongside (the pattern a
+  * 100 TB training-data lake uses — media bytes stay in parquet, transforms
+  * are per-row and shuffle-free).
+  *
+  * The testdata has no real media, so the binary payload is derived
+  * deterministically from `documents.text` (`encode(text, 'UTF-8')`) — the
+  * DuckDB oracle mirrors this exactly — and the codec step is a clearly
+  * marked deterministic STUB (this container has no image/audio libs). The
+  * Spark-side plumbing (schema, typed Dataset, per-partition decoder
+  * amortization, batch shape) is real and tested.
+  */
+object Multimodal {
+
+  /** Binary metadata: size, magic bytes, content digest. All computed on the
+    * byte payload; hex/md5 are identical across engines.
+    */
+  def binaryMeta(docs: DataFrame): DataFrame =
+    docs.select(
+      col("doc_id"),
+      octet_length(col("text")).as("n_bytes"),
+      substring(hex(encode(col("text"), "UTF-8")), 1, 8).as("magic_hex"),
+      md5(encode(col("text"), "UTF-8")).as("content_md5"))
+
+  val binaryMetaSql: String =
+    """SELECT doc_id,
+              CAST(octet_length(encode(text)) AS INT) AS n_bytes,
+              substr(hex(encode(text)), 1, 8) AS magic_hex,
+              md5(text) AS content_md5
+       FROM documents"""
+
+  /** Frame sampling: fixed-offset 8-byte "frames" at byte offsets 0/64/128
+    * (video-keyframe analogue), each with a checksum. Offsets past the end
+    * yield empty frames — both engines agree.
+    */
+  val frameBytes = 8
+  val frameOffsets = Seq(0, 64, 128)
+  def frameSample(docs: DataFrame): DataFrame = {
+    val hexStr = hex(encode(col("text"), "UTF-8"))
+    docs.select(
+      col("doc_id") +: frameOffsets.flatMap { off =>
+        val f = substring(hexStr, 1 + off * 2, frameBytes * 2)
+        Seq(f.as(s"frame_$off"), md5(f).as(s"frame_${off}_md5"))
+      }: _*)
+  }
+
+  val frameSampleSql: String = {
+    val cols = frameOffsets.flatMap { off =>
+      val f = s"substr(hex(encode(text)), ${1 + off * 2}, ${frameBytes * 2})"
+      Seq(s"$f AS frame_$off", s"md5($f) AS frame_${off}_md5")
+    }.mkString(", ")
+    s"SELECT doc_id, $cols FROM documents"
+  }
+
+  /** Feature-extraction stub: 4 quarter-mean codepoint features — the
+    * deterministic stand-in for a per-media embedding. Real codecs slot in
+    * at [[MediaDecoder.decode]] below without touching the query shape.
+    */
+  def featureStub(docs: DataFrame): DataFrame = {
+    val withQ = docs.withColumn("qlen", expr("length(text) DIV 4"))
+      .filter(col("qlen") >= 1)
+    val feats = (0 until 4).map { q =>
+      expr(s"""CAST(aggregate(sequence(${q} * qlen + 1, ${q + 1} * qlen),
+                              0, (acc, i) -> acc + ascii(substr(text, i, 1)))
+                    AS DOUBLE) / qlen""").as(s"feat_q$q")
+    }
+    withQ.select(col("doc_id") +: feats: _*)
+  }
+
+  val featureStubSql: String = {
+    val feats = (0 until 4).map { q =>
+      s"""CAST(list_sum(list_transform(range($q * qlen + 1, ${q + 1} * qlen + 1),
+                                       i -> ascii(substr(text, i, 1))))
+              AS DOUBLE) / qlen AS feat_q$q"""
+    }.mkString(", ")
+    s"""SELECT doc_id, $feats
+        FROM (SELECT doc_id, text, length(text) // 4 AS qlen FROM documents)
+        WHERE qlen >= 1"""
+  }
+}
+
+/** Typed media record as it would sit in the lake: id + opaque payload +
+  * declared format.
+  */
+final case class MediaRecord(doc_id: Long, fmt: String, payload: Array[Byte])
+
+/** Decoded per-media features (the real pipeline's schema). */
+final case class MediaFeatures(
+    doc_id: Long, fmt: String, n_bytes: Int,
+    width: Int, height: Int, mean_byte: Double)
+
+/** STUB decoder — stands in for an image/audio codec (none available in
+  * this container). Deterministic function of the payload bytes so tests
+  * are stable; a real codec replaces `decode` only. Instantiated once per
+  * partition (see [[MediaDecoder.decodeAll]]) to model amortized
+  * codec/model init — the batch shape a Pandas-UDF / mapInPandas pipeline
+  * uses, expressed natively as a typed mapPartitions.
+  */
+final class MediaDecoder {
+  def decode(r: MediaRecord): MediaFeatures = {
+    val n = r.payload.length
+    // Fake "dimensions" derived from header bytes; a real decoder parses
+    // the container format here.
+    val b0 = if (n > 0) r.payload(0) & 0xff else 0
+    val b1 = if (n > 1) r.payload(1) & 0xff else 0
+    val mean = if (n == 0) 0.0
+               else r.payload.foldLeft(0L)((a, b) => a + (b & 0xff)).toDouble / n
+    MediaFeatures(r.doc_id, r.fmt, n, 16 + b0 % 64, 16 + b1 % 64, mean)
+  }
+}
+
+object MediaDecoder {
+  /** Distributed decode: one decoder instance per partition, streamed
+    * (iterator-to-iterator, no partition materialization).
+    */
+  def decodeAll(ds: Dataset[MediaRecord]): Dataset[MediaFeatures] = {
+    import ds.sparkSession.implicits._
+    ds.mapPartitions { it =>
+      val dec = new MediaDecoder
+      it.map(dec.decode)
+    }
+  }
+
+  /** documents → typed media records (payload = UTF-8 bytes stub). */
+  def mediaRecords(spark: SparkSession, dir: String): Dataset[MediaRecord] = {
+    import spark.implicits._
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), lit("text/utf-8").as("fmt"),
+        encode(col("text"), "UTF-8").as("payload"))
+      .as[MediaRecord]
+  }
+}
+
+object MultimodalQueries {
+  val queries: Seq[Q] = Seq(
+    Q("m01_binary_meta",
+      (s, d) => Multimodal.binaryMeta(Tables.documents(s, d)),
+      Some(Multimodal.binaryMetaSql)),
+
+    Q("m02_frame_sample",
+      (s, d) => Multimodal.frameSample(Tables.documents(s, d)),
+      Some(Multimodal.frameSampleSql)),
+
+    Q("m03_feature_stub",
+      (s, d) => Multimodal.featureStub(Tables.documents(s, d)),
+      Some(Multimodal.featureStubSql)),
+
+    // The typed mapPartitions decode path (schema/partitioning/batch shape
+    // are the point; numbers mirror m01/m03 determinism).
+    Q("m04_decode_features",
+      (s, d) => MediaDecoder.decodeAll(MediaDecoder.mediaRecords(s, d)).toDF(),
+      Some("""SELECT doc_id, 'text/utf-8' AS fmt,
+                     CAST(octet_length(encode(text)) AS INT) AS n_bytes,
+                     CAST(16 + ascii(substr(text, 1, 1)) % 64 AS INT) AS width,
+                     CAST(16 + ascii(substr(text, 2, 1)) % 64 AS INT) AS height,
+                     CAST(list_sum(list_transform(range(1, length(text) + 1),
+                            i -> ascii(substr(text, i, 1)))) AS DOUBLE)
+                       / length(text) AS mean_byte
+              FROM documents"""))
+  )
+}

@@ -1,0 +1,142 @@
+package graft.ext
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.queries.Q
+import graft.sources.Tables
+
+/** Approximate-nearest-neighbor search over the `embeddings.embedding`
+  * column (ArrayType(FloatType), 64-dim) — north-star similarity ops.
+  *
+  * Cosine is computed as a sequential left fold over double-cast elements in
+  * BOTH engines (Spark `aggregate(zip_with(...))`, DuckDB
+  * `list_reduce(list_prepend(...))`) so the IEEE double results are
+  * bit-identical and the driver's hash compare passes.
+  *
+  * Scale design:
+  *   - brute-force top-k: broadcast the single query row, per-partition
+  *     scan + `TakeOrderedAndProject` (no global sort, no shuffle of the
+  *     fact side). This is the exact baseline.
+  *   - LSH variant: 8 random-hyperplane sign bits → 256 buckets; the scan
+  *     is pre-filtered to the query's bucket (~1/256 of the data at
+  *     uniform spread) before the exact cosine ranking. At 100 TB the
+  *     bucket id becomes a parquet partition column, turning the prune
+  *     into partition pruning at the source.
+  */
+object Similarity {
+
+  /** Spark SQL: sequential-fold dot product of two float-array columns. */
+  def sparkDot(a: String, b: String): String =
+    s"aggregate(zip_with($a, $b, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), " +
+      s"CAST(0 AS DOUBLE), (acc, v) -> acc + v)"
+
+  /** DuckDB: identical fold (same element order, same double arithmetic). */
+  def duckDot(a: String, b: String): String =
+    s"list_reduce(list_prepend(CAST(0 AS DOUBLE), " +
+      s"list_transform(range(1, len($a) + 1), " +
+      s"i -> CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE))), (acc, v) -> acc + v)"
+
+  def sparkCos(a: String, b: String): String =
+    s"(${sparkDot(a, b)}) / (sqrt(${sparkDot(a, a)}) * sqrt(${sparkDot(b, b)}))"
+  def duckCos(a: String, b: String): String =
+    s"(${duckDot(a, b)}) / (sqrt(${duckDot(a, a)}) * sqrt(${duckDot(b, b)}))"
+
+  /** Deterministic "random" hyperplane j (0..7), component i (1-based):
+    * ((j*31 + (i-1)*17) % 7) - 3 ∈ [-3, 3]. Same integers in both engines —
+    * no RNG, no stored model.
+    */
+  val nPlanes = 8
+  def sparkPlaneDot(v: String, j: Int): String =
+    s"aggregate(sequence(1, size($v)), CAST(0 AS DOUBLE), " +
+      s"(acc, i) -> acc + CAST(element_at($v, i) AS DOUBLE) * " +
+      s"(((${j * 31} + (i - 1) * 17) % 7) - 3))"
+  def duckPlaneDot(v: String, j: Int): String =
+    s"list_reduce(list_prepend(CAST(0 AS DOUBLE), " +
+      s"list_transform(range(1, len($v) + 1), " +
+      s"i -> CAST($v[i] AS DOUBLE) * (((${j * 31} + (i - 1) * 17) % 7) - 3))), " +
+      s"(acc, v2) -> acc + v2)"
+
+  /** Σ 2^j · [dot(v, plane_j) > 0] — the 8-bit LSH bucket id. */
+  def sparkBucket(v: String): String =
+    (0 until nPlanes).map { j =>
+      s"(CASE WHEN (${sparkPlaneDot(v, j)}) > 0 THEN ${1 << j} ELSE 0 END)"
+    }.mkString("CAST(", " + ", " AS INT)")
+  def duckBucket(v: String): String =
+    (0 until nPlanes).map { j =>
+      s"(CASE WHEN (${duckPlaneDot(v, j)}) > 0 THEN ${1 << j} ELSE 0 END)"
+    }.mkString("CAST(", " + ", " AS INT)")
+
+  /** The query point: lowest vec_id (deterministic, no parameters). */
+  private def queryRow(emb: DataFrame): DataFrame =
+    emb.orderBy("vec_id").limit(1)
+      .select(col("vec_id").as("q_id"), col("embedding").as("qe"))
+
+  /** Exact brute-force cosine top-k against the query row. */
+  def knnBrute(emb: DataFrame, kTop: Int = 10): DataFrame =
+    emb.crossJoin(broadcast(queryRow(emb)))
+      .filter(col("vec_id") =!= col("q_id"))
+      .withColumn("cos_sim", expr(sparkCos("embedding", "qe")))
+      .select("vec_id", "label", "cos_sim")
+      .orderBy(col("cos_sim").desc, col("vec_id"))
+      .limit(kTop)
+
+  def knnBruteSql(kTop: Int = 10): String =
+    s"""WITH q AS (SELECT vec_id AS q_id, embedding AS qe
+                   FROM embeddings ORDER BY vec_id LIMIT 1)
+        SELECT vec_id, label, ${duckCos("embedding", "qe")} AS cos_sim
+        FROM embeddings, q WHERE vec_id <> q_id
+        ORDER BY cos_sim DESC, vec_id LIMIT $kTop"""
+
+  /** LSH-pruned ANN: restrict the exact ranking to the query's bucket. */
+  def knnLsh(emb: DataFrame, kTop: Int = 10): DataFrame = {
+    val bucketed = emb.withColumn("bucket", expr(sparkBucket("embedding")))
+    val q = bucketed.orderBy("vec_id").limit(1)
+      .select(col("vec_id").as("q_id"), col("embedding").as("qe"),
+        col("bucket").as("q_bucket"))
+    bucketed.join(broadcast(q), col("bucket") === col("q_bucket"))
+      .filter(col("vec_id") =!= col("q_id"))
+      .withColumn("cos_sim", expr(sparkCos("embedding", "qe")))
+      .select("vec_id", "label", "bucket", "cos_sim")
+      .orderBy(col("cos_sim").desc, col("vec_id"))
+      .limit(kTop)
+  }
+
+  def knnLshSql(kTop: Int = 10): String =
+    s"""WITH b AS (SELECT vec_id, label, embedding,
+                          ${duckBucket("embedding")} AS bucket
+                   FROM embeddings),
+             q AS (SELECT vec_id AS q_id, embedding AS qe, bucket AS q_bucket
+                   FROM b ORDER BY vec_id LIMIT 1)
+        SELECT vec_id, label, bucket, ${duckCos("embedding", "qe")} AS cos_sim
+        FROM b, q WHERE bucket = q_bucket AND vec_id <> q_id
+        ORDER BY cos_sim DESC, vec_id LIMIT $kTop"""
+
+  /** Per-bucket occupancy histogram — the planning stat an ANN index needs
+    * (bucket skew decides whether the prune is worth it).
+    */
+  def bucketHistogram(emb: DataFrame): DataFrame =
+    emb.withColumn("bucket", expr(sparkBucket("embedding")))
+      .groupBy("bucket").agg(count(lit(1)).as("n_vecs"))
+
+  def bucketHistogramSql: String =
+    s"""SELECT ${duckBucket("embedding")} AS bucket,
+               CAST(count(*) AS BIGINT) AS n_vecs
+        FROM embeddings GROUP BY 1"""
+}
+
+object SimilarityQueries {
+  val queries: Seq[Q] = Seq(
+    Q("x01_knn_brute",
+      (s, d) => Similarity.knnBrute(Tables.embeddings(s, d)),
+      Some(Similarity.knnBruteSql())),
+
+    Q("x02_knn_lsh",
+      (s, d) => Similarity.knnLsh(Tables.embeddings(s, d)),
+      Some(Similarity.knnLshSql())),
+
+    Q("x03_lsh_histogram",
+      (s, d) => Similarity.bucketHistogram(Tables.embeddings(s, d)),
+      Some(Similarity.bucketHistogramSql))
+  )
+}

@@ -1,0 +1,179 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.queries.Q
+import graft.sources.Tables
+
+/** Text analysis for training-data pipelines: language-ID, quality scoring,
+  * token counting, document fingerprinting (north-star ops; the reference's
+  * only text analysis is the ES edge-ngram analyzer declaration,
+  * convert-to-elasticsearch.py:32-39).
+  *
+  * Everything is stock codegen'd Catalyst expressions over the `documents`
+  * table — per-row, shuffle-free, embarrassingly parallel at 100 TB. All
+  * arithmetic is integer or exact-double so the DuckDB oracles hash-match.
+  */
+object TextOps {
+
+  /** Substring occurrence count via length-difference — portable to any SQL
+    * engine, O(n) per row, no regex engine variance.
+    */
+  def occurrences(text: Column, kw: String): Column =
+    (length(text) - length(expr(s"replace(text, '$kw', '')"))) / kw.length
+
+  private def occSql(kw: String): String =
+    s"(length(text) - length(replace(text, '$kw', ''))) / ${kw.length}"
+
+  /** Stopword markers per language for the n-gram/stopword heuristic.
+    * Spaces delimit so substrings of other words don't fire.
+    */
+  val langMarkers: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq(" the ", " a ", " of "),
+    "de" -> Seq(" der ", " und ", " das "),
+    "fr" -> Seq(" le ", " et ", " la "),
+    "es" -> Seq(" el ", " y ", " los "))
+
+  /** Language-ID: argmax of per-language stopword hit counts with a fixed
+    * preference order (ties → earlier language; zero hits → 'und').
+    */
+  def langId(docs: DataFrame): DataFrame = {
+    val scores = langMarkers.map { case (lang, kws) =>
+      lang -> kws.map(occurrences(col("text"), _)).reduce(_ + _)
+    }
+    val scored = scores.foldLeft(docs) { case (df, (lang, c)) =>
+      df.withColumn(s"s_$lang", c.cast("long"))
+    }
+    val best = scores.map(_._1).foldRight(lit("und"): Column) { (lang, elseC) =>
+      val isMax = scores.map(_._1).filter(_ != lang)
+        .map(o => col(s"s_$lang") >= col(s"s_$o")).reduce(_ && _)
+      when(col(s"s_$lang") > 0 && isMax, lit(lang)).otherwise(elseC)
+    }
+    scored.withColumn("pred_lang", best)
+  }
+
+  def langIdSql: String = {
+    val scoreDefs = langMarkers.map { case (lang, kws) =>
+      s"CAST(${kws.map(occSql).mkString(" + ")} AS BIGINT) AS s_$lang"
+    }.mkString(", ")
+    val langs = langMarkers.map(_._1)
+    val caseArms = langs.map { lang =>
+      val isMax = langs.filter(_ != lang).map(o => s"s_$lang >= s_$o")
+        .mkString(" AND ")
+      s"WHEN s_$lang > 0 AND $isMax THEN '$lang'"
+    }.mkString(" ")
+    s"""SELECT doc_id, s_en, s_de, s_fr, s_es,
+              CASE $caseArms ELSE 'und' END AS pred_lang
+       FROM (SELECT doc_id, $scoreDefs FROM documents)"""
+  }
+
+  /** Quality features: char/token counts, average token length, punctuation
+    * and stopword ratios, and a weighted quality score. Token count uses the
+    * portable whitespace-count form (split-free).
+    */
+  def quality(docs: DataFrame): DataFrame = {
+    val nChars  = length(col("text"))
+    val nSpace  = length(col("text")) - length(regexp_replace(col("text"), " ", ""))
+    val nTokens = nSpace + 1
+    val nPunct  = length(col("text")) -
+      length(regexp_replace(col("text"), "[.,!?;:]", ""))
+    val nStop   = Seq(" the ", " a ", " of ", " and ")
+      .map(occurrences(col("text"), _)).reduce(_ + _)
+    docs.select(
+      col("doc_id"),
+      nChars.as("n_chars_m"),
+      nTokens.cast("long").as("n_tokens"),
+      ((nChars - nSpace).cast("double") / nTokens).as("avg_tok_len"),
+      (nPunct.cast("double") / nChars).as("punct_ratio"),
+      (nStop.cast("double") / nTokens).as("stop_ratio"))
+      .withColumn("quality_score",
+        col("avg_tok_len") * 0.25 - col("punct_ratio") * 2.0 +
+          col("stop_ratio") * 1.0)
+  }
+
+  val qualitySql: String =
+    """SELECT doc_id, n_chars_m, n_tokens, avg_tok_len, punct_ratio, stop_ratio,
+              avg_tok_len * 0.25 - punct_ratio * 2.0 + stop_ratio * 1.0
+                AS quality_score
+       FROM (SELECT doc_id,
+                    CAST(length(text) AS INT) AS n_chars_m,
+                    CAST(length(text) - length(replace(text, ' ', '')) + 1
+                         AS BIGINT) AS n_tokens,
+                    CAST(length(replace(text, ' ', '')) AS DOUBLE)
+                      / (length(text) - length(replace(text, ' ', '')) + 1)
+                      AS avg_tok_len,
+                    CAST(length(text) - length(regexp_replace(text, '[.,!?;:]',
+                                                              '', 'g'))
+                         AS DOUBLE) / length(text) AS punct_ratio,
+                    CAST((length(text) - length(replace(text, ' the ', ''))) / 5
+                       + (length(text) - length(replace(text, ' a ', ''))) / 3
+                       + (length(text) - length(replace(text, ' of ', ''))) / 4
+                       + (length(text) - length(replace(text, ' and ', ''))) / 5
+                         AS DOUBLE)
+                      / (length(text) - length(replace(text, ' ', '')) + 1)
+                      AS stop_ratio
+             FROM documents)"""
+
+  /** BPE-ish tokenization: letter runs | digit runs | single punctuation.
+    * Same regex class semantics in Java and RE2.
+    */
+  val bpeishPattern = "[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 ]"
+
+  def tokenCounts(docs: DataFrame): DataFrame = {
+    val toks = expr(s"regexp_extract_all(text, '$bpeishPattern', 0)")
+    docs.select(
+      col("doc_id"),
+      size(toks).as("n_bpeish"),
+      size(array_distinct(toks)).as("n_uniq_bpeish"),
+      size(split(col("text"), " +")).as("n_ws_tokens"))
+  }
+
+  val tokenCountsSql: String =
+    s"""SELECT doc_id,
+              CAST(len(regexp_extract_all(text, '$bpeishPattern')) AS INT)
+                AS n_bpeish,
+              CAST(len(list_distinct(regexp_extract_all(text, '$bpeishPattern')))
+                AS INT) AS n_uniq_bpeish,
+              CAST(len(regexp_split_to_array(text, ' +')) AS INT) AS n_ws_tokens
+       FROM documents"""
+
+  /** Rolling polynomial fingerprint over characters:
+    * fp = fold(chars, acc -> (acc * 31 + codepoint) mod 1e9+7). Integer
+    * arithmetic — exact in both engines. Per-row, no shuffle.
+    */
+  def fingerprint(docs: DataFrame): DataFrame =
+    docs.select(
+      col("doc_id"),
+      expr("""aggregate(sequence(1, length(text)), CAST(0 AS BIGINT),
+                        (acc, i) -> (acc * 31 + ascii(substr(text, i, 1)))
+                                    % 1000000007)""")
+        .as("fp"))
+
+  val fingerprintSql: String =
+    """SELECT doc_id,
+              CAST(list_reduce(
+                     list_prepend(CAST(0 AS BIGINT),
+                       list_transform(range(1, length(text) + 1),
+                                      i -> ascii(substr(text, i, 1)))),
+                     (acc, c) -> (acc * 31 + c) % 1000000007) AS BIGINT) AS fp
+       FROM documents"""
+}
+
+object TextQueries {
+  val queries: Seq[Q] = Seq(
+    Q("t01_text_langid",
+      (s, d) => TextOps.langId(Tables.documents(s, d))
+        .select("doc_id", "s_en", "s_de", "s_fr", "s_es", "pred_lang"),
+      Some(TextOps.langIdSql)),
+    Q("t02_text_quality",
+      (s, d) => TextOps.quality(Tables.documents(s, d)),
+      Some(TextOps.qualitySql)),
+    Q("t03_text_tokens",
+      (s, d) => TextOps.tokenCounts(Tables.documents(s, d)),
+      Some(TextOps.tokenCountsSql)),
+    Q("t04_text_fingerprint",
+      (s, d) => TextOps.fingerprint(Tables.documents(s, d)),
+      Some(TextOps.fingerprintSql))
+  )
+}

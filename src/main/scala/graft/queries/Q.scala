@@ -1,0 +1,36 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** A named engine query.
+  *
+  * `run` builds the query with the DataFrame/Dataset API (logical plan only —
+  * Catalyst picks the physical strategy); `oracle` is the equivalent ANSI SQL
+  * for the driver's DuckDB hash-compare gate (SURVEY.md §2.12). `None` marks
+  * results the oracle cannot express portably (e.g. HLL approximations),
+  * which downgrades to a rows-only check.
+  *
+  * Oracle-parity rules used throughout (so row hashes match bit-for-bit):
+  *   - every computed column is aliased identically on both sides;
+  *   - sums over 2-decimal doubles go through DECIMAL casts (exact integer
+  *     arithmetic in both engines) and are cast back to DOUBLE at the end;
+  *   - no `round()` on computed doubles (HALF_UP-on-shortest-repr vs
+  *     round-on-binary diverge); `floor/ceil/abs/sqrt` are IEEE-exact;
+  *   - portable hashing uses md5 (both engines) rather than engine-native
+  *     murmur3/xxhash.
+  */
+final case class Q(
+    name: String,
+    run: (SparkSession, String) => DataFrame,
+    oracle: Option[String])
+
+/** Full catalogue; SparkEntry derives its `queries`/`oracleSql` maps here. */
+object Catalog {
+  def all: Seq[Q] =
+    Relational.queries ++ Temporal.queries ++ Scalars.queries ++
+      StreamingQ.queries ++ graft.ext.TextQueries.queries ++
+      graft.ext.DedupQueries.queries ++ graft.ext.SimilarityQueries.queries ++
+      graft.ext.MultimodalQueries.queries
+
+  lazy val byName: Map[String, Q] = all.map(q => q.name -> q).toMap
+}
