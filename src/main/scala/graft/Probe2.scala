@@ -1,0 +1,23 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+// Perf probe: time one catalog query at an arbitrary SF dir, dump plan.
+object Probe2 {
+  def main(args: Array[String]): Unit = {
+    val spark = SparkSession.builder().master("local[32]")
+      .config("spark.sql.shuffle.partitions", 32)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val d = if (args.length > 1) args(1) else "/root/testdata/sf0.1"
+    val df = graft.queries.Catalog.byName(args(0)).run(spark, d)
+    if (args.contains("--explain")) df.explain("formatted")
+    val t0 = System.nanoTime()
+    println("rows=" + df.count())
+    println(f"time=${(System.nanoTime()-t0)/1e9}%.2f s")
+    spark.stop()
+  }
+}

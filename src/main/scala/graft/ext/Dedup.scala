@@ -75,17 +75,22 @@ object Dedup {
   /** 4 bands × 2 rows: P(candidate | jaccard j) = 1-(1-j²)⁴. */
   val bands: Seq[(Int, Int)] = Seq((0, 1), (2, 3), (4, 5), (6, 7))
 
-  /** doc_id + mh0..mh7 MinHash signature (≥2 tokens required for bigrams). */
+  /** doc_id + mh0..mh7 MinHash signature (≥2 tokens required for bigrams).
+    *
+    * The signature is computed by the native codegen'd
+    * [[graft.functions.MinHashSigExpr]] — one compiled pass per document
+    * (token hash → shingle → 8 permuted minima) instead of nested interpreted
+    * HOFs; `graft_minhash_sig` returns null below 2 tokens, replacing the
+    * `size(split(text,' ')) >= 2` predicate with the same row set.
+    */
   def minhash(docs: DataFrame): DataFrame = {
-    val sig = docs
-      .filter(size(split(col("text"), " ")) >= 2)
-      .withColumn("th", expr(sparkTokenHashes))
-      .withColumn("sh", expr(sparkShingles("th")))
-    sig.select(
-      col("doc_id") +:
-        (0 until k).map(j =>
-          expr(s"array_min(transform(sh, h -> (${A(j)} * h + ${B(j)}) % $P))")
-            .as(s"mh$j")): _*)
+    graft.functions.GraftFunctions.register(docs.sparkSession)
+    docs
+      .withColumn("mhs", expr("graft_minhash_sig(text)"))
+      .filter(col("mhs").isNotNull)
+      .select(
+        col("doc_id") +:
+          (0 until k).map(j => col("mhs").getItem(j).as(s"mh$j")): _*)
   }
 
   /** DuckDB subquery mirroring [[minhash]] (aliased `sig`). */
@@ -101,20 +106,33 @@ object Dedup {
   }
 
   /** LSH candidate pairs: docs sharing any (mh_x, mh_y) band, doc_a < doc_b.
-    * The band equi-join is the scale path — shuffle on band value, never a
-    * cartesian.
+    *
+    * The signature relation is persisted before the self-join: signatures are
+    * 9 longs/doc (tiny next to the text), and without the persist every join
+    * side re-derives them from raw text — worse, Catalyst's constraint
+    * inference clones the full interpreted HOF minhash expression into a
+    * pushed-down `isnotnull` filter, turning 1 signature pass into ~8
+    * (measured 267 s → ~2 s at sf0.1). Materializing once is also the 100 TB
+    * design: one pass over the corpus, then all band joins run on the compact
+    * signature table.
+    *
+    * Bands are exploded to (band#, h1, h2) rows so all 4 bands go through ONE
+    * shuffle equi-join on the band key instead of 4 separate joins — shuffle
+    * on near-uniform hash values, never a cartesian.
     */
   def lshPairs(docs: DataFrame): DataFrame = {
-    val sig = minhash(docs)
-    bands.map { case (x, y) =>
-      val a = sig.select(col("doc_id").as("doc_a"),
-        col(s"mh$x").as("bx"), col(s"mh$y").as("by"))
-      val b = sig.select(col("doc_id").as("doc_b"),
-        col(s"mh$x").as("bx2"), col(s"mh$y").as("by2"))
-      a.join(b, col("bx") === col("bx2") && col("by") === col("by2") &&
-          col("doc_a") < col("doc_b"))
-        .select("doc_a", "doc_b")
-    }.reduce(_ unionByName _).distinct()
+    val sig = minhash(docs).persist()
+    val bandStructs = bands.zipWithIndex.map { case ((x, y), i) =>
+      struct(lit(i).as("band"), col(s"mh$x").as("h1"), col(s"mh$y").as("h2"))
+    }
+    val banded = sig
+      .select(col("doc_id"), explode(array(bandStructs: _*)).as("b"))
+      .select(col("doc_id"), col("b.band"), col("b.h1"), col("b.h2"))
+    val a = banded.toDF("doc_a", "band_a", "h1a", "h2a")
+    val b = banded.toDF("doc_b", "band_b", "h1b", "h2b")
+    a.join(b, col("band_a") === col("band_b") && col("h1a") === col("h1b") &&
+        col("h2a") === col("h2b") && col("doc_a") < col("doc_b"))
+      .select("doc_a", "doc_b").distinct()
   }
 
   def lshPairsSql: String = {
@@ -131,16 +149,9 @@ object Dedup {
     */
   val simhashBits = 16
   def simhash(docs: DataFrame): DataFrame = {
-    val bitsums = (0 until simhashBits).map { b =>
-      s"""aggregate(th, 0, (acc, h) ->
-            acc + (CASE WHEN (h DIV ${1L << b}) % 2 = 1 THEN 1 ELSE -1 END))"""
-    }
-    val sh = bitsums.zipWithIndex
-      .map { case (s, b) => s"(CASE WHEN ($s) > 0 THEN ${1L << b} ELSE 0 END)" }
-      .mkString(" + ")
+    graft.functions.GraftFunctions.register(docs.sparkSession)
     docs.filter(length(col("text")) > 0)
-      .withColumn("th", expr(sparkTokenHashes))
-      .select(col("doc_id"), expr(s"CAST($sh AS BIGINT)").as("simhash"))
+      .select(col("doc_id"), expr("graft_simhash(text)").as("simhash"))
   }
 
   def simhashSql: String = {
@@ -161,7 +172,7 @@ object Dedup {
     */
   def jaccardPairs(docs: DataFrame): DataFrame = {
     val toks = docs.select(col("doc_id"),
-      array_distinct(split(col("text"), " ")).as("toks"))
+      array_distinct(split(col("text"), " ")).as("toks")).persist()
     lshPairs(docs)
       .join(toks.select(col("doc_id").as("doc_a"), col("toks").as("ta")), "doc_a")
       .join(toks.select(col("doc_id").as("doc_b"), col("toks").as("tb")), "doc_b")
@@ -186,16 +197,14 @@ object Dedup {
     * bucket) keeps the join linear-ish in cluster size, not O(n²).
     */
   def embedNearDup(embeddings: DataFrame): DataFrame = {
+    graft.functions.GraftFunctions.register(embeddings.sparkSession)
     val e = embeddings.filter(col("vec_id") % 4 === 0)
     val a = e.select(col("vec_id").as("vec_a"), col("label"),
       col("embedding").as("ea"))
     val b = e.select(col("vec_id").as("vec_b"), col("label").as("label_b"),
       col("embedding").as("eb"))
-    val dot  = Similarity.sparkDot("ea", "eb")
-    val na   = Similarity.sparkDot("ea", "ea")
-    val nb   = Similarity.sparkDot("eb", "eb")
     a.join(b, col("label") === col("label_b") && col("vec_a") < col("vec_b"))
-      .withColumn("cos_sim", expr(s"($dot) / (sqrt($na) * sqrt($nb))"))
+      .withColumn("cos_sim", expr("graft_cos(ea, eb)"))
       .filter(col("cos_sim") > 0.8)
       .select("vec_a", "vec_b", "cos_sim")
   }

@@ -72,14 +72,20 @@ object Similarity {
     emb.orderBy("vec_id").limit(1)
       .select(col("vec_id").as("q_id"), col("embedding").as("qe"))
 
-  /** Exact brute-force cosine top-k against the query row. */
-  def knnBrute(emb: DataFrame, kTop: Int = 10): DataFrame =
+  /** Exact brute-force cosine top-k against the query row. The cosine is the
+    * native codegen'd [[graft.functions.CosFExpr]] (same sequential fold as
+    * the SQL form, one compiled call per row); broadcast query row +
+    * `TakeOrderedAndProject` means no shuffle of the fact side.
+    */
+  def knnBrute(emb: DataFrame, kTop: Int = 10): DataFrame = {
+    graft.functions.GraftFunctions.register(emb.sparkSession)
     emb.crossJoin(broadcast(queryRow(emb)))
       .filter(col("vec_id") =!= col("q_id"))
-      .withColumn("cos_sim", expr(sparkCos("embedding", "qe")))
+      .withColumn("cos_sim", expr("graft_cos(embedding, qe)"))
       .select("vec_id", "label", "cos_sim")
       .orderBy(col("cos_sim").desc, col("vec_id"))
       .limit(kTop)
+  }
 
   def knnBruteSql(kTop: Int = 10): String =
     s"""WITH q AS (SELECT vec_id AS q_id, embedding AS qe
@@ -90,13 +96,14 @@ object Similarity {
 
   /** LSH-pruned ANN: restrict the exact ranking to the query's bucket. */
   def knnLsh(emb: DataFrame, kTop: Int = 10): DataFrame = {
-    val bucketed = emb.withColumn("bucket", expr(sparkBucket("embedding")))
+    graft.functions.GraftFunctions.register(emb.sparkSession)
+    val bucketed = emb.withColumn("bucket", expr("graft_lsh_bucket(embedding)"))
     val q = bucketed.orderBy("vec_id").limit(1)
       .select(col("vec_id").as("q_id"), col("embedding").as("qe"),
         col("bucket").as("q_bucket"))
     bucketed.join(broadcast(q), col("bucket") === col("q_bucket"))
       .filter(col("vec_id") =!= col("q_id"))
-      .withColumn("cos_sim", expr(sparkCos("embedding", "qe")))
+      .withColumn("cos_sim", expr("graft_cos(embedding, qe)"))
       .select("vec_id", "label", "bucket", "cos_sim")
       .orderBy(col("cos_sim").desc, col("vec_id"))
       .limit(kTop)
@@ -115,9 +122,11 @@ object Similarity {
   /** Per-bucket occupancy histogram — the planning stat an ANN index needs
     * (bucket skew decides whether the prune is worth it).
     */
-  def bucketHistogram(emb: DataFrame): DataFrame =
-    emb.withColumn("bucket", expr(sparkBucket("embedding")))
+  def bucketHistogram(emb: DataFrame): DataFrame = {
+    graft.functions.GraftFunctions.register(emb.sparkSession)
+    emb.withColumn("bucket", expr("graft_lsh_bucket(embedding)"))
       .groupBy("bucket").agg(count(lit(1)).as("n_vecs"))
+  }
 
   def bucketHistogramSql: String =
     s"""SELECT ${duckBucket("embedding")} AS bucket,

@@ -142,13 +142,10 @@ object TextOps {
     * fp = fold(chars, acc -> (acc * 31 + codepoint) mod 1e9+7). Integer
     * arithmetic — exact in both engines. Per-row, no shuffle.
     */
-  def fingerprint(docs: DataFrame): DataFrame =
-    docs.select(
-      col("doc_id"),
-      expr("""aggregate(sequence(1, length(text)), CAST(0 AS BIGINT),
-                        (acc, i) -> (acc * 31 + ascii(substr(text, i, 1)))
-                                    % 1000000007)""")
-        .as("fp"))
+  def fingerprint(docs: DataFrame): DataFrame = {
+    graft.functions.GraftFunctions.register(docs.sparkSession)
+    docs.select(col("doc_id"), expr("graft_poly_hash(text)").as("fp"))
+  }
 
   val fingerprintSql: String =
     """SELECT doc_id,

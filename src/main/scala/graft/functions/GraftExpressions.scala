@@ -1,0 +1,133 @@
+package graft.functions
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ExpressionInfo, UnaryExpression}
+import org.apache.spark.sql.types._
+
+/** Native Catalyst expressions for the engine's text-hash / vector kernels.
+  *
+  * Each is a thin codegen'd wrapper over the static kernels in
+  * [[TextHash]]/[[VecOps]]: `doGenCode` emits a single static call, so the
+  * expression participates in whole-stage codegen (one compiled call per row)
+  * instead of falling back to Catalyst's interpreted higher-order functions.
+  * Values are bit-identical to the SQL folds they replace (see TextHash doc),
+  * which is what keeps the DuckDB oracle hash-compare valid.
+  *
+  * Registered per-session by [[GraftFunctions.register]]; use via
+  * `expr("graft_minhash_sig(text)")` or `call_function`.
+  */
+case class PolyHashExpr(child: Expression)
+    extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override def prettyName: String = "graft_poly_hash"
+  protected override def nullSafeEval(input: Any): Any =
+    TextHash.polyHash(input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.TextHash.polyHash($c)")
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+case class TokenHashesExpr(child: Expression)
+    extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "graft_token_hashes"
+  protected override def nullSafeEval(input: Any): Any =
+    TextHash.tokenHashes(input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.TextHash.tokenHashes($c)")
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** Null when the text has < 2 tokens (no bigram shingles). */
+case class MinHashSigExpr(child: Expression)
+    extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = true
+  override def prettyName: String = "graft_minhash_sig"
+  protected override def nullSafeEval(input: Any): Any =
+    TextHash.minHashSig(input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => s"""
+      ${ev.value} = graft.functions.TextHash.minHashSig($c);
+      if (${ev.value} == null) { ${ev.isNull} = true; }
+    """)
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+case class SimHashExpr(child: Expression)
+    extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override def prettyName: String = "graft_simhash"
+  protected override def nullSafeEval(input: Any): Any =
+    TextHash.simHash(input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.TextHash.simHash($c)")
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+case class DotFExpr(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "graft_dot"
+  protected override def nullSafeEval(a: Any, b: Any): Any =
+    VecOps.dotF(a.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData],
+      b.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) => s"graft.functions.VecOps.dotF($a, $b)")
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
+case class CosFExpr(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "graft_cos"
+  protected override def nullSafeEval(a: Any, b: Any): Any =
+    VecOps.cosF(a.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData],
+      b.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) => s"graft.functions.VecOps.cosF($a, $b)")
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
+case class LshBucketExpr(child: Expression)
+    extends UnaryExpression {
+  override def dataType: DataType = IntegerType
+  override def prettyName: String = "graft_lsh_bucket"
+  protected override def nullSafeEval(v: Any): Any =
+    VecOps.lshBucket(v.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.VecOps.lshBucket($c)")
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** Per-session registration of the engine's native functions. */
+object GraftFunctions {
+  private val fns: Seq[(String, Seq[Expression] => Expression)] = Seq(
+    "graft_poly_hash"    -> (cs => PolyHashExpr(cs.head)),
+    "graft_token_hashes" -> (cs => TokenHashesExpr(cs.head)),
+    "graft_minhash_sig"  -> (cs => MinHashSigExpr(cs.head)),
+    "graft_simhash"      -> (cs => SimHashExpr(cs.head)),
+    "graft_dot"          -> (cs => DotFExpr(cs(0), cs(1))),
+    "graft_cos"          -> (cs => CosFExpr(cs(0), cs(1))),
+    "graft_lsh_bucket"   -> (cs => LshBucketExpr(cs.head))
+  )
+
+  /** Idempotent: safe to call at the head of every query builder. */
+  def register(spark: SparkSession): Unit = fns.foreach { case (name, builder) =>
+    spark.sessionState.functionRegistry.registerFunction(
+      FunctionIdentifier(name),
+      new ExpressionInfo("graft.functions.GraftExpressions", name),
+      builder)
+  }
+}
