@@ -13,7 +13,9 @@ object Probe2 {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val d = if (args.length > 1) args(1) else "/root/testdata/sf0.1"
+    val tb = System.nanoTime()
     val df = graft.queries.Catalog.byName(args(0)).run(spark, d)
+    println(f"build=${(System.nanoTime()-tb)/1e9}%.2f s")
     if (args.contains("--explain")) df.explain("formatted")
     val t0 = System.nanoTime()
     println("rows=" + df.count())

@@ -1,0 +1,63 @@
+package graft.pipeline
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+import graft.queries.Q
+import graft.sources.Tables
+
+/** The reference's stage-1 batch ETL re-expressed over the driver testdata
+  * so it is oracle-checkable: the five event types play the five sensors,
+  * user cohorts play rooms, day buckets play the minute key
+  * (FIXTURES.md §B role mapping).
+  *
+  * Shape parity with utils/spark_transforming.py: per-sensor frame → 5-way
+  * inner equi-join on (room, time key) [:97-113] → global sort [:143] →
+  * event timestamp derivation [:148-149]. The union-of-rooms fold [:123-131]
+  * is implicit — `room` is a column, so one frame carries all rooms (the
+  * columnar form of the reference's per-room loop; RoomReader.joinPlan keeps
+  * the loop-faithful form for CSV room directories).
+  *
+  * Scale: five shuffles on the same (room, day) key — AQE reuses exchange
+  * sizing; per-sensor averages use decimal-exact sums (partitioning-stable).
+  */
+object PipelineQueries {
+  private def dec12(c: org.apache.spark.sql.Column) = c.cast(DecimalType(12, 2))
+  private val sensors = Seq("click", "error", "purchase", "signup", "view")
+
+  val queries: Seq[Q] = Seq(
+    Q("p01_office_etl",
+      (s, d) => {
+        val e = Tables.events(s, d).select(
+          concat(lit("room_"), (col("user_id") % 5).cast("string")).as("room"),
+          date_trunc("day", col("ts")).as("day"),
+          col("event_type"), col("value"))
+        def sensorFrame(t: String) =
+          e.filter(col("event_type") === t)
+            .groupBy("room", "day")
+            .agg((sum(dec12(col("value"))).cast("double") / count(lit(1)))
+              .as(s"avg_$t"))
+        sensors.map(sensorFrame)
+          .reduce(_.join(_, Seq("room", "day"), "inner"))
+          .withColumn("event_ts_min",
+            date_format(col("day"), "yyyy-MM-dd HH:mm:ss"))
+          .orderBy("day", "room")
+      },
+      Some {
+        val ctes = sensors.map { t =>
+          s"""a_$t AS (SELECT room, day,
+                            CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE)
+                              / COUNT(*) AS avg_$t
+                     FROM e WHERE event_type = '$t' GROUP BY room, day)"""
+        }.mkString(", ")
+        val joins = sensors.tail.map(t => s"JOIN a_$t USING (room, day)")
+          .mkString(" ")
+        s"""WITH e AS (SELECT 'room_' || CAST(user_id % 5 AS VARCHAR) AS room,
+                            date_trunc('day', ts) AS day, event_type, value
+                     FROM events), $ctes
+           SELECT room, day, ${sensors.map(t => s"avg_$t").mkString(", ")},
+                  strftime(day, '%Y-%m-%d %H:%M:%S') AS event_ts_min
+           FROM a_${sensors.head} $joins"""
+      })
+  )
+}

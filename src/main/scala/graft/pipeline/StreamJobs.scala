@@ -1,0 +1,99 @@
+package graft.pipeline
+
+import java.io.{File, FileWriter}
+
+import org.apache.spark.sql.{DataFrame, ForeachWriter, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+
+/** Stages 4/5 of the pipeline: unbounded wire-format stream → parse →
+  * enrich → sink (reference: spark_streaming/convert-to-elasticsearch.py and
+  * convert-to-minio.py — identical until the sink).
+  *
+  * Sources and sinks are pluggable: the engine's transform is a pure
+  * stream-to-stream function, so Kafka vs file vs memory source is a caller
+  * choice (zero-egress tests use the file source; a production deployment
+  * passes `spark.readStream.format("kafka")...load()`). Both reference jobs'
+  * offset policies (earliest vs latest — an inherited inconsistency,
+  * SURVEY.md §0) become explicit caller options.
+  */
+object StreamJobs {
+  import OfficeSchema._
+
+  /** Wire `value` → typed office columns + `if_movement` CASE enrichment
+    * (convert-to-elasticsearch.py:105-134). One codegen'd projection;
+    * stateless, so it runs identically over a batch or streaming frame.
+    */
+  def parseEnrich(wire: DataFrame): DataFrame =
+    CsvWire.decode(wire, office)
+      .withColumn("if_movement",
+        when(col("pir") > 0, "movement").otherwise("no_movement"))
+
+  /** File-source stand-in for the Kafka topic: tail a directory of text
+    * files, one wire line per row (single ordered partition per file —
+    * matches the reference's 1-partition topic, kafka/kafka_admin.py:27).
+    */
+  def fileWireSource(spark: SparkSession, dir: String): DataFrame =
+    spark.readStream.text(dir).withColumnRenamed("value", "value")
+
+  /** MinIO-job sink: checkpointed append parquet (convert-to-minio.py:125-131). */
+  def toParquet(enriched: DataFrame, outPath: String, checkpoint: String,
+      trigger: Trigger = Trigger.AvailableNow()): StreamingQuery =
+    enriched.writeStream
+      .format("parquet")
+      .outputMode("append")
+      .option("path", outPath)
+      .option("checkpointLocation", checkpoint)
+      .trigger(trigger)
+      .start()
+
+  /** ES-job sink stand-in: a [[ForeachWriter]] that appends one JSON document
+    * per row to a per-partition file, shaped by [[OfficeSchema.esMapping]]
+    * (the reference's declared index mapping,
+    * convert-to-elasticsearch.py:18-57). Same at-least-once semantics as the
+    * ES connector: partitions may replay on failure, documents carry no id.
+    */
+  def toEsShaped(enriched: DataFrame, outDir: String, checkpoint: String,
+      trigger: Trigger = Trigger.AvailableNow()): StreamingQuery =
+    enriched.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpoint)
+      .trigger(trigger)
+      .foreach(new EsShapedWriter(outDir, enriched.schema.fieldNames))
+      .start()
+}
+
+/** Writes rows as JSON-lines "documents" — the zero-egress ES stand-in.
+  * Partition-local files named `part-<partitionId>-<epochId>` give the same
+  * replay-idempotence unit as the ES connector's bulk requests.
+  */
+final class EsShapedWriter(outDir: String, fields: Array[String])
+    extends ForeachWriter[Row] {
+  @transient private var w: FileWriter = _
+
+  override def open(partitionId: Long, epochId: Long): Boolean = {
+    new File(outDir).mkdirs()
+    w = new FileWriter(new File(outDir, s"part-$partitionId-$epochId.jsonl"), false)
+    true
+  }
+
+  override def process(row: Row): Unit = {
+    val doc = fields.zipWithIndex.map { case (f, i) =>
+      val v = row.get(i)
+      val s = v match {
+        case null                     => "null"
+        case n: Float                 => n.toString
+        case n: Double                => n.toString
+        case n: Number                => n.toString
+        case other                    =>
+          "\"" + other.toString.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
+      }
+      "\"" + f + "\": " + s
+    }.mkString("{", ", ", "}")
+    w.write(doc)
+    w.write('\n')
+  }
+
+  override def close(errorOrNull: Throwable): Unit =
+    if (w != null) w.close()
+}

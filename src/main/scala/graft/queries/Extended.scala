@@ -1,0 +1,253 @@
+package graft.queries
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+import graft.operators.AsOfJoin
+import graft.sources.Tables
+
+/** Capability queries beyond the round-1 surface: outer joins, as-of join,
+  * range join, map functions, null handling, cube/grouping, exact
+  * distribution stats, pivot, explode, ordered string aggregation, and a
+  * genuine CSV source/sink roundtrip (SURVEY.md §2.4/§2.5/§2.9 gaps).
+  *
+  * Scale notes: the range join broadcasts the (tiny) band side instead of a
+  * cartesian; as-of runs as one shuffle + sort (see
+  * [[graft.operators.AsOfJoin]]); stats use decimal-exact accumulations so
+  * results are reproducible under any partitioning/merge order — double
+  * summation would make the answer partitioning-dependent at 1000 executors.
+  */
+object Extended {
+  private def dec12(c: org.apache.spark.sql.Column) = c.cast(DecimalType(12, 2))
+
+  val queries: Seq[Q] = Seq(
+    // Left + full outer joins with null-producing sides (SURVEY §2.4 "absent
+    // in reference" row). supplier counts per nation key, full-outer against
+    // the nation dimension.
+    Q("q28_outer_join",
+      (s, d) => {
+        val supCnt = Tables.supplier(s, d)
+          .groupBy(col("s_nationkey").as("nk"))
+          .agg(count(lit(1)).as("n_sup"))
+        Tables.nation(s, d)
+          .select(col("n_nationkey").as("nk2"), col("n_name"))
+          .join(supCnt, col("nk2") === col("nk"), "full_outer")
+          .select(
+            coalesce(col("nk2"), col("nk")).as("nationkey"),
+            col("n_name"),
+            coalesce(col("n_sup"), lit(0L)).as("n_sup"))
+      },
+      Some("""SELECT COALESCE(n_nationkey, nk) AS nationkey, n_name,
+                     COALESCE(n_sup, 0) AS n_sup
+              FROM nation
+              FULL OUTER JOIN (SELECT s_nationkey AS nk,
+                                      CAST(COUNT(*) AS BIGINT) AS n_sup
+                               FROM supplier GROUP BY 1) sc
+                ON n_nationkey = nk""")),
+
+    // As-of join (graft.operators.AsOfJoin): for every event, the most
+    // recent signup at or before it within the same user cohort. Output
+    // carries only the matched TIME (tie-safe across engines).
+    Q("q29_asof_join",
+      (s, d) => {
+        val e = Tables.events(s, d)
+          .select(col("event_id"), (col("user_id") % 50).as("k"), col("ts"))
+        val signups = Tables.events(s, d)
+          .filter(col("event_type") === "signup")
+          .select((col("user_id") % 50).as("k"), col("ts").as("sts"))
+        AsOfJoin.leftAsOf(e, "ts", signups, "sts", Seq("k"))
+          .select(col("event_id"), col("k"),
+            col("_asof.sts").as("asof_signup_ts"))
+      },
+      Some("""SELECT event_id, user_id % 50 AS k, s.sts AS asof_signup_ts
+              FROM events
+              ASOF LEFT JOIN (SELECT user_id % 50 AS k2, ts AS sts
+                              FROM events WHERE event_type = 'signup') s
+                ON user_id % 50 = s.k2 AND s.sts <= ts""")),
+
+    // Range (band) join: price bands derived from the nation dimension,
+    // broadcast to the fact side — non-equi join without a cartesian.
+    Q("q30_range_join",
+      (s, d) => {
+        val bands = Tables.nation(s, d).select(
+          col("n_nationkey").as("band_id"),
+          (col("n_nationkey").cast("double") * 4000.0).as("lo"),
+          ((col("n_nationkey") + 1).cast("double") * 4000.0).as("hi"))
+        Tables.lineitem(s, d)
+          .join(broadcast(bands),
+            col("l_extendedprice") >= col("lo") &&
+              col("l_extendedprice") < col("hi"))
+          .select("l_orderkey", "l_linenumber", "band_id")
+      },
+      Some("""SELECT l_orderkey, l_linenumber, band_id
+              FROM lineitem
+              JOIN (SELECT n_nationkey AS band_id,
+                           n_nationkey * 4000.0 AS lo,
+                           (n_nationkey + 1) * 4000.0 AS hi
+                    FROM nation) b
+                ON l_extendedprice >= lo AND l_extendedprice < hi""")),
+
+    // Map type + functions (SURVEY §2.9 map family): construct, lookup,
+    // keys/values, concat — output flattened to portable scalars.
+    Q("q31_maps",
+      (s, d) => {
+        val m = map(
+          lit("type"), col("event_type"),
+          lit("uid"), col("user_id").cast("string"))
+        val m2 = map_concat(m, map(lit("src"), lit("graft")))
+        Tables.events(s, d).select(
+          col("event_id"),
+          element_at(m, "type").as("m_type"),
+          size(m2).as("m_size"),
+          array_join(map_keys(m2), ",").as("m_keys"),
+          array_join(map_values(m2), ",").as("m_vals"))
+      },
+      Some("""SELECT event_id, event_type AS m_type, 3 AS m_size,
+                     'type,uid,src' AS m_keys,
+                     event_type || ',' || CAST(user_id AS VARCHAR) || ',graft'
+                       AS m_vals
+              FROM events""")),
+
+    // Null handling family: nullif / coalesce / isnull / two-branch nvl2.
+    Q("q32_nulls",
+      (s, d) => {
+        val masked = nullif(col("event_type"), lit("error"))
+        Tables.events(s, d).select(
+          col("event_id"),
+          coalesce(masked, lit("suppressed")).as("etype_or_default"),
+          isnull(masked).as("is_error"),
+          when(masked.isNotNull, col("value")).otherwise(lit(-1.0)).as("nvl2_value"))
+      },
+      Some("""SELECT event_id,
+                     COALESCE(NULLIF(event_type, 'error'), 'suppressed')
+                       AS etype_or_default,
+                     NULLIF(event_type, 'error') IS NULL AS is_error,
+                     CASE WHEN NULLIF(event_type, 'error') IS NOT NULL
+                          THEN value ELSE -1.0 END AS nvl2_value
+              FROM events""")),
+
+    // CUBE + per-column grouping markers (completes the grouping-sets family
+    // next to q12's ROLLUP).
+    Q("q33_cube",
+      (s, d) => Tables.orders(s, d)
+        .cube(col("o_orderstatus"), col("o_orderpriority"))
+        .agg(count(lit(1)).as("n"),
+          grouping(col("o_orderstatus")).cast("int").as("g_status"),
+          grouping(col("o_orderpriority")).cast("int").as("g_prio")),
+      Some("""SELECT o_orderstatus, o_orderpriority,
+                     CAST(COUNT(*) AS BIGINT) AS n,
+                     CAST(GROUPING(o_orderstatus) AS INT) AS g_status,
+                     CAST(GROUPING(o_orderpriority) AS INT) AS g_prio
+              FROM orders
+              GROUP BY CUBE (o_orderstatus, o_orderpriority)""")),
+
+    // Exact distribution stats via decimal-exact moments: sample variance /
+    // stddev and Pearson correlation from (n, Σx, Σx², Σxy) — reproducible
+    // under any partitioning, unlike naive double accumulation.
+    Q("q34_stats",
+      (s, d) => {
+        val q  = dec12(col("l_quantity"))
+        val di = col("l_discount").cast(DecimalType(6, 4))
+        Tables.lineitem(s, d)
+          .groupBy("l_returnflag")
+          .agg(
+            count(lit(1)).as("n"),
+            sum(q).cast("double").as("sx"),
+            sum(q * q).cast("double").as("sxx"),
+            sum(di).cast("double").as("sy"),
+            sum(di * di).cast("double").as("syy"),
+            sum(q * di).cast("double").as("sxy"))
+          .select(
+            col("l_returnflag"), col("n"),
+            ((col("sxx") - col("sx") * col("sx") / col("n")) / (col("n") - 1))
+              .as("var_qty"),
+            sqrt((col("sxx") - col("sx") * col("sx") / col("n")) / (col("n") - 1))
+              .as("std_qty"),
+            ((col("sxy") - col("sx") * col("sy") / col("n")) /
+              (sqrt(col("sxx") - col("sx") * col("sx") / col("n")) *
+                sqrt(col("syy") - col("sy") * col("sy") / col("n"))))
+              .as("corr_qty_disc"))
+      },
+      Some("""SELECT l_returnflag, n,
+                     (sxx - sx * sx / n) / (n - 1) AS var_qty,
+                     sqrt((sxx - sx * sx / n) / (n - 1)) AS std_qty,
+                     (sxy - sx * sy / n)
+                       / (sqrt(sxx - sx * sx / n) * sqrt(syy - sy * sy / n))
+                       AS corr_qty_disc
+              FROM (SELECT l_returnflag,
+                           CAST(COUNT(*) AS BIGINT) AS n,
+                           CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sx,
+                           CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))
+                                    * CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sxx,
+                           CAST(SUM(CAST(l_discount AS DECIMAL(6,4))) AS DOUBLE) AS sy,
+                           CAST(SUM(CAST(l_discount AS DECIMAL(6,4))
+                                    * CAST(l_discount AS DECIMAL(6,4))) AS DOUBLE) AS syy,
+                           CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))
+                                    * CAST(l_discount AS DECIMAL(6,4))) AS DOUBLE) AS sxy
+                    FROM lineitem GROUP BY l_returnflag)""")),
+
+    // Pivot (wide aggregation) on the event-type dimension.
+    Q("q35_pivot",
+      (s, d) => {
+        val types = Seq("click", "error", "purchase", "signup", "view")
+        val p = Tables.events(s, d)
+          .groupBy("user_id")
+          .pivot("event_type", types)
+          .agg(count(lit(1)))
+        p.select(
+          col("user_id") +:
+            types.map(t => coalesce(col(t), lit(0L)).as(s"n_$t")): _*)
+      },
+      Some("""SELECT user_id,
+                     CAST(COUNT(*) FILTER (WHERE event_type = 'click') AS BIGINT) AS n_click,
+                     CAST(COUNT(*) FILTER (WHERE event_type = 'error') AS BIGINT) AS n_error,
+                     CAST(COUNT(*) FILTER (WHERE event_type = 'purchase') AS BIGINT) AS n_purchase,
+                     CAST(COUNT(*) FILTER (WHERE event_type = 'signup') AS BIGINT) AS n_signup,
+                     CAST(COUNT(*) FILTER (WHERE event_type = 'view') AS BIGINT) AS n_view
+              FROM events GROUP BY user_id""")),
+
+    // Lateral explode with position (flatten nested arrays to rows).
+    Q("q36_explode",
+      (s, d) => Tables.documents(s, d)
+        .select(col("doc_id"),
+          posexplode(split(col("text"), " ")).as(Seq("pos", "tok")))
+        .filter(col("pos") < 3),
+      Some("""SELECT doc_id, 0 AS pos, string_split(text, ' ')[1] AS tok
+              FROM documents WHERE len(string_split(text, ' ')) >= 1
+              UNION ALL
+              SELECT doc_id, 1, string_split(text, ' ')[2]
+              FROM documents WHERE len(string_split(text, ' ')) >= 2
+              UNION ALL
+              SELECT doc_id, 2, string_split(text, ' ')[3]
+              FROM documents WHERE len(string_split(text, ' ')) >= 3""")),
+
+    // Ordered collect: deterministic string aggregation per group
+    // (collect_list is unordered by contract — array_sort pins it).
+    Q("q37_collect_sorted",
+      (s, d) => Tables.documents(s, d)
+        .groupBy("lang")
+        .agg(
+          count(lit(1)).as("n_docs"),
+          array_join(array_sort(collect_list(col("doc_id").cast("string"))), ",")
+            .as("doc_ids")),
+      Some("""SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+                     string_agg(CAST(doc_id AS VARCHAR), ','
+                                ORDER BY CAST(doc_id AS VARCHAR)) AS doc_ids
+              FROM documents GROUP BY lang""")),
+
+    // Genuine CSV sink + source roundtrip (S1/K-family): write with header,
+    // read back with the DECLARED schema (inference banned, SURVEY §1.3).
+    Q("q38_csv_roundtrip",
+      (s, d) => {
+        val sel = Tables.lineitem(s, d)
+          .select("l_orderkey", "l_linenumber", "l_quantity", "l_returnflag")
+        val tmp = Files.createTempDirectory("graft_q38_csv").toString
+        sel.write.mode("overwrite").option("header", "true").csv(tmp)
+        s.read.option("header", "true").schema(sel.schema).csv(tmp)
+      },
+      Some("""SELECT l_orderkey, l_linenumber, l_quantity, l_returnflag
+              FROM lineitem"""))
+  )
+}

@@ -1,64 +1,50 @@
 package graft.queries
 
-import java.nio.file.Files
+import java.nio.file.{Files, Paths}
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.Trigger
+import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode, Trigger}
 
 import graft.sources.Tables
 
-/** Structured Streaming pipeline, batch-checkable (Q20 / SURVEY.md §2.10).
+/** Structured Streaming semantics, batch-checkable (SURVEY.md §2.10).
   *
-  * Reproduces the reference's streaming stage shape — source → CSV-wire
-  * parse (`split`+`cast`, convert-to-elasticsearch.py:107-114) → CASE
-  * enrichment (:120-134) → checkpointed append file sink
-  * (convert-to-minio.py:125-131) — with the Kafka endpoints swapped for a
-  * file source + parquet sink (zero-egress test env; SURVEY.md §7.4 risk 3).
-  * `Trigger.AvailableNow` drains the source and stops, so the result is a
-  * deterministic DataFrame the DuckDB oracle can check.
+  * Every query here runs a REAL streaming query — file source standing in
+  * for the Kafka topic (zero-egress; SURVEY.md §7.4 risk 3), checkpointed
+  * append parquet sink (exactly-once for file sinks), Trigger.AvailableNow
+  * draining the source — and returns the sunk rows as a DataFrame the DuckDB
+  * oracle can hash-check.
   *
-  * Scale: the file source lists and splits per micro-batch; parse/enrich is
-  * stateless whole-stage-codegen'd projection; the sink commits via the
-  * checkpoint WAL (exactly-once for file sinks).
+  * Watermark semantics under AvailableNow: after the data batch, Spark runs
+  * a no-data micro-batch that advances the watermark to max(event time) -
+  * delay and flushes finalized state. With delay 0 the watermark lands
+  * exactly on max(ts), so windows/sessions with `end <= max(ts)` are
+  * emitted and the tail window is withheld in state — the oracles encode
+  * exactly that boundary, which is how a 100 TB deployment behaves too
+  * (late-capable state is never emitted early).
   */
 object StreamingQ {
 
-  /** Run a file-source → wire-encode → wire-decode → enrich → parquet-sink
-    * stream to completion and return the sunk rows.
+  /** Run a file-source events stream through `xform` into a checkpointed
+    * parquet sink; return the sunk rows. `copies` symlinks the source
+    * parquet N times (duplicate delivery simulation for dedup ops).
     */
-  def streamPipe(s: SparkSession, d: String): DataFrame = {
+  def runEventsStream(s: SparkSession, d: String, copies: Int = 1)(
+      xform: DataFrame => DataFrame): DataFrame = {
     val path = s"$d/events.parquet"
     val rawSchema = s.read.parquet(path).schema
-    val out  = Files.createTempDirectory("graft_q20_out").toString
-    val ckpt = Files.createTempDirectory("graft_q20_ckpt").toString
-    // The streaming file source requires a directory; expose the single
-    // parquet file through a temp dir symlink (simulates the landing dir a
-    // real deployment tails).
-    val srcDir = Files.createTempDirectory("graft_q20_src")
-    Files.createSymbolicLink(srcDir.resolve("events.parquet"),
-      java.nio.file.Paths.get(path))
+    val srcDir = Files.createTempDirectory("graft_stream_src")
+    (1 to copies).foreach { i =>
+      Files.createSymbolicLink(srcDir.resolve(s"events_$i.parquet"),
+        Paths.get(path))
+    }
+    val out  = Files.createTempDirectory("graft_stream_out").toString
+    val ckpt = Files.createTempDirectory("graft_stream_ckpt").toString
 
     val src = Tables.normalizeEvents(
       s.readStream.schema(rawSchema).parquet(srcDir.toString))
-
-    // Encode to the 4-field CSV wire format, then parse it back — the same
-    // split+cast the reference's streaming jobs apply to Kafka values.
-    val wire = src.select(
-      concat_ws(",",
-        col("event_id"), col("event_type"), col("value").cast("string"),
-        date_format(col("ts"), "yyyy-MM-dd HH:mm:ss")).as("value"))
-    val parts = split(col("value"), ",")
-    val parsed = wire
-      .withColumn("event_id", parts.getItem(0).cast("long"))
-      .withColumn("event_type", parts.getItem(1))
-      .withColumn("value_d", parts.getItem(2).cast("double"))
-      .withColumn("ts_str", parts.getItem(3))
-      .drop("value")
-      .withColumn("if_move",
-        when(col("value_d") > 10, "movement").otherwise("no_movement"))
-
-    val q = parsed.writeStream
+    val q = xform(src).writeStream
       .format("parquet")
       .outputMode("append")
       .option("checkpointLocation", ckpt)
@@ -66,9 +52,62 @@ object StreamingQ {
       .trigger(Trigger.AvailableNow())
       .start()
     q.awaitTermination()
-
     s.read.parquet(out)
   }
+
+  /** Q20: wire-format roundtrip pipeline (reference streaming-job shape —
+    * source → CSV-wire parse → CASE enrichment → parquet sink,
+    * convert-to-elasticsearch.py:105-134 / convert-to-minio.py:125-131).
+    */
+  def streamPipe(s: SparkSession, d: String): DataFrame =
+    runEventsStream(s, d) { src =>
+      val wire = src.select(
+        concat_ws(",",
+          col("event_id"), col("event_type"), col("value").cast("string"),
+          date_format(col("ts"), "yyyy-MM-dd HH:mm:ss")).as("value"))
+      val parts = split(col("value"), ",")
+      wire
+        .withColumn("event_id", parts.getItem(0).cast("long"))
+        .withColumn("event_type", parts.getItem(1))
+        .withColumn("value_d", parts.getItem(2).cast("double"))
+        .withColumn("ts_str", parts.getItem(3))
+        .drop("value")
+        .withColumn("if_move",
+          when(col("value_d") > 10, "movement").otherwise("no_movement"))
+    }
+
+  /** Typed row for the stateful counter (event time as exact epoch micros —
+    * millisecond java.sql.Timestamp ordering would break tie-breaking).
+    */
+  final case class StatefulEv(event_id: Long, user_id: Long, tsu: Long)
+  final case class RunningCount(event_id: Long, user_id: Long, running_n: Long)
+
+  /** s04: custom streaming state via flatMapGroupsWithState — a per-user
+    * running event counter. State (the count so far) persists in the state
+    * store across micro-batches; within a batch the group iterator is
+    * sorted by event time for determinism.
+    */
+  def statefulRunningCount(s: SparkSession, d: String): DataFrame =
+    runEventsStream(s, d) { src =>
+      import s.implicits._
+      src.select(col("event_id"), col("user_id"),
+          unix_micros(col("ts")).as("tsu"))
+        .as[StatefulEv]
+        .groupByKey(_.user_id)
+        .flatMapGroupsWithState(
+          OutputMode.Append, GroupStateTimeout.NoTimeout) {
+          (user: Long, it: Iterator[StatefulEv],
+           state: org.apache.spark.sql.streaming.GroupState[Long]) =>
+            var n = state.getOption.getOrElse(0L)
+            val out = it.toSeq.sortBy(e => (e.tsu, e.event_id)).map { e =>
+              n += 1
+              RunningCount(e.event_id, user, n)
+            }
+            state.update(n)
+            out.iterator
+        }
+        .toDF()
+    }
 
   val queries: Seq[Q] = Seq(
     Q("q20_stream_pipe",
@@ -77,6 +116,97 @@ object StreamingQ {
                      strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts_str,
                      CASE WHEN value > 10 THEN 'movement'
                           ELSE 'no_movement' END AS if_move
-              FROM events"""))
+              FROM events""")),
+
+    // s01: watermarked tumbling-window aggregation on a real stream. Append
+    // mode emits a window only once its end passes the watermark, so the
+    // oracle excludes windows ending after max(ts).
+    Q("s01_stream_tumbling",
+      (s, d) => runEventsStream(s, d) { src =>
+        src.withWatermark("ts", "0 seconds")
+          .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+          .agg(count(lit(1)).as("n_events"),
+            sum(col("value").cast(org.apache.spark.sql.types.DecimalType(12, 2)))
+              .cast("double").as("sum_value"))
+          .select(col("window.start").as("ws"), col("event_type"),
+            col("n_events"), col("sum_value"))
+      },
+      Some("""SELECT * FROM (
+                SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS ws,
+                       event_type,
+                       CAST(COUNT(*) AS BIGINT) AS n_events,
+                       CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE)
+                         AS sum_value
+                FROM events GROUP BY 1, 2)
+              WHERE ws + INTERVAL 1 HOUR <= (SELECT max(ts) FROM events)""")),
+
+    // s02: session windows (30-minute gap) per user cohort on a stream.
+    // A session closes when no event lands within the gap; emitted once the
+    // watermark passes its end (last event + gap). Oracle reconstructs
+    // sessions with the lag/cumulative-flag idiom.
+    Q("s02_stream_session",
+      (s, d) => runEventsStream(s, d) { src =>
+        src.select((col("user_id") % 10).as("cohort"), col("ts"))
+          .withWatermark("ts", "0 seconds")
+          .groupBy(session_window(col("ts"), "30 minutes"), col("cohort"))
+          .agg(count(lit(1)).as("n_events"))
+          .select(col("session_window.start").as("ss"),
+            col("session_window.end").as("se"),
+            col("cohort"), col("n_events"))
+      },
+      Some("""WITH t AS (
+                SELECT user_id % 10 AS cohort, ts,
+                       CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id % 10
+                                                    ORDER BY ts)
+                                 > INTERVAL 30 MINUTE
+                            OR LAG(ts) OVER (PARTITION BY user_id % 10
+                                             ORDER BY ts) IS NULL
+                            THEN 1 ELSE 0 END AS new_session
+                FROM events),
+              sess AS (
+                SELECT cohort, ts,
+                       SUM(new_session) OVER (PARTITION BY cohort ORDER BY ts
+                                              ROWS UNBOUNDED PRECEDING) AS sid
+                FROM t)
+              SELECT min(ts) AS ss,
+                     max(ts) + INTERVAL 30 MINUTE AS se,
+                     cohort,
+                     CAST(COUNT(*) AS BIGINT) AS n_events
+              FROM sess
+              GROUP BY cohort, sid
+              HAVING max(ts) + INTERVAL 30 MINUTE <= (SELECT max(ts) FROM events)""")),
+
+    // s03: streaming dedup across duplicate delivery — the source delivers
+    // every event twice (two files); dropDuplicatesWithinWatermark keeps the
+    // first arrival per event_id. North-star dedup in its streaming form.
+    Q("s03_stream_dedup",
+      (s, d) => runEventsStream(s, d, copies = 2) { src =>
+        src.withWatermark("ts", "1 hour")
+          .dropDuplicatesWithinWatermark("event_id")
+          .select("event_id", "user_id", "event_type", "value")
+      },
+      Some("SELECT event_id, user_id, event_type, value FROM events")),
+
+    // s04: arbitrary stateful processing (flatMapGroupsWithState).
+    Q("s04_stream_stateful",
+      (s, d) => statefulRunningCount(s, d),
+      Some("""SELECT event_id, user_id,
+                     CAST(ROW_NUMBER() OVER (PARTITION BY user_id
+                                             ORDER BY ts, event_id) AS BIGINT)
+                       AS running_n
+              FROM events""")),
+
+    // s05: stream-static join — the unbounded side enriched from a batch
+    // dimension (broadcast; no stream-side state).
+    Q("s05_stream_static_join",
+      (s, d) => runEventsStream(s, d) { src =>
+        val dim = broadcast(Tables.nation(src.sparkSession, d)
+          .select(col("n_nationkey"), col("n_name")))
+        src.select(col("event_id"), (col("user_id") % 25).as("nk"))
+          .join(dim, col("nk") === col("n_nationkey"))
+          .select("event_id", "nk", "n_name")
+      },
+      Some("""SELECT event_id, user_id % 25 AS nk, n_name
+              FROM events JOIN nation ON user_id % 25 = n_nationkey"""))
   )
 }
