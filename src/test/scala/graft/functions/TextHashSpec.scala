@@ -1,0 +1,100 @@
+package graft.functions
+
+import org.apache.spark.unsafe.types.UTF8String
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Kernel-level contract: the native implementations must equal the SQL
+  * folds they replaced (graft.ext.PortableHash), including the edge cases
+  * that round 1's interpreted HOFs defined — empty tokens hash to 0,
+  * codepoint (not byte) iteration, <2 tokens → null signature.
+  */
+class TextHashSpec extends AnyFunSuite {
+  private val P = 1000000007L
+
+  /** Straight-line reference fold, kept deliberately naive. */
+  private def refPoly(s: String): Long = {
+    var acc = 0L
+    var i = 0
+    while (i < s.length) {
+      val cp = s.codePointAt(i)
+      acc = (acc * 31 + cp) % P
+      i += Character.charCount(cp)
+    }
+    acc
+  }
+
+  private def u(s: String) = UTF8String.fromString(s)
+
+  test("polyHash matches the reference fold") {
+    for (s <- Seq("", "a", "hello", "hello world", "trés café", "中文字符",
+                  "a b  c", " x ")) {
+      assert(TextHash.polyHash(u(s)) === refPoly(s), s"input: '$s'")
+    }
+  }
+
+  test("polyHash of empty string is 0 (both engines' convention)") {
+    assert(TextHash.polyHash(u("")) === 0L)
+  }
+
+  test("tokenHashes splits on single spaces keeping empties") {
+    val th = TextHash.tokenHashes(u("a  b ")).toLongArray()
+    // "a  b ".split(" ", -1) == ["a", "", "b", ""]
+    assert(th.toSeq === Seq(refPoly("a"), 0L, refPoly("b"), 0L))
+  }
+
+  test("minHashSig is null below 2 tokens, 8 longs otherwise") {
+    assert(TextHash.minHashSig(u("solo")) === null)
+    assert(TextHash.minHashSig(u("")) === null)
+    val sig = TextHash.minHashSig(u("two tokens")).toLongArray()
+    assert(sig.length === 8)
+    assert(sig.forall(v => v >= 0 && v < P))
+  }
+
+  test("minHashSig equals brute-force permuted shingle minimum") {
+    val text = "the quick brown fox jumps over the lazy dog"
+    val toks = text.split(" ", -1).map(refPoly)
+    val shingles = toks.sliding(2).map(p => (p(0) * 31 + p(1)) % P).toSeq
+    val A = Seq(2971L, 4297L, 6553L, 8191L, 104729L, 15485863L, 32452843L, 49979687L)
+    val B = Seq(7L, 12343L, 2003L, 4999L, 73L, 3947L, 1117L, 1009L)
+    val expected = (0 until 8).map(j => shingles.map(h => (A(j) * h + B(j)) % P).min)
+    assert(TextHash.minHashSig(u(text)).toLongArray().toSeq === expected)
+  }
+
+  test("simHash votes per bit over token hashes") {
+    val text = "alpha beta gamma"
+    val toks = text.split(" ", -1).map(refPoly)
+    val expected = (0 until 16).map { b =>
+      val votes = toks.map(h => if (((h >>> b) & 1L) == 1L) 1 else -1).sum
+      if (votes > 0) 1L << b else 0L
+    }.sum
+    assert(TextHash.simHash(u(text)) === expected)
+  }
+
+  test("identical texts collide; different texts (generally) do not") {
+    val a = TextHash.minHashSig(u("shared prefix words here")).toLongArray().toSeq
+    val b = TextHash.minHashSig(u("shared prefix words here")).toLongArray().toSeq
+    val c = TextHash.minHashSig(u("entirely different content now")).toLongArray().toSeq
+    assert(a === b)
+    assert(a !== c)
+  }
+}
+
+class VecOpsSpec extends AnyFunSuite {
+  import org.apache.spark.sql.catalyst.util.GenericArrayData
+
+  private def arr(xs: Float*) = new GenericArrayData(xs.toArray)
+
+  test("dotF is the sequential double fold") {
+    assert(VecOps.dotF(arr(1f, 2f, 3f), arr(4f, 5f, 6f)) === (4.0 + 10.0 + 18.0))
+  }
+
+  test("cosF of a vector with itself is 1.0") {
+    assert(math.abs(VecOps.cosF(arr(0.5f, -2f, 3f), arr(0.5f, -2f, 3f)) - 1.0) < 1e-12)
+  }
+
+  test("lshBucket is deterministic and within 8 bits") {
+    val b = VecOps.lshBucket(arr(Array.fill(64)(0.25f): _*))
+    assert(b === VecOps.lshBucket(arr(Array.fill(64)(0.25f): _*)))
+    assert(b >= 0 && b < 256)
+  }
+}
