@@ -237,6 +237,44 @@ object Extended {
                                 ORDER BY CAST(doc_id AS VARCHAR)) AS doc_ids
               FROM documents GROUP BY lang""")),
 
+    // SQL-string entry point over registered temp views — the reference's
+    // primary query interface (createOrReplaceTempView + spark.sql,
+    // utils/spark_transforming.py:91-113, convert-to-elasticsearch.py:117-134).
+    Q("q39_sql_api",
+      (s, d) => {
+        Tables.lineitem(s, d).createOrReplaceTempView("lineitem_v")
+        Tables.orders(s, d).createOrReplaceTempView("orders_v")
+        s.sql("""SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n_line
+                 FROM lineitem_v JOIN orders_v ON l_orderkey = o_orderkey
+                 WHERE l_quantity > 25
+                 GROUP BY o_orderpriority""")
+      },
+      Some("""SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n_line
+              FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+              WHERE l_quantity > 25
+              GROUP BY o_orderpriority""")),
+
+    // Exact percentiles (linear interpolation — same definition as DuckDB's
+    // quantile_cont) and min/max/median spread per group.
+    Q("q40_percentile",
+      (s, d) => Tables.lineitem(s, d)
+        .groupBy("l_linestatus")
+        .agg(
+          expr("percentile(l_quantity, 0.5)").as("median_qty"),
+          expr("percentile(l_quantity, array(0.25, 0.75))").as("iqr"),
+          min("l_quantity").as("min_qty"),
+          max("l_quantity").as("max_qty"))
+        .select(col("l_linestatus"), col("median_qty"),
+          col("iqr").getItem(0).as("q25"), col("iqr").getItem(1).as("q75"),
+          col("min_qty"), col("max_qty")),
+      Some("""SELECT l_linestatus,
+                     quantile_cont(l_quantity, 0.5) AS median_qty,
+                     quantile_cont(l_quantity, 0.25) AS q25,
+                     quantile_cont(l_quantity, 0.75) AS q75,
+                     min(l_quantity) AS min_qty,
+                     max(l_quantity) AS max_qty
+              FROM lineitem GROUP BY l_linestatus""")),
+
     // Genuine CSV sink + source roundtrip (S1/K-family): write with header,
     // read back with the DECLARED schema (inference banned, SURVEY §1.3).
     Q("q38_csv_roundtrip",
