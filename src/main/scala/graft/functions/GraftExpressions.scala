@@ -20,6 +20,12 @@ import org.apache.spark.sql.types._
   */
 case class PolyHashExpr(child: Expression)
     extends UnaryExpression {
+  override def checkInputDataTypes():
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (child.dataType == StringType)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      s"$prettyName expects a string argument, got ${child.dataType.simpleString}")
   override def dataType: DataType = LongType
   override def prettyName: String = "graft_poly_hash"
   protected override def nullSafeEval(input: Any): Any =
@@ -32,6 +38,12 @@ case class PolyHashExpr(child: Expression)
 
 case class TokenHashesExpr(child: Expression)
     extends UnaryExpression {
+  override def checkInputDataTypes():
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (child.dataType == StringType)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      s"$prettyName expects a string argument, got ${child.dataType.simpleString}")
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def prettyName: String = "graft_token_hashes"
   protected override def nullSafeEval(input: Any): Any =
@@ -45,6 +57,12 @@ case class TokenHashesExpr(child: Expression)
 /** Null when the text has < 2 tokens (no bigram shingles). */
 case class MinHashSigExpr(child: Expression)
     extends UnaryExpression {
+  override def checkInputDataTypes():
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (child.dataType == StringType)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      s"$prettyName expects a string argument, got ${child.dataType.simpleString}")
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def nullable: Boolean = true
   override def prettyName: String = "graft_minhash_sig"
@@ -61,6 +79,12 @@ case class MinHashSigExpr(child: Expression)
 
 case class SimHashExpr(child: Expression)
     extends UnaryExpression {
+  override def checkInputDataTypes():
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (child.dataType == StringType)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      s"$prettyName expects a string argument, got ${child.dataType.simpleString}")
   override def dataType: DataType = LongType
   override def prettyName: String = "graft_simhash"
   protected override def nullSafeEval(input: Any): Any =
@@ -71,49 +95,93 @@ case class SimHashExpr(child: Expression)
     copy(child = newChild)
 }
 
+/** Shared input validation + float/double kernel dispatch for the vector
+  * expressions. `AbstractDataType` is private to Spark, so ExpectsInputTypes
+  * is unavailable — checkInputDataTypes gives the same clean analysis-time
+  * error (instead of a runtime ClassCastException) for wrong inputs.
+  */
+trait VecExpr { self: Expression =>
+  import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+
+  protected def vecChildren: Seq[Expression]
+
+  protected def elemType: DataType =
+    vecChildren.head.dataType.asInstanceOf[ArrayType].elementType
+
+  /** True for float elements; false for double. */
+  protected def isFloatVec: Boolean = elemType == FloatType
+
+  override def checkInputDataTypes(): TypeCheckResult = {
+    val ok = vecChildren.forall(_.dataType match {
+      case ArrayType(FloatType, _) | ArrayType(DoubleType, _) => true
+      case _ => false
+    }) && vecChildren.map(_.dataType.asInstanceOf[ArrayType].elementType)
+      .distinct.size == 1
+    if (ok) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName expects array<float> or array<double> arguments of one " +
+        s"element type, got ${vecChildren.map(_.dataType.simpleString).mkString(", ")}")
+  }
+}
+
 case class DotFExpr(left: Expression, right: Expression)
-    extends BinaryExpression {
+    extends BinaryExpression with VecExpr {
+  override protected def vecChildren: Seq[Expression] = Seq(left, right)
   override def dataType: DataType = DoubleType
   override def prettyName: String = "graft_dot"
-  protected override def nullSafeEval(a: Any, b: Any): Any =
-    VecOps.dotF(a.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData],
+  protected override def nullSafeEval(a: Any, b: Any): Any = {
+    val (x, y) = (a.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData],
       b.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData])
-  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    defineCodeGen(ctx, ev, (a, b) => s"graft.functions.VecOps.dotF($a, $b)")
+    if (isFloatVec) VecOps.dotF(x, y) else VecOps.dotD(x, y)
+  }
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val fn = if (isFloatVec) "dotF" else "dotD"
+    defineCodeGen(ctx, ev, (a, b) => s"graft.functions.VecOps.$fn($a, $b)")
+  }
   override protected def withNewChildrenInternal(
       newLeft: Expression, newRight: Expression): Expression =
     copy(left = newLeft, right = newRight)
 }
 
 case class CosFExpr(left: Expression, right: Expression)
-    extends BinaryExpression {
+    extends BinaryExpression with VecExpr {
+  override protected def vecChildren: Seq[Expression] = Seq(left, right)
   override def dataType: DataType = DoubleType
   override def prettyName: String = "graft_cos"
-  protected override def nullSafeEval(a: Any, b: Any): Any =
-    VecOps.cosF(a.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData],
+  protected override def nullSafeEval(a: Any, b: Any): Any = {
+    val (x, y) = (a.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData],
       b.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData])
-  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    defineCodeGen(ctx, ev, (a, b) => s"graft.functions.VecOps.cosF($a, $b)")
+    if (isFloatVec) VecOps.cosF(x, y) else VecOps.cosD(x, y)
+  }
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val fn = if (isFloatVec) "cosF" else "cosD"
+    defineCodeGen(ctx, ev, (a, b) => s"graft.functions.VecOps.$fn($a, $b)")
+  }
   override protected def withNewChildrenInternal(
       newLeft: Expression, newRight: Expression): Expression =
     copy(left = newLeft, right = newRight)
 }
 
 case class LshBucketExpr(child: Expression)
-    extends UnaryExpression {
+    extends UnaryExpression with VecExpr {
+  override protected def vecChildren: Seq[Expression] = Seq(child)
   override def dataType: DataType = IntegerType
   override def prettyName: String = "graft_lsh_bucket"
-  protected override def nullSafeEval(v: Any): Any =
-    VecOps.lshBucket(v.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData])
-  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    defineCodeGen(ctx, ev, c => s"graft.functions.VecOps.lshBucket($c)")
+  protected override def nullSafeEval(v: Any): Any = {
+    val x = v.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+    if (isFloatVec) VecOps.lshBucket(x) else VecOps.lshBucketD(x)
+  }
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val fn = if (isFloatVec) "lshBucket" else "lshBucketD"
+    defineCodeGen(ctx, ev, c => s"graft.functions.VecOps.$fn($c)")
+  }
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
 }
 
 /** Per-session registration of the engine's native functions. */
 object GraftFunctions {
-  private val fns: Seq[(String, Seq[Expression] => Expression)] = Seq(
+  val fns: Seq[(String, Seq[Expression] => Expression)] = Seq(
     "graft_poly_hash"    -> (cs => PolyHashExpr(cs.head)),
     "graft_token_hashes" -> (cs => TokenHashesExpr(cs.head)),
     "graft_minhash_sig"  -> (cs => MinHashSigExpr(cs.head)),
@@ -130,4 +198,19 @@ object GraftFunctions {
       new ExpressionInfo("graft.functions.GraftExpressions", name),
       builder)
   }
+}
+
+/** Library entry point for session-builder wiring: sessions created with
+  * `spark.sql.extensions=graft.functions.GraftExtensions` (or
+  * `.withExtensions(new GraftExtensions)`) expose every graft_* function in
+  * SQL without an explicit register() call.
+  */
+class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Unit) {
+  override def apply(ext: org.apache.spark.sql.SparkSessionExtensions): Unit =
+    GraftFunctions.fns.foreach { case (name, builder) =>
+      ext.injectFunction((
+        FunctionIdentifier(name),
+        new ExpressionInfo("graft.functions.GraftExpressions", name),
+        builder))
+    }
 }

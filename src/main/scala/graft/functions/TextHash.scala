@@ -133,6 +133,20 @@ object VecOps {
   def cosF(a: ArrayData, b: ArrayData): Double =
     dotF(a, b) / (math.sqrt(dotF(a, a)) * math.sqrt(dotF(b, b)))
 
+  /** Double-array variants (elements are already doubles; the fold is the
+    * same cast-to-double sequence, so float/double inputs share semantics).
+    */
+  def dotD(a: ArrayData, b: ArrayData): Double = {
+    val n = math.min(a.numElements(), b.numElements())
+    var acc = 0.0
+    var i = 0
+    while (i < n) { acc += a.getDouble(i) * b.getDouble(i); i += 1 }
+    acc
+  }
+
+  def cosD(a: ArrayData, b: ArrayData): Double =
+    dotD(a, b) / (math.sqrt(dotD(a, a)) * math.sqrt(dotD(b, b)))
+
   /** Dot product against the deterministic hyperplane j: component i
     * (1-based) is ((j*31 + (i-1)*17) % 7) - 3 — mirrors
     * graft.ext.Similarity.sparkPlaneDot.
@@ -148,12 +162,33 @@ object VecOps {
     acc
   }
 
+  private def planeDotD(v: ArrayData, j: Int): Double = {
+    var acc = 0.0
+    var i = 0
+    val n = v.numElements()
+    while (i < n) {
+      acc += v.getDouble(i) * (((j * 31 + i * 17) % 7) - 3)
+      i += 1
+    }
+    acc
+  }
+
   /** 8-bit random-hyperplane LSH bucket id: Σ 2^j · [planeDot(v,j) > 0]. */
   def lshBucket(v: ArrayData): Int = {
     var out = 0
     var j = 0
     while (j < 8) {
       if (planeDot(v, j) > 0) out |= (1 << j)
+      j += 1
+    }
+    out
+  }
+
+  def lshBucketD(v: ArrayData): Int = {
+    var out = 0
+    var j = 0
+    while (j < 8) {
+      if (planeDotD(v, j) > 0) out |= (1 << j)
       j += 1
     }
     out
