@@ -237,6 +237,22 @@ object Extended {
                                 ORDER BY CAST(doc_id AS VARCHAR)) AS doc_ids
               FROM documents GROUP BY lang""")),
 
+    // Grouped top-k via the custom operator stack (graft.plans.TopKPerKey:
+    // logical node -> TopKStrategy -> partial/final bounded-heap physical
+    // plans). Partial top-k runs before the exchange, so only |keys|*k rows
+    // shuffle — vs the window-rank form's full-table shuffle + sort.
+    Q("q41_grouped_topk",
+      (s, d) => graft.plans.TopKPerKey(
+        Tables.customer(s, d).select("c_nationkey", "c_custkey", "c_acctbal"),
+        keys = Seq("c_nationkey"),
+        orderBy = Seq(("c_acctbal", false), ("c_custkey", true)),
+        k = 3),
+      Some("""SELECT c_nationkey, c_custkey, c_acctbal FROM (
+                SELECT c_nationkey, c_custkey, c_acctbal,
+                       ROW_NUMBER() OVER (PARTITION BY c_nationkey
+                                          ORDER BY c_acctbal DESC, c_custkey) AS rn
+                FROM customer) WHERE rn <= 3""")),
+
     // SQL-string entry point over registered temp views — the reference's
     // primary query interface (createOrReplaceTempView + spark.sql,
     // utils/spark_transforming.py:91-113, convert-to-elasticsearch.py:117-134).

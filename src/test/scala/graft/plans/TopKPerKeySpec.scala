@@ -1,0 +1,54 @@
+package graft.plans
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+class TopKPerKeySpec extends SparkSpec {
+
+  private lazy val s = spark
+  import s.implicits._
+
+  private lazy val df = (1 to 1000)
+    .map(i => (i % 7, i.toLong, (i * 37 % 100).toDouble))
+    .toDF("grp", "id", "score")
+
+  test("matches the window-rank formulation exactly") {
+    val topk = TopKPerKey(df, Seq("grp"), Seq(("score", false), ("id", true)), 5)
+    val w = Window.partitionBy("grp").orderBy(col("score").desc, col("id"))
+    val ref = df.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 5).drop("rn")
+    assert(topk.count() === 35) // 7 groups x 5
+    assert(topk.exceptAll(ref).count() === 0)
+    assert(ref.exceptAll(topk).count() === 0)
+  }
+
+  test("k larger than any group returns everything") {
+    val topk = TopKPerKey(df, Seq("grp"), Seq(("id", true)), 100000)
+    assert(topk.count() === 1000)
+  }
+
+  test("physical plan is partial -> exchange -> final, not window sort") {
+    val topk = TopKPerKey(df, Seq("grp"), Seq(("score", true)), 2)
+    val plan = topk.queryExecution.executedPlan.toString
+    assert(plan.contains("TopKPartial"))
+    assert(plan.contains("TopKFinal"))
+    assert(!plan.contains("Window"))
+  }
+
+  test("ascending order returns minima") {
+    val topk = TopKPerKey(df, Seq("grp"), Seq(("id", true)), 1)
+    val ids = topk.select("id").as[Long].collect().sorted
+    assert(ids.toSeq === (1L to 7L)) // smallest id per mod-7 group
+  }
+
+  test("unknown column and non-positive k fail fast") {
+    intercept[IllegalArgumentException] {
+      TopKPerKey(df, Seq("nope"), Seq(("id", true)), 1)
+    }
+    intercept[IllegalArgumentException] {
+      TopKPerKey(df, Seq("grp"), Seq(("id", true)), 0)
+    }
+  }
+}
