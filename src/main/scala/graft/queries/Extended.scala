@@ -291,6 +291,23 @@ object Extended {
                      max(l_quantity) AS max_qty
               FROM lineitem GROUP BY l_linestatus""")),
 
+    // Hive-style partitioned parquet write + partition-pruned read: the
+    // filter on the partition column prunes directories at the source
+    // (PartitionFilters in the scan — the 100 TB layout tool; at scale the
+    // partition column is date/tenant and a pruned read touches 1/N files).
+    Q("q42_partitioned_table",
+      (s, d) => {
+        val tmp = Files.createTempDirectory("graft_q42_part").toString
+        Tables.events(s, d)
+          .withColumn("etype", col("event_type"))
+          .write.mode("overwrite").partitionBy("etype").parquet(tmp)
+        s.read.parquet(tmp)
+          .filter(col("etype") === "click")
+          .select("event_id", "etype", "value")
+      },
+      Some("""SELECT event_id, event_type AS etype, value FROM events
+              WHERE event_type = 'click'""")),
+
     // Genuine CSV sink + source roundtrip (S1/K-family): write with header,
     // read back with the DECLARED schema (inference banned, SURVEY §1.3).
     Q("q38_csv_roundtrip",

@@ -196,6 +196,50 @@ object StreamingQ {
                        AS running_n
               FROM events""")),
 
+    // s06: sliding event-time windows (1 hour every 30 minutes) — each event
+    // lands in two overlapping windows; same emission boundary as s01.
+    Q("s06_stream_sliding",
+      (s, d) => runEventsStream(s, d) { src =>
+        src.withWatermark("ts", "0 seconds")
+          .groupBy(window(col("ts"), "1 hour", "30 minutes"))
+          .agg(count(lit(1)).as("n_events"),
+            sum(col("value").cast(org.apache.spark.sql.types.DecimalType(12, 2)))
+              .cast("double").as("sum_value"))
+          .select(col("window.start").as("ws"), col("n_events"), col("sum_value"))
+      },
+      Some("""SELECT * FROM (
+                SELECT ws, CAST(COUNT(*) AS BIGINT) AS n_events,
+                       CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sum_value
+                FROM (
+                  SELECT CAST(to_timestamp(floor(epoch(ts) / 1800) * 1800)
+                              AS TIMESTAMP) AS ws, value FROM events
+                  UNION ALL
+                  SELECT CAST(to_timestamp(floor(epoch(ts) / 1800) * 1800)
+                              AS TIMESTAMP) - INTERVAL 30 MINUTE, value FROM events)
+                GROUP BY ws)
+              WHERE ws + INTERVAL 1 HOUR <= (SELECT max(ts) FROM events)""")),
+
+    // s07: stream-stream interval join — signups joined to purchases of the
+    // same cohort within 6 hours; both sides watermarked so join state is
+    // bounded. Inner join emits matches as both sides arrive.
+    Q("s07_stream_stream_join",
+      (s, d) => runEventsStream(s, d) { src =>
+        val signups = src.filter(col("event_type") === "signup")
+          .select((col("user_id") % 20).as("sk"), col("ts").as("sts"))
+          .withWatermark("sts", "0 seconds")
+        val purchases = src.filter(col("event_type") === "purchase")
+          .select((col("user_id") % 20).as("pk"), col("ts").as("pts"))
+          .withWatermark("pts", "0 seconds")
+        signups.join(purchases,
+          expr("sk = pk AND pts >= sts AND pts <= sts + interval 6 hours"))
+          .select("sk", "sts", "pts")
+      },
+      Some("""SELECT s.user_id % 20 AS sk, s.ts AS sts, p.ts AS pts
+              FROM events s JOIN events p
+                ON s.user_id % 20 = p.user_id % 20
+               AND p.ts >= s.ts AND p.ts <= s.ts + INTERVAL 6 HOUR
+              WHERE s.event_type = 'signup' AND p.event_type = 'purchase'""")),
+
     // s05: stream-static join — the unbounded side enriched from a batch
     // dimension (broadcast; no stream-side state).
     Q("s05_stream_static_join",
