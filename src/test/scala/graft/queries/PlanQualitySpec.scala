@@ -1,0 +1,85 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+import graft.sources.Tables
+
+/** Physical-plan regressions gate: the 100 TB properties the engine relies
+  * on — pushdown reaching the scan, dimension joins broadcasting, top-k
+  * avoiding global sorts, partition pruning, single-shuffle as-of — pinned
+  * as assertions so a refactor can't silently regress them.
+  */
+class PlanQualitySpec extends SparkSpec {
+  private val sf = "/root/testdata/sf0.001"
+
+  private def planOf(name: String): String =
+    Catalog.byName(name).run(spark, sf).queryExecution.executedPlan.toString
+
+  test("q01: filter and projection are pushed into the parquet scan") {
+    val p = planOf("q01_scan_filter_project")
+    assert(p.contains("PushedFilters: [IsNotNull(l_quantity), LessThan(l_quantity,10.0)"))
+    assert(p.contains("ReadSchema: struct<l_orderkey:bigint,l_linenumber:int,l_quantity:double>"))
+  }
+
+  test("q06: all four dimension joins broadcast — no shuffle join") {
+    val p = planOf("q06_join5_chain")
+    assert("BroadcastHashJoin".r.findAllIn(p).size === 4)
+    assert(!p.contains("SortMergeJoin"))
+  }
+
+  test("q17: top-k compiles to TakeOrderedAndProject, not a global sort") {
+    val p = planOf("q17_topk")
+    assert(p.contains("TakeOrderedAndProject"))
+  }
+
+  test("q29: as-of join runs as ONE shuffle + window, no join explosion") {
+    val p = planOf("q29_asof_join")
+    assert("Exchange hashpartitioning".r.findAllIn(p).size === 1)
+    assert(p.contains("Window"))
+    assert(!p.contains("Join"))
+  }
+
+  test("q30: band join broadcasts the small side") {
+    val p = planOf("q30_range_join")
+    assert(p.contains("BroadcastNestedLoopJoin"))
+  }
+
+  test("q42: partition filter prunes at the source") {
+    val p = planOf("q42_partitioned_table")
+    assert(p.contains("PartitionFilters: [isnotnull(etype"))
+  }
+
+  test("q41: custom grouped top-k plans as partial -> exchange -> final") {
+    val p = planOf("q41_grouped_topk")
+    assert(p.contains("TopKPartial"))
+    assert(p.contains("TopKFinal"))
+    assert(!p.contains("Window"))
+  }
+
+  test("bucketed tables join without a shuffle exchange") {
+    val s = spark
+    val prevThreshold = s.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      s.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      Tables.orders(s, sf).write.mode("overwrite")
+        .bucketBy(4, "o_orderkey").sortBy("o_orderkey")
+        .saveAsTable("b_orders")
+      Tables.lineitem(s, sf).write.mode("overwrite")
+        .bucketBy(4, "l_orderkey").sortBy("l_orderkey")
+        .saveAsTable("b_lineitem")
+      val j = s.table("b_lineitem")
+        .join(s.table("b_orders"), col("l_orderkey") === col("o_orderkey"))
+        .select("l_orderkey", "l_quantity", "o_totalprice")
+      val p = j.queryExecution.executedPlan.toString
+      assert(p.contains("SortMergeJoin"))
+      assert(!p.contains("Exchange hashpartitioning"),
+        "bucketed join must not reshuffle either side")
+      assert(j.count() === Tables.lineitem(s, sf).count()) // FK join keeps rows
+    } finally {
+      s.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
+      s.sql("DROP TABLE IF EXISTS b_orders")
+      s.sql("DROP TABLE IF EXISTS b_lineitem")
+    }
+  }
+}
