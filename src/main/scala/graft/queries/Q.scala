@@ -28,7 +28,8 @@ final case class Q(
 object Catalog {
   def all: Seq[Q] =
     Relational.queries ++ Temporal.queries ++ Scalars.queries ++
-      Extended.queries ++ graft.pipeline.PipelineQueries.queries ++
+      Extended.queries ++ TypedQ.queries ++
+      graft.pipeline.PipelineQueries.queries ++
       StreamingQ.queries ++ graft.ext.TextQueries.queries ++
       graft.ext.DedupQueries.queries ++ graft.ext.SimilarityQueries.queries ++
       graft.ext.MultimodalQueries.queries
