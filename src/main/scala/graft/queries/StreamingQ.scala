@@ -52,6 +52,11 @@ object StreamingQ {
       .trigger(Trigger.AvailableNow())
       .start()
     q.awaitTermination()
+    if (sys.env.contains("GRAFT_STREAM_DEBUG"))
+      q.recentProgress.foreach(p => println(
+        s"[stream] batch=${p.batchId} rows=${p.numInputRows} ${p.durationMs}" +
+          p.stateOperators.map(so =>
+            s" state(rows=${so.numRowsTotal}, ms=${so.allUpdatesTimeMs}/${so.allRemovalsTimeMs}/${so.commitTimeMs})").mkString))
     s.read.parquet(out)
   }
 
@@ -220,25 +225,30 @@ object StreamingQ {
               WHERE ws + INTERVAL 1 HOUR <= (SELECT max(ts) FROM events)""")),
 
     // s07: stream-stream interval join — signups joined to purchases of the
-    // same cohort within 6 hours; both sides watermarked so join state is
+    // same cohort within 24 hours; both sides watermarked so join state is
     // bounded. Inner join emits matches as both sides arrive.
     Q("s07_stream_stream_join",
       (s, d) => runEventsStream(s, d) { src =>
-        val signups = src.filter(col("event_type") === "signup")
-          .select((col("user_id") % 20).as("sk"), col("ts").as("sts"))
+        val cutoff = "2024-01-16 00:00:00"
+        val signups = src.filter(col("event_type") === "signup" &&
+            col("ts") < to_timestamp(lit(cutoff)))
+          .select((col("user_id") % 200).as("sk"), col("ts").as("sts"))
           .withWatermark("sts", "0 seconds")
-        val purchases = src.filter(col("event_type") === "purchase")
-          .select((col("user_id") % 20).as("pk"), col("ts").as("pts"))
+        val purchases = src.filter(col("event_type") === "purchase" &&
+            col("ts") < to_timestamp(lit(cutoff)))
+          .select((col("user_id") % 200).as("pk"), col("ts").as("pts"))
           .withWatermark("pts", "0 seconds")
         signups.join(purchases,
-          expr("sk = pk AND pts >= sts AND pts <= sts + interval 6 hours"))
+          expr("sk = pk AND pts >= sts AND pts <= sts + interval 24 hours"))
           .select("sk", "sts", "pts")
       },
-      Some("""SELECT s.user_id % 20 AS sk, s.ts AS sts, p.ts AS pts
+      Some("""SELECT s.user_id % 200 AS sk, s.ts AS sts, p.ts AS pts
               FROM events s JOIN events p
-                ON s.user_id % 20 = p.user_id % 20
-               AND p.ts >= s.ts AND p.ts <= s.ts + INTERVAL 6 HOUR
-              WHERE s.event_type = 'signup' AND p.event_type = 'purchase'""")),
+                ON s.user_id % 200 = p.user_id % 200
+               AND p.ts >= s.ts AND p.ts <= s.ts + INTERVAL 24 HOUR
+              WHERE s.event_type = 'signup' AND p.event_type = 'purchase'
+                AND s.ts < TIMESTAMP '2024-01-16 00:00:00'
+                AND p.ts < TIMESTAMP '2024-01-16 00:00:00'""")),
 
     // s05: stream-static join — the unbounded side enriched from a batch
     // dimension (broadcast; no stream-side state).
