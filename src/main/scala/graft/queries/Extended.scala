@@ -308,6 +308,36 @@ object Extended {
       Some("""SELECT event_id, event_type AS etype, value FROM events
               WHERE event_type = 'click'""")),
 
+    // Time-series gap-filling (graft.operators.Resample): dense hourly grid
+    // per cohort, observed decimal-exact hourly means, forward-filled gaps.
+    // The resampling operator the reference's sensor domain lacks
+    // (SURVEY.md §1.1 "no gap-filling").
+    Q("q45_gap_fill",
+      (s, d) => graft.operators.Resample.gapFill(
+        Tables.events(s, d).withColumn("cohort", col("user_id") % 25),
+        keyCol = "cohort", tsCol = "ts", valCol = "value")
+        .select(col("k").as("cohort"), col("bucket"), col("v_obs"),
+          col("v_filled"), col("is_gap")),
+      Some("""WITH b AS (SELECT user_id % 25 AS k,
+                                CAST(date_trunc('hour', ts) AS TIMESTAMP) AS bucket,
+                                value AS v
+                         FROM events),
+                   obs AS (SELECT k, bucket,
+                                  CAST(SUM(CAST(v AS DECIMAL(12,2))) AS DOUBLE)
+                                    / COUNT(*) AS v_obs
+                           FROM b GROUP BY k, bucket),
+                   grid AS (SELECT k, unnest(generate_series(lo, hi,
+                                             INTERVAL 1 HOUR)) AS bucket
+                            FROM (SELECT k, min(bucket) AS lo, max(bucket) AS hi
+                                  FROM b GROUP BY k))
+              SELECT grid.k AS cohort, grid.bucket, v_obs,
+                     last_value(v_obs IGNORE NULLS)
+                       OVER (PARTITION BY grid.k ORDER BY grid.bucket
+                             ROWS UNBOUNDED PRECEDING) AS v_filled,
+                     v_obs IS NULL AS is_gap
+              FROM grid LEFT JOIN obs
+                ON grid.k = obs.k AND grid.bucket = obs.bucket""")),
+
     // Genuine CSV sink + source roundtrip (S1/K-family): write with header,
     // read back with the DECLARED schema (inference banned, SURVEY §1.3).
     Q("q38_csv_roundtrip",
