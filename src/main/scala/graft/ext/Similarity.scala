@@ -119,6 +119,83 @@ object Similarity {
         FROM b, q WHERE bucket = q_bucket AND vec_id <> q_id
         ORDER BY cos_sim DESC, vec_id LIMIT $kTop"""
 
+  /** IVF-style ANN: a coarse quantizer (one centroid per label, the
+    * stand-in for k-means cells) picks the probe cell, and the exact cosine
+    * ranking runs only inside it. At 100 TB the centroid table is a
+    * broadcast-sized index and cells map to parquet partitions, so the probe
+    * becomes partition pruning — the classic IVF trade (recall bounded by
+    * nprobe=1 here) against scanning the corpus.
+    *
+    * Determinism for the oracle: centroid sums fold double-casts in vec_id
+    * order (collect → sort → sequential fold), so every mean is bit-exact
+    * reproducible under any partitioning — same discipline as Q34's moments.
+    */
+  def knnIvf(emb: DataFrame, kTop: Int = 10): DataFrame = {
+    graft.functions.GraftFunctions.register(emb.sparkSession)
+    val pe = emb.select(col("label"), col("vec_id"),
+      posexplode(col("embedding")).as(Seq("pos", "val")))
+    val cent = pe.groupBy("label", "pos")
+      .agg(
+        expr("""aggregate(
+                  transform(sort_array(collect_list(struct(vec_id, val))),
+                            x -> CAST(x.val AS DOUBLE)),
+                  CAST(0 AS DOUBLE), (acc, v) -> acc + v)""").as("sv"),
+        count(lit(1)).as("n"))
+      .withColumn("c", col("sv") / col("n"))
+    val carr = cent.groupBy("label")
+      .agg(expr("transform(sort_array(collect_list(struct(pos, c))), x -> x.c)")
+        .as("cvec"))
+    val q = emb.orderBy("vec_id").limit(1).select(
+      col("vec_id").as("q_id"),
+      expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("qe"))
+    val probe = carr.crossJoin(broadcast(q))
+      .withColumn("cq", expr("graft_cos(cvec, qe)"))
+      .orderBy(col("cq").desc, col("label"))
+      .limit(1)
+      .select(col("label").as("best_label"), col("q_id"), col("qe"))
+    emb.join(broadcast(probe), col("label") === col("best_label"))
+      .filter(col("vec_id") =!= col("q_id"))
+      .withColumn("cos_sim",
+        expr("graft_cos(transform(embedding, x -> CAST(x AS DOUBLE)), qe)"))
+      .select("vec_id", "label", "cos_sim")
+      .orderBy(col("cos_sim").desc, col("vec_id"))
+      .limit(kTop)
+  }
+
+  def knnIvfSql(kTop: Int = 10): String = {
+    def fold(n: String, body: String) =
+      s"""list_reduce(list_prepend(CAST(0 AS DOUBLE),
+            list_transform(range(1, $n + 1), i -> $body)), (acc, v) -> acc + v)"""
+    s"""WITH pe AS (
+          SELECT label, vec_id, i - 1 AS pos, embedding[i] AS val
+          FROM embeddings, UNNEST(range(1, len(embedding) + 1)) AS t(i)),
+        cent AS (
+          SELECT label, pos,
+                 list_reduce(list_prepend(CAST(0 AS DOUBLE),
+                   list_transform(list(val ORDER BY vec_id),
+                                  v -> CAST(v AS DOUBLE))),
+                   (acc, v) -> acc + v) / COUNT(*) AS c
+          FROM pe GROUP BY label, pos),
+        carr AS (SELECT label, list(c ORDER BY pos) AS cvec FROM cent GROUP BY label),
+        q AS (SELECT vec_id AS q_id,
+                     list_transform(embedding, x -> CAST(x AS DOUBLE)) AS qe
+              FROM embeddings ORDER BY vec_id LIMIT 1),
+        probe AS (
+          SELECT label AS best_label, q_id, qe,
+                 ${fold("len(cvec)", "cvec[i] * qe[i]")}
+                 / (sqrt(${fold("len(cvec)", "cvec[i] * cvec[i]")})
+                  * sqrt(${fold("len(qe)", "qe[i] * qe[i]")})) AS cq
+          FROM carr, q ORDER BY cq DESC, label LIMIT 1)
+        SELECT e.vec_id, e.label,
+               ${fold("len(e.embedding)", "CAST(e.embedding[i] AS DOUBLE) * qe[i]")}
+               / (sqrt(${fold("len(e.embedding)",
+                 "CAST(e.embedding[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE)")})
+                * sqrt(${fold("len(qe)", "qe[i] * qe[i]")})) AS cos_sim
+        FROM embeddings e, probe
+        WHERE e.label = best_label AND e.vec_id <> q_id
+        ORDER BY cos_sim DESC, e.vec_id LIMIT $kTop"""
+  }
+
   /** Per-bucket occupancy histogram — the planning stat an ANN index needs
     * (bucket skew decides whether the prune is worth it).
     */
@@ -146,6 +223,10 @@ object SimilarityQueries {
 
     Q("x03_lsh_histogram",
       (s, d) => Similarity.bucketHistogram(Tables.embeddings(s, d)),
-      Some(Similarity.bucketHistogramSql))
+      Some(Similarity.bucketHistogramSql)),
+
+    Q("x04_knn_ivf",
+      (s, d) => Similarity.knnIvf(Tables.embeddings(s, d)),
+      Some(Similarity.knnIvfSql()))
   )
 }

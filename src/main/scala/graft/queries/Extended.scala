@@ -338,6 +338,49 @@ object Extended {
               FROM grid LEFT JOIN obs
                 ON grid.k = obs.k AND grid.bucket = obs.bucket""")),
 
+    // Value-range window frame (rangeBetween — q15 covers rowsBetween):
+    // peers counted by ORDER-BY value distance, not row position.
+    Q("q46_range_frame",
+      (s, d) => {
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("o_orderpriority")
+          .orderBy(col("o_totalprice"))
+          .rangeBetween(-1000L, 0L)
+        Tables.orders(s, d).select(
+          col("o_orderkey"), col("o_orderpriority"), col("o_totalprice"),
+          count(lit(1)).over(w).as("n_within_1k"))
+      },
+      Some("""SELECT o_orderkey, o_orderpriority, o_totalprice,
+                     CAST(COUNT(*) OVER (PARTITION BY o_orderpriority
+                                         ORDER BY o_totalprice
+                                         RANGE BETWEEN 1000 PRECEDING
+                                           AND CURRENT ROW) AS BIGINT)
+                       AS n_within_1k
+              FROM orders""")),
+
+    // JSON-lines sink + source roundtrip with the declared schema.
+    Q("q47_json_roundtrip",
+      (s, d) => {
+        val sel = Tables.events(s, d)
+          .select("event_id", "event_type", "value", "user_id")
+        val tmp = Files.createTempDirectory("graft_q47_json").toString
+        sel.write.mode("overwrite").json(tmp)
+        s.read.schema(sel.schema).json(tmp)
+      },
+      Some("SELECT event_id, event_type, value, user_id FROM events")),
+
+    // ORC sink + source roundtrip (the third columnar format next to
+    // parquet and CSV).
+    Q("q48_orc_roundtrip",
+      (s, d) => {
+        val sel = Tables.orders(s, d)
+          .select("o_orderkey", "o_orderstatus", "o_totalprice")
+        val tmp = Files.createTempDirectory("graft_q48_orc").toString
+        sel.write.mode("overwrite").orc(tmp)
+        s.read.schema(sel.schema).orc(tmp)
+      },
+      Some("SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders")),
+
     // Genuine CSV sink + source roundtrip (S1/K-family): write with header,
     // read back with the DECLARED schema (inference banned, SURVEY §1.3).
     Q("q38_csv_roundtrip",
