@@ -381,6 +381,26 @@ object Extended {
       },
       Some("SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders")),
 
+    // Malformed-record tolerance: DROPMALFORMED CSV parsing — the engine
+    // form of the reference's only data-quality valve (ES
+    // ignore_malformed:true, convert-to-elasticsearch.py:53). Every 97th
+    // wire line is corrupted (wrong arity + unparseable types); the parse
+    // drops exactly those.
+    Q("q49_malformed_csv",
+      (s, d) => {
+        val wire = Tables.events(s, d).select(
+          when(col("event_id") % 97 === 0, lit("x,y,z,bad"))
+            .otherwise(concat_ws(",", col("event_id"), col("value")))
+            .as("value"))
+        val tmp = Files.createTempDirectory("graft_q49_bad").toString
+        wire.write.mode("overwrite").text(tmp)
+        s.read
+          .schema("event_id LONG, value DOUBLE")
+          .option("mode", "DROPMALFORMED")
+          .csv(tmp)
+      },
+      Some("""SELECT event_id, value FROM events WHERE event_id % 97 <> 0""")),
+
     // Genuine CSV sink + source roundtrip (S1/K-family): write with header,
     // read back with the DECLARED schema (inference banned, SURVEY §1.3).
     Q("q38_csv_roundtrip",
