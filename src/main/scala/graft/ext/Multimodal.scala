@@ -60,6 +60,49 @@ object Multimodal {
     s"SELECT doc_id, $cols FROM documents"
   }
 
+  /** Resize stub: decimate the payload to a fixed 16-"pixel" thumbnail by
+    * sampling bytes at an even stride (a real codec's scaler slots in at
+    * [[MediaDecoder.decode]]; the Spark-side shape — per-row binary in,
+    * smaller binary + metadata out — is the real thing). Output is the
+    * thumbnail hex plus its digest; rows shorter than the target pass
+    * through unchanged (up-scaling is a no-op).
+    */
+  val thumbBytes = 16
+  def resizeStub(docs: DataFrame): DataFrame = {
+    val hexStr = hex(encode(col("text"), "UTF-8"))
+    val n = octet_length(col("text"))
+    val stride = greatest(lit(1), (n / thumbBytes))
+    val thumb = expr(
+      s"""concat_ws('', transform(
+            sequence(0, least($thumbBytes, octet_length(text)) - 1),
+            i -> substr(hex(encode(text, 'UTF-8')),
+                        1 + i * greatest(1, octet_length(text) DIV $thumbBytes) * 2,
+                        2)))""")
+    docs.filter(length(col("text")) > 0).select(
+      col("doc_id"),
+      n.as("orig_bytes"),
+      stride.cast("int").as("stride"),
+      thumb.as("thumb_hex"),
+      md5(thumb).as("thumb_md5"))
+  }
+
+  val resizeStubSql: String =
+    s"""SELECT doc_id,
+              CAST(octet_length(encode(text)) AS INT) AS orig_bytes,
+              CAST(greatest(1, octet_length(encode(text)) // $thumbBytes) AS INT)
+                AS stride,
+              array_to_string(list_transform(
+                range(0, least($thumbBytes, octet_length(encode(text)))),
+                i -> substr(hex(encode(text)),
+                            1 + i * greatest(1, octet_length(encode(text)) // $thumbBytes) * 2,
+                            2)), '') AS thumb_hex,
+              md5(array_to_string(list_transform(
+                range(0, least($thumbBytes, octet_length(encode(text)))),
+                i -> substr(hex(encode(text)),
+                            1 + i * greatest(1, octet_length(encode(text)) // $thumbBytes) * 2,
+                            2)), '')) AS thumb_md5
+       FROM documents WHERE length(text) > 0"""
+
   /** Feature-extraction stub: 4 quarter-mean codepoint features — the
     * deterministic stand-in for a per-media embedding. Real codecs slot in
     * at [[MediaDecoder.decode]] below without touching the query shape.
@@ -152,6 +195,10 @@ object MultimodalQueries {
     Q("m03_feature_stub",
       (s, d) => Multimodal.featureStub(Tables.documents(s, d)),
       Some(Multimodal.featureStubSql)),
+
+    Q("m05_resize",
+      (s, d) => Multimodal.resizeStub(Tables.documents(s, d)),
+      Some(Multimodal.resizeStubSql)),
 
     // The typed mapPartitions decode path (schema/partitioning/batch shape
     // are the point; numbers mirror m01/m03 determinism).
