@@ -42,16 +42,27 @@ object StreamingQ {
     val out  = Files.createTempDirectory("graft_stream_out").toString
     val ckpt = Files.createTempDirectory("graft_stream_ckpt").toString
 
+    // Stateful streaming cost scales with state-store count (= shuffle
+    // partitions at plan time): snapshots, WAL and commit run per store per
+    // micro-batch. Size state partitioning to the state volume (8 here)
+    // rather than the CPU count — at real scale this knob grows with keys,
+    // not cores. Restored after the query so batch plans keep the session
+    // setting.
+    val prevParts = s.conf.get("spark.sql.shuffle.partitions")
+    s.conf.set("spark.sql.shuffle.partitions", "8")
     val src = Tables.normalizeEvents(
       s.readStream.schema(rawSchema).parquet(srcDir.toString))
-    val q = xform(src).writeStream
-      .format("parquet")
-      .outputMode("append")
-      .option("checkpointLocation", ckpt)
-      .option("path", out)
-      .trigger(Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
+    val q = try {
+      val q0 = xform(src).writeStream
+        .format("parquet")
+        .outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .option("path", out)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q0.awaitTermination() // restore only after batches planned + drained
+      q0
+    } finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
     if (sys.env.contains("GRAFT_STREAM_DEBUG"))
       q.recentProgress.foreach(p => println(
         s"[stream] batch=${p.batchId} rows=${p.numInputRows} ${p.durationMs}" +
