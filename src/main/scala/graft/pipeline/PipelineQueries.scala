@@ -25,7 +25,51 @@ object PipelineQueries {
   private def dec12(c: org.apache.spark.sql.Column) = c.cast(DecimalType(12, 2))
   private val sensors = Seq("click", "error", "purchase", "signup", "view")
 
+  /** Deterministic A1 rooms fixture (FIXTURES.md): 3 rooms × 5 sensor CSVs,
+    * 5 minute-steps from epoch 1700000000, reading = base + i + sensorIdx
+    * (formula-derived so the DuckDB oracle can reconstruct every value
+    * without reading the files).
+    */
+  private def writeRoomsFixture(dir: String): Unit = {
+    val base = 1700000000L
+    for ((room, r) <- Seq("r1", "r2", "r3").zipWithIndex;
+         (sensor, si) <- OfficeSchema.sensors.zipWithIndex) {
+      val f = new java.io.File(s"$dir/$room")
+      f.mkdirs()
+      val w = new java.io.PrintWriter(new java.io.File(f, s"$sensor.csv"))
+      w.println("ts_min_bignt,reading")
+      for (i <- 0 until 5)
+        w.println(s"${base + i * 60},${(10 + r) * 10 + i + si}.5")
+      w.close()
+    }
+  }
+
   val queries: Seq[Q] = Seq(
+    // The REAL stage-1 pipeline under the oracle gate: write the rooms CSV
+    // fixture, run RoomReader's single-scan pivot plan (globbed read +
+    // input_file_name recovery + pivot + dropna + sort + UTC ts
+    // derivation), and hash-check every produced cell against the
+    // formula-reconstructed oracle.
+    Q("p02_rooms_etl",
+      (s, _) => {
+        val dir = java.nio.file.Files
+          .createTempDirectory("graft_p02_rooms").toString
+        writeRoomsFixture(dir)
+        RoomReader.pivotPlan(s, dir)
+          .select("room", "ts_min_bignt", "co2", "humidity", "light", "pir",
+            "temperature", "event_ts_min")
+      },
+      Some {
+        val cols = OfficeSchema.sensors.zipWithIndex.map { case (sn, si) =>
+          s"CAST((10 + r.r) * 10 + i.i + $si + 0.5 AS FLOAT) AS $sn"
+        }.mkString(", ")
+        s"""SELECT 'r' || CAST(r.r + 1 AS VARCHAR) AS room,
+                   1700000000 + i.i * 60 AS ts_min_bignt, $cols,
+                   strftime(to_timestamp(1700000000 + i.i * 60),
+                            '%Y-%m-%d %H:%M:%S') AS event_ts_min
+            FROM (SELECT unnest(range(0, 3)) AS r) r,
+                 (SELECT unnest(range(0, 5)) AS i) i"""
+      }),
     Q("p01_office_etl",
       (s, d) => {
         val e = Tables.events(s, d).select(
