@@ -41,6 +41,27 @@ case class TopKPerKeyPlan(
     copy(child = newChild)
 }
 
+/** Optimizer rule: a Filter over [[TopKPerKeyPlan]] that references only the
+  * GROUP columns commutes with per-key top-k (dropping whole keys cannot
+  * change any surviving key's top rows), so it pushes below the operator —
+  * from there Catalyst's own pushdown carries it into the scan. At scale
+  * this turns "heap every key, then drop most keys" into "scan-prune first".
+  * Filters touching non-group columns stay put (they would change the
+  * per-key candidate set).
+  */
+object TopKFilterPushdown
+    extends org.apache.spark.sql.catalyst.rules.Rule[LogicalPlan] {
+  import org.apache.spark.sql.catalyst.expressions.AttributeSet
+  import org.apache.spark.sql.catalyst.plans.logical.Filter
+
+  override def apply(plan: LogicalPlan): LogicalPlan = plan transformUp {
+    case f @ Filter(cond, t: TopKPerKeyPlan)
+        if cond.references.subsetOf(
+          AttributeSet(t.groupExprs.flatMap(_.references))) =>
+      t.copy(child = Filter(cond, t.child))
+  }
+}
+
 object TopKStrategy extends SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
     case TopKPerKeyPlan(g, s, k, child) =>
@@ -125,6 +146,9 @@ object TopKPerKey {
     if (!spark.experimental.extraStrategies.contains(TopKStrategy))
       spark.experimental.extraStrategies =
         spark.experimental.extraStrategies :+ TopKStrategy
+    if (!spark.experimental.extraOptimizations.contains(TopKFilterPushdown))
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations :+ TopKFilterPushdown
     val analyzed = df.queryExecution.analyzed
     val byName = analyzed.output.map(a => a.name -> a).toMap
     def attr(n: String) = byName.getOrElse(n,

@@ -43,6 +43,35 @@ class TopKPerKeySpec extends SparkSpec {
     assert(ids.toSeq === (1L to 7L)) // smallest id per mod-7 group
   }
 
+  test("group-column filter pushes below the operator into the scan") {
+    val topk = TopKPerKey(df, Seq("grp"), Seq(("score", false), ("id", true)), 3)
+    val filtered = topk.filter(col("grp") === 2)
+
+    // optimizer: Filter commuted below TopKPerKeyPlan
+    val opt = filtered.queryExecution.optimizedPlan
+    val topkNode = opt.collectFirst { case t: TopKPerKeyPlan => t }.get
+    assert(topkNode.child.collectFirst {
+      case f: org.apache.spark.sql.catalyst.plans.logical.Filter => f
+    }.isDefined, s"filter not pushed below top-k:\n$opt")
+
+    // results: identical to filter-before-topk semantics
+    val ref = TopKPerKey(df.filter(col("grp") === 2), Seq("grp"),
+      Seq(("score", false), ("id", true)), 3)
+    assert(filtered.exceptAll(ref).count() === 0)
+    assert(ref.exceptAll(filtered).count() === 0)
+    assert(filtered.count() === 3)
+  }
+
+  test("non-group filter is NOT pushed (it would change the candidates)") {
+    val topk = TopKPerKey(df, Seq("grp"), Seq(("score", false), ("id", true)), 3)
+    val filtered = topk.filter(col("score") > 50)
+    val topkNode = filtered.queryExecution.optimizedPlan
+      .collectFirst { case t: TopKPerKeyPlan => t }.get
+    assert(topkNode.child.collectFirst {
+      case f: org.apache.spark.sql.catalyst.plans.logical.Filter => f
+    }.isEmpty, "score filter must stay above the top-k")
+  }
+
   test("unknown column and non-positive k fail fast") {
     intercept[IllegalArgumentException] {
       TopKPerKey(df, Seq("nope"), Seq(("id", true)), 1)
