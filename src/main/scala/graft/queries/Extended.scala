@@ -381,6 +381,66 @@ object Extended {
       },
       Some("SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders")),
 
+    // TPC-H Q3 shape (shipping priority): selective 3-way join, grouped
+    // decimal-exact revenue, top-10 — the canonical scan-prune/join/agg/
+    // top-k analytical pattern.
+    Q("q50_shipping_priority",
+      (s, d) => Tables.customer(s, d)
+        .filter(col("c_mktsegment") === "BUILDING")
+        .join(Tables.orders(s, d), col("c_custkey") === col("o_custkey"))
+        .filter(col("o_orderdate") < to_timestamp(lit("1995-03-15")))
+        .join(Tables.lineitem(s, d), col("o_orderkey") === col("l_orderkey"))
+        .filter(col("l_shipdate") > to_timestamp(lit("1995-03-15")))
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(sum(dec12(col("l_extendedprice")) *
+            (lit(1) - col("l_discount").cast(DecimalType(4, 2))))
+          .cast("double").as("revenue"))
+        .orderBy(col("revenue").desc, col("l_orderkey"))
+        .limit(10),
+      Some("""SELECT l_orderkey, o_orderdate, o_orderpriority,
+                     CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+                              * (1 - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE)
+                       AS revenue
+              FROM customer
+              JOIN orders   ON c_custkey = o_custkey
+              JOIN lineitem ON o_orderkey = l_orderkey
+              WHERE c_mktsegment = 'BUILDING'
+                AND o_orderdate < TIMESTAMP '1995-03-15 00:00:00'
+                AND l_shipdate  > TIMESTAMP '1995-03-15 00:00:00'
+              GROUP BY l_orderkey, o_orderdate, o_orderpriority
+              ORDER BY revenue DESC, l_orderkey LIMIT 10""")),
+
+    // TPC-H Q5 shape (local volume): 6-way snowflake join, grouped revenue
+    // per region's nations.
+    Q("q51_local_volume",
+      (s, d) => Tables.customer(s, d)
+        .join(Tables.orders(s, d), col("c_custkey") === col("o_custkey"))
+        .join(Tables.lineitem(s, d), col("o_orderkey") === col("l_orderkey"))
+        .join(Tables.supplier(s, d), col("l_suppkey") === col("s_suppkey") &&
+          col("c_nationkey") === col("s_nationkey"))
+        .join(Tables.nation(s, d), col("s_nationkey") === col("n_nationkey"))
+        .join(Tables.region(s, d), col("n_regionkey") === col("r_regionkey"))
+        .filter(col("r_name") === "ASIA")
+        .groupBy("n_name")
+        .agg(sum(dec12(col("l_extendedprice")) *
+            (lit(1) - col("l_discount").cast(DecimalType(4, 2))))
+          .cast("double").as("revenue"),
+          count(lit(1)).as("n_items")),
+      Some("""SELECT n_name,
+                     CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+                              * (1 - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE)
+                       AS revenue,
+                     CAST(COUNT(*) AS BIGINT) AS n_items
+              FROM customer
+              JOIN orders   ON c_custkey  = o_custkey
+              JOIN lineitem ON o_orderkey = l_orderkey
+              JOIN supplier ON l_suppkey  = s_suppkey
+                           AND c_nationkey = s_nationkey
+              JOIN nation   ON s_nationkey = n_nationkey
+              JOIN region   ON n_regionkey = r_regionkey
+              WHERE r_name = 'ASIA'
+              GROUP BY n_name""")),
+
     // Malformed-record tolerance: DROPMALFORMED CSV parsing — the engine
     // form of the reference's only data-quality valve (ES
     // ignore_malformed:true, convert-to-elasticsearch.py:53). Every 97th
