@@ -441,6 +441,61 @@ object Extended {
               WHERE r_name = 'ASIA'
               GROUP BY n_name""")),
 
+    // Scalar subquery: per-row deviation from a decimal-exact global mean.
+    Q("q52_scalar_subquery",
+      (s, d) => {
+        Tables.orders(s, d).createOrReplaceTempView("orders_v52")
+        s.sql("""SELECT o_orderkey,
+                        o_totalprice -
+                          (SELECT CAST(SUM(CAST(o_totalprice AS DECIMAL(14,2)))
+                                       AS DOUBLE) / COUNT(*)
+                           FROM orders_v52) AS price_dev
+                 FROM orders_v52""")
+      },
+      Some("""SELECT o_orderkey,
+                     o_totalprice -
+                       (SELECT CAST(SUM(CAST(o_totalprice AS DECIMAL(14,2)))
+                                    AS DOUBLE) / COUNT(*)
+                        FROM orders) AS price_dev
+              FROM orders""")),
+
+    // Unpivot (wide -> long) via stack — the inverse of q35's pivot.
+    Q("q53_unpivot",
+      (s, d) => Tables.supplier(s, d).select(
+        col("s_suppkey"),
+        expr("""stack(2, 'acctbal', s_acctbal,
+                         'nationkey_d', CAST(s_nationkey AS DOUBLE))
+                AS (metric, val)""")),
+      Some("""SELECT s_suppkey, 'acctbal' AS metric, s_acctbal AS val
+              FROM supplier
+              UNION ALL
+              SELECT s_suppkey, 'nationkey_d', CAST(s_nationkey AS DOUBLE)
+              FROM supplier""")),
+
+    // Value window functions: first/last/nth over an explicit full frame.
+    Q("q54_value_windows",
+      (s, d) => {
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("c_nationkey")
+          .orderBy(col("c_acctbal").desc, col("c_custkey"))
+          .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+            org.apache.spark.sql.expressions.Window.unboundedFollowing)
+        Tables.customer(s, d).select(
+          col("c_custkey"), col("c_nationkey"),
+          first("c_custkey").over(w).as("richest"),
+          last("c_custkey").over(w).as("poorest"),
+          nth_value(col("c_custkey"), 2).over(w).as("runner_up"))
+      },
+      Some("""SELECT c_custkey, c_nationkey,
+                     FIRST_VALUE(c_custkey) OVER w AS richest,
+                     LAST_VALUE(c_custkey) OVER w AS poorest,
+                     NTH_VALUE(c_custkey, 2) OVER w AS runner_up
+              FROM customer
+              WINDOW w AS (PARTITION BY c_nationkey
+                           ORDER BY c_acctbal DESC, c_custkey
+                           ROWS BETWEEN UNBOUNDED PRECEDING
+                             AND UNBOUNDED FOLLOWING)""")),
+
     // Malformed-record tolerance: DROPMALFORMED CSV parsing — the engine
     // form of the reference's only data-quality valve (ES
     // ignore_malformed:true, convert-to-elasticsearch.py:53). Every 97th
