@@ -211,6 +211,77 @@ object Similarity {
         FROM embeddings GROUP BY 1"""
 }
 
+/** Time-series similarity search (per the retrieved EDBT time-series
+  * similarity literature): daily activity profiles per user, Pearson
+  * correlation against a target user over the days both were active,
+  * top-10 most-similar. Decimal-exact moment sums (the Q34 discipline)
+  * make the correlation reproducible under any partitioning.
+  *
+  * Scale: profiles are one groupBy; the target's profile broadcasts; the
+  * per-user correlation is a second groupBy over the day-joined rows —
+  * no pairwise blow-up (query-vs-all, not all-pairs).
+  */
+object TsSimilarity {
+  import org.apache.spark.sql.types.DecimalType
+
+  def topSimilarUsers(events: DataFrame, kTop: Int = 10): DataFrame = {
+    val daily = events
+      .groupBy(col("user_id"), dayofmonth(col("ts")).as("dom"))
+      .agg(sum(col("value").cast(DecimalType(12, 2))).cast("double").as("v"))
+    val minUser = daily.select(min("user_id").as("t_uid"))
+    val t = daily.join(broadcast(minUser), col("user_id") === col("t_uid"))
+      .select(col("dom").as("t_dom"), col("v").as("tv"), col("t_uid"))
+    daily.join(broadcast(t),
+        col("dom") === col("t_dom") && col("user_id") =!= col("t_uid"))
+      .groupBy("user_id")
+      .agg(
+        count(lit(1)).as("n"),
+        sum(col("v").cast(DecimalType(18, 6))).cast("double").as("sx"),
+        sum(col("tv").cast(DecimalType(18, 6))).cast("double").as("sy"),
+        sum((col("v").cast(DecimalType(18, 6)) *
+          col("v").cast(DecimalType(18, 6)))).cast("double").as("sxx"),
+        sum((col("tv").cast(DecimalType(18, 6)) *
+          col("tv").cast(DecimalType(18, 6)))).cast("double").as("syy"),
+        sum((col("v").cast(DecimalType(18, 6)) *
+          col("tv").cast(DecimalType(18, 6)))).cast("double").as("sxy"))
+      .filter(col("n") >= 3)
+      .select(col("user_id"), col("n"),
+        ((col("sxy") - col("sx") * col("sy") / col("n")) /
+          (sqrt(col("sxx") - col("sx") * col("sx") / col("n")) *
+            sqrt(col("syy") - col("sy") * col("sy") / col("n"))))
+          .as("corr_act"))
+      .orderBy(col("corr_act").desc, col("user_id"))
+      .limit(kTop)
+  }
+
+  val topSimilarUsersSql: String =
+    """WITH daily AS (
+         SELECT user_id, day(ts) AS dom,
+                CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS v
+         FROM events GROUP BY user_id, day(ts)),
+       t AS (SELECT dom AS t_dom, v AS tv,
+                    (SELECT min(user_id) FROM daily) AS t_uid
+             FROM daily WHERE user_id = (SELECT min(user_id) FROM daily)),
+       m AS (SELECT user_id,
+                    CAST(COUNT(*) AS BIGINT) AS n,
+                    CAST(SUM(CAST(v AS DECIMAL(18,6))) AS DOUBLE) AS sx,
+                    CAST(SUM(CAST(tv AS DECIMAL(18,6))) AS DOUBLE) AS sy,
+                    CAST(SUM(CAST(v AS DECIMAL(18,6))
+                             * CAST(v AS DECIMAL(18,6))) AS DOUBLE) AS sxx,
+                    CAST(SUM(CAST(tv AS DECIMAL(18,6))
+                             * CAST(tv AS DECIMAL(18,6))) AS DOUBLE) AS syy,
+                    CAST(SUM(CAST(v AS DECIMAL(18,6))
+                             * CAST(tv AS DECIMAL(18,6))) AS DOUBLE) AS sxy
+             FROM daily JOIN t ON dom = t_dom AND user_id <> t_uid
+             GROUP BY user_id)
+       SELECT user_id, n,
+              (sxy - sx * sy / n)
+                / (sqrt(sxx - sx * sx / n) * sqrt(syy - sy * sy / n))
+                AS corr_act
+       FROM m WHERE n >= 3
+       ORDER BY corr_act DESC, user_id LIMIT 10"""
+}
+
 object SimilarityQueries {
   val queries: Seq[Q] = Seq(
     Q("x01_knn_brute",
@@ -227,6 +298,10 @@ object SimilarityQueries {
 
     Q("x04_knn_ivf",
       (s, d) => Similarity.knnIvf(Tables.embeddings(s, d)),
-      Some(Similarity.knnIvfSql()))
+      Some(Similarity.knnIvfSql())),
+
+    Q("x05_ts_similarity",
+      (s, d) => TsSimilarity.topSimilarUsers(Tables.events(s, d)),
+      Some(TsSimilarity.topSimilarUsersSql))
   )
 }
