@@ -261,6 +261,37 @@ object StreamingQ {
                 AND s.ts < TIMESTAMP '2024-01-16 00:00:00'
                 AND p.ts < TIMESTAMP '2024-01-16 00:00:00'""")),
 
+    // s08: foreachBatch — the micro-batch escape hatch for sinks Spark has
+    // no connector for (idempotent-by-batchId writes, multi-sink fan-out).
+    // Each batch lands as parquet tagged with its batchId; exactly-once
+    // comes from the (batchId, data) pair being deterministic on replay.
+    Q("s08_foreach_batch",
+      (s, d) => {
+        val path = s"$d/events.parquet"
+        val rawSchema = s.read.parquet(path).schema
+        val srcDir = Files.createTempDirectory("graft_s08_src")
+        Files.createSymbolicLink(srcDir.resolve("events.parquet"),
+          Paths.get(path))
+        val out  = Files.createTempDirectory("graft_s08_out").toString
+        val ckpt = Files.createTempDirectory("graft_s08_ckpt").toString
+        val src = Tables.normalizeEvents(
+          s.readStream.schema(rawSchema).parquet(srcDir.toString))
+          .select("event_id", "event_type", "value")
+        val q = src.writeStream
+          .outputMode("append")
+          .option("checkpointLocation", ckpt)
+          .trigger(Trigger.AvailableNow())
+          .foreachBatch { (batch: DataFrame, batchId: Long) =>
+            batch.withColumn("batch_id", lit(batchId))
+              .write.mode("append").parquet(out)
+          }
+          .start()
+        q.awaitTermination()
+        s.read.parquet(out)
+      },
+      Some("""SELECT event_id, event_type, value, CAST(0 AS BIGINT) AS batch_id
+              FROM events""")),
+
     // s05: stream-static join — the unbounded side enriched from a batch
     // dimension (broadcast; no stream-side state).
     Q("s05_stream_static_join",
