@@ -496,6 +496,52 @@ object Extended {
                            ROWS BETWEEN UNBOUNDED PRECEDING
                              AND UNBOUNDED FOLLOWING)""")),
 
+    // Dynamic partition overwrite — the idempotent-backfill pattern: rewrite
+    // ONE partition of a partitioned dataset (here: 'click' events get a
+    // corrected value) without touching sibling partitions. At 100 TB this
+    // is how late corrections land: recompute a day/tenant partition and
+    // swap it atomically, never rewriting the table.
+    Q("q57_partition_overwrite",
+      (s, d) => {
+        val tmp = Files.createTempDirectory("graft_q57_dpo").toString
+        val base = Tables.events(s, d)
+          .select(col("event_id"), col("event_type").as("etype"), col("value"))
+        base.write.mode("overwrite").partitionBy("etype").parquet(tmp)
+        val prev = s.conf.get("spark.sql.sources.partitionOverwriteMode")
+        try {
+          s.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+          base.filter(col("etype") === "click")
+            .withColumn("value", col("value") * 2)
+            .write.mode("overwrite").partitionBy("etype").parquet(tmp)
+        } finally s.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+        s.read.parquet(tmp).select("event_id", "etype", "value")
+      },
+      Some("""SELECT event_id, event_type AS etype,
+                     CASE WHEN event_type = 'click' THEN value * 2
+                          ELSE value END AS value
+              FROM events""")),
+
+    // Schema-evolution read: two parquet generations with different columns
+    // unified by mergeSchema (the late-added column is null for old files).
+    Q("q58_merge_schema",
+      (s, d) => {
+        val tmp = Files.createTempDirectory("graft_q58_evo").toString
+        val old = Tables.orders(s, d).filter(col("o_orderkey") % 2 === 0)
+          .select("o_orderkey", "o_totalprice")
+        val neu = Tables.orders(s, d).filter(col("o_orderkey") % 2 === 1)
+          .select("o_orderkey", "o_totalprice", "o_orderpriority")
+        old.write.mode("overwrite").parquet(s"$tmp/gen=0")
+        neu.write.mode("overwrite").parquet(s"$tmp/gen=1")
+        s.read.option("mergeSchema", "true").parquet(tmp)
+          .select("o_orderkey", "o_totalprice", "o_orderpriority", "gen")
+      },
+      Some("""SELECT o_orderkey, o_totalprice,
+                     CAST(NULL AS VARCHAR) AS o_orderpriority, 0 AS gen
+              FROM orders WHERE o_orderkey % 2 = 0
+              UNION ALL
+              SELECT o_orderkey, o_totalprice, o_orderpriority, 1
+              FROM orders WHERE o_orderkey % 2 = 1""")),
+
     // Malformed-record tolerance: DROPMALFORMED CSV parsing — the engine
     // form of the reference's only data-quality valve (ES
     // ignore_malformed:true, convert-to-elasticsearch.py:53). Every 97th
