@@ -12,7 +12,10 @@ object Probe2 {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val d = if (args.length > 1) args(1) else "/root/testdata/sf0.1"
+    // positional args vs flags: "Probe2 q --explain" must not read a
+    // directory literally named "--explain"
+    val positional = args.filterNot(_.startsWith("--"))
+    val d = if (positional.length > 1) positional(1) else "/root/testdata/sf0.1"
     val tb = System.nanoTime()
     val df = graft.queries.Catalog.byName(args(0)).run(spark, d)
     println(f"build=${(System.nanoTime()-tb)/1e9}%.2f s")

@@ -67,10 +67,12 @@ object Dedup {
   import PortableHash._
 
   /** MinHash permutation constants: mh_j = min over shingles of (a_j*h+b_j)%p.
-    * a_j*h stays < 2^63 (a_j < 5e7, h < 1e9+7).
+    * a_j*h stays < 2^63 (a_j < 5e7, h < 1e9+7). Single source of truth is
+    * the native kernel ([[graft.functions.TextHash]]); the oracle SQL built
+    * below derives from the SAME values, so kernel and oracle cannot drift.
     */
-  val A = Seq(2971L, 4297L, 6553L, 8191L, 104729L, 15485863L, 32452843L, 49979687L)
-  val B = Seq(7L, 12343L, 2003L, 4999L, 73L, 3947L, 1117L, 1009L)
+  val A: Seq[Long] = graft.functions.TextHash.A.toSeq
+  val B: Seq[Long] = graft.functions.TextHash.B.toSeq
   val k = A.length
   /** 4 bands × 2 rows: P(candidate | jaccard j) = 1-(1-j²)⁴. */
   val bands: Seq[(Int, Int)] = Seq((0, 1), (2, 3), (4, 5), (6, 7))
@@ -119,6 +121,11 @@ object Dedup {
     * Bands are exploded to (band#, h1, h2) rows so all 4 bands go through ONE
     * shuffle equi-join on the band key instead of 4 separate joins — shuffle
     * on near-uniform hash values, never a cartesian.
+    *
+    * The persisted relation is deliberately left cached (no unpersist): the
+    * CacheManager dedups by canonicalized plan, so repeated calls over the
+    * same input reuse one compact cache entry (9 longs/doc) rather than
+    * accumulating copies, and d05 reuses d03's signatures for free.
     */
   def lshPairs(docs: DataFrame): DataFrame = {
     val sig = minhash(docs).persist()

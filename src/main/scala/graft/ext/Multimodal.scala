@@ -69,19 +69,17 @@ object Multimodal {
     */
   val thumbBytes = 16
   def resizeStub(docs: DataFrame): DataFrame = {
-    val hexStr = hex(encode(col("text"), "UTF-8"))
-    val n = octet_length(col("text"))
-    val stride = greatest(lit(1), (n / thumbBytes))
+    // ONE stride definition feeds both the reported column and the sampler
+    // (a drifting pair would silently desynchronize them).
+    val strideSql = s"greatest(1, octet_length(text) DIV $thumbBytes)"
     val thumb = expr(
       s"""concat_ws('', transform(
             sequence(0, least($thumbBytes, octet_length(text)) - 1),
-            i -> substr(hex(encode(text, 'UTF-8')),
-                        1 + i * greatest(1, octet_length(text) DIV $thumbBytes) * 2,
-                        2)))""")
+            i -> substr(hex(encode(text, 'UTF-8')), 1 + i * $strideSql * 2, 2)))""")
     docs.filter(length(col("text")) > 0).select(
       col("doc_id"),
-      n.as("orig_bytes"),
-      stride.cast("int").as("stride"),
+      octet_length(col("text")).as("orig_bytes"),
+      expr(s"CAST($strideSql AS INT)").as("stride"),
       thumb.as("thumb_hex"),
       md5(thumb).as("thumb_md5"))
   }

@@ -128,6 +128,7 @@ case class DotFExpr(left: Expression, right: Expression)
     extends BinaryExpression with VecExpr {
   override protected def vecChildren: Seq[Expression] = Seq(left, right)
   override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true // null on length mismatch
   override def prettyName: String = "graft_dot"
   protected override def nullSafeEval(a: Any, b: Any): Any = {
     val (x, y) = (a.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData],
@@ -136,7 +137,12 @@ case class DotFExpr(left: Expression, right: Expression)
   }
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
     val fn = if (isFloatVec) "dotF" else "dotD"
-    defineCodeGen(ctx, ev, (a, b) => s"graft.functions.VecOps.$fn($a, $b)")
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val r = ctx.freshName("dotRes")
+      s"""java.lang.Double $r = graft.functions.VecOps.$fn($a, $b);
+         if ($r == null) { ${ev.isNull} = true; }
+         else { ${ev.value} = $r.doubleValue(); }"""
+    })
   }
   override protected def withNewChildrenInternal(
       newLeft: Expression, newRight: Expression): Expression =
@@ -147,6 +153,7 @@ case class CosFExpr(left: Expression, right: Expression)
     extends BinaryExpression with VecExpr {
   override protected def vecChildren: Seq[Expression] = Seq(left, right)
   override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true // null on length mismatch / zero norm
   override def prettyName: String = "graft_cos"
   protected override def nullSafeEval(a: Any, b: Any): Any = {
     val (x, y) = (a.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData],
@@ -155,7 +162,12 @@ case class CosFExpr(left: Expression, right: Expression)
   }
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
     val fn = if (isFloatVec) "cosF" else "cosD"
-    defineCodeGen(ctx, ev, (a, b) => s"graft.functions.VecOps.$fn($a, $b)")
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val r = ctx.freshName("cosRes")
+      s"""java.lang.Double $r = graft.functions.VecOps.$fn($a, $b);
+         if ($r == null) { ${ev.isNull} = true; }
+         else { ${ev.value} = $r.doubleValue(); }"""
+    })
   }
   override protected def withNewChildrenInternal(
       newLeft: Expression, newRight: Expression): Expression =

@@ -19,9 +19,10 @@ import org.apache.spark.unsafe.types.UTF8String
 object TextHash {
   val P = 1000000007L
 
-  // MinHash permutation constants — must mirror graft.ext.Dedup.{A,B}.
-  private val A = Array(2971L, 4297L, 6553L, 8191L, 104729L, 15485863L, 32452843L, 49979687L)
-  private val B = Array(7L, 12343L, 2003L, 4999L, 73L, 3947L, 1117L, 1009L)
+  // MinHash permutation constants — the single source of truth; the oracle
+  // SQL side (graft.ext.Dedup.A/B) references these.
+  val A = Array(2971L, 4297L, 6553L, 8191L, 104729L, 15485863L, 32452843L, 49979687L)
+  val B = Array(7L, 12343L, 2003L, 4999L, 73L, 3947L, 1117L, 1009L)
 
   /** Polynomial rolling hash over the codepoints of `s`. Codepoint iteration
     * (not bytes) matches Spark `ascii(substr(s,i,1))` / DuckDB
@@ -111,15 +112,21 @@ object TextHash {
 
 /** Float-array similarity kernels (graft.ext.Similarity hot path). Sequential
   * left folds in double precision — bit-identical to the SQL
-  * `aggregate(zip_with(...))` / DuckDB `list_reduce` forms.
+  * `aggregate(zip_with(...))` / DuckDB `list_reduce` forms, INCLUDING their
+  * null semantics: mismatched lengths → null (zip_with pads with null, which
+  * nulls the fold) and zero-norm cosine → null (SQL division by zero is
+  * null, not NaN — and Spark sorts NaN ABOVE every real value, so a NaN here
+  * would float garbage to the top of a similarity ranking).
   */
 object VecOps {
 
   /** Sequential-fold dot product of two float arrays (cast each element to
-    * double, multiply, then left-fold the sum in array order).
+    * double, multiply, then left-fold the sum in array order); null when the
+    * lengths differ.
     */
-  def dotF(a: ArrayData, b: ArrayData): Double = {
-    val n = math.min(a.numElements(), b.numElements())
+  def dotF(a: ArrayData, b: ArrayData): java.lang.Double = {
+    val n = a.numElements()
+    if (n != b.numElements()) return null
     var acc = 0.0
     var i = 0
     while (i < n) {
@@ -129,23 +136,34 @@ object VecOps {
     acc
   }
 
-  /** Cosine similarity with the same fold for numerator and both norms. */
-  def cosF(a: ArrayData, b: ArrayData): Double =
-    dotF(a, b) / (math.sqrt(dotF(a, a)) * math.sqrt(dotF(b, b)))
+  /** Cosine similarity with the same fold for numerator and both norms;
+    * null on length mismatch or a zero-norm side.
+    */
+  def cosF(a: ArrayData, b: ArrayData): java.lang.Double = {
+    val d = dotF(a, b)
+    if (d == null) return null
+    val denom = math.sqrt(dotF(a, a)) * math.sqrt(dotF(b, b))
+    if (denom == 0.0) null else d.doubleValue() / denom
+  }
 
   /** Double-array variants (elements are already doubles; the fold is the
     * same cast-to-double sequence, so float/double inputs share semantics).
     */
-  def dotD(a: ArrayData, b: ArrayData): Double = {
-    val n = math.min(a.numElements(), b.numElements())
+  def dotD(a: ArrayData, b: ArrayData): java.lang.Double = {
+    val n = a.numElements()
+    if (n != b.numElements()) return null
     var acc = 0.0
     var i = 0
     while (i < n) { acc += a.getDouble(i) * b.getDouble(i); i += 1 }
     acc
   }
 
-  def cosD(a: ArrayData, b: ArrayData): Double =
-    dotD(a, b) / (math.sqrt(dotD(a, a)) * math.sqrt(dotD(b, b)))
+  def cosD(a: ArrayData, b: ArrayData): java.lang.Double = {
+    val d = dotD(a, b)
+    if (d == null) return null
+    val denom = math.sqrt(dotD(a, a)) * math.sqrt(dotD(b, b))
+    if (denom == 0.0) null else d.doubleValue() / denom
+  }
 
   /** Dot product against the deterministic hyperplane j: component i
     * (1-based) is ((j*31 + (i-1)*17) % 7) - 3 — mirrors

@@ -47,6 +47,14 @@ object AsOfJoin {
       keys: Seq[String],
       tieBreak: Seq[String] = Nil): DataFrame = {
 
+    val reserved = Set("_t", "_side", "_r", "_asof") ++
+      tieBreak.map(c => s"_tb_$c")
+    val clash = (left.columns ++ right.columns).filter(c =>
+      reserved(c) || c.startsWith("_tb_"))
+    require(clash.isEmpty,
+      s"leftAsOf reserves internal column names ${reserved.mkString(", ")}; " +
+        s"rename input columns: ${clash.mkString(", ")}")
+
     val rightPayload = right.columns.filterNot(keys.contains).toSeq
     val r = right.select(
       keys.map(col) ++ Seq(

@@ -52,8 +52,7 @@ object PipelineQueries {
     // formula-reconstructed oracle.
     Q("p02_rooms_etl",
       (s, _) => {
-        val dir = java.nio.file.Files
-          .createTempDirectory("graft_p02_rooms").toString
+        val dir = graft.util.Scratch.dir("graft_p02_rooms")
         writeRoomsFixture(dir)
         RoomReader.pivotPlan(s, dir)
           .select("room", "ts_min_bignt", "co2", "humidity", "light", "pir",

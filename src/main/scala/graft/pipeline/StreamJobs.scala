@@ -34,7 +34,7 @@ object StreamJobs {
     * matches the reference's 1-partition topic, kafka/kafka_admin.py:27).
     */
   def fileWireSource(spark: SparkSession, dir: String): DataFrame =
-    spark.readStream.text(dir).withColumnRenamed("value", "value")
+    spark.readStream.text(dir) // text source already yields a `value` column
 
   /** MinIO-job sink: checkpointed append parquet (convert-to-minio.py:125-131). */
   def toParquet(enriched: DataFrame, outPath: String, checkpoint: String,
@@ -77,16 +77,36 @@ final class EsShapedWriter(outDir: String, fields: Array[String])
     true
   }
 
+  /** Full JSON string escaping — control characters included (an unescaped
+    * newline would split a document across two JSONL lines).
+    */
+  private def jsonStr(s: String): String = {
+    val sb = new StringBuilder("\"")
+    s.foreach {
+      case '"'           => sb.append("\\\"")
+      case '\\'          => sb.append("\\\\")
+      case '\n'          => sb.append("\\n")
+      case '\r'          => sb.append("\\r")
+      case '\t'          => sb.append("\\t")
+      case c if c < ' '  => sb.append(f"\\u${c.toInt}%04x")
+      case c             => sb.append(c)
+    }
+    sb.append('"').toString
+  }
+
   override def process(row: Row): Unit = {
     val doc = fields.zipWithIndex.map { case (f, i) =>
       val v = row.get(i)
       val s = v match {
-        case null                     => "null"
-        case n: Float                 => n.toString
-        case n: Double                => n.toString
-        case n: Number                => n.toString
-        case other                    =>
-          "\"" + other.toString.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
+        case null => "null"
+        // bare NaN/Infinity is not legal JSON — ES's ignore_malformed would
+        // drop the field; the stand-in writes null
+        case n: Float if n.isNaN || n.isInfinite  => "null"
+        case n: Double if n.isNaN || n.isInfinite => "null"
+        case n: Float  => n.toString
+        case n: Double => n.toString
+        case n: Number => n.toString
+        case other     => jsonStr(other.toString)
       }
       "\"" + f + "\": " + s
     }.mkString("{", ", ", "}")

@@ -1,6 +1,6 @@
 package graft.queries
 
-import java.nio.file.Files
+import graft.util.Scratch
 
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
@@ -297,7 +297,7 @@ object Extended {
     // partition column is date/tenant and a pruned read touches 1/N files).
     Q("q42_partitioned_table",
       (s, d) => {
-        val tmp = Files.createTempDirectory("graft_q42_part").toString
+        val tmp = Scratch.dir("graft_q42_part")
         Tables.events(s, d)
           .withColumn("etype", col("event_type"))
           .write.mode("overwrite").partitionBy("etype").parquet(tmp)
@@ -363,7 +363,7 @@ object Extended {
       (s, d) => {
         val sel = Tables.events(s, d)
           .select("event_id", "event_type", "value", "user_id")
-        val tmp = Files.createTempDirectory("graft_q47_json").toString
+        val tmp = Scratch.dir("graft_q47_json")
         sel.write.mode("overwrite").json(tmp)
         s.read.schema(sel.schema).json(tmp)
       },
@@ -375,7 +375,7 @@ object Extended {
       (s, d) => {
         val sel = Tables.orders(s, d)
           .select("o_orderkey", "o_orderstatus", "o_totalprice")
-        val tmp = Files.createTempDirectory("graft_q48_orc").toString
+        val tmp = Scratch.dir("graft_q48_orc")
         sel.write.mode("overwrite").orc(tmp)
         s.read.schema(sel.schema).orc(tmp)
       },
@@ -503,7 +503,7 @@ object Extended {
     // swap it atomically, never rewriting the table.
     Q("q57_partition_overwrite",
       (s, d) => {
-        val tmp = Files.createTempDirectory("graft_q57_dpo").toString
+        val tmp = Scratch.dir("graft_q57_dpo")
         val base = Tables.events(s, d)
           .select(col("event_id"), col("event_type").as("etype"), col("value"))
         base.write.mode("overwrite").partitionBy("etype").parquet(tmp)
@@ -525,7 +525,7 @@ object Extended {
     // unified by mergeSchema (the late-added column is null for old files).
     Q("q58_merge_schema",
       (s, d) => {
-        val tmp = Files.createTempDirectory("graft_q58_evo").toString
+        val tmp = Scratch.dir("graft_q58_evo")
         val old = Tables.orders(s, d).filter(col("o_orderkey") % 2 === 0)
           .select("o_orderkey", "o_totalprice")
         val neu = Tables.orders(s, d).filter(col("o_orderkey") % 2 === 1)
@@ -553,7 +553,7 @@ object Extended {
           when(col("event_id") % 97 === 0, lit("x,y,z,bad"))
             .otherwise(concat_ws(",", col("event_id"), col("value")))
             .as("value"))
-        val tmp = Files.createTempDirectory("graft_q49_bad").toString
+        val tmp = Scratch.dir("graft_q49_bad")
         wire.write.mode("overwrite").text(tmp)
         s.read
           .schema("event_id LONG, value DOUBLE")
@@ -568,7 +568,7 @@ object Extended {
       (s, d) => {
         val sel = Tables.lineitem(s, d)
           .select("l_orderkey", "l_linenumber", "l_quantity", "l_returnflag")
-        val tmp = Files.createTempDirectory("graft_q38_csv").toString
+        val tmp = Scratch.dir("graft_q38_csv")
         sel.write.mode("overwrite").option("header", "true").csv(tmp)
         s.read.option("header", "true").schema(sel.schema).csv(tmp)
       },

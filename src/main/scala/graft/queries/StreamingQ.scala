@@ -34,13 +34,13 @@ object StreamingQ {
       xform: DataFrame => DataFrame): DataFrame = {
     val path = s"$d/events.parquet"
     val rawSchema = s.read.parquet(path).schema
-    val srcDir = Files.createTempDirectory("graft_stream_src")
+    val srcDir = Paths.get(graft.util.Scratch.dir("graft_stream_src"))
     (1 to copies).foreach { i =>
       Files.createSymbolicLink(srcDir.resolve(s"events_$i.parquet"),
         Paths.get(path))
     }
-    val out  = Files.createTempDirectory("graft_stream_out").toString
-    val ckpt = Files.createTempDirectory("graft_stream_ckpt").toString
+    val out  = graft.util.Scratch.dir("graft_stream_out")
+    val ckpt = graft.util.Scratch.dir("graft_stream_ckpt")
 
     // Stateful streaming cost scales with state-store count (= shuffle
     // partitions at plan time): snapshots, WAL and commit run per store per
@@ -269,11 +269,11 @@ object StreamingQ {
       (s, d) => {
         val path = s"$d/events.parquet"
         val rawSchema = s.read.parquet(path).schema
-        val srcDir = Files.createTempDirectory("graft_s08_src")
+        val srcDir = Paths.get(graft.util.Scratch.dir("graft_s08_src"))
         Files.createSymbolicLink(srcDir.resolve("events.parquet"),
           Paths.get(path))
-        val out  = Files.createTempDirectory("graft_s08_out").toString
-        val ckpt = Files.createTempDirectory("graft_s08_ckpt").toString
+        val out  = graft.util.Scratch.dir("graft_s08_out")
+        val ckpt = graft.util.Scratch.dir("graft_s08_ckpt")
         val src = Tables.normalizeEvents(
           s.readStream.schema(rawSchema).parquet(srcDir.toString))
           .select("event_id", "event_type", "value")
