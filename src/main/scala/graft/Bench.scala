@@ -12,19 +12,29 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    // Warm-up (BASELINE.md measures "single run after warm-up"): JIT the
-    // scan/shuffle/codegen paths once so the first timed query doesn't pay
-    // executor + compiler bring-up (~7 s of fixed cost unrelated to any
-    // query).
+    // Warm-up (BASELINE.md measures "min of 2 full-materialization runs
+    // after warm-up"): JIT the scan/shuffle/codegen paths once so the first
+    // timed query doesn't pay executor + compiler bring-up (~7 s of fixed
+    // cost unrelated to any query).
     try {
       spark.range(1000000).selectExpr("sum(id)").collect()
       spark.read.parquet(s"$sfDir/lineitem.parquet")
         .groupBy("l_returnflag").count().collect()
     } catch { case _: Throwable => () }
+    // Timing is via the noop sink: every column of every row is fully
+    // materialized (unlike `.count()`, which lets Catalyst prune all
+    // projected columns and under-measures projection-heavy queries).
+    // Min of 2 runs per query strips scheduler noise and one-time plan
+    // compilation; the DuckDB baseline is measured the same way.
     val results = SparkEntry.queries.map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      val times = (1 to 2).map { _ =>
+        val t0 = System.nanoTime()
+        try {
+          fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+          (System.nanoTime() - t0) / 1e9
+        } catch { case _: Throwable => -1.0 }
+      }
+      name -> (if (times.exists(_ < 0)) -1.0 else times.min)
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")

@@ -136,7 +136,12 @@ object Dedup {
       .select(col("doc_id"), explode(array(bandStructs: _*)).as("b"))
       .select(col("doc_id"), col("b.band"), col("b.h1"), col("b.h2"))
     val a = banded.toDF("doc_a", "band_a", "h1a", "h2a")
-    val b = banded.toDF("doc_b", "band_b", "h1b", "h2b")
+    // shuffle_hash hint: at 100 TB the signature relation is TB-scale, so
+    // AQE's broadcast choice (valid only at toy SF) is the wrong plan shape
+    // to pin; a shuffled hash join on the near-uniform band keys avoids both
+    // the broadcast build and the sort of a sort-merge join. Both sides hash-
+    // partition on the same key, and AQE skew-join splitting still applies.
+    val b = banded.toDF("doc_b", "band_b", "h1b", "h2b").hint("shuffle_hash")
     a.join(b, col("band_a") === col("band_b") && col("h1a") === col("h1b") &&
         col("h2a") === col("h2b") && col("doc_a") < col("doc_b"))
       .select("doc_a", "doc_b").distinct()

@@ -126,9 +126,14 @@ object Similarity {
     * becomes partition pruning — the classic IVF trade (recall bounded by
     * nprobe=1 here) against scanning the corpus.
     *
-    * Determinism for the oracle: centroid sums fold double-casts in vec_id
-    * order (collect → sort → sequential fold), so every mean is bit-exact
-    * reproducible under any partitioning — same discipline as Q34's moments.
+    * Determinism for the oracle: the centroid is the mean of values
+    * quantized to 2^-20 units — `floor(val * 2^20)` is bit-identical in
+    * both engines (float→double is exact, ×2^20 is an exponent shift,
+    * floor is exact; no decimal/round rounding-rule divergence) and the
+    * BIGINT sum is associative, hence order-free and partition-stable
+    * WITHOUT materializing any per-group array (a hot label can have
+    * billions of rows at 100 TB; the old collect_list fold OOM'd there).
+    * The 1e-6-scale quantization is immaterial for a coarse quantizer.
     */
   def knnIvf(emb: DataFrame, kTop: Int = 10): DataFrame = {
     graft.functions.GraftFunctions.register(emb.sparkSession)
@@ -136,12 +141,15 @@ object Similarity {
       posexplode(col("embedding")).as(Seq("pos", "val")))
     val cent = pe.groupBy("label", "pos")
       .agg(
-        expr("""aggregate(
-                  transform(sort_array(collect_list(struct(vec_id, val))),
-                            x -> CAST(x.val AS DOUBLE)),
-                  CAST(0 AS DOUBLE), (acc, v) -> acc + v)""").as("sv"),
+        sum(expr("CAST(floor(CAST(val AS DOUBLE) * 1048576.0) AS BIGINT)"))
+          .as("sq"),
         count(lit(1)).as("n"))
-      .withColumn("c", col("sv") / col("n"))
+      .withColumn("c",
+        expr("CAST(sq AS DOUBLE) / 1048576.0 / CAST(n AS DOUBLE)"))
+    // The one remaining collect_list assembles the centroid VECTOR per
+    // label: exactly `dim` (=64) elements per group, bounded by the
+    // embedding dimensionality — not by row count — so it is safe at any
+    // data scale (unlike the per-(label,pos) row fold removed above).
     val carr = cent.groupBy("label")
       .agg(expr("transform(sort_array(collect_list(struct(pos, c))), x -> x.c)")
         .as("cvec"))
@@ -171,10 +179,9 @@ object Similarity {
           FROM embeddings, UNNEST(range(1, len(embedding) + 1)) AS t(i)),
         cent AS (
           SELECT label, pos,
-                 list_reduce(list_prepend(CAST(0 AS DOUBLE),
-                   list_transform(list(val ORDER BY vec_id),
-                                  v -> CAST(v AS DOUBLE))),
-                   (acc, v) -> acc + v) / COUNT(*) AS c
+                 CAST(SUM(CAST(floor(CAST(val AS DOUBLE) * 1048576.0)
+                               AS BIGINT)) AS DOUBLE)
+                   / 1048576.0 / CAST(COUNT(*) AS DOUBLE) AS c
           FROM pe GROUP BY label, pos),
         carr AS (SELECT label, list(c ORDER BY pos) AS cvec FROM cent GROUP BY label),
         q AS (SELECT vec_id AS q_id,
