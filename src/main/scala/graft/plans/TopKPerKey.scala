@@ -73,6 +73,25 @@ object TopKStrategy extends SparkStrategy {
 /** Shared bounded-heap evaluation: per key, keep the k smallest rows under
   * `order` (SortOrder ascending = "first"). Emits heap contents unordered —
   * callers sort if they need ranked output.
+  *
+  * Memory safety: the heap map is capped at `spark.graft.topk.maxKeysPerTask`
+  * distinct keys (default 2^20). On breach — a very-high-cardinality group
+  * column, the case where Spark's own hash aggregate falls back to
+  * sort-based aggregation — each stage degrades differently:
+  *
+  *   - PARTIAL: flush-and-reset. The current heap contents are emitted and
+  *     the map cleared; heaping restarts on the remaining input. Correct
+  *     because a row is only ever evicted when k better same-key rows
+  *     coexist in its batch, which proves it is not in the true top-k
+  *     regardless of batching — so the union of flushed batches is still a
+  *     superset of every key's top-k (≤ k rows per key PER BATCH reach the
+  *     exchange instead of exactly ≤ k, trading shuffle volume for a hard
+  *     memory bound).
+  *   - FINAL: external-sort fallback (must emit EXACTLY k per key, so
+  *     flushing is not an option). All kept rows plus the remaining input
+  *     go through Spark's spillable [[GraftSorterBridge]] sort on
+  *     (group key, order), then one streaming scan emits the first k rows
+  *     of each key group in O(1) heap beyond the sorter's managed pages.
   */
 trait TopKExec extends UnaryExecNode {
   def groupExprs: Seq[Expression]
@@ -91,19 +110,25 @@ trait TopKExec extends UnaryExecNode {
     val orderLocal = order
     val outputLocal = output
     val kLocal = k
+    val schemaLocal = schema
+    val isFinal = this.isInstanceOf[TopKFinalExec]
+    val maxKeys = conf.getConfString("spark.graft.topk.maxKeysPerTask",
+      (1 << 20).toString).toInt
     child.execute().mapPartitions({ it =>
       val keyProj = UnsafeProjection.create(groupLocal, outputLocal)
       val ordering = GenerateOrdering.generate(orderLocal, outputLocal)
+      val rowOrd: Ordering[InternalRow] = (a, b) => ordering.compare(a, b)
       // max-heap of the k best rows per key: head = current worst of the
       // kept set, evicted when a better row arrives.
       val heaps = new java.util.HashMap[UnsafeRow,
         scala.collection.mutable.PriorityQueue[InternalRow]]()
-      val rowOrd: Ordering[InternalRow] = (a, b) => ordering.compare(a, b)
-      while (it.hasNext) {
-        val row = it.next()
+
+      /** false iff the row's key is NEW and the map is at capacity. */
+      def insert(row: InternalRow): Boolean = {
         val key = keyProj(row)
         var heap = heaps.get(key)
         if (heap == null) {
+          if (heaps.size() >= maxKeys) return false
           heap = scala.collection.mutable.PriorityQueue.empty(rowOrd)
           heaps.put(key.copy(), heap)
         }
@@ -111,11 +136,80 @@ trait TopKExec extends UnaryExecNode {
         else if (ordering.compare(row, heap.head) < 0) {
           heap.dequeue(); heap.enqueue(row.copy())
         }
+        true
       }
-      val outIt = new java.util.ArrayList[InternalRow]()
-      heaps.values().forEach(h => h.foreach(outIt.add))
-      import scala.jdk.CollectionConverters._
-      outIt.iterator().asScala
+
+      /** Emit-and-clear the heap map (rows stay referenced by the queues). */
+      def drain(): Iterator[InternalRow] = {
+        import scala.jdk.CollectionConverters._
+        val vals = new java.util.ArrayList[
+          scala.collection.mutable.PriorityQueue[InternalRow]](heaps.values())
+        heaps.clear()
+        vals.iterator().asScala.flatMap(_.iterator)
+      }
+
+      /** Consume input until a capacity breach or exhaustion; returns the
+        * breaching row (copied), or null when the input is exhausted.
+        */
+      def fill(): InternalRow = {
+        while (it.hasNext) {
+          val row = it.next()
+          if (!insert(row)) return row.copy()
+        }
+        null
+      }
+
+      if (!isFinal) {
+        // PARTIAL: rounds of fill → flush; lazy so a flushed batch streams
+        // to the exchange before the next round's heaps build up.
+        new Iterator[InternalRow] {
+          private var cur: Iterator[InternalRow] = Iterator.empty
+          private var pendingBreach: InternalRow = _
+          private def advance(): Boolean = {
+            while (!cur.hasNext &&
+                (pendingBreach != null || it.hasNext || !heaps.isEmpty)) {
+              if (pendingBreach != null) {
+                insert(pendingBreach) // map was just cleared; cannot breach
+                pendingBreach = null
+              }
+              pendingBreach = fill()
+              cur = drain()
+            }
+            cur.hasNext
+          }
+          override def hasNext: Boolean = advance()
+          override def next(): InternalRow = {
+            if (!advance()) throw new NoSuchElementException
+            cur.next()
+          }
+        }
+      } else {
+        val breach = fill()
+        if (breach == null) drain()
+        else {
+          // FINAL fallback: spillable sort on (key, order), streaming
+          // first-k-per-key scan.
+          val combined =
+            groupLocal.map(SortOrder(_, Ascending)) ++ orderLocal
+          val sortOrd = GenerateOrdering.generate(combined, outputLocal)
+          val toUnsafe = UnsafeProjection.create(outputLocal, outputLocal)
+          def asUnsafe(r: InternalRow): UnsafeRow = r match {
+            case u: UnsafeRow => u
+            case other => toUnsafe(other) // sorter copies on insert
+          }
+          val all = (drain() ++ Iterator.single(breach) ++ it).map(asUnsafe)
+          val sorted = org.apache.spark.sql.execution.GraftSorterBridge
+            .sort(schemaLocal, sortOrd, all)
+          var curKey: UnsafeRow = null
+          var n = 0
+          sorted.filter { row =>
+            val key = keyProj(row)
+            if (curKey == null || key != curKey) { curKey = key.copy(); n = 1 }
+            else n += 1
+            n <= kLocal
+          }
+        }
+      }
     }, preservesPartitioning = true)
   }
 }

@@ -72,6 +72,26 @@ class TopKPerKeySpec extends SparkSpec {
     }.isEmpty, "score filter must stay above the top-k")
   }
 
+  test("1M distinct keys under a 1000-key heap cap stays correct " +
+      "(partial flush + final sort-fallback paths)") {
+    // 4M rows, 1M distinct keys, 4 rows per key (ids g, g+1M, g+2M, g+3M).
+    // With maxKeysPerTask=1000 every task holds ≥31k keys on average, so the
+    // partial stage MUST flush repeatedly and the final stage MUST take the
+    // external-sort fallback — the assertions below only hold if both
+    // degraded paths compute exact per-key top-k.
+    spark.conf.set("spark.graft.topk.maxKeysPerTask", "1000")
+    try {
+      val big = spark.range(0, 4000000L).select(
+        (col("id") % 1000000L).as("grp"), col("id").as("score"))
+      val topk = TopKPerKey(big, Seq("grp"), Seq(("score", true)), 2)
+      // top-2 ascending per key are exactly ids g and g+1M → all < 2M
+      assert(topk.count() === 2000000L)
+      assert(topk.filter(col("score") >= 2000000L).count() === 0)
+      assert(topk.select(sum(col("score"))).as[Long].head() ===
+        (0L until 2000000L).sum)
+    } finally spark.conf.unset("spark.graft.topk.maxKeysPerTask")
+  }
+
   test("unknown column and non-positive k fail fast") {
     intercept[IllegalArgumentException] {
       TopKPerKey(df, Seq("nope"), Seq(("id", true)), 1)
