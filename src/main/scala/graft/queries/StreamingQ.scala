@@ -44,12 +44,14 @@ object StreamingQ {
 
     // Stateful streaming cost scales with state-store count (= shuffle
     // partitions at plan time): snapshots, WAL and commit run per store per
-    // micro-batch. Size state partitioning to the state volume (8 here)
-    // rather than the CPU count — at real scale this knob grows with keys,
-    // not cores. Restored after the query so batch plans keep the session
-    // setting.
+    // micro-batch. Size state partitioning to the state volume (default 4
+    // here; graft.stream.stateParts overrides) rather than the CPU count —
+    // at real scale this knob grows with keys, not cores. Restored after
+    // the query so batch plans keep the session setting.
     val prevParts = s.conf.get("spark.sql.shuffle.partitions")
-    s.conf.set("spark.sql.shuffle.partitions", "8")
+    val stateParts =
+      s.conf.getOption("graft.stream.stateParts").getOrElse("4")
+    s.conf.set("spark.sql.shuffle.partitions", stateParts)
     val src = Tables.normalizeEvents(
       s.readStream.schema(rawSchema).parquet(srcDir.toString))
     val q = try {

@@ -82,4 +82,25 @@ class StreamingSpec extends SparkSpec {
       "2024-01-01 01:00:00.0" -> 1L,
       "2024-01-01 02:00:00.0" -> 1L)) // hour 05 still in state
   }
+
+  test("RocksDB state store provider yields identical session windows " +
+      "(SURVEY §7.4 risk 6: the 100 TB state backend)") {
+    // The HDFS-backed default keeps every state row on the JVM heap — fine
+    // at test scale, an OOM at 100 TB state. RocksDB is the scale backend;
+    // this pins that the s02 session-window query is provider-agnostic.
+    val sf = "/root/testdata/sf0.001"
+    def canon(df: org.apache.spark.sql.DataFrame): Seq[String] =
+      df.collect().map(_.toString).sorted.toSeq
+
+    val default = canon(Catalog.byName("s02_stream_session").run(spark, sf))
+    assert(default.nonEmpty)
+
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val rocks = canon(Catalog.byName("s02_stream_session").run(spark, sf))
+      assert(rocks === default)
+    } finally spark.conf.unset(
+      "spark.sql.streaming.stateStore.providerClass")
+  }
 }
