@@ -200,7 +200,9 @@ object GraftFunctions {
     "graft_simhash"      -> (cs => SimHashExpr(cs.head)),
     "graft_dot"          -> (cs => DotFExpr(cs(0), cs(1))),
     "graft_cos"          -> (cs => CosFExpr(cs(0), cs(1))),
-    "graft_lsh_bucket"   -> (cs => LshBucketExpr(cs.head))
+    "graft_lsh_bucket"   -> (cs => LshBucketExpr(cs.head)),
+    // mergeable KMV distinct sketch (analyzer wraps the raw AggregateFunction)
+    "graft_kmv"          -> (cs => KmvSketchAgg(cs.head, 64))
   )
 
   /** Idempotent: safe to call at the head of every query builder. */

@@ -562,6 +562,44 @@ object Extended {
       },
       Some("""SELECT event_id, value FROM events WHERE event_id % 97 <> 0""")),
 
+    // Mergeable distinct-count sketch as a first-class aggregate: KMV over
+    // the portable poly-hash via graft_kmv (TypedImperativeAggregate with a
+    // binary buffer that flows through partial-agg shuffles). Where q11's
+    // HLL is inherently no_oracle, the KMV kept-set is a pure function of
+    // the input SET, so estimate, kth-min AND the sketch bytes themselves
+    // hash-compare against DuckDB.
+    Q("q59_kmv_sketch",
+      (s, d) => {
+        graft.functions.GraftFunctions.register(s)
+        Tables.events(s, d)
+          .groupBy(col("event_type"))
+          .agg(expr("graft_kmv(CAST(user_id AS STRING))").as("kmv"))
+          .select(col("event_type"),
+            col("kmv.n_kept").as("n_kept"),
+            col("kmv.kth_min").as("kth_min"),
+            col("kmv.est_distinct").as("est_distinct"),
+            upper(hex(col("kmv.sketch"))).as("sketch_hex"))
+      },
+      Some(s"""WITH h AS (
+                 SELECT event_type,
+                        ${graft.ext.PortableHash.duckPoly("md5(CAST(user_id AS VARCHAR))")} AS hv
+                 FROM events),
+               g AS (
+                 SELECT event_type,
+                        list_slice(list_sort(list_distinct(list(hv))), 1, 64) AS ks
+                 FROM h GROUP BY event_type)
+               SELECT event_type,
+                      CAST(len(ks) AS INTEGER) AS n_kept,
+                      CASE WHEN len(ks) < 64 THEN CAST(-1 AS BIGINT)
+                           ELSE ks[64] END AS kth_min,
+                      CASE WHEN len(ks) < 64 THEN CAST(len(ks) AS DOUBLE)
+                           ELSE 63.0 * 1000000007.0 / CAST(ks[64] AS DOUBLE)
+                      END AS est_distinct,
+                      upper(array_to_string(
+                        list_transform(ks, x -> lpad(hex(x), 16, '0')), ''))
+                        AS sketch_hex
+               FROM g""")),
+
     // Genuine CSV sink + source roundtrip (S1/K-family): write with header,
     // read back with the DECLARED schema (inference banned, SURVEY §1.3).
     Q("q38_csv_roundtrip",
