@@ -600,6 +600,29 @@ object Extended {
                         AS sketch_hex
                FROM g""")),
 
+    // Skew-resilient salted equi-join as a correctness-gated query (the
+    // operator was previously spec-only): every 3rd event hammers nation
+    // key 7 (~36% of rows on one key), the salt spreads it over 8 sub-keys,
+    // and the result must equal the plain unsalted join bit-for-bit —
+    // salting is a physical rewrite, never a semantic one.
+    Q("q60_salted_join",
+      (s, d) => {
+        val ev = Tables.events(s, d).select(col("event_id"),
+          when(col("event_id") % 3 === 0, lit(7L))
+            .otherwise(col("user_id") % 25).as("nk"))
+        val dim = Tables.nation(s, d)
+          .select(col("n_nationkey").cast("long").as("nk"), col("n_name"))
+        graft.operators.SaltedJoin.inner(ev, dim, "nk", "event_id", 8)
+          .select("event_id", "nk", "n_name")
+      },
+      Some("""SELECT event_id,
+                     CASE WHEN event_id % 3 = 0 THEN 7
+                          ELSE user_id % 25 END AS nk,
+                     n_name
+              FROM events JOIN nation
+                ON (CASE WHEN event_id % 3 = 0 THEN 7
+                         ELSE user_id % 25 END) = n_nationkey""")),
+
     // Genuine CSV sink + source roundtrip (S1/K-family): write with header,
     // read back with the DECLARED schema (inference banned, SURVEY §1.3).
     Q("q38_csv_roundtrip",

@@ -66,4 +66,46 @@ class ExtSpec extends SparkSpec {
       .select(expr("max(graft_cos(embedding, qe))")).head.getDouble(0)
     assert(top === maxAll)
   }
+
+  // ---- m04 ASCII boundary (VERDICT r2 finding 4) -------------------------
+  // MediaDecoder is BYTE-based (mean over UTF-8 bytes — the honest media
+  // semantic for an opaque payload); the DuckDB oracle is CODEPOINT-based
+  // (`ascii(substr)`). These agree exactly iff the text is pure ASCII.
+  // The three tests below pin (a) the equivalence on ASCII by property,
+  // (b) the deliberate divergence on non-ASCII, and (c) the load-bearing
+  // fact that the driver's testdata is pure ASCII.
+
+  test("m04: byte-based decode == codepoint oracle on ASCII (property)") {
+    import org.scalacheck.{Gen, Prop, Test => SCTest}
+    val asciiText = Gen.nonEmptyListOf(Gen.choose(32.toChar, 126.toChar))
+      .map(_.mkString)
+    val prop = Prop.forAll(asciiText) { t =>
+      val f = new MediaDecoder().decode(
+        MediaRecord(1L, "text/utf-8", t.getBytes("UTF-8")))
+      val cps = t.codePoints().toArray
+      f.n_bytes == t.length &&
+        f.mean_byte == cps.map(_.toLong).sum.toDouble / cps.length &&
+        f.width == 16 + cps(0) % 64 &&
+        f.height == 16 + (if (cps.length > 1) cps(1) % 64 else 0 % 64)
+    }
+    val r = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(300), prop)
+    assert(r.passed, r.status.toString)
+  }
+
+  test("m04: non-ASCII text diverges from the codepoint oracle by design") {
+    val t = "héllo" // é = U+00E9 → 2 UTF-8 bytes (0xC3 0xA9)
+    val f = new MediaDecoder().decode(
+      MediaRecord(1L, "text/utf-8", t.getBytes("UTF-8")))
+    assert(f.n_bytes === 6) // 5 codepoints, 6 bytes
+    val cpMean = t.codePoints().toArray.map(_.toLong).sum.toDouble / 5
+    assert(f.mean_byte !== cpMean) // byte mean ≠ codepoint mean here
+  }
+
+  test("m04: driver testdata text is pure ASCII (the oracle's assumption)") {
+    val nonAscii = graft.sources.Tables.documents(spark, "/root/testdata/sf0.01")
+      .filter(length(col("text")) =!= octet_length(col("text")))
+      .count()
+    assert(nonAscii === 0L,
+      "documents.text contains non-ASCII; m04's oracle is no longer valid")
+  }
 }
