@@ -77,6 +77,51 @@ case class MinHashSigExpr(child: Expression)
     copy(child = newChild)
 }
 
+/** Null when the text has < 4 codepoints (no full quarters). */
+case class QuarterMeansExpr(child: Expression)
+    extends UnaryExpression {
+  override def checkInputDataTypes():
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (child.dataType == StringType)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      s"$prettyName expects a string argument, got ${child.dataType.simpleString}")
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+  override def nullable: Boolean = true
+  override def prettyName: String = "graft_quarter_means"
+  protected override def nullSafeEval(input: Any): Any =
+    TextHash.quarterMeans(input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => s"""
+      ${ev.value} = graft.functions.TextHash.quarterMeans($c);
+      if (${ev.value} == null) { ${ev.isNull} = true; }
+    """)
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+case class EdgeNgramsExpr(child: Expression)
+    extends UnaryExpression {
+  override def checkInputDataTypes():
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (child.dataType == StringType)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      s"$prettyName expects a string argument, got ${child.dataType.simpleString}")
+  override def dataType: DataType = StructType(Seq(
+    StructField("n_grams", IntegerType, nullable = false),
+    StructField("n_uniq_grams", IntegerType, nullable = false),
+    StructField("first5_grams", StringType, nullable = false)))
+  override def prettyName: String = "graft_edge_ngrams"
+  protected override def nullSafeEval(input: Any): Any =
+    TextHash.edgeNgramStats(
+      input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.TextHash.edgeNgramStats($c)")
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 case class SimHashExpr(child: Expression)
     extends UnaryExpression {
   override def checkInputDataTypes():
@@ -198,6 +243,8 @@ object GraftFunctions {
     "graft_token_hashes" -> (cs => TokenHashesExpr(cs.head)),
     "graft_minhash_sig"  -> (cs => MinHashSigExpr(cs.head)),
     "graft_simhash"      -> (cs => SimHashExpr(cs.head)),
+    "graft_quarter_means" -> (cs => QuarterMeansExpr(cs.head)),
+    "graft_edge_ngrams"  -> (cs => EdgeNgramsExpr(cs.head)),
     "graft_dot"          -> (cs => DotFExpr(cs(0), cs(1))),
     "graft_cos"          -> (cs => CosFExpr(cs(0), cs(1))),
     "graft_lsh_bucket"   -> (cs => LshBucketExpr(cs.head)),

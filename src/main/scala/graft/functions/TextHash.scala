@@ -87,6 +87,78 @@ object TextHash {
     new GenericArrayData(mins)
   }
 
+  /** Quarter-mean codepoint features (graft.ext.Multimodal.featureStub hot
+    * path): mean codepoint of each quarter of the text, qlen = ⌊len/4⌋
+    * codepoints per quarter (the tail beyond 4·qlen is ignored, exactly like
+    * the SQL `sequence(q*qlen+1, (q+1)*qlen)` fold this replaces — that
+    * interpreted form re-scanned the string per character, O(n²) per row).
+    * Null when the text has < 4 codepoints (qlen = 0).
+    */
+  def quarterMeans(s: UTF8String): ArrayData = {
+    val str = s.toString
+    val total = str.codePointCount(0, str.length)
+    val qlen = total / 4
+    if (qlen < 1) return null
+    val sums = new Array[Long](4)
+    var i = 0    // char index
+    var cp = 0   // codepoint index
+    while (cp < 4 * qlen) {
+      val c = str.codePointAt(i)
+      sums(cp / qlen) += c
+      i += Character.charCount(c)
+      cp += 1
+    }
+    new GenericArrayData(sums.map(_.toDouble / qlen))
+  }
+
+  /** Max edge-ngram length (graft.ext.TextOps.edgeNgrams and its oracle SQL
+    * both derive from this).
+    */
+  val edgeMax = 5
+
+  /** Edge-ngram stats in ONE pass: token prefixes of length 1..edgeMax
+    * (split on single spaces, empty tokens skipped, prefixes by codepoint),
+    * returning (total grams, distinct grams, first 5 distinct grams in
+    * UTF8-binary sort order joined with ','). Replaces a triple-evaluated
+    * interpreted flatten/transform gram array. Distinct grams are kept in a
+    * TreeSet of UTF8String — BYTE-wise order, identical to Spark
+    * `array_sort` on strings and DuckDB's default binary collation.
+    */
+  def edgeNgramStats(s: UTF8String): org.apache.spark.sql.catalyst.InternalRow = {
+    val toks = s.toString.split(" ", -1)
+    var total = 0
+    val set = new java.util.TreeSet[UTF8String]()
+    var ti = 0
+    while (ti < toks.length) {
+      val t = toks(ti)
+      if (t.nonEmpty) {
+        val maxI = math.min(edgeMax, t.codePointCount(0, t.length))
+        val sb = new java.lang.StringBuilder
+        var i = 0
+        var charIdx = 0
+        while (i < maxI) {
+          val cp = t.codePointAt(charIdx)
+          sb.appendCodePoint(cp)
+          charIdx += Character.charCount(cp)
+          set.add(UTF8String.fromString(sb.toString))
+          total += 1
+          i += 1
+        }
+      }
+      ti += 1
+    }
+    val first5 = new java.lang.StringBuilder
+    val it = set.iterator()
+    var n = 0
+    while (it.hasNext && n < 5) {
+      if (n > 0) first5.append(',')
+      first5.append(it.next().toString)
+      n += 1
+    }
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      Array[Any](total, set.size, UTF8String.fromString(first5.toString)))
+  }
+
   /** 16-bit SimHash over token hashes: bit b set iff the ±1 vote sum over
     * tokens (bit b of each token hash) is positive.
     */
