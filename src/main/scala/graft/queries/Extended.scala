@@ -143,6 +143,146 @@ object Extended {
               FROM orders
               GROUP BY CUBE (o_orderstatus, o_orderpriority)""")),
 
+    // Arbitrary GROUPING SETS (the general form q12's ROLLUP / q33's CUBE
+    // specialize): three hand-picked sets incl. the grand total, with
+    // per-column grouping markers disambiguating genuine NULLs from
+    // subtotal rows. One pass, Expand-based — no N-fold rescan.
+    Q("q61_grouping_sets",
+      (s, d) => Tables.orders(s, d)
+        .groupingSets(
+          Seq(Seq(col("o_orderstatus"), col("o_orderpriority")),
+            Seq(col("o_orderstatus")), Seq()),
+          col("o_orderstatus"), col("o_orderpriority"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("o_totalprice")
+            .cast(org.apache.spark.sql.types.DecimalType(18, 2)))
+            .cast("double").as("sum_price"),
+          grouping(col("o_orderstatus")).cast("int").as("g_status"),
+          grouping(col("o_orderpriority")).cast("int").as("g_prio")),
+      Some("""SELECT o_orderstatus, o_orderpriority,
+                     CAST(COUNT(*) AS BIGINT) AS n,
+                     CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+                       AS sum_price,
+                     CAST(GROUPING(o_orderstatus) AS INT) AS g_status,
+                     CAST(GROUPING(o_orderpriority) AS INT) AS g_prio
+              FROM orders
+              GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority),
+                                      (o_orderstatus), ())""")),
+
+    // Rank-distribution window family: percent_rank / cume_dist / ntile.
+    // Deterministic tie-break (totalprice, orderkey) makes every rank and
+    // bucket assignment unique; the k/n divisions are IEEE-identical.
+    Q("q62_rank_distribution",
+      (s, d) => {
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("o_orderstatus"))
+          .orderBy(col("o_totalprice"), col("o_orderkey"))
+        Tables.orders(s, d).select(
+          col("o_orderkey"), col("o_orderstatus"),
+          percent_rank().over(w).as("pr"),
+          cume_dist().over(w).as("cd"),
+          ntile(4).over(w).as("quartile"))
+      },
+      Some("""SELECT o_orderkey, o_orderstatus,
+                     percent_rank() OVER w AS pr,
+                     cume_dist() OVER w AS cd,
+                     CAST(ntile(4) OVER w AS INT) AS quartile
+              FROM orders
+              WINDOW w AS (PARTITION BY o_orderstatus
+                           ORDER BY o_totalprice, o_orderkey)""")),
+
+    // Bitwise aggregates (bit_and/bit_or/bit_xor) — exact integer lattice
+    // ops, order-free by construction, map-side combinable.
+    Q("q63_bitwise_agg",
+      (s, d) => Tables.events(s, d)
+        .groupBy(col("event_type"))
+        .agg(bit_and(col("user_id")).as("uid_and"),
+          bit_or(col("user_id")).as("uid_or"),
+          bit_xor(col("user_id")).as("uid_xor"),
+          count(lit(1)).as("n")),
+      Some("""SELECT event_type,
+                     bit_and(user_id) AS uid_and,
+                     bit_or(user_id) AS uid_or,
+                     bit_xor(user_id) AS uid_xor,
+                     CAST(COUNT(*) AS BIGINT) AS n
+              FROM events GROUP BY event_type""")),
+
+    // Batch sessionization — the lag/cumulative-flag idiom (the batch mirror
+    // of s02's streaming session_window, per user instead of cohort): a new
+    // session starts when the gap to the previous event exceeds 30 minutes;
+    // session id = running sum of start flags; then per-session aggregates.
+    // Two window passes over one user-partitioned sort, then one groupBy.
+    Q("q64_batch_sessionize",
+      (s, d) => {
+        val byUser = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("user_id")).orderBy(col("ts"))
+        Tables.events(s, d)
+          .withColumn("new_session",
+            when(col("ts").cast("long") -
+                lag(col("ts"), 1).over(byUser).cast("long") > 1800 ||
+              lag(col("ts"), 1).over(byUser).isNull, 1L).otherwise(0L))
+          .withColumn("sid", sum(col("new_session")).over(
+            byUser.rowsBetween(org.apache.spark.sql.expressions.Window
+              .unboundedPreceding, 0)))
+          .groupBy(col("user_id"), col("sid"))
+          .agg(min(col("ts")).as("session_start"),
+            max(col("ts")).as("session_end"),
+            count(lit(1)).as("n_events"))
+      },
+      Some("""WITH t AS (
+                SELECT user_id, ts,
+                       CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id
+                                                    ORDER BY ts)
+                                 > INTERVAL 30 MINUTE
+                            OR LAG(ts) OVER (PARTITION BY user_id
+                                             ORDER BY ts) IS NULL
+                            THEN 1 ELSE 0 END AS new_session
+                FROM events),
+              sess AS (
+                SELECT user_id, ts,
+                       CAST(SUM(new_session) OVER (PARTITION BY user_id
+                             ORDER BY ts ROWS UNBOUNDED PRECEDING) AS BIGINT)
+                         AS sid
+                FROM t)
+              SELECT user_id, sid,
+                     min(ts) AS session_start,
+                     max(ts) AS session_end,
+                     CAST(COUNT(*) AS BIGINT) AS n_events
+              FROM sess GROUP BY user_id, sid""")),
+
+    // Equi-width value histogram per group (floor-bucketed — floor is
+    // IEEE-exact in both engines; the planning stat behind skew detection).
+    Q("q65_value_histogram",
+      (s, d) => Tables.events(s, d)
+        .groupBy(col("event_type"),
+          floor(col("value") / 5).cast("long").as("bucket"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("value").cast(org.apache.spark.sql.types.DecimalType(12, 2)))
+            .cast("double").as("sum_value")),
+      Some("""SELECT event_type,
+                     CAST(floor(value / 5) AS BIGINT) AS bucket,
+                     CAST(COUNT(*) AS BIGINT) AS n,
+                     CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE)
+                       AS sum_value
+              FROM events GROUP BY 1, 2""")),
+
+    // Conditional / boolean aggregates: count_if + bool_and/bool_or
+    // (Spark's count_if ≡ SQL FILTER clause; all order-free).
+    Q("q66_filtered_agg",
+      (s, d) => Tables.events(s, d)
+        .groupBy(col("event_type"))
+        .agg(expr("count_if(value > 10)").as("n_big"),
+          expr("bool_and(value >= 0)").as("all_nonneg"),
+          expr("bool_or(value > 90)").as("any_huge"),
+          count(lit(1)).as("n")),
+      Some("""SELECT event_type,
+                     CAST(COUNT(*) FILTER (WHERE value > 10) AS BIGINT)
+                       AS n_big,
+                     bool_and(value >= 0) AS all_nonneg,
+                     bool_or(value > 90) AS any_huge,
+                     CAST(COUNT(*) AS BIGINT) AS n
+              FROM events GROUP BY event_type""")),
+
     // Exact distribution stats via decimal-exact moments: sample variance /
     // stddev and Pearson correlation from (n, Σx, Σx², Σxy) — reproducible
     // under any partitioning, unlike naive double accumulation.
