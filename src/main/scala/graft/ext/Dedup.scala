@@ -232,6 +232,43 @@ object Dedup {
         WHERE a.vec_id % 4 = 0 AND b.vec_id % 4 = 0
           AND ($dot) / (sqrt($na) * sqrt($nb)) > 0.3"""
   }
+
+  /** Embedding near-dup with LSH-BUCKET blocking (d06's label blocking kept
+    * a data-dependent O(n²/blocks) within a block; here the block is the
+    * 8-bit random-hyperplane bucket — 256 near-uniform cells REGARDLESS of
+    * how the data clusters, and cosine-similar vectors agree on hyperplane
+    * signs with high probability, so the recall loss is the standard LSH
+    * trade). Full corpus, no sampling. At 100 TB the bucket becomes a
+    * parquet partition column and candidate generation is partition-local;
+    * the shuffled hash join mirrors d03's scale-honest shape.
+    */
+  def embedNearDupLsh(embeddings: DataFrame): DataFrame = {
+    graft.functions.GraftFunctions.register(embeddings.sparkSession)
+    val e = embeddings
+      .withColumn("bucket", expr("graft_lsh_bucket(embedding)"))
+    val a = e.select(col("vec_id").as("vec_a"), col("bucket"),
+      col("embedding").as("ea"))
+    val b = e.select(col("vec_id").as("vec_b"), col("bucket").as("bucket_b"),
+      col("embedding").as("eb")).hint("shuffle_hash")
+    a.join(b, col("bucket") === col("bucket_b") && col("vec_a") < col("vec_b"))
+      .withColumn("cos_sim", expr("graft_cos(ea, eb)"))
+      .filter(col("cos_sim") > 0.3)
+      .select("vec_a", "vec_b", "bucket", "cos_sim")
+  }
+
+  def embedNearDupLshSql: String = {
+    val dot = Similarity.duckDot("a.embedding", "b.embedding")
+    val na  = Similarity.duckDot("a.embedding", "a.embedding")
+    val nb  = Similarity.duckDot("b.embedding", "b.embedding")
+    s"""WITH e AS (SELECT vec_id, embedding,
+                          ${Similarity.duckBucket("embedding")} AS bucket
+                   FROM embeddings)
+        SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, a.bucket,
+               ($dot) / (sqrt($na) * sqrt($nb)) AS cos_sim
+        FROM e a JOIN e b
+          ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+        WHERE ($dot) / (sqrt($na) * sqrt($nb)) > 0.3"""
+  }
 }
 
 object DedupQueries {
@@ -264,6 +301,10 @@ object DedupQueries {
 
     Q("d06_dedup_embed",
       (s, d) => Dedup.embedNearDup(Tables.embeddings(s, d)),
-      Some(Dedup.embedNearDupSql))
+      Some(Dedup.embedNearDupSql)),
+
+    Q("d07_dedup_embed_lsh",
+      (s, d) => Dedup.embedNearDupLsh(Tables.embeddings(s, d)),
+      Some(Dedup.embedNearDupLshSql))
   )
 }

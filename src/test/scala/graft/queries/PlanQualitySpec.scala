@@ -57,6 +57,30 @@ class PlanQualitySpec extends SparkSpec {
     assert(!p.contains("Window"))
   }
 
+  test("d03: signature self-join is a shuffled hash join, not a broadcast") {
+    // At 100 TB the signature relation is TB-scale: AQE's broadcast choice
+    // is only valid at toy SF, so the plan pins the scale-honest shape.
+    val p = planOf("d03_dedup_lsh_pairs")
+    assert(p.contains("ShuffledHashJoin"))
+    assert(!p.contains("BroadcastHashJoin"))
+  }
+
+  test("x04: the only collect_list left is the dim-bounded vector assembly") {
+    // The per-(label,pos) row fold was removed in round 3 (unbounded group
+    // materialization); the surviving collect_list aggregates exactly
+    // `dim`=64 elements per label — bounded by dimensionality, not rows.
+    val p = Catalog.byName("x04_knn_ivf").run(spark, sf)
+      .queryExecution.optimizedPlan.toString
+    assert("collect_list".r.findAllIn(p).size === 1, p)
+    assert(!p.contains("collect_list(struct(vec_id"))
+  }
+
+  test("q59: KMV sketch aggregates partial -> final (mergeable at scale)") {
+    val p = planOf("q59_kmv_sketch")
+    assert(p.contains("ObjectHashAggregate"))
+    assert(p.contains("partial_graft_kmv"))
+  }
+
   test("bucketed tables join without a shuffle exchange") {
     val s = spark
     val prevThreshold = s.conf.get("spark.sql.autoBroadcastJoinThreshold")
