@@ -201,6 +201,34 @@ object MultimodalQueries {
       (s, d) => Multimodal.resizeStub(Tables.documents(s, d)),
       Some(Multimodal.resizeStubSql)),
 
+    // The real multimodal INGEST path: Spark's binaryFile source reads
+    // whole files as (path, length, content) rows — exactly how image/
+    // audio/video payloads enter a lake when they are not yet in parquet.
+    // Fixture: one text file per sampled doc (partitionBy dir = doc id,
+    // text sink appends '\n'), then the binary scan recovers id from the
+    // path and digests the raw bytes. At 100 TB this scan is listing-bound:
+    // pathGlobFilter prunes at the source and content is never shuffled.
+    Q("m06_binaryfile_scan",
+      (s, d) => {
+        val tmp = graft.util.Scratch.dir("graft_m06_files")
+        Tables.documents(s, d).filter(col("doc_id") % 50 === 0)
+          .select(col("doc_id"), col("text"))
+          .write.mode("overwrite").partitionBy("doc_id").text(tmp)
+        s.read.format("binaryFile")
+          .option("pathGlobFilter", "*.txt")
+          .option("recursiveFileLookup", "true")
+          .load(tmp)
+          .select(
+            regexp_extract(col("path"), "doc_id=(\\d+)", 1)
+              .cast("long").as("doc_id"),
+            col("length").cast("int").as("n_bytes"),
+            md5(col("content")).as("content_md5"))
+      },
+      Some("""SELECT doc_id,
+                     CAST(octet_length(encode(text)) + 1 AS INT) AS n_bytes,
+                     md5(text || chr(10)) AS content_md5
+              FROM documents WHERE doc_id % 50 = 0""")),
+
     // The typed mapPartitions decode path (schema/partitioning/batch shape
     // are the point; numbers mirror m01/m03 determinism).
     Q("m04_decode_features",

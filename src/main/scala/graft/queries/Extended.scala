@@ -283,6 +283,24 @@ object Extended {
                      CAST(COUNT(*) AS BIGINT) AS n
               FROM events GROUP BY event_type""")),
 
+    // Fuzzy string matching via exact edit distance (levenshtein is
+    // codegen'd in Spark and exact in both engines). Scale stance: fuzzy
+    // compare belongs on BLOCKED candidate pairs (the d03/d07 pattern) —
+    // here the dim-side demo broadcasts 25 names, never a fact-side
+    // cartesian.
+    Q("q67_fuzzy_match",
+      (s, d) => {
+        val a = Tables.nation(s, d).select(col("n_name").as("name_a"))
+        val b = Tables.nation(s, d).select(col("n_name").as("name_b"))
+        a.crossJoin(broadcast(b)).filter(col("name_a") < col("name_b"))
+          .withColumn("dist", levenshtein(col("name_a"), col("name_b")))
+          .filter(col("dist") <= 1)
+      },
+      Some("""SELECT a.n_name AS name_a, b.n_name AS name_b,
+                     CAST(levenshtein(a.n_name, b.n_name) AS INT) AS dist
+              FROM nation a JOIN nation b ON a.n_name < b.n_name
+              WHERE levenshtein(a.n_name, b.n_name) <= 1""")),
+
     // Exact distribution stats via decimal-exact moments: sample variance /
     // stddev and Pearson correlation from (n, Σx, Σx², Σxy) — reproducible
     // under any partitioning, unlike naive double accumulation.

@@ -294,6 +294,43 @@ object StreamingQ {
       Some("""SELECT event_id, event_type, value, CAST(0 AS BIGINT) AS batch_id
               FROM events""")),
 
+    // s09: COMPLETE output mode — every micro-batch re-emits the FULL
+    // aggregate table (no watermark; state holds every group). The file
+    // sink can't take complete mode, so foreachBatch overwrites the sink
+    // per batch — idempotent by construction, and the final batch IS the
+    // total aggregate, so the oracle has no emission boundary (unlike
+    // s01/s02/s06's append-mode boundaries).
+    Q("s09_stream_complete",
+      (s, d) => {
+        val path = s"$d/events.parquet"
+        val rawSchema = s.read.parquet(path).schema
+        val srcDir = Paths.get(graft.util.Scratch.dir("graft_s09_src"))
+        Files.createSymbolicLink(srcDir.resolve("events.parquet"),
+          Paths.get(path))
+        val out  = graft.util.Scratch.dir("graft_s09_out")
+        val ckpt = graft.util.Scratch.dir("graft_s09_ckpt")
+        val src = Tables.normalizeEvents(
+          s.readStream.schema(rawSchema).parquet(srcDir.toString))
+        val q = src.groupBy(col("event_type"))
+          .agg(count(lit(1)).as("n_events"),
+            sum(col("value").cast(org.apache.spark.sql.types.DecimalType(12, 2)))
+              .cast("double").as("sum_value"))
+          .writeStream
+          .outputMode("complete")
+          .option("checkpointLocation", ckpt)
+          .trigger(Trigger.AvailableNow())
+          .foreachBatch { (batch: DataFrame, _: Long) =>
+            batch.write.mode("overwrite").parquet(out)
+          }
+          .start()
+        q.awaitTermination()
+        s.read.parquet(out)
+      },
+      Some("""SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_events,
+                     CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE)
+                       AS sum_value
+              FROM events GROUP BY event_type""")),
+
     // s05: stream-static join — the unbounded side enriched from a batch
     // dimension (broadcast; no stream-side state).
     Q("s05_stream_static_join",
