@@ -305,6 +305,47 @@ object DedupQueries {
 
     Q("d07_dedup_embed_lsh",
       (s, d) => Dedup.embedNearDupLsh(Tables.embeddings(s, d)),
-      Some(Dedup.embedNearDupLshSql))
+      Some(Dedup.embedNearDupLshSql)),
+
+    // Boilerplate detection — the corpus-level cousin of per-doc dedup: a
+    // word-5-gram appearing in many DISTINCT documents is boilerplate
+    // (headers, disclaimers) a training pipeline strips. Tokens hash once
+    // via the native kernel; the 5-gram combine is a fixed 5-term poly
+    // chain inside one transform (no per-char rescans); the count is a
+    // plain distinct-doc groupBy. Shuffle carries (gram_hash, doc_id)
+    // longs only.
+    Q("d08_boilerplate_ngrams",
+      (s, d) => {
+        graft.functions.GraftFunctions.register(s)
+        val P = PortableHash.P
+        val docs = Tables.documents(s, d)
+        val gram5 = (1 to 4).foldLeft("element_at(th, i)") { (acc, j) =>
+          s"(($acc) * 31 + element_at(th, i + $j)) % $P"
+        }
+        docs
+          .select(col("doc_id"), expr("graft_token_hashes(text)").as("th"))
+          .filter(size(col("th")) >= 5)
+          .select(col("doc_id"),
+            explode(expr(
+              s"transform(sequence(1, size(th) - 4), i -> $gram5)"))
+              .as("gram_hash"))
+          .groupBy("gram_hash")
+          .agg(countDistinct(col("doc_id")).as("n_docs"))
+          .filter(col("n_docs") >= 3)
+      },
+      Some {
+        val P = PortableHash.P
+        val gram5 = (1 to 4).foldLeft("th[i]") { (acc, j) =>
+          s"(($acc) * 31 + th[i + $j]) % $P"
+        }
+        s"""SELECT gram_hash, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs
+            FROM (SELECT doc_id,
+                         unnest(list_transform(range(1, len(th) - 3),
+                                               i -> $gram5)) AS gram_hash
+                  FROM (SELECT doc_id, ${PortableHash.duckTokenHashes} AS th
+                        FROM documents)
+                  WHERE len(th) >= 5)
+            GROUP BY gram_hash HAVING COUNT(DISTINCT doc_id) >= 3"""
+      })
   )
 }

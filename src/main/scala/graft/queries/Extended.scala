@@ -217,9 +217,13 @@ object Extended {
         val byUser = org.apache.spark.sql.expressions.Window
           .partitionBy(col("user_id")).orderBy(col("ts"))
         Tables.events(s, d)
+          // unix_micros, NOT cast(long): the cast truncates to seconds
+          // while the oracle's INTERVAL compare is microsecond-exact — a
+          // gap in the (1800, 1801) s window would split sessions
+          // differently. Testdata timestamps all carry microseconds.
           .withColumn("new_session",
-            when(col("ts").cast("long") -
-                lag(col("ts"), 1).over(byUser).cast("long") > 1800 ||
+            when(unix_micros(col("ts")) -
+                unix_micros(lag(col("ts"), 1).over(byUser)) > 1800000000L ||
               lag(col("ts"), 1).over(byUser).isNull, 1L).otherwise(0L))
           .withColumn("sid", sum(col("new_session")).over(
             byUser.rowsBetween(org.apache.spark.sql.expressions.Window
@@ -300,6 +304,22 @@ object Extended {
                      CAST(levenshtein(a.n_name, b.n_name) AS INT) AS dist
               FROM nation a JOIN nation b ON a.n_name < b.n_name
               WHERE levenshtein(a.n_name, b.n_name) <= 1""")),
+
+    // Deterministic content-hash sampling — how a training pipeline carves
+    // held-out/eval slices: membership is a pure function of the CONTENT
+    // (poly hash mod 20 == 0 → ~5%), so the split is reproducible across
+    // runs, engines and partitionings — `sample()`'s RNG is none of those.
+    // Per-row, shuffle-free, and the predicate rides next to the scan.
+    Q("q68_deterministic_sample",
+      (s, d) => {
+        graft.functions.GraftFunctions.register(s)
+        Tables.documents(s, d)
+          .filter(pmod(expr("graft_poly_hash(text)"), lit(20)) === 0)
+          .select(col("doc_id"), length(col("text")).as("n_chars"))
+      },
+      Some(s"""SELECT doc_id, CAST(length(text) AS INT) AS n_chars
+               FROM documents
+               WHERE ${graft.ext.PortableHash.duckPoly("text")} % 20 = 0""")),
 
     // Exact distribution stats via decimal-exact moments: sample variance /
     // stddev and Pearson correlation from (n, Σx, Σx², Σxy) — reproducible
