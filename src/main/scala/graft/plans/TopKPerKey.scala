@@ -248,7 +248,18 @@ object TopKPerKey {
     def attr(n: String) = byName.getOrElse(n,
       throw new IllegalArgumentException(
         s"column '$n' not in ${byName.keys.mkString(", ")}"))
-    val g = keys.map(attr)
+    // Group keys are compared by UnsafeRow BYTES (heap map) and by codegen'd
+    // ordering (sort fallback); float/double keys must normalize -0.0→0.0
+    // and NaN payloads first or the two paths could split groups differently
+    // — the same normalization Spark's own aggregates apply before grouping.
+    val g = keys.map(attr).map { a =>
+      a.dataType match {
+        case org.apache.spark.sql.types.FloatType |
+            org.apache.spark.sql.types.DoubleType =>
+          org.apache.spark.sql.catalyst.optimizer.NormalizeNaNAndZero(a)
+        case _ => a
+      }
+    }
     val s = orderBy.map { case (n, asc) =>
       SortOrder(attr(n), if (asc) Ascending else Descending)
     }

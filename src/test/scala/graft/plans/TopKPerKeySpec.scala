@@ -92,6 +92,15 @@ class TopKPerKeySpec extends SparkSpec {
     } finally spark.conf.unset("spark.graft.topk.maxKeysPerTask")
   }
 
+  test("double group keys normalize: -0.0/0.0 one group, NaNs one group") {
+    // byte-compared group keys must match SQL groupBy semantics
+    val df = Seq((0.0, 1L), (-0.0, 2L), (Double.NaN, 3L), (Double.NaN, 4L))
+      .toDF("grp", "id")
+    val topk = TopKPerKey(df, Seq("grp"), Seq(("id", true)), 1)
+    val ids = topk.select("id").as[Long].collect().sorted
+    assert(ids.toSeq === Seq(1L, 3L)) // one winner per NORMALIZED group
+  }
+
   test("unknown column and non-positive k fail fast") {
     intercept[IllegalArgumentException] {
       TopKPerKey(df, Seq("nope"), Seq(("id", true)), 1)
