@@ -172,6 +172,10 @@ object Extended {
     // Rank-distribution window family: percent_rank / cume_dist / ntile.
     // Deterministic tie-break (totalprice, orderkey) makes every rank and
     // bucket assignment unique; the k/n divisions are IEEE-identical.
+    // Scale note: rank distributions need a total order WITHIN each
+    // partition key, so parallelism is bounded by key cardinality (3 here)
+    // — inherent to the semantics, not the plan; a global variant would use
+    // the q16-style range-partitioned sort.
     Q("q62_rank_distribution",
       (s, d) => {
         val w = org.apache.spark.sql.expressions.Window
