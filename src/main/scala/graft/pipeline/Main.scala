@@ -50,7 +50,7 @@ object Main {
       case "stream-es" :: topic :: out :: ckpt :: Nil =>
         val q = StreamJobs.toEsShaped(
           StreamJobs.parseEnrich(StreamJobs.fileWireSource(spark, topic)),
-          out, ckpt)
+          out, ckpt, mapping = OfficeSchema.esMapping.toMap)
         q.awaitTermination()
         println(s"[stream-es] documents written under $out")
 

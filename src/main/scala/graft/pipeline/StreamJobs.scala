@@ -54,20 +54,32 @@ object StreamJobs {
     * ES connector: partitions may replay on failure, documents carry no id.
     */
   def toEsShaped(enriched: DataFrame, outDir: String, checkpoint: String,
-      trigger: Trigger = Trigger.AvailableNow()): StreamingQuery =
+      trigger: Trigger = Trigger.AvailableNow(),
+      mapping: Map[String, String] = Map.empty): StreamingQuery =
     enriched.writeStream
       .outputMode("append")
       .option("checkpointLocation", checkpoint)
       .trigger(trigger)
-      .foreach(new EsShapedWriter(outDir, enriched.schema.fieldNames))
+      .foreach(new EsShapedWriter(outDir, enriched.schema.fieldNames, mapping))
       .start()
 }
 
 /** Writes rows as JSON-lines "documents" — the zero-egress ES stand-in.
   * Partition-local files named `part-<partitionId>-<epochId>` give the same
   * replay-idempotence unit as the ES connector's bulk requests.
+  *
+  * `mapping` (field → declared ES type, e.g. [[OfficeSchema.esMapping]])
+  * reproduces ES's index-time semantics the reference relied on
+  * (convert-to-elasticsearch.py:42-57 declares the mapping,
+  * :53 sets `ignore_malformed: true`):
+  *   - dynamic COERCION: a string landing in a `float`-mapped field is
+  *     parsed to a number when possible;
+  *   - `ignore_malformed` FIELD-drop: an uncoercible or non-finite value
+  *     drops that FIELD, never the document;
+  *   - unmapped fields behave dynamically (typed by the value, as before).
   */
-final class EsShapedWriter(outDir: String, fields: Array[String])
+final class EsShapedWriter(outDir: String, fields: Array[String],
+    mapping: Map[String, String] = Map.empty)
     extends ForeachWriter[Row] {
   @transient private var w: FileWriter = _
 
@@ -94,21 +106,43 @@ final class EsShapedWriter(outDir: String, fields: Array[String])
     sb.append('"').toString
   }
 
+  /** JSON value for `v` under the declared ES type, or None when
+    * `ignore_malformed` drops the field.
+    */
+  private def coerced(esType: String, v: Any): Option[String] = esType match {
+    case "float" | "double" | "long" | "integer" => v match {
+      case null => Some("null")
+      case n: Float if n.isNaN || n.isInfinite   => None // malformed
+      case n: Double if n.isNaN || n.isInfinite  => None
+      case n: Number => Some(n.toString)
+      case s: String => // dynamic coercion: numeric strings index as numbers
+        try {
+          val d = java.lang.Double.parseDouble(s.trim)
+          if (d.isNaN || d.isInfinite) None else Some(d.toString)
+        } catch { case _: NumberFormatException => None }
+      case _ => None
+    }
+    case _ => // keyword / date / text: everything indexes as its string form
+      if (v == null) Some("null") else Some(jsonStr(v.toString))
+  }
+
   override def process(row: Row): Unit = {
-    val doc = fields.zipWithIndex.map { case (f, i) =>
+    val doc = fields.zipWithIndex.flatMap { case (f, i) =>
       val v = row.get(i)
-      val s = v match {
-        case null => "null"
-        // bare NaN/Infinity is not legal JSON — ES's ignore_malformed would
-        // drop the field; the stand-in writes null
-        case n: Float if n.isNaN || n.isInfinite  => "null"
-        case n: Double if n.isNaN || n.isInfinite => "null"
-        case n: Float  => n.toString
-        case n: Double => n.toString
-        case n: Number => n.toString
-        case other     => jsonStr(other.toString)
+      val s: Option[String] = mapping.get(f) match {
+        case Some(esType) => coerced(esType, v)
+        case None => Some(v match { // dynamic mapping: typed by the value
+          case null => "null"
+          // bare NaN/Infinity is not legal JSON — write null dynamically
+          case n: Float if n.isNaN || n.isInfinite  => "null"
+          case n: Double if n.isNaN || n.isInfinite => "null"
+          case n: Float  => n.toString
+          case n: Double => n.toString
+          case n: Number => n.toString
+          case other     => jsonStr(other.toString)
+        })
       }
-      "\"" + f + "\": " + s
+      s.map(json => "\"" + f + "\": " + json)
     }.mkString("{", ", ", "}")
     w.write(doc)
     w.write('\n')
