@@ -83,6 +83,63 @@ class StreamingSpec extends SparkSpec {
       "2024-01-01 02:00:00.0" -> 1L)) // hour 05 still in state
   }
 
+  test("multi-micro-batch processing: maxFilesPerTrigger=1 over 3 files " +
+      "equals the single-batch result (state carries across batches)") {
+    val s = spark
+    import s.implicits._
+    val srcDir = Files.createTempDirectory("graft_mb_src").toString
+    def addFile(name: String, rows: Seq[(Long, Timestamp, Double)]): Unit = {
+      val stage = Files.createTempDirectory("graft_mb_stage").toString
+      rows.toDF("id", "ts", "v").coalesce(1)
+        .write.mode("overwrite").parquet(stage)
+      val part = new File(stage).listFiles()
+        .find(_.getName.endsWith(".parquet")).get
+      Files.move(part.toPath, Paths.get(srcDir, s"$name.parquet"))
+    }
+    // hour 00 split across files a and b: the window must accumulate
+    // across micro-batches in the state store, not per-batch. File event
+    // times are globally non-decreasing so nothing is late under the 0 s
+    // watermark (a later file with EARLIER events would be legally
+    // dropped — that semantics is pinned by the late-data test above).
+    addFile("a", Seq((1L, ts("2024-01-01 00:10:00"), 1.0),
+      (2L, ts("2024-01-01 00:20:00"), 1.0)))
+    addFile("b", Seq((3L, ts("2024-01-01 00:40:00"), 1.0),
+      (4L, ts("2024-01-01 00:50:00"), 1.0)))
+    addFile("c", Seq((5L, ts("2024-01-01 01:20:00"), 1.0),
+      (6L, ts("2024-01-01 02:30:00"), 1.0)))
+    // deterministic batch order: FileStreamSource picks oldest mtime first
+    Seq("a", "b", "c").zipWithIndex.foreach { case (n, i) =>
+      new File(srcDir, s"$n.parquet").setLastModified(1700000000000L + i * 60000)
+    }
+
+    def run(maxFiles: Option[Int]): Map[String, Long] = {
+      val out  = Files.createTempDirectory("graft_mb_out").toString
+      val ckpt = Files.createTempDirectory("graft_mb_ckpt").toString
+      val schema = Seq((1L, ts("2024-01-01 00:00:00"), 1.0))
+        .toDF("id", "ts", "v").schema
+      val reader = s.readStream.schema(schema)
+      maxFiles.foreach(n => reader.option("maxFilesPerTrigger", n))
+      val q = reader.parquet(srcDir)
+        .withWatermark("ts", "0 seconds")
+        .groupBy(window(col("ts"), "1 hour"))
+        .agg(count(lit(1)).as("n"))
+        .select(col("window.start").as("ws"), col("n"))
+        .writeStream.format("parquet").outputMode("append")
+        .option("checkpointLocation", ckpt).option("path", out)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      s.read.parquet(out).collect()
+        .map(r => r.getTimestamp(0).toString -> r.getLong(1)).toMap
+    }
+
+    val multi = run(Some(1))  // 3 data micro-batches
+    val single = run(None)    // 1 data micro-batch
+    assert(multi === single)
+    assert(multi === Map(     // hour 00 accumulated ACROSS batches a+b (4);
+      "2024-01-01 00:00:00.0" -> 4L, // hour 01 emitted (1); 02 withheld
+      "2024-01-01 01:00:00.0" -> 1L))
+  }
+
   test("RocksDB state store provider yields identical session windows " +
       "(SURVEY §7.4 risk 6: the 100 TB state backend)") {
     // The HDFS-backed default keeps every state row on the JVM heap — fine
