@@ -38,6 +38,15 @@ object AsOfJoin {
     * @param rightTime right event-time column name
     * @param keys      equi-join key column names present on both sides
     * @param tieBreak  right columns ordering equal-time right rows
+    * @param forward   false (default): greatest `rightTime <= leftTime`
+    *                  (backward as-of); true: smallest `rightTime >=
+    *                  leftTime` (forward as-of — "next reading at or after")
+    * @param toleranceMicros for TimestampType time columns: null the match
+    *                  when it lies more than this many microseconds from
+    *                  the left time (exact integer compare via unix_micros —
+    *                  a double epoch-seconds compare would wobble at the
+    *                  boundary). Same one-shuffle plan; the bound only
+    *                  filters the carried match.
     */
   def leftAsOf(
       left: DataFrame,
@@ -45,9 +54,11 @@ object AsOfJoin {
       right: DataFrame,
       rightTime: String,
       keys: Seq[String],
-      tieBreak: Seq[String] = Nil): DataFrame = {
+      tieBreak: Seq[String] = Nil,
+      forward: Boolean = false,
+      toleranceMicros: Option[Long] = None): DataFrame = {
 
-    val reserved = Set("_t", "_side", "_r", "_asof") ++
+    val reserved = Set("_t", "_side", "_r", "_asof", "_asof_t") ++
       tieBreak.map(c => s"_tb_$c")
     val clash = (left.columns ++ right.columns).filter(c =>
       reserved(c) || c.startsWith("_tb_"))
@@ -67,14 +78,30 @@ object AsOfJoin {
       .withColumn("_side", lit(0))
 
     val u = l.unionByName(r, allowMissingColumns = true)
-    val order = Seq(col("_t").asc, col("_side").desc) ++
+    // forward as-of = the same carry scanned in DESCENDING time: the last
+    // right row seen before a left row is then the SMALLEST admissible
+    // rightTime >= leftTime. Right-before-left at equal times (inclusive
+    // match) and the tie-break direction are unchanged.
+    val tCol = if (forward) col("_t").desc else col("_t").asc
+    val order = Seq(tCol, col("_side").desc) ++
       tieBreak.map(c => col(s"_tb_$c").asc_nulls_first)
     val w = Window.partitionBy(keys.map(col): _*)
       .orderBy(order: _*)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
 
-    u.withColumn("_asof", last("_r", ignoreNulls = true).over(w))
+    val carried = u
+      .withColumn("_asof", last("_r", ignoreNulls = true).over(w))
+      .withColumn("_asof_t",
+        last(when(col("_side") === 1, col("_t")), ignoreNulls = true).over(w))
       .filter(col("_side") === 0)
-      .drop((Seq("_t", "_side", "_r") ++ tieBreak.map(c => s"_tb_$c")): _*)
+    val bounded = toleranceMicros match {
+      case Some(tol) =>
+        carried.withColumn("_asof",
+          when(abs(unix_micros(col("_asof_t")) -
+            unix_micros(col(leftTime))) <= tol, col("_asof")))
+      case None => carried
+    }
+    bounded.drop(
+      (Seq("_t", "_side", "_r", "_asof_t") ++ tieBreak.map(c => s"_tb_$c")): _*)
   }
 }

@@ -67,6 +67,33 @@ object Extended {
                               FROM events WHERE event_type = 'signup') s
                 ON user_id % 50 = s.k2 AND s.sts <= ts""")),
 
+    // Forward as-of with tolerance: for every event, the NEXT error in the
+    // same cohort, nulled when it lies more than 2 hours ahead — the
+    // "time-to-next-failure" alignment (same one-shuffle carry as q29,
+    // scanned in descending time; the tolerance is an exact unix_micros
+    // bound, not a float epoch compare).
+    Q("q69_asof_forward",
+      (s, d) => {
+        val e = Tables.events(s, d)
+          .select(col("event_id"), (col("user_id") % 50).as("k"), col("ts"))
+        val errors = Tables.events(s, d)
+          .filter(col("event_type") === "error")
+          .select((col("user_id") % 50).as("k"), col("ts").as("ets"))
+        AsOfJoin.leftAsOf(e, "ts", errors, "ets", Seq("k"),
+          forward = true, toleranceMicros = Some(7200L * 1000000L))
+          .select(col("event_id"), col("k"),
+            col("_asof.ets").as("next_error_ts"))
+      },
+      Some("""SELECT event_id, k,
+                     CASE WHEN m_ts <= ts + INTERVAL 2 HOUR THEN m_ts END
+                       AS next_error_ts
+              FROM (SELECT e.event_id, e.user_id % 50 AS k, e.ts,
+                           s.ets AS m_ts
+                    FROM events e ASOF LEFT JOIN
+                      (SELECT user_id % 50 AS k2, ts AS ets FROM events
+                       WHERE event_type = 'error') s
+                      ON e.user_id % 50 = s.k2 AND e.ts <= s.ets)""")),
+
     // Range (band) join: price bands derived from the nation dimension,
     // broadcast to the fact side — non-equi join without a cartesian.
     Q("q30_range_join",
