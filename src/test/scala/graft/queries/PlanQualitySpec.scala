@@ -81,6 +81,48 @@ class PlanQualitySpec extends SparkSpec {
     assert(p.contains("partial_graft_kmv"))
   }
 
+  test("d03's 100TB layout: band-bucketed signature table joins exchange-free") {
+    // The Dedup scaladoc's promised layout made concrete: materialize the
+    // exploded (band,h1,h2,doc_id) signature relation bucketed on the band
+    // key; every subsequent LSH candidate join then needs NO shuffle of
+    // either side — the one-time bucketed write replaces a per-query
+    // exchange of the corpus-sized relation.
+    val s = spark
+    val prevThreshold = s.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      s.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val sig = graft.ext.Dedup.minhash(
+        graft.sources.Tables.documents(s, sf))
+      val banded = sig.select(col("doc_id"),
+        explode(array(graft.ext.Dedup.bands.zipWithIndex.map {
+          case ((x, y), i) => struct(lit(i).as("band"),
+            col(s"mh$x").as("h1"), col(s"mh$y").as("h2"))
+        }: _*)).as("b"))
+        .select(col("doc_id"), col("b.band"), col("b.h1"), col("b.h2"))
+      banded.write.mode("overwrite")
+        .bucketBy(4, "band", "h1", "h2").sortBy("band", "h1", "h2")
+        .saveAsTable("b_sig")
+      val a = s.table("b_sig").toDF("doc_a", "band", "h1", "h2")
+      val b = s.table("b_sig").toDF("doc_b", "band_b", "h1b", "h2b")
+      val pairs = a.join(b, col("band") === col("band_b") &&
+          col("h1") === col("h1b") && col("h2") === col("h2b") &&
+          col("doc_a") < col("doc_b"))
+        .select("doc_a", "doc_b").distinct()
+      val p = pairs.queryExecution.executedPlan.toString
+      // the JOIN reads both sides bucket-aligned: no exchange exists on the
+      // join keys (band,h1,h2) — the only one is the distinct's, on
+      // (doc_a, doc_b), above the join
+      assert(p.contains("SortMergeJoin"))
+      assert(!p.contains("Exchange hashpartitioning(band"),
+        s"signature self-join must not reshuffle bucketed sides:\n$p")
+      assert("Exchange hashpartitioning".r.findAllIn(p).size === 1, p)
+      assert(pairs.count() > 0)
+    } finally {
+      s.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
+      s.sql("DROP TABLE IF EXISTS b_sig")
+    }
+  }
+
   test("bucketed tables join without a shuffle exchange") {
     val s = spark
     val prevThreshold = s.conf.get("spark.sql.autoBroadcastJoinThreshold")
