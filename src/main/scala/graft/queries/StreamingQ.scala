@@ -263,6 +263,48 @@ object StreamingQ {
                 AND s.ts < TIMESTAMP '2024-01-16 00:00:00'
                 AND p.ts < TIMESTAMP '2024-01-16 00:00:00'""")),
 
+    // s10: stream-stream LEFT OUTER interval join — s07's inner join plus
+    // the outer emission semantics: an unmatched signup is emitted with a
+    // null purchase only once the watermark proves no match can arrive
+    // (watermark > sts + 24h, where the global watermark is the MIN of the
+    // two sides' maxima under the default multipleWatermarkPolicy); signups
+    // whose window is still open when the source drains stay in state and
+    // are withheld — the oracle encodes exactly that boundary.
+    Q("s10_stream_outer_join",
+      (s, d) => runEventsStream(s, d) { src =>
+        val cutoff = "2024-01-16 00:00:00"
+        val signups = src.filter(col("event_type") === "signup" &&
+            col("ts") < to_timestamp(lit(cutoff)))
+          .select((col("user_id") % 200).as("sk"), col("ts").as("sts"))
+          .withWatermark("sts", "0 seconds")
+        val purchases = src.filter(col("event_type") === "purchase" &&
+            col("ts") < to_timestamp(lit(cutoff)))
+          .select((col("user_id") % 200).as("pk"), col("ts").as("pts"))
+          .withWatermark("pts", "0 seconds")
+        signups.join(purchases,
+          expr("sk = pk AND pts >= sts AND pts <= sts + interval 24 hours"),
+          "left_outer")
+          .select("sk", "sts", "pts")
+      },
+      Some("""WITH s AS (SELECT user_id % 200 AS sk, ts AS sts FROM events
+                         WHERE event_type = 'signup'
+                           AND ts < TIMESTAMP '2024-01-16 00:00:00'),
+                   p AS (SELECT user_id % 200 AS pk, ts AS pts FROM events
+                         WHERE event_type = 'purchase'
+                           AND ts < TIMESTAMP '2024-01-16 00:00:00'),
+                   wm AS (SELECT least((SELECT max(sts) FROM s),
+                                       (SELECT max(pts) FROM p)) AS w)
+              SELECT sk, sts, pts
+              FROM s JOIN p ON sk = pk AND pts >= sts
+                           AND pts <= sts + INTERVAL 24 HOUR
+              UNION ALL
+              SELECT sk, sts, CAST(NULL AS TIMESTAMP) AS pts
+              FROM s
+              WHERE NOT EXISTS (SELECT 1 FROM p WHERE pk = sk
+                                  AND pts >= sts
+                                  AND pts <= sts + INTERVAL 24 HOUR)
+                AND sts + INTERVAL 24 HOUR < (SELECT w FROM wm)""")),
+
     // s08: foreachBatch — the micro-batch escape hatch for sinks Spark has
     // no connector for (idempotent-by-batchId writes, multi-sink fan-out).
     // Each batch lands as parquet tagged with its batchId; exactly-once
