@@ -305,6 +305,52 @@ object StreamingQ {
                                   AND pts <= sts + INTERVAL 24 HOUR)
                 AND sts + INTERVAL 24 HOUR < (SELECT w FROM wm)""")),
 
+    // s11: UPDATE output mode with REAL incremental emission — the source
+    // delivers the events table twice (two files), one per micro-batch
+    // (maxFilesPerTrigger=1), so every group is emitted TWICE: once with
+    // its first-batch aggregate and once with the updated running total
+    // (exactly 2× — decimal-exact, and doubling a double is exponent
+    // arithmetic, so the oracle's 2* is bit-exact). Completes the output-
+    // mode family: append (s01…), complete (s09), update (here).
+    Q("s11_stream_update",
+      (s, d) => {
+        val path = s"$d/events.parquet"
+        val rawSchema = s.read.parquet(path).schema
+        val srcDir = Paths.get(graft.util.Scratch.dir("graft_s11_src"))
+        (1 to 2).foreach { i =>
+          Files.createSymbolicLink(srcDir.resolve(s"events_$i.parquet"),
+            Paths.get(path))
+        }
+        val out  = graft.util.Scratch.dir("graft_s11_out")
+        val ckpt = graft.util.Scratch.dir("graft_s11_ckpt")
+        val src = Tables.normalizeEvents(
+          s.readStream.schema(rawSchema)
+            .option("maxFilesPerTrigger", 1).parquet(srcDir.toString))
+        val q = src.groupBy(col("event_type"))
+          .agg(count(lit(1)).as("n_events"),
+            sum(col("value").cast(org.apache.spark.sql.types.DecimalType(12, 2)))
+              .cast("double").as("sum_value"))
+          .writeStream
+          .outputMode("update")
+          .option("checkpointLocation", ckpt)
+          .trigger(Trigger.AvailableNow())
+          .foreachBatch { (batch: DataFrame, _: Long) =>
+            batch.write.mode("append").parquet(out)
+          }
+          .start()
+        q.awaitTermination()
+        s.read.parquet(out)
+      },
+      Some("""WITH g AS (SELECT event_type,
+                                CAST(COUNT(*) AS BIGINT) AS n_events,
+                                CAST(SUM(CAST(value AS DECIMAL(12,2)))
+                                     AS DOUBLE) AS sum_value
+                         FROM events GROUP BY event_type)
+              SELECT event_type, n_events, sum_value FROM g
+              UNION ALL
+              SELECT event_type, 2 * n_events AS n_events,
+                     2 * sum_value AS sum_value FROM g""")),
+
     // s08: foreachBatch — the micro-batch escape hatch for sinks Spark has
     // no connector for (idempotent-by-batchId writes, multi-sink fan-out).
     // Each batch lands as parquet tagged with its batchId; exactly-once
