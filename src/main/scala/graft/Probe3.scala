@@ -109,9 +109,10 @@ object Probe3 {
     spark.range(1000000).selectExpr("sum(id)").collect()
     vA().write.format("noop").mode("overwrite").save()
 
-    time("D_persist_merge", vD)
-    time("E_persist_shash", vE)
-    time("D_persist_merge", vD)
+    time("A_persist_aqe", vA)
+    time("B_noper_merge", vB)
+    time("C_bucket_agg", vC)
+    time("D_persist_plain", vD)
     time("E_persist_shash", vE)
     spark.stop()
   }

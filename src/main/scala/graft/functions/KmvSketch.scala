@@ -63,11 +63,17 @@ final class KmvBuffer(val k: Int) {
 object KmvBuffer {
   private val HEX = "0123456789abcdef".toCharArray
 
+  // One digest per thread, reset per row: getInstance() per row would pay
+  // a JCA provider lookup + allocation on the aggregate's hot path.
+  private val MD = ThreadLocal.withInitial[java.security.MessageDigest](() =>
+    java.security.MessageDigest.getInstance("MD5"))
+
   /** poly-fold over the lowercase md5 hex of the value's UTF-8 bytes —
     * identical to Spark/DuckDB `md5()` composed with the portable poly fold.
     */
   def md5PolyHash(s: UTF8String): Long = {
-    val md = java.security.MessageDigest.getInstance("MD5")
+    val md = MD.get()
+    md.reset()
     val digest = md.digest(s.getBytes)
     var acc = 0L
     var i = 0

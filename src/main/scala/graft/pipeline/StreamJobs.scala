@@ -109,21 +109,38 @@ final class EsShapedWriter(outDir: String, fields: Array[String],
   /** JSON value for `v` under the declared ES type, or None when
     * `ignore_malformed` drops the field.
     */
-  private def coerced(esType: String, v: Any): Option[String] = esType match {
-    case "float" | "double" | "long" | "integer" => v match {
-      case null => Some("null")
-      case n: Float if n.isNaN || n.isInfinite   => None // malformed
-      case n: Double if n.isNaN || n.isInfinite  => None
-      case n: Number => Some(n.toString)
-      case s: String => // dynamic coercion: numeric strings index as numbers
-        try {
-          val d = java.lang.Double.parseDouble(s.trim)
-          if (d.isNaN || d.isInfinite) None else Some(d.toString)
-        } catch { case _: NumberFormatException => None }
-      case _ => None
+  private def coerced(esType: String, v: Any): Option[String] = {
+    val integral = esType == "long" || esType == "integer"
+    // ES integer coercion TRUNCATES fractional values; rendering through
+    // the integral path also keeps the JSON shape stable per field (a
+    // long-mapped field must never flip between `7` and `7.0` row-to-row)
+    def num(d: Double): Option[String] =
+      if (d.isNaN || d.isInfinite) None
+      else if (integral) Some(d.toLong.toString)
+      else Some(d.toString)
+    esType match {
+      case "float" | "double" | "long" | "integer" => v match {
+        case null => Some("null")
+        // integral input under an integral mapping: stay in 64-bit (a
+        // round-trip through double would corrupt longs above 2^53)
+        case n @ (_: java.lang.Long | _: java.lang.Integer |
+            _: java.lang.Short | _: java.lang.Byte) if integral =>
+          Some(n.asInstanceOf[Number].longValue().toString)
+        case n: Number => num(n.doubleValue())
+        case s: String => // dynamic coercion: numeric strings index as numbers
+          try {
+            if (integral) Some(java.lang.Long.parseLong(s.trim).toString)
+            else num(java.lang.Double.parseDouble(s.trim))
+          } catch {
+            case _: NumberFormatException =>
+              try num(java.lang.Double.parseDouble(s.trim))
+              catch { case _: NumberFormatException => None }
+          }
+        case _ => None
+      }
+      case _ => // keyword / date / text: everything indexes as its string form
+        if (v == null) Some("null") else Some(jsonStr(v.toString))
     }
-    case _ => // keyword / date / text: everything indexes as its string form
-      if (v == null) Some("null") else Some(jsonStr(v.toString))
   }
 
   override def process(row: Row): Unit = {

@@ -114,6 +114,9 @@ trait TopKExec extends UnaryExecNode {
     val isFinal = this.isInstanceOf[TopKFinalExec]
     val maxKeys = conf.getConfString("spark.graft.topk.maxKeysPerTask",
       (1 << 20).toString).toInt
+    require(maxKeys > 0,
+      s"spark.graft.topk.maxKeysPerTask must be positive, got $maxKeys " +
+        "(a non-positive cap would silently drop every row in partial mode)")
     child.execute().mapPartitions({ it =>
       val keyProj = UnsafeProjection.create(groupLocal, outputLocal)
       val ordering = GenerateOrdering.generate(orderLocal, outputLocal)

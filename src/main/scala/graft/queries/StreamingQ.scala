@@ -334,12 +334,16 @@ object StreamingQ {
           .outputMode("update")
           .option("checkpointLocation", ckpt)
           .trigger(Trigger.AvailableNow())
-          .foreachBatch { (batch: DataFrame, _: Long) =>
-            batch.write.mode("append").parquet(out)
+          .foreachBatch { (batch: DataFrame, batchId: Long) =>
+            // overwrite the batch's OWN directory: a replayed micro-batch
+            // (sink committed, checkpoint not) rewrites identical content
+            // instead of appending a duplicate — the (batchId, data)
+            // idempotence contract, same as s08's batch_id tagging
+            batch.write.mode("overwrite").parquet(s"$out/batch=$batchId")
           }
           .start()
         q.awaitTermination()
-        s.read.parquet(out)
+        s.read.parquet(out).drop("batch")
       },
       Some("""WITH g AS (SELECT event_type,
                                 CAST(COUNT(*) AS BIGINT) AS n_events,
