@@ -147,14 +147,15 @@ object Dedup {
       .select("doc_a", "doc_b").distinct()
   }
 
-  def lshPairsSql: String = {
-    val arms = bands.map { case (x, y) =>
+  /** Band-join union arms over a CTE named `sig` (see [[minhashSql]]). */
+  def lshArmsSql: String =
+    bands.map { case (x, y) =>
       s"""SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
           FROM sig a JOIN sig b
             ON a.mh$x = b.mh$x AND a.mh$y = b.mh$y AND a.doc_id < b.doc_id"""
     }.mkString(" UNION ")
-    s"WITH sig AS ($minhashSql) $arms"
-  }
+
+  def lshPairsSql: String = s"WITH sig AS ($minhashSql) $lshArmsSql"
 
   /** 16-bit SimHash over token hashes: bit b set iff the ±1 vote sum over
     * tokens (bit b of each token hash) is positive. Per-row, shuffle-free.
@@ -202,6 +203,84 @@ object Dedup {
                  / len(list_distinct(list_concat(a.t, b.t))) AS jaccard
         FROM pairs JOIN toks a ON doc_a = a.doc_id
                    JOIN toks b ON doc_b = b.doc_id"""
+
+  /** d09: duplicate-CLUSTER resolution — connected components over the LSH
+    * candidate graph, the step that turns pairwise candidates (d03) into the
+    * actual dedup decision: every document maps to `cluster_id` = the minimum
+    * doc_id reachable through candidate pairs (its own id when it has no
+    * near-duplicate), so `doc_id = cluster_id` marks the one representative a
+    * training pipeline keeps per duplicate group.
+    *
+    * Algorithm: iterative min-label propagation with POINTER JUMPING — each
+    * round a node takes `min(label, labels of neighbors, label(label))`. The
+    * `label(label)` hop doubles the propagation distance per round, giving
+    * O(log diameter) rounds (the same doubling trick as the published
+    * large-star/small-star map-reduce CC algorithm) instead of O(diameter).
+    * Each round is two shuffle equi-joins + one min-aggregation — no
+    * collect, no driver-side graph; the driver only runs the O(log n)
+    * convergence loop and a scalar changed-count per round (the standard
+    * shape of iterative graph algorithms, cf. GraphX/Pregel supersteps).
+    * Each round ends in an EAGER `localCheckpoint`: without it the round-N
+    * logical plan references round N-1's plan four times (propagate, jump
+    * twice, convergence check) and the tree grows 4^N nodes — the classic
+    * iterative-lineage explosion. Checkpointing truncates the plan to the
+    * materialized blocks, so analysis cost stays O(1) per round and memory
+    * O(|V|) — at 100 TB the label relation is 2 longs/doc, tiny next to the
+    * corpus (a cluster job would use reliable `checkpoint()` to survive
+    * executor loss), and near-duplicate components are small by construction
+    * so convergence is 2–3 rounds.
+    */
+  def duplicateClusters(docs: DataFrame): DataFrame = {
+    val pairs = lshPairs(docs)
+    val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+      .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+      .localCheckpoint(true)
+    var labels = edges.select(col("src").as("doc")).distinct()
+      .select(col("doc"), col("doc").as("comp")).localCheckpoint(true)
+    var changed = 1L
+    var rounds = 0
+    while (changed > 0 && rounds < 50) {
+      val viaEdges = edges
+        .join(labels.withColumnRenamed("doc", "src"), "src")
+        .select(col("dst").as("doc"), col("comp"))
+      val viaJump = labels
+        .join(labels.select(col("doc").as("comp"), col("comp").as("comp2")),
+          "comp")
+        .select(col("doc"), col("comp2").as("comp"))
+      val next = labels.union(viaEdges).union(viaJump)
+        .groupBy("doc").agg(min("comp").as("comp")).localCheckpoint(true)
+      changed = next
+        .join(labels.select(col("doc"), col("comp").as("prev")), "doc")
+        .filter(col("comp") < col("prev")).count()
+      labels = next
+      rounds += 1
+    }
+    val assigned = labels
+      .select(col("doc").as("doc_id"), col("comp").as("cluster_id"))
+    docs.select("doc_id").join(assigned, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("cluster_id"), col("doc_id")).as("cluster_id"))
+  }
+
+  /** Oracle: min reachable doc over the symmetrized pair graph via a
+    * recursive CTE (transitive closure is affordable at oracle SF because
+    * near-dup components are tiny), defaulting unpaired docs to themselves.
+    */
+  def duplicateClustersSql: String =
+    s"""WITH RECURSIVE
+          sig AS ($minhashSql),
+          pairs AS ($lshArmsSql),
+          edges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
+                    UNION SELECT doc_b, doc_a FROM pairs),
+          reach(doc, r) AS (
+            SELECT src, src FROM edges
+            UNION
+            SELECT reach.doc, e.dst FROM reach JOIN edges e ON reach.r = e.src
+          )
+        SELECT d.doc_id, coalesce(m.cluster_id, d.doc_id) AS cluster_id
+        FROM documents d
+        LEFT JOIN (SELECT doc, min(r) AS cluster_id FROM reach GROUP BY doc) m
+          ON d.doc_id = m.doc"""
 
   /** Embedding-cosine near-duplicates: label-blocked pair join over a
     * deterministic sample, sequential-fold double cosine (bit-exact vs the
@@ -306,6 +385,12 @@ object DedupQueries {
     Q("d07_dedup_embed_lsh",
       (s, d) => Dedup.embedNearDupLsh(Tables.embeddings(s, d)),
       Some(Dedup.embedNearDupLshSql)),
+
+    // Duplicate-cluster resolution: candidate pairs → connected components →
+    // one representative per duplicate group (the actual dedup decision).
+    Q("d09_dedup_clusters",
+      (s, d) => Dedup.duplicateClusters(Tables.documents(s, d)),
+      Some(Dedup.duplicateClustersSql)),
 
     // Boilerplate detection — the corpus-level cousin of per-doc dedup: a
     // word-5-gram appearing in many DISTINCT documents is boilerplate

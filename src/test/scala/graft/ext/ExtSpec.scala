@@ -46,6 +46,48 @@ class ExtSpec extends SparkSpec {
     assert(hamming(sh(1L), sh(3L)) < hamming(sh(1L), sh(4L)))
   }
 
+  test("duplicate clusters: total, canonical, and pair-consistent") {
+    val out = Dedup.duplicateClusters(docs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // total: every document gets a cluster; representative is the min id
+    assert(out.keySet === Set(1L, 2L, 3L, 4L, 5L, 6L))
+    assert(out.forall { case (doc, c) => c <= doc })
+    // exact dups 1,2 collapse to representative 1
+    assert(out(1L) === 1L && out(2L) === 1L)
+    // docs with no candidate pair are their own singleton cluster
+    val paired = Dedup.lshPairs(docs).collect()
+      .flatMap(r => Seq(r.getLong(0), r.getLong(1))).toSet
+    assert(out.filterNot(kv => paired(kv._1)).forall(kv => kv._2 === kv._1))
+    // every candidate pair's endpoints share a cluster (transitivity holds
+    // a fortiori: components are closed under the pair relation)
+    assert(Dedup.lshPairs(docs).collect()
+      .forall(r => out(r.getLong(0)) === out(r.getLong(1))))
+    // representatives are canonical: cluster ids are fixpoints
+    assert(out.values.toSet.forall(c => out(c) === c))
+  }
+
+  test("duplicate clusters resolve transitive chains to one component") {
+    // Progressive token drift over a 24-token base: doc 10+k has its first
+    // 4k tokens replaced. With the fixed MinHash constants the candidate
+    // graph is deterministic: {(10,11),(10,12),(11,12),(12,14)} — doc 14
+    // reaches 10 only TRANSITIVELY through 12, and 13 pairs with nothing.
+    // The cluster must merge {10,11,12,14} (connected components, not
+    // pairwise buckets) and leave 13 a singleton.
+    val base = (1 to 24).map(i => s"w$i").toArray
+    val chain = (0 to 4).map { k =>
+      val toks = base.clone()
+      (0 until k * 4).foreach(i => toks(i % 24) = s"x$i")
+      (10L + k, toks.mkString(" "))
+    }.toDF("doc_id", "text")
+    val pairs = Dedup.lshPairs(chain).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs === Set((10L, 11L), (10L, 12L), (11L, 12L), (12L, 14L)))
+    val cl = Dedup.duplicateClusters(chain).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(cl === Map(10L -> 10L, 11L -> 10L, 12L -> 10L, 14L -> 10L,
+      13L -> 13L))
+  }
+
   test("LSH knn results lie in the query's bucket and are cosine-ranked") {
     val emb = graft.sources.Tables.embeddings(s, "/root/testdata/sf0.001")
     val out = Similarity.knnLsh(emb).collect()
