@@ -843,6 +843,27 @@ object Extended {
         s.read.option("header", "true").schema(sel.schema).csv(tmp)
       },
       Some("""SELECT l_orderkey, l_linenumber, l_quantity, l_returnflag
-              FROM lineitem"""))
+              FROM lineitem""")),
+
+    // Custom DataSource V2 connector over the replay wire format
+    // (graft.sources.v2.WireTopicSource): encode a lineitem slice onto the
+    // wire, read it back through format("graft-wire"), and let the V2
+    // pushdown interfaces do their job — the l_quantity predicate is
+    // evaluated at parse time inside the connector (no post-scan Filter)
+    // and l_partkey, present on the wire, is pruned out of the read schema.
+    Q("q70_dsv2_wire_scan",
+      (s, d) => {
+        val sel = Tables.lineitem(s, d)
+          .select("l_orderkey", "l_partkey", "l_linenumber", "l_quantity",
+            "l_returnflag")
+        val tmp = Scratch.dir("graft_q70_wire")
+        graft.pipeline.CsvWire.encode(sel, sel.schema)
+          .repartition(8).write.mode("overwrite").text(tmp)
+        s.read.format("graft-wire").schema(sel.schema).load(tmp)
+          .filter(col("l_quantity") > 25.0)
+          .select("l_orderkey", "l_linenumber", "l_quantity", "l_returnflag")
+      },
+      Some("""SELECT l_orderkey, l_linenumber, l_quantity, l_returnflag
+              FROM lineitem WHERE l_quantity > 25.0"""))
   )
 }

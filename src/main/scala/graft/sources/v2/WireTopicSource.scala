@@ -1,0 +1,273 @@
+package graft.sources.v2
+
+import java.util.regex.Pattern
+
+import scala.collection.JavaConverters._
+
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.{FileSystem, Path => HPath}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.sources._
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.unsafe.types.UTF8String
+
+/** DataSource V2 reader for a wire-format "topic" directory — the
+  * delimiter-joined CSV lines the replay generator emits
+  * ([[graft.pipeline.Replay]]; wire layout per [[graft.pipeline.CsvWire]],
+  * reference encode data_generator/dataframe_to_kafka.py:68-74 / decode
+  * convert-to-elasticsearch.py:105-114).
+  *
+  * This is the full custom-connector rung of the Catalyst surface: a
+  * `TableProvider` whose `ScanBuilder` implements BOTH V2 pushdown
+  * interfaces, and honours them for real —
+  *
+  *   - `SupportsPushDownRequiredColumns`: only the pruned columns (plus any
+  *     columns referenced by pushed filters) are parsed and cast; unneeded
+  *     fields are never materialized (`ReadSchema` in explain shows the cut).
+  *   - `SupportsPushDownFilters`: comparison/null predicates are evaluated
+  *     row-by-row at parse time, BEFORE the row is assembled or shipped to
+  *     the query — fully handled, so Spark plans no re-evaluation Filter for
+  *     them (they disappear from the post-scan plan, visible in explain as
+  *     this scan's `pushed=[...]` description).
+  *
+  * Scale design: one `InputPartition` per topic file — the same
+  * files-as-parallelism unit as Spark's own `FileScan` (a 1000-executor
+  * cluster reads 1000 topic files concurrently; the replay generator shards
+  * epochs into files for exactly this reason). Listing is driver-side
+  * metadata (one RPC per directory, as FileScan does); bytes are read on
+  * executors through the Hadoop filesystem API, so the same code serves
+  * file://, hdfs:// and s3a:// URIs.
+  *
+  * Options: `path` (directory), `sep` (default ","), and the user-supplied
+  * read schema (`spark.read.schema(...)`) defining the wire layout.
+  */
+class WireTopicSource extends TableProvider with DataSourceRegister {
+  override def shortName(): String = "graft-wire"
+
+  /** The wire format is schema-on-read: the layout must be supplied. */
+  override def supportsExternalMetadata(): Boolean = true
+
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
+    throw new IllegalArgumentException(
+      "graft-wire requires an explicit read schema (the wire layout): " +
+        "spark.read.format(\"graft-wire\").schema(...)")
+
+  override def getTable(
+      schema: StructType,
+      partitioning: Array[Transform],
+      properties: java.util.Map[String, String]): Table =
+    new WireTable(schema, new CaseInsensitiveStringMap(properties))
+}
+
+final class WireTable(schema: StructType, options: CaseInsensitiveStringMap)
+    extends Table with SupportsRead {
+  private val path = Option(options.get("path")).getOrElse(
+    throw new IllegalArgumentException("graft-wire: missing 'path' option"))
+  private val sep = Option(options.get("sep")).getOrElse(",")
+
+  override def name(): String = s"graft-wire:$path"
+  override def schema(): StructType = schema
+  override def capabilities(): java.util.Set[TableCapability] =
+    java.util.EnumSet.of(TableCapability.BATCH_READ)
+
+  override def newScanBuilder(o: CaseInsensitiveStringMap): ScanBuilder =
+    new WireScanBuilder(schema, path, sep)
+}
+
+final class WireScanBuilder(fullSchema: StructType, path: String, sep: String)
+    extends ScanBuilder
+    with SupportsPushDownRequiredColumns with SupportsPushDownFilters {
+
+  private var required: StructType = fullSchema
+  private var pushed: Array[Filter] = Array.empty
+
+  override def pruneColumns(requiredSchema: StructType): Unit =
+    // Spark passes the post-pushdown projection; preserve wire order.
+    required = StructType(
+      fullSchema.fields.filter(f => requiredSchema.fieldNames.contains(f.name)))
+
+  /** Accept the predicate shapes the parse-time evaluator fully handles;
+    * everything else stays Spark-side. Returning only the unsupported rest
+    * tells Spark the pushed set needs NO re-evaluation.
+    */
+  override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+    val (ours, rest) = filters.partition(WireFilterEval.supported(fullSchema))
+    pushed = ours
+    rest
+  }
+  override def pushedFilters(): Array[Filter] = pushed
+
+  override def build(): Scan = new WireScan(fullSchema, required, pushed, path, sep)
+}
+
+final class WireScan(
+    fullSchema: StructType,
+    required: StructType,
+    pushed: Array[Filter],
+    path: String,
+    sep: String) extends Scan with Batch {
+
+  override def readSchema(): StructType = required
+  override def toBatch: Batch = this
+  override def description(): String =
+    s"GraftWireScan path=$path pushed=[${pushed.mkString(", ")}] " +
+      s"read=[${required.fieldNames.mkString(", ")}]"
+
+  override def planInputPartitions(): Array[InputPartition] = {
+    val dir = new HPath(path)
+    val fs = FileSystem.get(dir.toUri, new Configuration())
+    fs.listStatus(dir).iterator
+      .filter(st => st.isFile && !st.getPath.getName.startsWith("_") &&
+        !st.getPath.getName.startsWith("."))
+      .map(st => WireFilePartition(st.getPath.toString): InputPartition)
+      .toArray
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new WireReaderFactory(fullSchema.toDDL, required.fieldNames, pushed, sep)
+}
+
+final case class WireFilePartition(file: String) extends InputPartition
+
+/** Serializable factory: schema rides as DDL text, filters as the
+  * serializable `sources.Filter` tree.
+  */
+final class WireReaderFactory(
+    fullDdl: String,
+    requiredNames: Array[String],
+    pushed: Array[Filter],
+    sep: String) extends PartitionReaderFactory {
+
+  override def createReader(p: InputPartition): PartitionReader[InternalRow] =
+    new WireFileReader(p.asInstanceOf[WireFilePartition].file,
+      StructType.fromDDL(fullDdl), requiredNames, pushed, sep)
+}
+
+final class WireFileReader(
+    file: String,
+    fullSchema: StructType,
+    requiredNames: Array[String],
+    pushed: Array[Filter],
+    sep: String) extends PartitionReader[InternalRow] {
+
+  // Parse set = projected columns ∪ filter-referenced columns (a column used
+  // only by a fully-pushed filter is absent from `required` — it must still
+  // be parsed, just never emitted).
+  private val filterRefs = pushed.flatMap(_.references).toSet
+  private val parseIdx: Array[Int] = fullSchema.fields.zipWithIndex
+    .collect { case (f, i) if requiredNames.contains(f.name) || filterRefs(f.name) => i }
+  private val emitIdx: Array[Int] =
+    requiredNames.map(n => fullSchema.fieldIndex(n))
+  private val sepQuoted = Pattern.quote(sep)
+
+  private val fs = {
+    val p = new HPath(file)
+    FileSystem.get(p.toUri, new Configuration())
+  }
+  private val in = new java.io.BufferedReader(
+    new java.io.InputStreamReader(fs.open(new HPath(file)), "UTF-8"))
+
+  private var row: InternalRow = _
+
+  override def next(): Boolean = {
+    var line = in.readLine()
+    while (line != null) {
+      val parts = line.split(sepQuoted, -1)
+      // typed values for the parse set only; "" decodes to null (CsvWire)
+      val vals = new Array[Any](fullSchema.length)
+      var j = 0
+      while (j < parseIdx.length) {
+        val i = parseIdx(j)
+        val raw = if (i < parts.length) parts(i) else ""
+        vals(i) =
+          if (raw.isEmpty) null
+          else WireFilterEval.parse(fullSchema.fields(i).dataType, raw)
+        j += 1
+      }
+      if (pushed.forall(WireFilterEval.eval(_, fullSchema, vals))) {
+        row = new GenericInternalRow(emitIdx.map { i =>
+          vals(i) match {
+            case s: String => UTF8String.fromString(s)
+            case v => v
+          }
+        })
+        return true
+      }
+      line = in.readLine()
+    }
+    false
+  }
+
+  override def get(): InternalRow = row
+  override def close(): Unit = { in.close() }
+}
+
+/** Parse + predicate evaluation for the pushed filter subset (SQL
+  * three-valued logic: a comparison against null is not-true → row dropped,
+  * matching what Spark's own post-scan Filter would do).
+  */
+object WireFilterEval {
+
+  def parse(dt: DataType, raw: String): Any = dt match {
+    case LongType    => raw.toLong
+    case IntegerType => raw.toInt
+    case ShortType   => raw.toShort
+    case DoubleType  => raw.toDouble
+    case FloatType   => raw.toFloat
+    case StringType  => raw
+    case BooleanType => raw.toBoolean
+    case other => throw new IllegalArgumentException(
+      s"graft-wire: unsupported wire type $other")
+  }
+
+  private val comparableTypes: Set[DataType] =
+    Set(LongType, IntegerType, ShortType, DoubleType, FloatType, StringType,
+      BooleanType)
+
+  /** Fully-handled shapes: [=, >, >=, <, <=, IS NULL, IS NOT NULL] over
+    * wire-typed columns. Everything else (In, StringContains, Or, …) is left
+    * to Spark — correctness never depends on this list, only plan shape.
+    */
+  def supported(schema: StructType)(f: Filter): Boolean = f match {
+    case EqualTo(a, _)            => typed(schema, a)
+    case GreaterThan(a, _)        => typed(schema, a)
+    case GreaterThanOrEqual(a, _) => typed(schema, a)
+    case LessThan(a, _)           => typed(schema, a)
+    case LessThanOrEqual(a, _)    => typed(schema, a)
+    case IsNull(a)                => typed(schema, a)
+    case IsNotNull(a)             => typed(schema, a)
+    case _                        => false
+  }
+  private def typed(schema: StructType, attr: String): Boolean =
+    schema.fieldNames.contains(attr) &&
+      comparableTypes(schema(attr).dataType)
+
+  def eval(f: Filter, schema: StructType, vals: Array[Any]): Boolean = {
+    def v(attr: String): Any = vals(schema.fieldIndex(attr))
+    f match {
+      case IsNull(a)    => v(a) == null
+      case IsNotNull(a) => v(a) != null
+      case EqualTo(a, x)            => cmp(v(a), x).contains(0)
+      case GreaterThan(a, x)        => cmp(v(a), x).exists(_ > 0)
+      case GreaterThanOrEqual(a, x) => cmp(v(a), x).exists(_ >= 0)
+      case LessThan(a, x)           => cmp(v(a), x).exists(_ < 0)
+      case LessThanOrEqual(a, x)    => cmp(v(a), x).exists(_ <= 0)
+      case other => throw new IllegalStateException(s"unpushable: $other")
+    }
+  }
+
+  /** None when either side is null (three-valued logic → not-true). */
+  private def cmp(a: Any, b: Any): Option[Int] = (a, b) match {
+    case (null, _) | (_, null) => None
+    case (x: Number, y: Number) =>
+      Some(java.lang.Double.compare(x.doubleValue(), y.doubleValue()))
+    case (x: String, y: String)   => Some(x.compareTo(y))
+    case (x: Boolean, y: Boolean) => Some(java.lang.Boolean.compare(x, y))
+    case _ => None
+  }
+}

@@ -1,0 +1,93 @@
+package graft.sources
+
+import org.apache.spark.sql.execution.SparkPlan
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.SparkSpec
+import graft.pipeline.CsvWire
+import graft.util.Scratch
+
+/** Contract tests for the graft-wire DataSource V2 connector
+  * ([[graft.sources.v2.WireTopicSource]]): pushdown is real (supported
+  * predicates vanish from the post-scan plan; unsupported ones stay),
+  * pruning is real (read schema shrinks), and wire nulls decode like
+  * [[CsvWire.decode]].
+  */
+class WireTopicSourceSpec extends SparkSpec {
+
+  private lazy val s = spark
+  import s.implicits._
+
+  private val schema = StructType(Seq(
+    StructField("id", LongType),
+    StructField("qty", DoubleType),
+    StructField("tag", StringType)))
+
+  private lazy val topicDir: String = {
+    val df = Seq(
+      (1L, Some(10.0), "a"), (2L, Some(30.0), "b"),
+      (3L, None, "ab"), (4L, Some(40.0), "c")
+    ).toDF("id", "qty", "tag")
+      .select(col("id"), col("qty"), col("tag"))
+    val dir = Scratch.dir("graft_wire_spec")
+    CsvWire.encode(df, schema).repartition(2).write
+      .mode("overwrite").text(dir)
+    dir
+  }
+
+  private def read = s.read.format("graft-wire").schema(schema).load(topicDir)
+
+  private def plan(df: org.apache.spark.sql.DataFrame): SparkPlan =
+    df.queryExecution.executedPlan
+
+  test("round-trips typed rows with empty-field → null decode") {
+    val rows = read.collect().map(r =>
+      (r.getLong(0), if (r.isNullAt(1)) None else Some(r.getDouble(1)),
+        r.getString(2))).toSet
+    assert(rows === Set((1L, Some(10.0), "a"), (2L, Some(30.0), "b"),
+      (3L, None, "ab"), (4L, Some(40.0), "c")))
+  }
+
+  test("supported predicates are fully pushed: no post-scan Filter") {
+    val q = read.filter(col("qty") > 20.0).select("id", "qty")
+    val p = plan(q)
+    assert(!p.toString.contains("Filter ("), p.toString)
+    assert(p.toString.contains("GreaterThan(qty,20.0)"), p.toString)
+    assert(q.collect().map(_.getLong(0)).toSet === Set(2L, 4L))
+  }
+
+  test("unsupported predicates stay Spark-side and still evaluate") {
+    val q = read.filter(col("tag").contains("b")).select("id")
+    assert(plan(q).toString.contains("Filter"), plan(q).toString)
+    assert(q.collect().map(_.getLong(0)).toSet === Set(2L, 3L))
+  }
+
+  test("column pruning reaches the scan read schema") {
+    val q = read.select("id")
+    assert(plan(q).toString.contains("read=[id]"), plan(q).toString)
+    assert(q.collect().map(_.getLong(0)).toSet === Set(1L, 2L, 3L, 4L))
+  }
+
+  test("filter-only columns are parsed but not emitted") {
+    // qty appears only in the pushed predicate; the emitted schema is id.
+    val q = read.filter(col("qty") > 20.0).select("id")
+    val p = plan(q).toString
+    assert(p.contains("GreaterThan(qty,20.0)") && p.contains("read=[id]"), p)
+    assert(q.collect().map(_.getLong(0)).toSet === Set(2L, 4L))
+  }
+
+  test("comparison with wire null is not-true (three-valued logic)") {
+    // id=3 has null qty: qty <= 1e9 must NOT match it, IS NULL must.
+    val le = read.filter(col("qty") <= 1e9).select("id")
+    assert(le.collect().map(_.getLong(0)).toSet === Set(1L, 2L, 4L))
+    val isNull = read.filter(col("qty").isNull).select("id")
+    assert(plan(isNull).toString.contains("IsNull(qty)"),
+      plan(isNull).toString)
+    assert(isNull.collect().map(_.getLong(0)).toSet === Set(3L))
+  }
+
+  test("one input partition per topic file") {
+    assert(read.rdd.getNumPartitions === 2)
+  }
+}
