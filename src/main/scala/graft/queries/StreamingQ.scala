@@ -4,7 +4,7 @@ import java.nio.file.{Files, Paths}
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode, Trigger}
+import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode, StatefulProcessor, TTLConfig, TimeMode, TimerValues, Trigger}
 
 import graft.sources.Tables
 
@@ -127,6 +127,63 @@ object StreamingQ {
         .toDF()
     }
 
+  /** Typed rows for the transformWithState processor (s12). */
+  final case class TwsEv(event_id: Long, user_id: Long, tsu: Long,
+      value: Double)
+  final case class TwsOut(event_id: Long, user_id: Long, running_n: Long,
+      running_max: Double)
+
+  /** s12: the Spark 4 arbitrary-state API (`transformWithState` /
+    * `StatefulProcessor`) — the successor to s04's flatMapGroupsWithState,
+    * with named, individually-evolvable state variables instead of one
+    * opaque state object. Keeps a per-user `ValueState` holding (event
+    * count, running max value); each event emits its running totals.
+    *
+    * transformWithState requires the RocksDB state store provider — which
+    * is also the honest 100 TB backend (the default HDFS-backed store keeps
+    * all state rows on the JVM heap; RocksDB spills to native memory +
+    * disk and changelogs to the checkpoint).
+    */
+  final class RunningMaxProcessor
+      extends StatefulProcessor[Long, TwsEv, TwsOut] {
+    @transient private var st: org.apache.spark.sql.streaming.ValueState[(Long, Double)] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      st = getHandle.getValueState[(Long, Double)]("agg",
+        org.apache.spark.sql.Encoders.product[(Long, Double)], TTLConfig.NONE)
+
+    override def handleInputRows(key: Long, rows: Iterator[TwsEv],
+        tv: TimerValues): Iterator[TwsOut] = {
+      val init = if (st.exists()) st.get() else (0L, Double.MinValue)
+      var n = init._1
+      var mx = init._2
+      // sort the batch's rows per key by event time for determinism (same
+      // discipline as s04); cross-batch order comes from state
+      val out = rows.toSeq.sortBy(e => (e.tsu, e.event_id)).map { e =>
+        n += 1
+        mx = math.max(mx, e.value)
+        TwsOut(e.event_id, key, n, mx)
+      }
+      st.update((n, mx))
+      out.iterator
+    }
+  }
+
+  def transformWithStateRunningMax(s: SparkSession, d: String): DataFrame = {
+    s.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try runEventsStream(s, d) { src =>
+      import s.implicits._
+      src.select(col("event_id"), col("user_id"),
+          unix_micros(col("ts")).as("tsu"), col("value"))
+        .as[TwsEv]
+        .groupByKey(_.user_id)
+        .transformWithState(new RunningMaxProcessor,
+          TimeMode.None(), OutputMode.Append())
+        .toDF()
+    } finally s.conf.unset("spark.sql.streaming.stateStore.providerClass")
+  }
+
   val queries: Seq[Q] = Seq(
     Q("q20_stream_pipe",
       (s, d) => streamPipe(s, d),
@@ -213,6 +270,16 @@ object StreamingQ {
                                              ORDER BY ts, event_id) AS BIGINT)
                        AS running_n
               FROM events""")),
+
+    // s12: transformWithState (see RunningMaxProcessor above).
+    Q("s12_transform_with_state",
+      (s, d) => transformWithStateRunningMax(s, d),
+      Some("""SELECT event_id, user_id,
+                     CAST(ROW_NUMBER() OVER w AS BIGINT) AS running_n,
+                     MAX(value) OVER w AS running_max
+              FROM events
+              WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                           ROWS UNBOUNDED PRECEDING)""")),
 
     // s06: sliding event-time windows (1 hour every 30 minutes) — each event
     // lands in two overlapping windows; same emission boundary as s01.

@@ -160,4 +160,58 @@ class StreamingSpec extends SparkSpec {
     } finally spark.conf.unset(
       "spark.sql.streaming.stateStore.providerClass")
   }
+
+  test("transformWithState accumulates ValueState across micro-batches") {
+    val s = spark
+    import s.implicits._
+
+    val srcDir = Files.createTempDirectory("graft_tws_src").toString
+    val out    = Files.createTempDirectory("graft_tws_out").toString
+    val ckpt   = Files.createTempDirectory("graft_tws_ckpt").toString
+
+    def addFile(name: String, rows: Seq[(Long, Long, Timestamp, Double)]): Unit = {
+      val stage = Files.createTempDirectory(s"graft_tws_$name").toString
+      rows.toDF("event_id", "user_id", "ts", "value")
+        .coalesce(1).write.mode("overwrite").parquet(stage)
+      val part = new File(stage).listFiles()
+        .find(_.getName.endsWith(".parquet")).get
+      Files.move(part.toPath, Paths.get(srcDir, s"$name.parquet"))
+    }
+    // user 7 spans both files: the running count/max must continue from
+    // batch-1 state, not restart at 1.
+    addFile("a", Seq((1L, 7L, ts("2024-01-01 00:10:00"), 5.0),
+      (2L, 7L, ts("2024-01-01 00:20:00"), 3.0)))
+    addFile("b", Seq((3L, 7L, ts("2024-01-01 00:40:00"), 9.0),
+      (4L, 8L, ts("2024-01-01 00:50:00"), 2.0)))
+    Seq("a", "b").zipWithIndex.foreach { case (n, i) =>
+      new File(srcDir, s"$n.parquet").setLastModified(1700000000000L + i * 60000)
+    }
+
+    s.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val schema = Seq((1L, 1L, ts("2024-01-01 00:00:00"), 1.0))
+        .toDF("event_id", "user_id", "ts", "value").schema
+      val q = s.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1).parquet(srcDir)
+        .select(col("event_id"), col("user_id"),
+          unix_micros(col("ts")).as("tsu"), col("value"))
+        .as[StreamingQ.TwsEv]
+        .groupByKey(_.user_id)
+        .transformWithState(new StreamingQ.RunningMaxProcessor,
+          org.apache.spark.sql.streaming.TimeMode.None(),
+          org.apache.spark.sql.streaming.OutputMode.Append())
+        .toDF()
+        .writeStream.format("parquet").outputMode("append")
+        .option("checkpointLocation", ckpt).option("path", out)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      val got = s.read.parquet(out).collect()
+        .map(r => r.getLong(0) -> ((r.getLong(2), r.getDouble(3)))).toMap
+      assert(got === Map(
+        1L -> ((1L, 5.0)), 2L -> ((2L, 5.0)),   // batch 1: user 7
+        3L -> ((3L, 9.0)),                      // batch 2 CONTINUES user 7
+        4L -> ((1L, 2.0))))                     // batch 2: fresh user 8
+    } finally s.conf.unset("spark.sql.streaming.stateStore.providerClass")
+  }
 }
