@@ -281,6 +281,35 @@ object StreamingQ {
               WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
                            ROWS UNBOUNDED PRECEDING)""")),
 
+    // s13: the graft-wire DataSource V2 connector as a STREAMING source —
+    // Kafka-shaped consumption of an append-only file topic: monotone
+    // file-count offsets in the checkpoint, maxFilesPerTrigger admission
+    // control (4 wire files → 4 micro-batches), and the same parse-time
+    // filter pushdown + column pruning as the batch scan (q70). Completes
+    // the reference's Kafka-source substitution (SURVEY §2.1 S3) as a real
+    // connector rather than a built-in file source.
+    Q("s13_dsv2_stream_source",
+      (s, d) => {
+        val sel = Tables.events(s, d).select(col("event_id"), col("user_id"),
+          col("event_type"), col("value"), unix_micros(col("ts")).as("tsu"))
+        val topic = graft.util.Scratch.dir("graft_s13_topic")
+        graft.pipeline.CsvWire.encode(sel, sel.schema)
+          .repartition(4).write.mode("overwrite").text(topic)
+        val out  = graft.util.Scratch.dir("graft_s13_out")
+        val ckpt = graft.util.Scratch.dir("graft_s13_ckpt")
+        val q = s.readStream.format("graft-wire").schema(sel.schema)
+          .option("maxFilesPerTrigger", 1).load(topic)
+          .filter(col("value") > 10.0)
+          .select("event_id", "event_type", "value")
+          .writeStream.format("parquet").outputMode("append")
+          .option("checkpointLocation", ckpt).option("path", out)
+          .trigger(Trigger.AvailableNow()).start()
+        q.awaitTermination()
+        s.read.parquet(out)
+      },
+      Some("""SELECT event_id, event_type, value FROM events
+              WHERE value > 10.0""")),
+
     // s06: sliding event-time windows (1 hour every 30 minutes) — each event
     // lands in two overlapping windows; same emission boundary as s01.
     Q("s06_stream_sliding",

@@ -11,6 +11,7 @@ import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset, ReadLimit, ReadMaxFiles, SupportsTriggerAvailableNow}
 import org.apache.spark.sql.sources._
 import org.apache.spark.sql.types._
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
@@ -73,13 +74,16 @@ final class WireTable(schema: StructType, options: CaseInsensitiveStringMap)
   override def name(): String = s"graft-wire:$path"
   override def schema(): StructType = schema
   override def capabilities(): java.util.Set[TableCapability] =
-    java.util.EnumSet.of(TableCapability.BATCH_READ)
+    java.util.EnumSet.of(TableCapability.BATCH_READ,
+      TableCapability.MICRO_BATCH_READ)
 
   override def newScanBuilder(o: CaseInsensitiveStringMap): ScanBuilder =
-    new WireScanBuilder(schema, path, sep)
+    new WireScanBuilder(schema, path, sep,
+      Option(o.get("maxFilesPerTrigger")).map(_.toInt))
 }
 
-final class WireScanBuilder(fullSchema: StructType, path: String, sep: String)
+final class WireScanBuilder(fullSchema: StructType, path: String, sep: String,
+    maxFilesPerTrigger: Option[Int] = None)
     extends ScanBuilder
     with SupportsPushDownRequiredColumns with SupportsPushDownFilters {
 
@@ -102,7 +106,8 @@ final class WireScanBuilder(fullSchema: StructType, path: String, sep: String)
   }
   override def pushedFilters(): Array[Filter] = pushed
 
-  override def build(): Scan = new WireScan(fullSchema, required, pushed, path, sep)
+  override def build(): Scan =
+    new WireScan(fullSchema, required, pushed, path, sep, maxFilesPerTrigger)
 }
 
 final class WireScan(
@@ -110,7 +115,8 @@ final class WireScan(
     required: StructType,
     pushed: Array[Filter],
     path: String,
-    sep: String) extends Scan with Batch {
+    sep: String,
+    maxFilesPerTrigger: Option[Int] = None) extends Scan with Batch {
 
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
@@ -118,18 +124,91 @@ final class WireScan(
     s"GraftWireScan path=$path pushed=[${pushed.mkString(", ")}] " +
       s"read=[${required.fieldNames.mkString(", ")}]"
 
-  override def planInputPartitions(): Array[InputPartition] = {
-    val dir = new HPath(path)
-    val fs = FileSystem.get(dir.toUri, new Configuration())
-    fs.listStatus(dir).iterator
-      .filter(st => st.isFile && !st.getPath.getName.startsWith("_") &&
-        !st.getPath.getName.startsWith("."))
-      .map(st => WireFilePartition(st.getPath.toString): InputPartition)
-      .toArray
-  }
+  override def planInputPartitions(): Array[InputPartition] =
+    WireTopicFiles.list(path)
+      .map(f => WireFilePartition(f): InputPartition)
 
   override def createReaderFactory(): PartitionReaderFactory =
     new WireReaderFactory(fullSchema.toDDL, required.fieldNames, pushed, sep)
+
+  /** The same pruned+filtered scan as a streaming source (pushdown applies
+    * to micro-batches identically — the builder ran before this call).
+    */
+  override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
+    new WireMicroBatchStream(this, path, maxFilesPerTrigger)
+}
+
+/** Topic-directory listing with the offset-stable order: (mtime, name) —
+  * the same deterministic order FileStreamSource uses. The topic contract
+  * is append-only files (the replay generator only ever ADDS epoch files,
+  * [[graft.pipeline.Replay]]), so a committed offset range always re-lists
+  * to the same file slice on replay/restart.
+  */
+object WireTopicFiles {
+  def list(path: String): Array[String] = {
+    val dir = new HPath(path)
+    val fs = FileSystem.get(dir.toUri, new Configuration())
+    fs.listStatus(dir)
+      .filter(st => st.isFile && !st.getPath.getName.startsWith("_") &&
+        !st.getPath.getName.startsWith("."))
+      .sortBy(st => (st.getModificationTime, st.getPath.getName))
+      .map(_.getPath.toString)
+  }
+}
+
+/** Offset = how many files of the stable listing have been consumed. */
+final case class WireOffset(filesSeen: Int) extends Offset {
+  override def json(): String = filesSeen.toString
+}
+
+/** Micro-batch form of the wire-topic scan: Kafka-shaped semantics over an
+  * append-only file topic — monotone offsets, admission control
+  * (`maxFilesPerTrigger` caps each batch like Kafka's maxOffsetsPerTrigger),
+  * checkpoint replay (a restarted query re-plans exactly the committed file
+  * slice), and AvailableNow draining against a start-time snapshot.
+  */
+final class WireMicroBatchStream(
+    scan: WireScan,
+    path: String,
+    maxFilesPerTrigger: Option[Int])
+    extends MicroBatchStream with SupportsTriggerAvailableNow {
+
+  private var availableNowCap: Option[Int] = None
+
+  override def initialOffset(): Offset = WireOffset(0)
+  override def deserializeOffset(json: String): Offset = WireOffset(json.toInt)
+
+  override def prepareForTriggerAvailableNow(): Unit =
+    availableNowCap = Some(WireTopicFiles.list(path).length)
+
+  override def getDefaultReadLimit: ReadLimit =
+    maxFilesPerTrigger.map(ReadLimit.maxFiles).getOrElse(ReadLimit.allAvailable)
+
+  override def latestOffset(): Offset =
+    throw new UnsupportedOperationException(
+      "admission-control latestOffset(start, limit) is used")
+
+  override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
+    val seen = start.asInstanceOf[WireOffset].filesSeen
+    val avail = availableNowCap.getOrElse(WireTopicFiles.list(path).length)
+    val cap = limit match {
+      case m: ReadMaxFiles => math.min(seen + m.maxFiles, avail)
+      case _               => avail
+    }
+    WireOffset(math.max(seen, cap))
+  }
+
+  override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] =
+    WireTopicFiles.list(path)
+      .slice(start.asInstanceOf[WireOffset].filesSeen,
+        end.asInstanceOf[WireOffset].filesSeen)
+      .map(f => WireFilePartition(f): InputPartition)
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    scan.createReaderFactory()
+
+  override def commit(end: Offset): Unit = () // files are retained (topic)
+  override def stop(): Unit = ()
 }
 
 final case class WireFilePartition(file: String) extends InputPartition

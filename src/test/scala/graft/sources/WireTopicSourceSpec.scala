@@ -90,4 +90,59 @@ class WireTopicSourceSpec extends SparkSpec {
   test("one input partition per topic file") {
     assert(read.rdd.getNumPartitions === 2)
   }
+
+  // ---- streaming (MicroBatchStream) contract ----------------------------
+
+  private def writeWireFile(dir: String, name: String, mtime: Long,
+      lines: Seq[String]): Unit = {
+    val p = java.nio.file.Paths.get(dir, name)
+    java.nio.file.Files.write(p, lines.mkString("\n").getBytes("UTF-8"))
+    p.toFile.setLastModified(mtime)
+  }
+
+  private def drainStream(topic: String, out: String, ckpt: String,
+      maxFiles: Option[Int] = Some(1)) = {
+    val reader = s.readStream.format("graft-wire").schema(schema)
+    maxFiles.foreach(n => reader.option("maxFilesPerTrigger", n))
+    val q = reader.load(topic)
+      .filter(col("qty") > 0.0)
+      .select("id", "qty")
+      .writeStream.format("parquet").outputMode("append")
+      .option("checkpointLocation", ckpt).option("path", out)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    q
+  }
+
+  test("streaming: maxFilesPerTrigger=1 yields one micro-batch per file") {
+    val topic = Scratch.dir("graft_wire_stream")
+    writeWireFile(topic, "f1.wire", 1700000000000L, Seq("1,10.0,a", "2,-1.0,b"))
+    writeWireFile(topic, "f2.wire", 1700000060000L, Seq("3,30.0,c"))
+    writeWireFile(topic, "f3.wire", 1700000120000L, Seq("4,40.0,d"))
+    val out = Scratch.dir("graft_wire_stream_out")
+    val ckpt = Scratch.dir("graft_wire_stream_ckpt")
+    val q = drainStream(topic, out, ckpt)
+    // 3 files → 3 data micro-batches under the admission-control cap
+    assert(q.recentProgress.count(_.numInputRows > 0) === 3)
+    // pushed filter applied inside the connector: qty -1.0 never surfaces
+    val got = s.read.parquet(out).collect().map(_.getLong(0)).toSet
+    assert(got === Set(1L, 3L, 4L))
+  }
+
+  test("streaming: restart from checkpoint consumes only NEW topic files") {
+    val topic = Scratch.dir("graft_wire_restart")
+    writeWireFile(topic, "f1.wire", 1700000000000L, Seq("1,10.0,a"))
+    writeWireFile(topic, "f2.wire", 1700000060000L, Seq("2,20.0,b"))
+    val out = Scratch.dir("graft_wire_restart_out")
+    val ckpt = Scratch.dir("graft_wire_restart_ckpt")
+    drainStream(topic, out, ckpt)
+    assert(s.read.parquet(out).count() === 2)
+    // producer appends an epoch file; the committed offset (2 files) must
+    // survive the restart so only the new file is read — no duplicates
+    writeWireFile(topic, "f3.wire", 1700000120000L, Seq("3,30.0,c"))
+    drainStream(topic, out, ckpt)
+    val rows = s.read.parquet(out).collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).sorted.toSeq
+    assert(rows === Seq((1L, 10.0), (2L, 20.0), (3L, 30.0)))
+  }
 }
