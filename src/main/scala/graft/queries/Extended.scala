@@ -864,6 +864,24 @@ object Extended {
           .select("l_orderkey", "l_linenumber", "l_quantity", "l_returnflag")
       },
       Some("""SELECT l_orderkey, l_linenumber, l_quantity, l_returnflag
-              FROM lineitem WHERE l_quantity > 25.0"""))
+              FROM lineitem WHERE l_quantity > 25.0""")),
+
+    // The connector's WRITE side: a V2 BatchWrite with staged files +
+    // driver-side rename commit (the Kafka-producer analogue, but each
+    // partition writes its wire file in parallel instead of the reference's
+    // collect-to-driver row loop). Written with mode=overwrite (truncate),
+    // read back through the same connector's pushdown scan.
+    Q("q71_dsv2_wire_write",
+      (s, d) => {
+        val sel = Tables.orders(s, d)
+          .select("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice")
+        val tmp = Scratch.dir("graft_q71_wire")
+        sel.repartition(8).write.format("graft-wire")
+          .mode("overwrite").save(tmp)
+        s.read.format("graft-wire").schema(sel.schema).load(tmp)
+          .filter(col("o_totalprice") >= 100000.0)
+      },
+      Some("""SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice
+              FROM orders WHERE o_totalprice >= 100000.0"""))
   )
 }

@@ -8,10 +8,11 @@ import org.apache.hadoop.conf.Configuration
 import org.apache.hadoop.fs.{FileSystem, Path => HPath}
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
-import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.catalog.{SupportsRead, SupportsWrite, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read._
 import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset, ReadLimit, ReadMaxFiles, SupportsTriggerAvailableNow}
+import org.apache.spark.sql.connector.write.{BatchWrite, DataWriter, DataWriterFactory, LogicalWriteInfo, PhysicalWriteInfo, SupportsTruncate, Write, WriteBuilder, WriterCommitMessage}
 import org.apache.spark.sql.sources._
 import org.apache.spark.sql.types._
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
@@ -66,7 +67,7 @@ class WireTopicSource extends TableProvider with DataSourceRegister {
 }
 
 final class WireTable(schema: StructType, options: CaseInsensitiveStringMap)
-    extends Table with SupportsRead {
+    extends Table with SupportsRead with SupportsWrite {
   private val path = Option(options.get("path")).getOrElse(
     throw new IllegalArgumentException("graft-wire: missing 'path' option"))
   private val sep = Option(options.get("sep")).getOrElse(",")
@@ -75,11 +76,15 @@ final class WireTable(schema: StructType, options: CaseInsensitiveStringMap)
   override def schema(): StructType = schema
   override def capabilities(): java.util.Set[TableCapability] =
     java.util.EnumSet.of(TableCapability.BATCH_READ,
-      TableCapability.MICRO_BATCH_READ)
+      TableCapability.MICRO_BATCH_READ,
+      TableCapability.BATCH_WRITE, TableCapability.TRUNCATE)
 
   override def newScanBuilder(o: CaseInsensitiveStringMap): ScanBuilder =
     new WireScanBuilder(schema, path, sep,
       Option(o.get("maxFilesPerTrigger")).map(_.toInt))
+
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
+    new WireWriteBuilder(info.schema(), path, sep)
 }
 
 final class WireScanBuilder(fullSchema: StructType, path: String, sep: String,
@@ -212,6 +217,122 @@ final class WireMicroBatchStream(
 }
 
 final case class WireFilePartition(file: String) extends InputPartition
+
+// ---------------------------------------------------------------------------
+// Write side: the Kafka-producer analogue (reference
+// data_generator/dataframe_to_kafka.py:99-121 collected to the driver and
+// sent row-at-a-time; here every partition writes its own wire file in
+// parallel) with a real two-phase commit.
+// ---------------------------------------------------------------------------
+
+/** V2 writer for the wire topic. Exactly-once protocol:
+  *
+  *   1. each task writes `_tmp_<query>-<partition>-<task>.wire` — the `_`
+  *     prefix keeps staging files invisible to every wire reader (and to
+  *     Spark's own scans, which skip `_`/`.` files);
+  *   2. task commit reports the staging name; speculative duplicates of the
+  *     same partition abort and delete their file;
+  *   3. driver commit renames all reported files to visible `part-*.wire`
+  *     names — rename is atomic per file, and nothing becomes visible
+  *     unless every task committed (driver abort deletes the staging set).
+  *
+  * `truncate()` (SaveMode.Overwrite) deletes the previously-visible topic
+  * files inside driver commit, after the new staging set is fully written —
+  * the topic never observes a half-written state.
+  */
+final class WireWriteBuilder(schema: StructType, path: String, sep: String)
+    extends WriteBuilder with SupportsTruncate {
+  private var doTruncate = false
+  override def truncate(): WriteBuilder = { doTruncate = true; this }
+  override def build(): Write = new Write {
+    override def toBatch: BatchWrite =
+      new WireBatchWrite(schema, path, sep, doTruncate)
+    override def description(): String =
+      s"GraftWireWrite path=$path truncate=$doTruncate"
+  }
+}
+
+final case class WireCommit(stagedFile: String) extends WriterCommitMessage
+
+final class WireBatchWrite(
+    schema: StructType, path: String, sep: String, truncate: Boolean)
+    extends BatchWrite {
+
+  override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory =
+    new WireWriterFactory(schema.toDDL, path, sep)
+
+  override def commit(messages: Array[WriterCommitMessage]): Unit = {
+    val dir = new HPath(path)
+    val fs = FileSystem.get(dir.toUri, new Configuration())
+    val previous = if (truncate) WireTopicFiles.list(path) else Array.empty[String]
+    messages.foreach { case WireCommit(staged) =>
+      val s = new HPath(staged)
+      fs.rename(s, new HPath(dir, s.getName.stripPrefix("_tmp_")))
+    }
+    previous.foreach(f => fs.delete(new HPath(f), false))
+  }
+
+  override def abort(messages: Array[WriterCommitMessage]): Unit = {
+    val dir = new HPath(path)
+    val fs = FileSystem.get(dir.toUri, new Configuration())
+    messages.foreach {
+      case WireCommit(staged) => fs.delete(new HPath(staged), false)
+      case _ => ()
+    }
+  }
+}
+
+final class WireWriterFactory(ddl: String, path: String, sep: String)
+    extends DataWriterFactory {
+  override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
+    new WireFileWriter(StructType.fromDDL(ddl), path, sep, partitionId, taskId)
+}
+
+final class WireFileWriter(
+    schema: StructType, path: String, sep: String,
+    partitionId: Int, taskId: Long) extends DataWriter[InternalRow] {
+
+  private val staged =
+    new HPath(path, f"_tmp_part-$partitionId%05d-$taskId.wire")
+  private val fs = FileSystem.get(staged.toUri, new Configuration())
+  private val out = new java.io.BufferedWriter(
+    new java.io.OutputStreamWriter(fs.create(staged, true), "UTF-8"))
+
+  override def write(row: InternalRow): Unit = {
+    val sb = new java.lang.StringBuilder
+    var i = 0
+    while (i < schema.length) {
+      if (i > 0) sb.append(sep)
+      if (!row.isNullAt(i)) sb.append(
+        schema.fields(i).dataType match {
+          case LongType    => row.getLong(i).toString
+          case IntegerType => row.getInt(i).toString
+          case ShortType   => row.getShort(i).toString
+          case DoubleType  => row.getDouble(i).toString
+          case FloatType   => row.getFloat(i).toString
+          case StringType  => row.getUTF8String(i).toString
+          case BooleanType => row.getBoolean(i).toString
+          case other => throw new IllegalArgumentException(
+            s"graft-wire: unsupported wire type $other")
+        })
+      i += 1
+    }
+    sb.append('\n')
+    out.write(sb.toString)
+  }
+
+  override def commit(): WriterCommitMessage = {
+    out.close()
+    WireCommit(staged.toString)
+  }
+
+  override def abort(): Unit = {
+    out.close()
+    fs.delete(staged, false)
+  }
+
+  override def close(): Unit = ()
+}
 
 /** Serializable factory: schema rides as DDL text, filters as the
   * serializable `sources.Filter` tree.

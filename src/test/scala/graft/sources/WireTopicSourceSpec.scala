@@ -129,6 +129,38 @@ class WireTopicSourceSpec extends SparkSpec {
     assert(got === Set(1L, 3L, 4L))
   }
 
+  // ---- write side (BatchWrite commit protocol) --------------------------
+
+  test("V2 write round-trips; overwrite truncates the previous topic") {
+    val dir = Scratch.dir("graft_wire_write")
+    val first = Seq((1L, Some(1.0), "a"), (2L, None, "b"))
+      .toDF("id", "qty", "tag")
+    first.write.format("graft-wire").mode("append").save(dir)
+    val back = s.read.format("graft-wire").schema(schema).load(dir)
+      .collect().map(r =>
+        (r.getLong(0), if (r.isNullAt(1)) None else Some(r.getDouble(1)),
+          r.getString(2))).toSet
+    assert(back === Set((1L, Some(1.0), "a"), (2L, None, "b")))
+    // overwrite replaces, not merges
+    Seq((9L, Some(9.0), "z")).toDF("id", "qty", "tag")
+      .write.format("graft-wire").mode("overwrite").save(dir)
+    val after = s.read.format("graft-wire").schema(schema).load(dir)
+      .collect().map(_.getLong(0)).toSet
+    assert(after === Set(9L))
+  }
+
+  test("uncommitted staging files are invisible to readers") {
+    val dir = Scratch.dir("graft_wire_staging")
+    Seq((1L, Some(1.0), "a")).toDF("id", "qty", "tag")
+      .write.format("graft-wire").mode("append").save(dir)
+    // a crashed task's leftover staging file must never surface
+    writeWireFile(dir, "_tmp_part-00007-42.wire", 1700000000000L,
+      Seq("666,6.0,ghost"))
+    val ids = s.read.format("graft-wire").schema(schema).load(dir)
+      .collect().map(_.getLong(0)).toSet
+    assert(ids === Set(1L))
+  }
+
   test("streaming: restart from checkpoint consumes only NEW topic files") {
     val topic = Scratch.dir("graft_wire_restart")
     writeWireFile(topic, "f1.wire", 1700000000000L, Seq("1,10.0,a"))
