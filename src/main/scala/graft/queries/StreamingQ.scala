@@ -310,6 +310,36 @@ object StreamingQ {
       Some("""SELECT event_id, event_type, value FROM events
               WHERE value > 10.0""")),
 
+    // s14: the graft-wire connector as a STREAMING SINK — the reference's
+    // Kafka-producer role (data_generator/dataframe_to_kafka.py:99-121)
+    // done as a V2 StreamingWrite: per-epoch staged files committed by
+    // deterministic rename (part-e<epoch>-p<part>.wire), so a replayed
+    // micro-batch replaces its own output instead of duplicating it.
+    // Events stream in from the file source (maxFilesPerTrigger exercises
+    // multiple epochs at test scale via the spec; here one drain), land on
+    // the wire, and are read back through the connector's batch scan.
+    Q("s14_dsv2_stream_sink",
+      (s, d) => {
+        val path = s"$d/events.parquet"
+        val rawSchema = s.read.parquet(path).schema
+        val srcDir = Paths.get(graft.util.Scratch.dir("graft_s14_src"))
+        Files.createSymbolicLink(srcDir.resolve("events.parquet"),
+          Paths.get(path))
+        val topic = graft.util.Scratch.dir("graft_s14_topic")
+        val ckpt  = graft.util.Scratch.dir("graft_s14_ckpt")
+        val src = Tables.normalizeEvents(
+          s.readStream.schema(rawSchema).parquet(srcDir.toString))
+          .select(col("event_id"), col("user_id"), col("event_type"),
+            col("value"))
+        val q = src.writeStream.format("graft-wire")
+          .option("path", topic)
+          .option("checkpointLocation", ckpt)
+          .trigger(Trigger.AvailableNow()).start()
+        q.awaitTermination()
+        s.read.format("graft-wire").schema(src.schema).load(topic)
+      },
+      Some("SELECT event_id, user_id, event_type, value FROM events")),
+
     // s06: sliding event-time windows (1 hour every 30 minutes) — each event
     // lands in two overlapping windows; same emission boundary as s01.
     Q("s06_stream_sliding",

@@ -13,6 +13,7 @@ import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read._
 import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset, ReadLimit, ReadMaxFiles, SupportsTriggerAvailableNow}
 import org.apache.spark.sql.connector.write.{BatchWrite, DataWriter, DataWriterFactory, LogicalWriteInfo, PhysicalWriteInfo, SupportsTruncate, Write, WriteBuilder, WriterCommitMessage}
+import org.apache.spark.sql.connector.write.streaming.{StreamingDataWriterFactory, StreamingWrite}
 import org.apache.spark.sql.sources._
 import org.apache.spark.sql.types._
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
@@ -77,7 +78,8 @@ final class WireTable(schema: StructType, options: CaseInsensitiveStringMap)
   override def capabilities(): java.util.Set[TableCapability] =
     java.util.EnumSet.of(TableCapability.BATCH_READ,
       TableCapability.MICRO_BATCH_READ,
-      TableCapability.BATCH_WRITE, TableCapability.TRUNCATE)
+      TableCapability.BATCH_WRITE, TableCapability.TRUNCATE,
+      TableCapability.STREAMING_WRITE)
 
   override def newScanBuilder(o: CaseInsensitiveStringMap): ScanBuilder =
     new WireScanBuilder(schema, path, sep,
@@ -247,12 +249,59 @@ final class WireWriteBuilder(schema: StructType, path: String, sep: String)
   override def build(): Write = new Write {
     override def toBatch: BatchWrite =
       new WireBatchWrite(schema, path, sep, doTruncate)
+    override def toStreaming: StreamingWrite =
+      new WireStreamingWrite(schema, path, sep)
     override def description(): String =
       s"GraftWireWrite path=$path truncate=$doTruncate"
   }
 }
 
-final case class WireCommit(stagedFile: String) extends WriterCommitMessage
+/** Streaming (per-epoch) producer into the topic. Exactly-once across
+  * micro-batch replays comes from DETERMINISTIC final names: epoch e,
+  * partition p always commits to `part-e<e>-p<p>.wire`, so a replayed epoch
+  * (sink committed, checkpoint offset not) re-stages identical content and
+  * the rename replaces the same file instead of appending a duplicate —
+  * the same (batchId, data) idempotence contract as the s08/s11 sinks.
+  */
+final class WireStreamingWrite(schema: StructType, path: String, sep: String)
+    extends StreamingWrite {
+
+  override def createStreamingWriterFactory(
+      info: PhysicalWriteInfo): StreamingDataWriterFactory =
+    WireStreamingWriterFactory(schema.toDDL, path, sep)
+
+  override def commit(epochId: Long, messages: Array[WriterCommitMessage]): Unit = {
+    val dir = new HPath(path)
+    val fs = FileSystem.get(dir.toUri, new Configuration())
+    messages.foreach { case WireCommit(staged, finalName) =>
+      val target = new HPath(dir, finalName)
+      fs.delete(target, false) // replayed epoch: replace, don't duplicate
+      fs.rename(new HPath(staged), target)
+    }
+  }
+
+  override def abort(epochId: Long, messages: Array[WriterCommitMessage]): Unit = {
+    val dir = new HPath(path)
+    val fs = FileSystem.get(dir.toUri, new Configuration())
+    messages.foreach {
+      case WireCommit(staged, _) => fs.delete(new HPath(staged), false)
+      case _ => ()
+    }
+  }
+}
+
+final case class WireCommit(stagedFile: String, finalName: String)
+    extends WriterCommitMessage
+
+/** Ships only serializable primitives to executors (schema as DDL text). */
+final case class WireStreamingWriterFactory(ddl: String, path: String,
+    sep: String) extends StreamingDataWriterFactory {
+  override def createWriter(partitionId: Int, taskId: Long,
+      epochId: Long): DataWriter[InternalRow] =
+    new WireFileWriter(StructType.fromDDL(ddl), path, sep,
+      f"_tmp_e$epochId%05d-p$partitionId%05d-$taskId.wire",
+      f"part-e$epochId%05d-p$partitionId%05d.wire")
+}
 
 final class WireBatchWrite(
     schema: StructType, path: String, sep: String, truncate: Boolean)
@@ -265,9 +314,8 @@ final class WireBatchWrite(
     val dir = new HPath(path)
     val fs = FileSystem.get(dir.toUri, new Configuration())
     val previous = if (truncate) WireTopicFiles.list(path) else Array.empty[String]
-    messages.foreach { case WireCommit(staged) =>
-      val s = new HPath(staged)
-      fs.rename(s, new HPath(dir, s.getName.stripPrefix("_tmp_")))
+    messages.foreach { case WireCommit(staged, finalName) =>
+      fs.rename(new HPath(staged), new HPath(dir, finalName))
     }
     previous.foreach(f => fs.delete(new HPath(f), false))
   }
@@ -276,7 +324,7 @@ final class WireBatchWrite(
     val dir = new HPath(path)
     val fs = FileSystem.get(dir.toUri, new Configuration())
     messages.foreach {
-      case WireCommit(staged) => fs.delete(new HPath(staged), false)
+      case WireCommit(staged, _) => fs.delete(new HPath(staged), false)
       case _ => ()
     }
   }
@@ -285,15 +333,16 @@ final class WireBatchWrite(
 final class WireWriterFactory(ddl: String, path: String, sep: String)
     extends DataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
-    new WireFileWriter(StructType.fromDDL(ddl), path, sep, partitionId, taskId)
+    new WireFileWriter(StructType.fromDDL(ddl), path, sep,
+      f"_tmp_part-$partitionId%05d-$taskId.wire",
+      f"part-$partitionId%05d-$taskId.wire")
 }
 
 final class WireFileWriter(
     schema: StructType, path: String, sep: String,
-    partitionId: Int, taskId: Long) extends DataWriter[InternalRow] {
+    stagedName: String, finalName: String) extends DataWriter[InternalRow] {
 
-  private val staged =
-    new HPath(path, f"_tmp_part-$partitionId%05d-$taskId.wire")
+  private val staged = new HPath(path, stagedName)
   private val fs = FileSystem.get(staged.toUri, new Configuration())
   private val out = new java.io.BufferedWriter(
     new java.io.OutputStreamWriter(fs.create(staged, true), "UTF-8"))
@@ -323,7 +372,7 @@ final class WireFileWriter(
 
   override def commit(): WriterCommitMessage = {
     out.close()
-    WireCommit(staged.toString)
+    WireCommit(staged.toString, finalName)
   }
 
   override def abort(): Unit = {

@@ -161,6 +161,40 @@ class WireTopicSourceSpec extends SparkSpec {
     assert(ids === Set(1L))
   }
 
+  test("streaming sink: one wire file per epoch; replayed epoch replaces") {
+    val srcTopic = Scratch.dir("graft_wire_sink_src")
+    writeWireFile(srcTopic, "f1.wire", 1700000000000L, Seq("1,10.0,a"))
+    writeWireFile(srcTopic, "f2.wire", 1700000060000L, Seq("2,20.0,b"))
+    val outTopic = Scratch.dir("graft_wire_sink_out")
+    val ckpt = Scratch.dir("graft_wire_sink_ckpt")
+    val q = s.readStream.format("graft-wire").schema(schema)
+      .option("maxFilesPerTrigger", 1).load(srcTopic)
+      .writeStream.format("graft-wire")
+      .option("path", outTopic).option("checkpointLocation", ckpt)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    // 2 source files → 2 epochs → deterministic part-e*-p* names
+    val names = new java.io.File(outTopic).listFiles().map(_.getName).sorted
+    assert(names.count(_.startsWith("part-e")) === 2, names.mkString(","))
+    assert(!names.exists(_.startsWith("_tmp_")), names.mkString(","))
+    val back = s.read.format("graft-wire").schema(schema).load(outTopic)
+      .collect().map(_.getLong(0)).toSet
+    assert(back === Set(1L, 2L))
+
+    // epoch replay: re-commit the same (epoch, partition) — the rename
+    // must REPLACE the epoch's file, not duplicate it
+    val sw = new graft.sources.v2.WireStreamingWrite(schema, outTopic, ",")
+    val w = graft.sources.v2.WireStreamingWriterFactory(schema.toDDL,
+      outTopic, ",").createWriter(0, 99L, 0L)
+    w.write(org.apache.spark.sql.catalyst.InternalRow(1L, 10.0,
+      org.apache.spark.unsafe.types.UTF8String.fromString("a")))
+    sw.commit(0L, Array(w.commit()))
+    val after = new java.io.File(outTopic).listFiles().map(_.getName)
+    assert(after.count(_.startsWith("part-e")) === 2, after.mkString(","))
+    assert(s.read.format("graft-wire").schema(schema).load(outTopic)
+      .collect().map(_.getLong(0)).toSet === Set(1L, 2L))
+  }
+
   test("streaming: restart from checkpoint consumes only NEW topic files") {
     val topic = Scratch.dir("graft_wire_restart")
     writeWireFile(topic, "f1.wire", 1700000000000L, Seq("1,10.0,a"))
