@@ -396,26 +396,21 @@ object DedupQueries {
     // word-5-gram appearing in many DISTINCT documents is boilerplate
     // (headers, disclaimers) a training pipeline strips. Tokens hash once
     // via the native kernel; the 5-gram combine is a fixed 5-term poly
-    // chain inside one transform (no per-char rescans); the count is a
-    // plain distinct-doc groupBy. Shuffle carries (gram_hash, doc_id)
-    // longs only.
+    // chain over token hashes. Grams are deduped PER DOCUMENT in-row by
+    // the native codegen'd kernel `graft_gram5_distinct` (one pass: token
+    // hash → 5-term chain → hash-set dedup, no sequence/transform/distinct
+    // intermediate arrays), so each doc contributes a gram at most once
+    // and the corpus count is a plain map-side-combining `count` — ONE
+    // shuffle of (gram_hash) longs, instead of the countDistinct form's
+    // two exchanges over (gram_hash, doc_id).
     Q("d08_boilerplate_ngrams",
       (s, d) => {
         graft.functions.GraftFunctions.register(s)
-        val P = PortableHash.P
         val docs = Tables.documents(s, d)
-        val gram5 = (1 to 4).foldLeft("element_at(th, i)") { (acc, j) =>
-          s"(($acc) * 31 + element_at(th, i + $j)) % $P"
-        }
         docs
-          .select(col("doc_id"), expr("graft_token_hashes(text)").as("th"))
-          .filter(size(col("th")) >= 5)
-          .select(col("doc_id"),
-            explode(expr(
-              s"transform(sequence(1, size(th) - 4), i -> $gram5)"))
-              .as("gram_hash"))
+          .select(explode(expr("graft_gram5_distinct(text)")).as("gram_hash"))
           .groupBy("gram_hash")
-          .agg(countDistinct(col("doc_id")).as("n_docs"))
+          .agg(count(lit(1)).as("n_docs"))
           .filter(col("n_docs") >= 3)
       },
       Some {

@@ -54,6 +54,31 @@ case class TokenHashesExpr(child: Expression)
     copy(child = newChild)
 }
 
+/** Null when the text has < 5 tokens (no 5-grams); see
+  * [[TextHash.gram5Distinct]].
+  */
+case class Gram5DistinctExpr(child: Expression)
+    extends UnaryExpression {
+  override def checkInputDataTypes():
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (child.dataType == StringType)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      s"$prettyName expects a string argument, got ${child.dataType.simpleString}")
+  override def nullable: Boolean = true
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "graft_gram5_distinct"
+  protected override def nullSafeEval(input: Any): Any =
+    TextHash.gram5Distinct(input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => s"""
+      ${ev.value} = graft.functions.TextHash.gram5Distinct($c);
+      if (${ev.value} == null) { ${ev.isNull} = true; }
+    """)
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 /** Null when the text has < 2 tokens (no bigram shingles). */
 case class MinHashSigExpr(child: Expression)
     extends UnaryExpression {
@@ -242,6 +267,7 @@ object GraftFunctions {
     "graft_poly_hash"    -> (cs => PolyHashExpr(cs.head)),
     "graft_token_hashes" -> (cs => TokenHashesExpr(cs.head)),
     "graft_minhash_sig"  -> (cs => MinHashSigExpr(cs.head)),
+    "graft_gram5_distinct" -> (cs => Gram5DistinctExpr(cs.head)),
     "graft_simhash"      -> (cs => SimHashExpr(cs.head)),
     "graft_quarter_means" -> (cs => QuarterMeansExpr(cs.head)),
     "graft_edge_ngrams"  -> (cs => EdgeNgramsExpr(cs.head)),

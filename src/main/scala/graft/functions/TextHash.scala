@@ -159,6 +159,34 @@ object TextHash {
       Array[Any](total, set.size, UTF8String.fromString(first5.toString)))
   }
 
+  /** DISTINCT word-5-gram poly-chain hashes in one pass (d08 hot path):
+    * token hashes, then the fixed 5-term chain
+    * g_i = fold(th[i..i+4], (acc,h) -> (acc*31 + h) mod P), deduped with a
+    * hash set — same value set as the SQL
+    * `array_distinct(transform(sequence(1, size-4), i -> chain))` it
+    * replaces (order differs, which downstream explode+groupBy ignores),
+    * without materializing the sequence/transform/distinct intermediates.
+    * Null when the text has < 5 tokens (no 5-grams).
+    */
+  def gram5Distinct(s: UTF8String): ArrayData = {
+    val th = tokenHashesRaw(s)
+    if (th.length < 5) return null
+    val set = new java.util.LinkedHashSet[java.lang.Long]()
+    var i = 0
+    while (i <= th.length - 5) {
+      var acc = th(i)
+      var j = 1
+      while (j < 5) { acc = (acc * 31 + th(i + j)) % P; j += 1 }
+      set.add(acc)
+      i += 1
+    }
+    val out = new Array[Long](set.size)
+    val it = set.iterator()
+    var k = 0
+    while (it.hasNext) { out(k) = it.next(); k += 1 }
+    new GenericArrayData(out)
+  }
+
   /** 16-bit SimHash over token hashes: bit b set iff the ±1 vote sum over
     * tokens (bit b of each token hash) is positive.
     */

@@ -42,6 +42,24 @@ class TextHashSpec extends AnyFunSuite {
     assert(th.toSeq === Seq(refPoly("a"), 0L, refPoly("b"), 0L))
   }
 
+  test("gram5Distinct equals the naive distinct 5-gram chain") {
+    def refGrams(s: String): Set[Long] = {
+      val th = s.split(" ", -1).map(refPoly)
+      (0 to th.length - 5).map { i =>
+        th.slice(i, i + 5).reduceLeft((acc, h) => (acc * 31 + h) % P)
+      }.toSet
+    }
+    for (s <- Seq("a b c d e", "a b c d e f g", "x x x x x x",
+                  "one two three four five six seven", "a b  c d e f")) {
+      val got = TextHash.gram5Distinct(u(s))
+      assert(got.toLongArray().toSet === refGrams(s), s)
+      assert(got.numElements() === refGrams(s).size, s) // deduped, no repeats
+    }
+    // < 5 tokens → null (no 5-grams)
+    assert(TextHash.gram5Distinct(u("a b c d")) === null)
+    assert(TextHash.gram5Distinct(u("")) === null)
+  }
+
   test("minHashSig is null below 2 tokens, 8 longs otherwise") {
     assert(TextHash.minHashSig(u("solo")) === null)
     assert(TextHash.minHashSig(u("")) === null)
