@@ -21,7 +21,7 @@ object TextOps {
     * engine, O(n) per row, no regex engine variance.
     */
   def occurrences(text: Column, kw: String): Column =
-    (length(text) - length(expr(s"replace(text, '$kw', '')"))) / kw.length
+    (length(text) - length(replace(text, lit(kw), lit("")))) / kw.length
 
   private def occSql(kw: String): String =
     s"(length(text) - length(replace(text, '$kw', ''))) / ${kw.length}"
