@@ -262,25 +262,73 @@ object Dedup {
         coalesce(col("cluster_id"), col("doc_id")).as("cluster_id"))
   }
 
-  /** Oracle: min reachable doc over the symmetrized pair graph via a
-    * recursive CTE (transitive closure is affordable at oracle SF because
-    * near-dup components are tiny), defaulting unpaired docs to themselves.
+  /** Oracle CTE chain ending in `clusters(doc_id, cluster_id)`: min
+    * reachable doc over the symmetrized pair graph via a recursive CTE
+    * (transitive closure is affordable at oracle SF because near-dup
+    * components are tiny), defaulting unpaired docs to themselves.
     */
+  private def clusterCtes: String =
+    s"""sig AS ($minhashSql),
+        pairs AS ($lshArmsSql),
+        edges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
+                  UNION SELECT doc_b, doc_a FROM pairs),
+        reach(doc, r) AS (
+          SELECT src, src FROM edges
+          UNION
+          SELECT reach.doc, e.dst FROM reach JOIN edges e ON reach.r = e.src
+        ),
+        clusters AS (
+          SELECT d.doc_id, coalesce(m.cluster_id, d.doc_id) AS cluster_id
+          FROM documents d
+          LEFT JOIN (SELECT doc, min(r) AS cluster_id
+                     FROM reach GROUP BY doc) m
+            ON d.doc_id = m.doc)"""
+
   def duplicateClustersSql: String =
-    s"""WITH RECURSIVE
-          sig AS ($minhashSql),
-          pairs AS ($lshArmsSql),
-          edges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
-                    UNION SELECT doc_b, doc_a FROM pairs),
-          reach(doc, r) AS (
-            SELECT src, src FROM edges
-            UNION
-            SELECT reach.doc, e.dst FROM reach JOIN edges e ON reach.r = e.src
-          )
-        SELECT d.doc_id, coalesce(m.cluster_id, d.doc_id) AS cluster_id
-        FROM documents d
-        LEFT JOIN (SELECT doc, min(r) AS cluster_id FROM reach GROUP BY doc) m
-          ON d.doc_id = m.doc"""
+    s"WITH RECURSIVE $clusterCtes SELECT doc_id, cluster_id FROM clusters"
+
+  /** d10: the final dedup DECISION — one kept representative per duplicate
+    * cluster, chosen by QUALITY (t02's score) rather than d09's min-id
+    * convention, with doc_id as the deterministic tie-break. This is the
+    * step a training pipeline actually ships: cluster (d09) → rank members
+    * by quality → keep the best, recording cluster size for telemetry.
+    *
+    * Scale shape: the cluster relation is 2 longs/doc and the quality
+    * relation is per-row compute over the corpus (no shuffle); the only
+    * exchange beyond d09's rounds is the per-cluster rank — a window over
+    * (cluster_id), partition-pruned to ONE shuffle of (2 longs + 1 double)
+    * per doc. Ties in quality break on doc_id, so the result is
+    * partitioning-independent.
+    */
+  def bestPerCluster(docs: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val clusters = duplicateClusters(docs)
+    val quality = TextOps.quality(docs).select(col("doc_id"),
+      col("quality_score"))
+    val w = Window.partitionBy("cluster_id")
+      .orderBy(col("quality_score").desc, col("doc_id"))
+    clusters.join(quality, "doc_id")
+      .withColumn("rn", row_number().over(w))
+      .withColumn("n_members",
+        count(lit(1)).over(Window.partitionBy("cluster_id")))
+      .filter(col("rn") === 1)
+      .select(col("cluster_id"), col("doc_id").as("keep_id"),
+        col("quality_score").as("keep_quality"), col("n_members"))
+  }
+
+  def bestPerClusterSql: String =
+    s"""WITH RECURSIVE $clusterCtes,
+            q AS (${TextOps.qualitySql})
+        SELECT cluster_id, doc_id AS keep_id, quality_score AS keep_quality,
+               n_members
+        FROM (SELECT c.cluster_id, c.doc_id, q.quality_score,
+                     ROW_NUMBER() OVER (PARTITION BY c.cluster_id
+                                        ORDER BY q.quality_score DESC,
+                                                 c.doc_id) AS rn,
+                     CAST(COUNT(*) OVER (PARTITION BY c.cluster_id)
+                          AS BIGINT) AS n_members
+              FROM clusters c JOIN q ON c.doc_id = q.doc_id)
+        WHERE rn = 1"""
 
   /** Embedding-cosine near-duplicates: label-blocked pair join over a
     * deterministic sample, sequential-fold double cosine (bit-exact vs the
@@ -391,6 +439,11 @@ object DedupQueries {
     Q("d09_dedup_clusters",
       (s, d) => Dedup.duplicateClusters(Tables.documents(s, d)),
       Some(Dedup.duplicateClustersSql)),
+
+    // Quality-aware representative selection per duplicate cluster.
+    Q("d10_dedup_keep_best",
+      (s, d) => Dedup.bestPerCluster(Tables.documents(s, d)),
+      Some(Dedup.bestPerClusterSql)),
 
     // Boilerplate detection — the corpus-level cousin of per-doc dedup: a
     // word-5-gram appearing in many DISTINCT documents is boilerplate

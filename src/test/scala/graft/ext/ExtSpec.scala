@@ -88,6 +88,31 @@ class ExtSpec extends SparkSpec {
       13L -> 13L))
   }
 
+  test("keep-best picks the max-quality member per cluster, ties on id") {
+    // t02's score (like the testdata) assumes non-empty text; doc 6 is the
+    // fixture's empty-string edge case, so it stays out of this corpus
+    val corpus = docs.filter(length(col("text")) > 0)
+    val cl = Dedup.duplicateClusters(corpus).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val q = TextOps.quality(corpus).select("doc_id", "quality_score").collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val best = Dedup.bestPerCluster(corpus).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2), r.getLong(3))))
+      .toMap
+    // one row per cluster; members partition the corpus
+    assert(best.keySet === cl.values.toSet)
+    assert(best.values.map(_._3).sum === corpus.count())
+    for ((cid, (keepId, keepQ, _)) <- best) {
+      val members = cl.collect { case (doc, c) if c == cid => doc }.toSet
+      assert(members.contains(keepId))
+      val (bestId, bestQ) = members.map(m => m -> q(m))
+        .minBy { case (m, s) => (-s, m) } // max quality, tie-break min id
+      assert(keepId === bestId && keepQ === bestQ, s"cluster $cid")
+    }
+    // exact dups 1,2 have identical quality: the tie must break to id 1
+    assert(best(cl(1L))._1 === 1L)
+  }
+
   test("LSH knn results lie in the query's bucket and are cosine-ranked") {
     val emb = graft.sources.Tables.embeddings(s, "/root/testdata/sf0.001")
     val out = Similarity.knnLsh(emb).collect()

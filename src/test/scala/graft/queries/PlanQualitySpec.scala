@@ -75,6 +75,16 @@ class PlanQualitySpec extends SparkSpec {
     assert(!p.contains("collect_list(struct(vec_id"))
   }
 
+  test("d08: native gram kernel, ONE exchange, partial count before it") {
+    // The countDistinct form needed two exchanges over (gram_hash, doc_id);
+    // per-doc in-row dedup makes the corpus count a single map-side-combined
+    // shuffle of gram hashes.
+    val p = planOf("d08_boilerplate_ngrams")
+    assert(p.contains("graft_gram5_distinct"))
+    assert("Exchange hashpartitioning".r.findAllIn(p).size === 1, p)
+    assert(p.contains("partial_count"))
+  }
+
   test("q59: KMV sketch aggregates partial -> final (mergeable at scale)") {
     val p = planOf("q59_kmv_sketch")
     assert(p.contains("ObjectHashAggregate"))
