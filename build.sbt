@@ -11,6 +11,14 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Keep the bench's one-line JSON machine-readable on stdout: sbt otherwise
+// (a) appends a "[success] Total time: ..." banner after it, (b) prefixes
+// every forked-process stdout line with "[info] ", and (c) re-routes the
+// fork's stderr onto stdout as "[error] " lines — all three break
+// last-line JSON parsing by the bench harness.
+Global / showSuccess := false
+run / outputStrategy := Some(StdoutOutput)
+Global / excludeLintKeys ++= Set(outputStrategy, showSuccess)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().
