@@ -235,24 +235,35 @@ object Dedup {
     val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
       .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
       .localCheckpoint(true)
-    var labels = edges.select(col("src").as("doc")).distinct()
-      .select(col("doc"), col("doc").as("comp")).localCheckpoint(true)
+    // Fused round 0: every edge node starts at min(self, direct neighbors) —
+    // one aggregation over the (already symmetrized) edge list replaces the
+    // distinct-node init AND the whole first propagation round.
+    var labels = edges.groupBy("src").agg(min("dst").as("mn"))
+      .select(col("src").as("doc"), least(col("src"), col("mn")).as("comp"))
+      .localCheckpoint(true)
     var changed = 1L
     var rounds = 0
     while (changed > 0 && rounds < 50) {
+      // The self arm doubles as the change detector: it alone carries a
+      // non-null `prev`, so min(prev) in the ONE aggregation below recovers
+      // each node's previous label and the per-round convergence check is a
+      // narrow filter+count over the checkpointed result — no extra join job.
+      val self = labels.select(col("doc"), col("comp"),
+        col("comp").as("prev"))
       val viaEdges = edges
         .join(labels.withColumnRenamed("doc", "src"), "src")
-        .select(col("dst").as("doc"), col("comp"))
+        .select(col("dst").as("doc"), col("comp"),
+          lit(null).cast("long").as("prev"))
       val viaJump = labels
         .join(labels.select(col("doc").as("comp"), col("comp").as("comp2")),
           "comp")
-        .select(col("doc"), col("comp2").as("comp"))
-      val next = labels.union(viaEdges).union(viaJump)
-        .groupBy("doc").agg(min("comp").as("comp")).localCheckpoint(true)
-      changed = next
-        .join(labels.select(col("doc"), col("comp").as("prev")), "doc")
-        .filter(col("comp") < col("prev")).count()
-      labels = next
+        .select(col("doc"), col("comp2").as("comp"),
+          lit(null).cast("long").as("prev"))
+      val next = self.union(viaEdges).union(viaJump)
+        .groupBy("doc").agg(min("comp").as("comp"), min("prev").as("prev"))
+        .localCheckpoint(true)
+      changed = next.filter(col("comp") < col("prev")).count()
+      labels = next.select("doc", "comp")
       rounds += 1
     }
     val assigned = labels
@@ -329,6 +340,49 @@ object Dedup {
                           AS BIGINT) AS n_members
               FROM clusters c JOIN q ON c.doc_id = q.doc_id)
         WHERE rn = 1"""
+
+  /** d11: INCREMENTAL dedup — the production shape: a corpus snapshot is
+    * already deduped, a new batch arrives, and only new docs that don't
+    * near-collide with the snapshot are admitted (new-vs-new dups are kept;
+    * they resolve in the next snapshot dedup). Old = doc_id % 10 < 8, new =
+    * the rest (a deterministic 80/20 split standing in for snapshot/batch).
+    *
+    * Scale shape: the snapshot side is the persisted band-bucketed signature
+    * relation (the d03 layout — at 100 TB it's band-partitioned parquet, so
+    * the probe is partition-local); the batch probes it with ONE semi-join
+    * on the band keys and the admit set is a left-anti against the flagged
+    * ids — no pair materialization, no O(old × new) anything.
+    */
+  def incrementalKeep(docs: DataFrame): DataFrame = {
+    val sig = minhash(docs).persist()
+    val bandStructs = bands.zipWithIndex.map { case ((x, y), i) =>
+      struct(lit(i).as("band"), col(s"mh$x").as("h1"), col(s"mh$y").as("h2"))
+    }
+    val banded = sig
+      .select(col("doc_id"), explode(array(bandStructs: _*)).as("b"))
+      .select(col("doc_id"), col("b.band"), col("b.h1"), col("b.h2"))
+    val oldB = banded.filter(col("doc_id") % 10 < 8)
+      .select(col("band").as("band_o"), col("h1").as("h1o"),
+        col("h2").as("h2o")).hint("shuffle_hash")
+    val newB = banded.filter(col("doc_id") % 10 >= 8)
+    val flagged = newB.join(oldB,
+        col("band") === col("band_o") && col("h1") === col("h1o") &&
+          col("h2") === col("h2o"), "left_semi")
+      .select("doc_id").distinct()
+    sig.filter(col("doc_id") % 10 >= 8).select("doc_id")
+      .join(flagged, Seq("doc_id"), "left_anti")
+  }
+
+  def incrementalKeepSql: String = {
+    val collide = bands.map { case (x, y) =>
+      s"(n.mh$x = o.mh$x AND n.mh$y = o.mh$y)"
+    }.mkString(" OR ")
+    s"""WITH sig AS ($minhashSql)
+        SELECT n.doc_id FROM sig n
+        WHERE n.doc_id % 10 >= 8
+          AND NOT EXISTS (SELECT 1 FROM sig o
+                          WHERE o.doc_id % 10 < 8 AND ($collide))"""
+  }
 
   /** Embedding-cosine near-duplicates: label-blocked pair join over a
     * deterministic sample, sequential-fold double cosine (bit-exact vs the
@@ -444,6 +498,11 @@ object DedupQueries {
     Q("d10_dedup_keep_best",
       (s, d) => Dedup.bestPerCluster(Tables.documents(s, d)),
       Some(Dedup.bestPerClusterSql)),
+
+    // Incremental (snapshot + new batch) dedup admission.
+    Q("d11_dedup_incremental",
+      (s, d) => Dedup.incrementalKeep(Tables.documents(s, d)),
+      Some(Dedup.incrementalKeepSql)),
 
     // Boilerplate detection — the corpus-level cousin of per-doc dedup: a
     // word-5-gram appearing in many DISTINCT documents is boilerplate

@@ -203,6 +203,29 @@ object Similarity {
         ORDER BY cos_sim DESC, e.vec_id LIMIT $kTop"""
   }
 
+  /** x06: ANN quality evaluation — recall@k of the LSH-pruned search (x02)
+    * against the exact brute-force ranking (x01), the metric that decides
+    * whether an ANN index's prune is shippable. Both top-k lists are tiny
+    * (k rows), so the overlap is a semi-join of two broadcast-sized
+    * relations and a scalar aggregate — evaluation costs nothing beyond the
+    * two searches themselves at any data scale.
+    */
+  def annRecall(emb: DataFrame, kTop: Int = 10): DataFrame = {
+    val exact = knnBrute(emb, kTop).select(col("vec_id"))
+    val approx = knnLsh(emb, kTop).select(col("vec_id"))
+    exact.join(approx, Seq("vec_id"), "left_semi")
+      .agg(count(lit(1)).as("n_overlap"))
+      .select(lit(kTop).as("k"), col("n_overlap"),
+        (col("n_overlap").cast("double") / kTop).as("recall_at_k"))
+  }
+
+  def annRecallSql(kTop: Int = 10): String =
+    s"""WITH exact AS (${knnBruteSql(kTop)}),
+             approx AS (${knnLshSql(kTop)})
+        SELECT $kTop AS k, CAST(count(*) AS BIGINT) AS n_overlap,
+               CAST(count(*) AS DOUBLE) / $kTop AS recall_at_k
+        FROM exact WHERE vec_id IN (SELECT vec_id FROM approx)"""
+
   /** Per-bucket occupancy histogram — the planning stat an ANN index needs
     * (bucket skew decides whether the prune is worth it).
     */
@@ -309,6 +332,10 @@ object SimilarityQueries {
 
     Q("x05_ts_similarity",
       (s, d) => TsSimilarity.topSimilarUsers(Tables.events(s, d)),
-      Some(TsSimilarity.topSimilarUsersSql))
+      Some(TsSimilarity.topSimilarUsersSql)),
+
+    Q("x06_ann_recall",
+      (s, d) => Similarity.annRecall(Tables.embeddings(s, d)),
+      Some(Similarity.annRecallSql()))
   )
 }

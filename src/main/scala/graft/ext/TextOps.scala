@@ -173,6 +173,92 @@ object TextOps {
                                           i -> substr(t, 1, i)))) AS grams
              FROM documents)"""
 
+  /** t06: Gopher-style repetition signals — the filters a training pipeline
+    * gates documents on (Rae et al. 2021 §A1.1: fraction of duplicate
+    * lines/n-grams): duplicate-token fraction, most-frequent-token fraction,
+    * most-frequent-bigram fraction. Counting is the native one-pass
+    * codegen'd [[graft.functions.RepStatsExpr]] (exact string counts, no
+    * hashing) — per-row, shuffle-free, embarrassingly parallel at 100 TB,
+    * where the oracle's unnest + group-by form would shuffle one row per
+    * TOKEN of the corpus.
+    */
+  def repetition(docs: DataFrame): DataFrame = {
+    graft.functions.GraftFunctions.register(docs.sparkSession)
+    docs
+      .select(col("doc_id"), expr("graft_rep_stats(text)").as("r"))
+      .select(col("doc_id"),
+        col("r.n_tokens").as("n_tokens"),
+        col("r.n_uniq_tokens").as("n_uniq_tokens"),
+        col("r.top_tok_n").as("top_tok_n"),
+        col("r.top_bigram_n").as("top_bigram_n"))
+      .withColumn("dup_tok_ratio",
+        (col("n_tokens") - col("n_uniq_tokens")).cast("double") /
+          col("n_tokens"))
+      .withColumn("top_tok_ratio",
+        col("top_tok_n").cast("double") / col("n_tokens"))
+      .withColumn("top_bigram_ratio",
+        when(col("n_tokens") >= 2,
+          col("top_bigram_n").cast("double") / (col("n_tokens") - 1)))
+  }
+
+  val repetitionSql: String =
+    """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t
+                     FROM documents),
+            tokc AS (SELECT doc_id, max(c) AS top_tok_n
+                     FROM (SELECT doc_id, tok, count(*) AS c
+                           FROM (SELECT doc_id, unnest(t) AS tok FROM toks)
+                           GROUP BY doc_id, tok)
+                     GROUP BY doc_id),
+            bigc AS (SELECT doc_id, max(c) AS top_bigram_n
+                     FROM (SELECT doc_id, bg, count(*) AS c
+                           FROM (SELECT doc_id,
+                                        unnest(list_transform(range(1, len(t)),
+                                          i -> t[i] || ' ' || t[i + 1])) AS bg
+                                 FROM toks WHERE len(t) >= 2)
+                           GROUP BY doc_id, bg)
+                     GROUP BY doc_id)
+       SELECT t.doc_id,
+              CAST(len(t.t) AS INT) AS n_tokens,
+              CAST(len(list_distinct(t.t)) AS INT) AS n_uniq_tokens,
+              CAST(coalesce(tc.top_tok_n, 0) AS INT) AS top_tok_n,
+              CAST(coalesce(bc.top_bigram_n, 0) AS INT) AS top_bigram_n,
+              CAST(len(t.t) - len(list_distinct(t.t)) AS DOUBLE) / len(t.t)
+                AS dup_tok_ratio,
+              CAST(coalesce(tc.top_tok_n, 0) AS DOUBLE) / len(t.t)
+                AS top_tok_ratio,
+              CASE WHEN len(t.t) >= 2
+                   THEN CAST(coalesce(bc.top_bigram_n, 0) AS DOUBLE)
+                        / (len(t.t) - 1) END AS top_bigram_ratio
+       FROM toks t
+       LEFT JOIN tokc tc ON t.doc_id = tc.doc_id
+       LEFT JOIN bigc bc ON t.doc_id = bc.doc_id"""
+
+  /** t07: text normalization — the canonical pre-dedup cleanup pass
+    * (lowercase, strip sentence punctuation, collapse runs of spaces, trim)
+    * plus the post-normalization digest exact-dedup keys on. Per-row stock
+    * codegen'd expressions; `changed` records whether normalization moved
+    * the text (0/1 — INTs, not booleans, so both engines stringify alike).
+    */
+  def normalize(docs: DataFrame): DataFrame = {
+    val norm = trim(regexp_replace(
+      regexp_replace(lower(col("text")), "[.,!?;:]", ""), " +", " "))
+    docs.select(
+      col("doc_id"),
+      length(norm).as("n_norm_chars"),
+      md5(norm).as("norm_h"),
+      when(norm === col("text"), 0).otherwise(1).as("changed"))
+  }
+
+  val normalizeSql: String =
+    """SELECT doc_id,
+              CAST(length(n) AS INT) AS n_norm_chars,
+              md5(n) AS norm_h,
+              CAST(CASE WHEN n = text THEN 0 ELSE 1 END AS INT) AS changed
+       FROM (SELECT doc_id, text,
+                    trim(regexp_replace(regexp_replace(lower(text),
+                      '[.,!?;:]', '', 'g'), ' +', ' ', 'g')) AS n
+             FROM documents)"""
+
   /** Rolling polynomial fingerprint over characters:
     * fp = fold(chars, acc -> (acc * 31 + codepoint) mod 1e9+7). Integer
     * arithmetic — exact in both engines. Per-row, no shuffle.
@@ -209,6 +295,12 @@ object TextQueries {
       Some(TextOps.fingerprintSql)),
     Q("t05_edge_ngrams",
       (s, d) => TextOps.edgeNgrams(Tables.documents(s, d)),
-      Some(TextOps.edgeNgramsSql))
+      Some(TextOps.edgeNgramsSql)),
+    Q("t06_text_repetition",
+      (s, d) => TextOps.repetition(Tables.documents(s, d)),
+      Some(TextOps.repetitionSql)),
+    Q("t07_text_normalize",
+      (s, d) => TextOps.normalize(Tables.documents(s, d)),
+      Some(TextOps.normalizeSql))
   )
 }

@@ -147,6 +147,29 @@ case class EdgeNgramsExpr(child: Expression)
     copy(child = newChild)
 }
 
+/** One-pass repetition statistics (see [[TextHash.repStats]]). */
+case class RepStatsExpr(child: Expression)
+    extends UnaryExpression {
+  override def checkInputDataTypes():
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (child.dataType == StringType)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      s"$prettyName expects a string argument, got ${child.dataType.simpleString}")
+  override def dataType: DataType = StructType(Seq(
+    StructField("n_tokens", IntegerType, nullable = false),
+    StructField("n_uniq_tokens", IntegerType, nullable = false),
+    StructField("top_tok_n", IntegerType, nullable = false),
+    StructField("top_bigram_n", IntegerType, nullable = false)))
+  override def prettyName: String = "graft_rep_stats"
+  protected override def nullSafeEval(input: Any): Any =
+    TextHash.repStats(input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.TextHash.repStats($c)")
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 case class SimHashExpr(child: Expression)
     extends UnaryExpression {
   override def checkInputDataTypes():
@@ -269,6 +292,7 @@ object GraftFunctions {
     "graft_minhash_sig"  -> (cs => MinHashSigExpr(cs.head)),
     "graft_gram5_distinct" -> (cs => Gram5DistinctExpr(cs.head)),
     "graft_simhash"      -> (cs => SimHashExpr(cs.head)),
+    "graft_rep_stats"    -> (cs => RepStatsExpr(cs.head)),
     "graft_quarter_means" -> (cs => QuarterMeansExpr(cs.head)),
     "graft_edge_ngrams"  -> (cs => EdgeNgramsExpr(cs.head)),
     "graft_dot"          -> (cs => DotFExpr(cs(0), cs(1))),

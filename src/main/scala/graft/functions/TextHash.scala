@@ -187,6 +187,39 @@ object TextHash {
     new GenericArrayData(out)
   }
 
+  /** Repetition statistics in ONE pass (t06 hot path — the Gopher-style
+    * repetition filters a training pipeline gates on): tokens split on
+    * single spaces (empty tokens kept, Java `split(" ", -1)` — identical to
+    * Spark `split` and DuckDB `string_split`), counted EXACTLY by token
+    * string (no hashing, so there is no collision caveat vs the oracle's
+    * unnest+group-by). Returns (n_tokens, n_uniq_tokens, top_tok_n,
+    * top_bigram_n); top_bigram_n is 0 below 2 tokens (no bigrams).
+    */
+  def repStats(s: UTF8String): org.apache.spark.sql.catalyst.InternalRow = {
+    val toks = s.toString.split(" ", -1)
+    val n = toks.length
+    val counts = new java.util.HashMap[String, Integer](n * 2)
+    var topTok = 0
+    var i = 0
+    while (i < n) {
+      val c = counts.merge(toks(i), 1, (a, b) => a + b)
+      if (c > topTok) topTok = c
+      i += 1
+    }
+    var topBig = 0
+    if (n >= 2) {
+      val bcounts = new java.util.HashMap[String, Integer](n * 2)
+      var j = 0
+      while (j < n - 1) {
+        val c = bcounts.merge(toks(j) + " " + toks(j + 1), 1, (a, b) => a + b)
+        if (c > topBig) topBig = c
+        j += 1
+      }
+    }
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      Array[Any](n, counts.size, topTok, topBig))
+  }
+
   /** 16-bit SimHash over token hashes: bit b set iff the ±1 vote sum over
     * tokens (bit b of each token hash) is positive.
     */

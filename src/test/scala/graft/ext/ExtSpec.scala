@@ -113,6 +113,43 @@ class ExtSpec extends SparkSpec {
     assert(best(cl(1L))._1 === 1L)
   }
 
+  test("incremental dedup admits exactly the new docs with no old band-collision") {
+    // doc 18 is a near-dup of old doc 1; doc 19 is novel; doc 8 IS old.
+    val snap = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "some unrelated snapshot document body here"),
+      (18L, "the quick brown fox jumps over the lazy dog"),
+      (19L, "completely novel fresh batch content never seen"),
+      (28L, "some unrelated snapshot document body here")
+    ).toDF("doc_id", "text")
+    val kept = Dedup.incrementalKeep(snap).as[Long].collect().toSet
+    assert(kept === Set(19L)) // 18 and 28 collide with old 1 and 2; 8s are old
+  }
+
+  test("normalize: unchanged text flags 0, punctuation/case/space runs flag 1, idempotent") {
+    val in = Seq(
+      (1L, "already clean text"),
+      (2L, "Messy,  Text!! With   Runs.")).toDF("doc_id", "text")
+    val out = TextOps.normalize(in).collect()
+      .map(r => r.getLong(0) -> (r.getInt(1), r.getString(2), r.getInt(3))).toMap
+    assert(out(1L)._3 === 0)
+    assert(out(2L)._3 === 1)
+    // idempotence: normalizing the normalized form changes nothing
+    val normed = "messy text with runs"
+    val again = TextOps.normalize(Seq((3L, normed)).toDF("doc_id", "text"))
+      .collect().head
+    assert(again.getInt(3) === 0)
+    assert(out(2L)._1 === normed.length)
+  }
+
+  test("ann recall is in [0,1] and overlap is at most k") {
+    val emb = graft.sources.Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val r = Similarity.annRecall(emb).collect().head
+    val (k, n, rec) = (r.getInt(0), r.getLong(1), r.getDouble(2))
+    assert(n >= 0 && n <= k)
+    assert(rec === n.toDouble / k)
+  }
+
   test("LSH knn results lie in the query's bucket and are cosine-ranked") {
     val emb = graft.sources.Tables.embeddings(s, "/root/testdata/sf0.001")
     val out = Similarity.knnLsh(emb).collect()

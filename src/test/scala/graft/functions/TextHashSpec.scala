@@ -95,6 +95,30 @@ class TextHashSpec extends AnyFunSuite {
     assert(a === b)
     assert(a !== c)
   }
+
+  test("repStats equals naive exact token/bigram counting") {
+    def ref(s: String): (Int, Int, Int, Int) = {
+      val toks = s.split(" ", -1).toSeq
+      val tokCounts = toks.groupBy(identity).map(_._2.size)
+      val bigs = toks.sliding(2).filter(_.size == 2)
+        .map(_.mkString(" ")).toSeq
+      val bigCounts = bigs.groupBy(identity).map(_._2.size)
+      (toks.size, toks.distinct.size, tokCounts.max,
+        if (bigs.isEmpty) 0 else bigCounts.max)
+    }
+    for (s <- Seq("a b c", "a a a a", "a b a b a", "x", "a  b ",
+                  "the cat the cat sat", "trés trés café")) {
+      val r = TextHash.repStats(u(s))
+      val (n, uq, tt, tb) = ref(s)
+      assert((r.getInt(0), r.getInt(1), r.getInt(2), r.getInt(3)) ===
+        ((n, uq, tt, tb)), s"input: '$s'")
+    }
+    // single token: no bigrams
+    assert(TextHash.repStats(u("solo")).getInt(3) === 0)
+    // empty string: one empty token
+    val e = TextHash.repStats(u(""))
+    assert((e.getInt(0), e.getInt(1), e.getInt(2), e.getInt(3)) === ((1, 1, 1, 0)))
+  }
 }
 
 class VecOpsSpec extends AnyFunSuite {
