@@ -560,6 +560,44 @@ object StreamingQ {
           .select("event_id", "nk", "n_name")
       },
       Some("""SELECT event_id, user_id % 25 AS nk, n_name
-              FROM events JOIN nation ON user_id % 25 = n_nationkey"""))
+              FROM events JOIN nation ON user_id % 25 = n_nationkey""")),
+
+    // s15: the mergeable KMV sketch (q59) running as STREAMING state — a
+    // windowed distinct-user estimate where partial sketch buffers merge
+    // across micro-batches through the state store. Because the kept set is
+    // a pure function of the input SET (merge-order-free), the streamed
+    // estimate is bit-identical to the batch oracle — the property that
+    // makes sketch state safe to shard and restart at 100 TB. Emission
+    // follows the s01 watermark boundary (windows ending <= max(ts)).
+    Q("s15_stream_kmv",
+      (s, d) => {
+        graft.functions.GraftFunctions.register(s)
+        runEventsStream(s, d) { src =>
+          src.withWatermark("ts", "0 seconds")
+            .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+            .agg(expr("graft_kmv(CAST(user_id AS STRING))").as("kmv"))
+            .select(col("window.start").as("ws"), col("event_type"),
+              col("kmv.n_kept").as("n_kept"),
+              col("kmv.est_distinct").as("est_distinct"))
+        }
+      },
+      Some(s"""WITH h AS (
+                 SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS ws,
+                        event_type,
+                        ${graft.ext.PortableHash.duckPoly(
+                          "md5(CAST(user_id AS VARCHAR))")} AS hv
+                 FROM events),
+               g AS (
+                 SELECT ws, event_type,
+                        list_slice(list_sort(list_distinct(list(hv))), 1, 64)
+                          AS ks
+                 FROM h GROUP BY ws, event_type)
+               SELECT ws, event_type,
+                      CAST(len(ks) AS INTEGER) AS n_kept,
+                      CASE WHEN len(ks) < 64 THEN CAST(len(ks) AS DOUBLE)
+                           ELSE 63.0 * 1000000007.0 / CAST(ks[64] AS DOUBLE)
+                      END AS est_distinct
+               FROM g
+               WHERE ws + INTERVAL 1 HOUR <= (SELECT max(ts) FROM events)"""))
   )
 }

@@ -140,6 +140,59 @@ class StreamingSpec extends SparkSpec {
       "2024-01-01 01:00:00.0" -> 1L))
   }
 
+  test("KMV sketch state merges across micro-batches bit-identically " +
+      "(s15: streamed partial buffers == one-shot batch sketch)") {
+    val s = spark
+    import s.implicits._
+    graft.functions.GraftFunctions.register(s)
+    val srcDir = Files.createTempDirectory("graft_kmvmb_src").toString
+    def addFile(name: String, mtime: Long,
+        rows: Seq[(Long, Timestamp)]): Unit = {
+      val stage = Files.createTempDirectory("graft_kmvmb_stage").toString
+      rows.toDF("uid", "ts").coalesce(1).write.mode("overwrite").parquet(stage)
+      val part = new File(stage).listFiles()
+        .find(_.getName.endsWith(".parquet")).get
+      val dst = Paths.get(srcDir, s"$name.parquet")
+      Files.move(part.toPath, dst)
+      dst.toFile.setLastModified(mtime)
+    }
+    // Hour 00 users split across two files WITH overlap (uid 5 in both):
+    // the second batch's partial sketch must merge into stored state, and
+    // the overlap must not double-count (the kept set is a set).
+    addFile("a", 1700000000000L,
+      (1L to 40L).map(u => (u, ts("2024-01-01 00:10:00"))))
+    addFile("b", 1700000060000L,
+      (5L to 90L).map(u => (u, ts("2024-01-01 00:40:00"))) :+
+        (999L, ts("2024-01-01 01:30:00"))) // advances watermark past hour 00
+
+    def run(maxFiles: Option[Int]): Seq[(Int, Double)] = {
+      val out  = Files.createTempDirectory("graft_kmvmb_out").toString
+      val ckpt = Files.createTempDirectory("graft_kmvmb_ckpt").toString
+      val schema = Seq((1L, ts("2024-01-01 00:00:00"))).toDF("uid", "ts").schema
+      val reader = s.readStream.schema(schema)
+      maxFiles.foreach(n => reader.option("maxFilesPerTrigger", n))
+      val q = reader.parquet(srcDir)
+        .withWatermark("ts", "0 seconds")
+        .groupBy(window(col("ts"), "1 hour"))
+        .agg(expr("graft_kmv(CAST(uid AS STRING))").as("kmv"))
+        .select(col("kmv.n_kept").as("n_kept"),
+          col("kmv.est_distinct").as("est"))
+        .writeStream.format("parquet").outputMode("append")
+        .option("checkpointLocation", ckpt).option("path", out)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      s.read.parquet(out).collect()
+        .map(r => (r.getInt(0), r.getDouble(1))).toSeq.sorted
+    }
+
+    val multi = run(Some(1))
+    val single = run(None)
+    assert(multi === single)
+    // hour 00 emitted: 90 distinct uids (1..90, overlap 5..40 deduped) —
+    // above k=64, so the sketch is in estimating mode with n_kept = 64.
+    assert(multi.map(_._1) === Seq(64))
+  }
+
   test("RocksDB state store provider yields identical session windows " +
       "(SURVEY §7.4 risk 6: the 100 TB state backend)") {
     // The HDFS-backed default keeps every state row on the JVM heap — fine
