@@ -352,6 +352,29 @@ object Extended {
                FROM documents
                WHERE ${graft.ext.PortableHash.duckPoly("text")} % 20 = 0""")),
 
+    // q72: STRATIFIED deterministic sampling — the training-mix curation
+    // pass: each source stratum keeps its own content-hash fraction (50% /
+    // 25% / 10% here), so the corpus mix is re-weighted reproducibly (a pure
+    // function of content, no RNG, no state). Per-row filter + one
+    // map-side-combined count; at 100 TB the mix report shuffles one row
+    // per (source) group, never the sampled corpus itself.
+    Q("q72_stratified_sample",
+      (s, d) => {
+        graft.functions.GraftFunctions.register(s)
+        val pct = when(col("source") === "src0", 50)
+          .when(col("source") === "src1", 25).otherwise(10)
+        Tables.documents(s, d)
+          .filter(pmod(expr("graft_poly_hash(text)"), lit(100)) < pct)
+          .groupBy("source")
+          .agg(count(lit(1)).as("n_sampled"))
+      },
+      Some(s"""SELECT source, CAST(count(*) AS BIGINT) AS n_sampled
+               FROM documents
+               WHERE ${graft.ext.PortableHash.duckPoly("text")} % 100 <
+                 CASE WHEN source = 'src0' THEN 50
+                      WHEN source = 'src1' THEN 25 ELSE 10 END
+               GROUP BY source""")),
+
     // Exact distribution stats via decimal-exact moments: sample variance /
     // stddev and Pearson correlation from (n, Σx, Σx², Σxy) — reproducible
     // under any partitioning, unlike naive double accumulation.

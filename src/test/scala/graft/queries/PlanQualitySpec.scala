@@ -85,6 +85,20 @@ class PlanQualitySpec extends SparkSpec {
     assert(p.contains("partial_count"))
   }
 
+  test("t06: repetition signals are per-row — zero exchanges, native kernel") {
+    val p = planOf("t06_text_repetition")
+    assert(p.contains("graft_rep_stats"))
+    assert(!p.contains("Exchange"), p)
+  }
+
+  test("d11: incremental admission is semi + anti probe, no pair materialization") {
+    val p = planOf("d11_dedup_incremental")
+    assert(p.contains("LeftSemi"), p)
+    assert(p.contains("LeftAnti"), p)
+    // the snapshot side is probed, never joined into an output pair relation
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
   test("q59: KMV sketch aggregates partial -> final (mergeable at scale)") {
     val p = planOf("q59_kmv_sketch")
     assert(p.contains("ObjectHashAggregate"))
