@@ -284,6 +284,31 @@ case class LshBucketExpr(child: Expression)
     copy(child = newChild)
 }
 
+/** KMV set-union estimate over two serialized sketch columns (see
+  * [[KmvBuffer.unionEstimate]]) — sketch algebra without the raw data.
+  */
+case class KmvUnionEstExpr(left: Expression, right: Expression, k: Int)
+    extends BinaryExpression {
+  override def checkInputDataTypes():
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (left.dataType == BinaryType && right.dataType == BinaryType)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      s"$prettyName expects two binary sketch arguments, got " +
+        s"${left.dataType.simpleString}, ${right.dataType.simpleString}")
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "graft_kmv_union_est"
+  protected override def nullSafeEval(a: Any, b: Any): Any =
+    KmvBuffer.unionEstimate(a.asInstanceOf[Array[Byte]],
+      b.asInstanceOf[Array[Byte]], k)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      (a, b) => s"graft.functions.KmvBuffer.unionEstimate($a, $b, $k)")
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
 /** Per-session registration of the engine's native functions. */
 object GraftFunctions {
   val fns: Seq[(String, Seq[Expression] => Expression)] = Seq(
@@ -299,7 +324,8 @@ object GraftFunctions {
     "graft_cos"          -> (cs => CosFExpr(cs(0), cs(1))),
     "graft_lsh_bucket"   -> (cs => LshBucketExpr(cs.head)),
     // mergeable KMV distinct sketch (analyzer wraps the raw AggregateFunction)
-    "graft_kmv"          -> (cs => KmvSketchAgg(cs.head, 64))
+    "graft_kmv"          -> (cs => KmvSketchAgg(cs.head, 64)),
+    "graft_kmv_union_est" -> (cs => KmvUnionEstExpr(cs(0), cs(1), 64))
   )
 
   /** Idempotent: safe to call at the head of every query builder. */

@@ -63,6 +63,28 @@ final class KmvBuffer(val k: Int) {
 object KmvBuffer {
   private val HEX = "0123456789abcdef".toCharArray
 
+  /** KMV set-union estimate from two SERIALIZED sketches (the 8-byte
+    * big-endian ascending layout of [[KmvBuffer.sketchBytes]]): merge the
+    * kept sets, keep the k smallest, apply the standard estimator. This is
+    * the sketch-algebra primitive — |A∪B| from two already-aggregated
+    * sketches without touching the raw data (|A∩B| then follows by
+    * inclusion-exclusion in plain SQL).
+    */
+  def unionEstimate(a: Array[Byte], b: Array[Byte], k: Int): Double = {
+    val set = new java.util.TreeSet[java.lang.Long]()
+    def addAll(bytes: Array[Byte]): Unit = {
+      val bb = java.nio.ByteBuffer.wrap(bytes)
+      while (bb.remaining() >= 8) set.add(bb.getLong())
+    }
+    addAll(a); addAll(b)
+    var n = 0
+    var kth = 0L
+    val it = set.iterator()
+    while (it.hasNext && n < k) { kth = it.next(); n += 1 }
+    if (n < k) n.toDouble
+    else (k - 1).toDouble * TextHash.P.toDouble / kth.toDouble
+  }
+
   // One digest per thread, reset per row: getInstance() per row would pay
   // a JCA provider lookup + allocation on the aggregate's hot path.
   private val MD = ThreadLocal.withInitial[java.security.MessageDigest](() =>

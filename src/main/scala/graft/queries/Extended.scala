@@ -375,6 +375,55 @@ object Extended {
                       WHEN source = 'src1' THEN 25 ELSE 10 END
                GROUP BY source""")),
 
+    // q73: SKETCH ALGEBRA — set cardinality estimates for two event cohorts
+    // (click events vs high-value events) and their union/intersection,
+    // computed ENTIRELY from two already-aggregated KMV sketches (the q59
+    // binary export): |A∪B| by merging kept sets, |A∩B| by
+    // inclusion-exclusion. This is the 100 TB workflow the mergeable export
+    // exists for — per-partition / per-day sketches combined later without
+    // re-reading the corpus; estimates stay deterministic because the kept
+    // set is a pure function of the input set.
+    Q("q73_kmv_set_algebra",
+      (s, d) => {
+        graft.functions.GraftFunctions.register(s)
+        val ev = Tables.events(s, d)
+        val a = ev.filter(col("event_type") === "click")
+          .agg(expr("graft_kmv(CAST(event_id AS STRING))").as("ka"))
+        val b = ev.filter(col("value") > 90)
+          .agg(expr("graft_kmv(CAST(event_id AS STRING))").as("kb"))
+        a.crossJoin(b)
+          .select(
+            col("ka.est_distinct").as("est_a"),
+            col("kb.est_distinct").as("est_b"),
+            expr("graft_kmv_union_est(ka.sketch, kb.sketch)").as("est_union"))
+          .withColumn("est_intersection",
+            col("est_a") + col("est_b") - col("est_union"))
+      },
+      Some {
+        val hv = graft.ext.PortableHash.duckPoly(
+          "md5(CAST(event_id AS VARCHAR))")
+        def est(ks: String) =
+          s"""CASE WHEN len($ks) < 64 THEN CAST(len($ks) AS DOUBLE)
+                   ELSE 63.0 * 1000000007.0 / CAST($ks[64] AS DOUBLE) END"""
+        s"""WITH ga AS (SELECT list_slice(list_sort(list_distinct(list(hv))),
+                                          1, 64) AS ks
+                        FROM (SELECT $hv AS hv FROM events
+                              WHERE event_type = 'click')),
+                 gb AS (SELECT list_slice(list_sort(list_distinct(list(hv))),
+                                          1, 64) AS ks
+                        FROM (SELECT $hv AS hv FROM events
+                              WHERE value > 90)),
+                 gu AS (SELECT list_slice(list_sort(list_distinct(
+                                 list_concat(ga.ks, gb.ks))), 1, 64) AS ks
+                        FROM ga, gb)
+             SELECT ${est("ga.ks")} AS est_a,
+                    ${est("gb.ks")} AS est_b,
+                    ${est("gu.ks")} AS est_union,
+                    (${est("ga.ks")}) + (${est("gb.ks")}) - (${est("gu.ks")})
+                      AS est_intersection
+             FROM ga, gb, gu"""
+      }),
+
     // Exact distribution stats via decimal-exact moments: sample variance /
     // stddev and Pearson correlation from (n, Σx, Σx², Σxy) — reproducible
     // under any partitioning, unlike naive double accumulation.

@@ -47,6 +47,21 @@ class KmvSketchSpec extends SparkSpec {
     })
   }
 
+  test("unionEstimate from two sketchBytes == estimate of the merged buffer (property)") {
+    check(Prop.forAll(Gen.listOf(Gen.chooseNum(0L, 1000000006L)),
+      Gen.listOf(Gen.chooseNum(0L, 1000000006L))) {
+      (ha: List[Long], hb: List[Long]) =>
+        val a = new KmvBuffer(8)
+        val b = new KmvBuffer(8)
+        ha.foreach(a.add)
+        hb.foreach(b.add)
+        val merged = new KmvBuffer(8)
+        merged.merge(a); merged.merge(b)
+        KmvBuffer.unionEstimate(a.sketchBytes, b.sketchBytes, 8) ==
+          merged.estimate
+    })
+  }
+
   test("buffer: serialize/deserialize round-trips") {
     val agg = KmvSketchAgg(
       org.apache.spark.sql.catalyst.expressions.Literal("x"), 8)
