@@ -201,6 +201,38 @@ object MultimodalQueries {
       (s, d) => Multimodal.resizeStub(Tables.documents(s, d)),
       Some(Multimodal.resizeStubSql)),
 
+    // m07: tile/chunk EXPLODE — one row per fixed-size 32-byte chunk of the
+    // payload with its index and digest: the shape that feeds a batched
+    // encoder (image tiles / audio segments / long-doc context windows).
+    // Per-row fan-out only (#tiles = ceil(len/32), no shuffle); at 100 TB
+    // the exploded relation partitions by (doc_id) for encoder locality.
+    // The empty-payload filter is load-bearing: Spark's `sequence(1, 0)`
+    // DESCENDS while DuckDB's `range(1, 1)` is empty.
+    Q("m07_tile_chunks",
+      (s, d) => {
+        val nTiles = "CAST(ceil(length(hx) / 64.0) AS INT)"
+        Tables.documents(s, d)
+          .filter(length(col("text")) > 0)
+          .select(col("doc_id"), hex(encode(col("text"), "UTF-8")).as("hx"))
+          .select(col("doc_id"), posexplode(expr(
+            s"transform(sequence(1, $nTiles), i -> substr(hx, (i-1)*64 + 1, 64))"))
+            .as(Seq("tile_idx", "tile_hex")))
+          .select(col("doc_id"), col("tile_idx"),
+            (length(col("tile_hex")) / 2).cast("int").as("tile_bytes"),
+            md5(col("tile_hex")).as("tile_md5"))
+      },
+      Some("""SELECT doc_id,
+                     CAST(u.s.i - 1 AS INT) AS tile_idx,
+                     CAST(length(u.s.t) // 2 AS INT) AS tile_bytes,
+                     md5(u.s.t) AS tile_md5
+              FROM (SELECT doc_id, hex(encode(text)) AS hx FROM documents
+                    WHERE length(text) > 0),
+                   UNNEST(list_transform(
+                     range(1, CAST(ceil(length(hx) / 64.0) AS INT) + 1),
+                     i -> {'i': i,
+                           't': substr(hx, CAST((i - 1) * 64 + 1 AS INT),
+                                       64)})) AS u(s)""")),
+
     // The real multimodal INGEST path: Spark's binaryFile source reads
     // whole files as (path, length, content) rows — exactly how image/
     // audio/video payloads enter a lake when they are not yet in parquet.
