@@ -375,6 +375,39 @@ object Extended {
                       WHEN source = 'src1' THEN 25 ELSE 10 END
                GROUP BY source""")),
 
+    // q74: argmax/argmin aggregation (max_by/min_by ~ DuckDB arg_max/
+    // arg_min): WHICH row holds the extreme, not just the extreme value —
+    // one map-side-combining aggregate instead of the window-rank detour.
+    // The ordering key folds event_id in as a tie-break (2-decimal values
+    // collide), so the winner is deterministic under any partitioning —
+    // the same discipline every q in this catalogue applies to ordering.
+    Q("q74_argmax",
+      (s, d) => {
+        val ord = (col("value").cast(DecimalType(12, 2)) * 100)
+          .cast("long") * lit(10000000L) + col("event_id")
+        Tables.events(s, d)
+          .groupBy("event_type")
+          .agg(
+            max_by(col("event_id"), ord).as("top_event"),
+            max(col("value").cast(DecimalType(12, 2))).cast("double")
+              .as("top_value"),
+            min_by(col("event_id"), ord).as("bottom_event"),
+            min(col("value").cast(DecimalType(12, 2))).cast("double")
+              .as("bottom_value"))
+      },
+      Some("""SELECT event_type,
+                     arg_max(event_id, CAST(CAST(value AS DECIMAL(12,2)) * 100
+                                            AS BIGINT) * 10000000 + event_id)
+                       AS top_event,
+                     CAST(max(CAST(value AS DECIMAL(12,2))) AS DOUBLE)
+                       AS top_value,
+                     arg_min(event_id, CAST(CAST(value AS DECIMAL(12,2)) * 100
+                                            AS BIGINT) * 10000000 + event_id)
+                       AS bottom_event,
+                     CAST(min(CAST(value AS DECIMAL(12,2))) AS DOUBLE)
+                       AS bottom_value
+              FROM events GROUP BY event_type""")),
+
     // q73: SKETCH ALGEBRA — set cardinality estimates for two event cohorts
     // (click events vs high-value events) and their union/intersection,
     // computed ENTIRELY from two already-aggregated KMV sketches (the q59

@@ -92,10 +92,20 @@ final class WireTable(schema: StructType, options: CaseInsensitiveStringMap)
 final class WireScanBuilder(fullSchema: StructType, path: String, sep: String,
     maxFilesPerTrigger: Option[Int] = None)
     extends ScanBuilder
-    with SupportsPushDownRequiredColumns with SupportsPushDownFilters {
+    with SupportsPushDownRequiredColumns with SupportsPushDownFilters
+    with SupportsPushDownLimit {
 
   private var required: StructType = fullSchema
   private var pushed: Array[Filter] = Array.empty
+  private var limit: Option[Int] = None
+
+  /** PER-PARTITION early stop: each file reader quits parsing after
+    * `limit` surviving rows (at 100 TB that's the difference between
+    * parsing a whole wire file and its first k lines for a LIMIT k probe).
+    * Returns false — partial pushdown: the limit is per partition, so
+    * Spark still applies the global limit across partitions.
+    */
+  override def pushLimit(l: Int): Boolean = { limit = Some(l); false }
 
   override def pruneColumns(requiredSchema: StructType): Unit =
     // Spark passes the post-pushdown projection; preserve wire order.
@@ -114,7 +124,8 @@ final class WireScanBuilder(fullSchema: StructType, path: String, sep: String,
   override def pushedFilters(): Array[Filter] = pushed
 
   override def build(): Scan =
-    new WireScan(fullSchema, required, pushed, path, sep, maxFilesPerTrigger)
+    new WireScan(fullSchema, required, pushed, path, sep, maxFilesPerTrigger,
+      limit)
 }
 
 final class WireScan(
@@ -123,20 +134,23 @@ final class WireScan(
     pushed: Array[Filter],
     path: String,
     sep: String,
-    maxFilesPerTrigger: Option[Int] = None) extends Scan with Batch {
+    maxFilesPerTrigger: Option[Int] = None,
+    limit: Option[Int] = None) extends Scan with Batch {
 
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
   override def description(): String =
     s"GraftWireScan path=$path pushed=[${pushed.mkString(", ")}] " +
-      s"read=[${required.fieldNames.mkString(", ")}]"
+      s"read=[${required.fieldNames.mkString(", ")}]" +
+      limit.map(l => s" limit=$l").getOrElse("")
 
   override def planInputPartitions(): Array[InputPartition] =
     WireTopicFiles.list(path)
       .map(f => WireFilePartition(f): InputPartition)
 
   override def createReaderFactory(): PartitionReaderFactory =
-    new WireReaderFactory(fullSchema.toDDL, required.fieldNames, pushed, sep)
+    new WireReaderFactory(fullSchema.toDDL, required.fieldNames, pushed, sep,
+      limit)
 
   /** The same pruned+filtered scan as a streaming source (pushdown applies
     * to micro-batches identically — the builder ran before this call).
@@ -390,11 +404,12 @@ final class WireReaderFactory(
     fullDdl: String,
     requiredNames: Array[String],
     pushed: Array[Filter],
-    sep: String) extends PartitionReaderFactory {
+    sep: String,
+    limit: Option[Int] = None) extends PartitionReaderFactory {
 
   override def createReader(p: InputPartition): PartitionReader[InternalRow] =
     new WireFileReader(p.asInstanceOf[WireFilePartition].file,
-      StructType.fromDDL(fullDdl), requiredNames, pushed, sep)
+      StructType.fromDDL(fullDdl), requiredNames, pushed, sep, limit)
 }
 
 final class WireFileReader(
@@ -402,7 +417,8 @@ final class WireFileReader(
     fullSchema: StructType,
     requiredNames: Array[String],
     pushed: Array[Filter],
-    sep: String) extends PartitionReader[InternalRow] {
+    sep: String,
+    limit: Option[Int] = None) extends PartitionReader[InternalRow] {
 
   // Parse set = projected columns ∪ filter-referenced columns (a column used
   // only by a fully-pushed filter is absent from `required` — it must still
@@ -422,8 +438,12 @@ final class WireFileReader(
     new java.io.InputStreamReader(fs.open(new HPath(file)), "UTF-8"))
 
   private var row: InternalRow = _
+  private var emitted = 0
 
   override def next(): Boolean = {
+    // pushed per-partition limit: stop PARSING once satisfied (Spark's
+    // global limit still applies across partitions)
+    if (limit.exists(emitted >= _)) return false
     var line = in.readLine()
     while (line != null) {
       val parts = line.split(sepQuoted, -1)
@@ -445,6 +465,7 @@ final class WireFileReader(
             case v => v
           }
         })
+        emitted += 1
         return true
       }
       line = in.readLine()

@@ -57,6 +57,16 @@ class WireTopicSourceSpec extends SparkSpec {
     assert(q.collect().map(_.getLong(0)).toSet === Set(2L, 4L))
   }
 
+  test("limit pushes to the scan as a per-partition early stop") {
+    val q = read.limit(3)
+    assert(plan(q).toString.contains("limit=3"), plan(q).toString)
+    assert(q.collect().length === 3)
+    // partial pushdown contract: Spark still applies the global limit, so
+    // a limit below the per-file row count cannot over-return
+    val one = read.limit(1)
+    assert(one.collect().length === 1)
+  }
+
   test("unsupported predicates stay Spark-side and still evaluate") {
     val q = read.filter(col("tag").contains("b")).select("id")
     assert(plan(q).toString.contains("Filter"), plan(q).toString)
