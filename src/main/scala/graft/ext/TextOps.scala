@@ -301,6 +301,32 @@ object TextQueries {
       Some(TextOps.repetitionSql)),
     Q("t07_text_normalize",
       (s, d) => TextOps.normalize(Tables.documents(s, d)),
-      Some(TextOps.normalizeSql))
+      Some(TextOps.normalizeSql)),
+
+    // t08: corpus stopword/boilerplate LEXICON mining — tokens present in
+    // >= 25% of documents by per-doc-distinct document frequency (d08's
+    // corpus-level discipline at token granularity). In-row dedup first, so
+    // the one shuffle carries each (doc, token) once; the corpus size joins
+    // in as a broadcast scalar.
+    Q("t08_doc_freq",
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        val n = docs.agg(count(lit(1)).as("n_docs"))
+        docs.select(explode(array_distinct(split(col("text"), " "))).as("tok"))
+          .groupBy("tok").agg(count(lit(1)).as("df"))
+          .crossJoin(broadcast(n))
+          .filter(col("df") * 4 >= col("n_docs"))
+          .select(col("tok"), col("df"),
+            (col("df").cast("double") / col("n_docs")).as("df_ratio"))
+      },
+      Some("""WITH tok AS (SELECT doc_id,
+                                  unnest(list_distinct(string_split(text, ' ')))
+                                    AS tok
+                           FROM documents),
+                   n AS (SELECT count(*) AS n_docs FROM documents)
+              SELECT tok, CAST(count(*) AS BIGINT) AS df,
+                     CAST(count(*) AS DOUBLE) / n_docs AS df_ratio
+              FROM tok, n GROUP BY tok, n_docs
+              HAVING count(*) * 4 >= n_docs"""))
   )
 }

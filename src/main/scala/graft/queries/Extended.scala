@@ -408,6 +408,33 @@ object Extended {
                        AS bottom_value
               FROM events GROUP BY event_type""")),
 
+    // q75: funnel analysis — users who progressed view → click → purchase
+    // in strict first-occurrence order. The conditional-min pivot needs ONE
+    // map-side-combining shuffle of (user, 3 timestamps) — no window rank,
+    // no per-user event collection (the unbounded-group trap), no 3-way
+    // self-join; the stage compare is a post-agg filter. Timestamps compare
+    // natively in both engines (no epoch conversion to diverge on).
+    Q("q75_funnel",
+      (s, d) => {
+        def firstTs(t: String) =
+          min(when(col("event_type") === t, col("ts"))).as(s"t_$t")
+        Tables.events(s, d)
+          .groupBy("user_id")
+          .agg(firstTs("view"), firstTs("click"), firstTs("purchase"))
+          .filter(col("t_view") < col("t_click") &&
+            col("t_click") < col("t_purchase"))
+      },
+      Some("""SELECT user_id, t_view, t_click, t_purchase
+              FROM (SELECT user_id,
+                           min(CASE WHEN event_type = 'view' THEN ts END)
+                             AS t_view,
+                           min(CASE WHEN event_type = 'click' THEN ts END)
+                             AS t_click,
+                           min(CASE WHEN event_type = 'purchase' THEN ts END)
+                             AS t_purchase
+                    FROM events GROUP BY user_id)
+              WHERE t_view < t_click AND t_click < t_purchase""")),
+
     // q73: SKETCH ALGEBRA — set cardinality estimates for two event cohorts
     // (click events vs high-value events) and their union/intersection,
     // computed ENTIRELY from two already-aggregated KMV sketches (the q59
