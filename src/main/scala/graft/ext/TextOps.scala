@@ -72,7 +72,7 @@ object TextOps {
     * and stopword ratios, and a weighted quality score. Token count uses the
     * portable whitespace-count form (split-free).
     */
-  def quality(docs: DataFrame): DataFrame = {
+  def quality(docs: DataFrame, keep: Seq[String] = Nil): DataFrame = {
     val nChars  = length(col("text"))
     val nSpace  = length(col("text")) - length(regexp_replace(col("text"), " ", ""))
     val nTokens = nSpace + 1
@@ -81,19 +81,23 @@ object TextOps {
     val nStop   = Seq(" the ", " a ", " of ", " and ")
       .map(occurrences(col("text"), _)).reduce(_ + _)
     docs.select(
-      col("doc_id"),
-      nChars.as("n_chars_m"),
-      nTokens.cast("long").as("n_tokens"),
-      ((nChars - nSpace).cast("double") / nTokens).as("avg_tok_len"),
-      (nPunct.cast("double") / nChars).as("punct_ratio"),
-      (nStop.cast("double") / nTokens).as("stop_ratio"))
+      (col("doc_id") +: keep.map(col)) ++ Seq(
+        nChars.as("n_chars_m"),
+        nTokens.cast("long").as("n_tokens"),
+        ((nChars - nSpace).cast("double") / nTokens).as("avg_tok_len"),
+        (nPunct.cast("double") / nChars).as("punct_ratio"),
+        (nStop.cast("double") / nTokens).as("stop_ratio")): _*)
       .withColumn("quality_score",
         col("avg_tok_len") * 0.25 - col("punct_ratio") * 2.0 +
           col("stop_ratio") * 1.0)
   }
 
-  val qualitySql: String =
-    """SELECT doc_id, n_chars_m, n_tokens, avg_tok_len, punct_ratio, stop_ratio,
+  /** The t02 metric block over any relation with (doc_id, text) columns —
+    * single source of truth for the oracle side of [[quality]] (t02 runs it
+    * over `documents`; p03 over its deduped+sampled CTE).
+    */
+  def qualitySqlFrom(rel: String): String =
+    s"""SELECT doc_id, n_chars_m, n_tokens, avg_tok_len, punct_ratio, stop_ratio,
               avg_tok_len * 0.25 - punct_ratio * 2.0 + stop_ratio * 1.0
                 AS quality_score
        FROM (SELECT doc_id,
@@ -113,7 +117,9 @@ object TextOps {
                          AS DOUBLE)
                       / (length(text) - length(replace(text, ' ', '')) + 1)
                       AS stop_ratio
-             FROM documents)"""
+             FROM $rel)"""
+
+  val qualitySql: String = qualitySqlFrom("documents")
 
   /** BPE-ish tokenization: letter runs | digit runs | single punctuation.
     * Same regex class semantics in Java and RE2.

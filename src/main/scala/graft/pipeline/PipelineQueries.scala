@@ -101,6 +101,50 @@ object PipelineQueries {
            SELECT room, day, ${sensors.map(t => s"avg_$t").mkString(", ")},
                   strftime(day, '%Y-%m-%d %H:%M:%S') AS event_ts_min
            FROM a_${sensors.head} $joins"""
+      }),
+
+    // p03: the TRAINING-DATA pipeline end-to-end as one composed plan —
+    // exact dedup (keep min doc_id per content digest) → deterministic 50%
+    // content-hash sample → quality gate (t02's score > 1.1) → per-source
+    // mix report. This is the capstone composition the extension operators
+    // exist for; every stage reuses the exact oracle-checked primitive
+    // (d01's digest dedup, q68's hash sample, t02's score via
+    // TextOps.quality) so the composition is hash-checkable too.
+    //
+    // Scale: ONE shuffle of the corpus (by content digest, which the dedup
+    // needs regardless); sample + quality are per-row on the survivors; the
+    // mix report is a map-side-combined count/sum per source. No stage
+    // materializes an intermediate dataset.
+    Q("p03_training_pipeline",
+      (s, d) => {
+        graft.functions.GraftFunctions.register(s)
+        import org.apache.spark.sql.expressions.Window
+        val deduped = Tables.documents(s, d)
+          .withColumn("keep_id",
+            min("doc_id").over(Window.partitionBy(md5(col("text")))))
+          .filter(col("doc_id") === col("keep_id"))
+          .filter(pmod(expr("graft_poly_hash(text)"), lit(10)) < 5)
+        graft.ext.TextOps.quality(deduped, Seq("source"))
+          .filter(col("quality_score") > 1.1)
+          .groupBy("source")
+          .agg(count(lit(1)).as("n_docs"),
+            sum("n_tokens").as("sum_tokens"))
+      },
+      Some {
+        val poly = graft.ext.PortableHash.duckPoly("text")
+        s"""WITH dedup AS (
+              SELECT doc_id, text, source
+              FROM (SELECT doc_id, text, source,
+                           min(doc_id) OVER (PARTITION BY md5(text))
+                             AS keep_id
+                    FROM documents)
+              WHERE doc_id = keep_id AND $poly % 10 < 5),
+            q AS (${graft.ext.TextOps.qualitySqlFrom("dedup")})
+            SELECT d.source, CAST(count(*) AS BIGINT) AS n_docs,
+                   CAST(sum(q.n_tokens) AS BIGINT) AS sum_tokens
+            FROM q JOIN dedup d ON q.doc_id = d.doc_id
+            WHERE q.quality_score > 1.1
+            GROUP BY d.source"""
       })
   )
 }

@@ -99,6 +99,12 @@ class PlanQualitySpec extends SparkSpec {
     assert(!p.contains("SortMergeJoin"), p)
   }
 
+  test("p03: pipeline composes into 2 exchanges — digest window + partial-agg'd mix report") {
+    val p = planOf("p03_training_pipeline")
+    assert("Exchange hashpartitioning".r.findAllIn(p).size === 2, p)
+    assert(p.contains("partial_count"), p) // mix report combines map-side
+  }
+
   test("q59: KMV sketch aggregates partial -> final (mergeable at scale)") {
     val p = planOf("q59_kmv_sketch")
     assert(p.contains("ObjectHashAggregate"))
