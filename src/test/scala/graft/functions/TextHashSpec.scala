@@ -118,6 +118,20 @@ class TextHashSpec extends AnyFunSuite {
     // empty string: one empty token
     val e = TextHash.repStats(u(""))
     assert((e.getInt(0), e.getInt(1), e.getInt(2), e.getInt(3)) === ((1, 1, 1, 0)))
+    // property: random small-alphabet strings (spaces included, so empty
+    // and repeated tokens occur) against the same naive model
+    locally {
+      import org.scalacheck.{Gen, Prop, Test => SCTest}
+      val gen = Gen.listOf(Gen.oneOf('a', 'b', ' ', ' ')).map(_.mkString)
+      val r = SCTest.check(
+        SCTest.Parameters.default.withMinSuccessfulTests(300),
+        Prop.forAll(gen) { s =>
+          val g = TextHash.repStats(u(s))
+          val (n, uq, tt, tb) = ref(s)
+          (g.getInt(0), g.getInt(1), g.getInt(2), g.getInt(3)) == ((n, uq, tt, tb))
+        })
+      assert(r.passed, r.status.toString)
+    }
   }
 }
 

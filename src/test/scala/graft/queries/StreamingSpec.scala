@@ -140,6 +140,41 @@ class StreamingSpec extends SparkSpec {
       "2024-01-01 01:00:00.0" -> 1L))
   }
 
+  test("foreachBatch dual-sink: archive parquet and serving wire topic see " +
+      "identical rows per epoch (persist once, write twice)") {
+    val s = spark
+    import s.implicits._
+    val srcDir  = Files.createTempDirectory("graft_dual_src").toString
+    val parquetOut = Files.createTempDirectory("graft_dual_parquet").toString
+    val wireOut = Files.createTempDirectory("graft_dual_wire").toString
+    val ckpt    = Files.createTempDirectory("graft_dual_ckpt").toString
+    val rows = (1L to 500L).map(i => (i, i * 2.0, s"v$i"))
+    rows.toDF("id", "qty", "tag").write.mode("overwrite").parquet(srcDir)
+    val schema = rows.take(1).toDF("id", "qty", "tag").schema
+    val q = s.readStream.schema(schema).parquet(srcDir)
+      .writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, epoch: Long) =>
+        // one evaluation, two sinks: the standard serving+archive dual
+        // write — persist so the two writes cannot observe different data
+        batch.persist()
+        batch.write.mode("append").parquet(parquetOut)
+        batch.write.format("graft-wire").mode("append")
+          .option("path", wireOut).save()
+        batch.unpersist()
+        ()
+      }
+      .option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getDouble(1), r.getString(2)))
+        .sortBy(_._1).toSeq
+    val archived = canon(s.read.parquet(parquetOut))
+    val served = canon(s.read.format("graft-wire").schema(schema).load(wireOut))
+    assert(archived === served)
+    assert(archived.size === 500)
+  }
+
   test("KMV sketch state merges across micro-batches bit-identically " +
       "(s15: streamed partial buffers == one-shot batch sketch)") {
     val s = spark
