@@ -169,6 +169,60 @@ object StreamingQ {
     }
   }
 
+  /** Typed rows for the timer-driven sessionizer (s16). */
+  final case class TimerEv(user_id: Long, tsu: Long)
+  final case class TimerSess(user_id: Long, ss_us: Long, se_us: Long,
+      n_events: Long)
+
+  /** s16: event-time TIMERS — the transformWithState surface s12 doesn't
+    * touch: a per-user inactivity sessionizer where the OPEN session is
+    * closed by a registered timer firing when the watermark passes
+    * last_event + gap (the no-data batch under AvailableNow), not by a new
+    * row. Sessions closed intra-batch (a later event > gap after) emit
+    * inline; ONLY the tail session per user rides on its timer, so state is
+    * one (start, last, n) triple + one timer per user — O(users), not
+    * O(events). Timers are re-registered (delete + register) every time the
+    * open session extends, the standard pattern.
+    */
+  final class TimerSessionizer
+      extends StatefulProcessor[Long, TimerEv, TimerSess] {
+    private val gapUs = 1800000000L // 30 minutes in micros
+    @transient private var st: org.apache.spark.sql.streaming.ValueState[(Long, Long, Long)] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      st = getHandle.getValueState[(Long, Long, Long)]("open",
+        org.apache.spark.sql.Encoders.product[(Long, Long, Long)],
+        TTLConfig.NONE)
+
+    override def handleInputRows(key: Long, rows: Iterator[TimerEv],
+        tv: TimerValues): Iterator[TimerSess] = {
+      val sorted = rows.toSeq.map(_.tsu).sorted
+      val out = scala.collection.mutable.ArrayBuffer[TimerSess]()
+      var (ss, last, n) =
+        if (st.exists()) st.get()
+        else (sorted.head, sorted.head - gapUs - 1, 0L) // force new session
+      for (t <- sorted) {
+        if (t - last > gapUs && n > 0) {
+          out += TimerSess(key, ss, last + gapUs, n) // closed by a LATER row
+          ss = t; n = 0L
+        } else if (n == 0) ss = t
+        last = t; n += 1
+      }
+      st.update((ss, last, n))
+      getHandle.deleteTimer((last + gapUs) / 1000) // no-op if absent
+      getHandle.registerTimer((last + gapUs) / 1000)
+      out.iterator
+    }
+
+    override def handleExpiredTimer(key: Long, tv: TimerValues,
+        info: org.apache.spark.sql.streaming.ExpiredTimerInfo): Iterator[TimerSess] = {
+      if (!st.exists()) return Iterator.empty
+      val (ss, last, n) = st.get()
+      st.clear()
+      Iterator.single(TimerSess(key, ss, last + gapUs, n))
+    }
+  }
+
   def transformWithStateRunningMax(s: SparkSession, d: String): DataFrame = {
     s.conf.set("spark.sql.streaming.stateStore.providerClass",
       "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
@@ -598,6 +652,47 @@ object StreamingQ {
                            ELSE 63.0 * 1000000007.0 / CAST(ks[64] AS DOUBLE)
                       END AS est_distinct
                FROM g
-               WHERE ws + INTERVAL 1 HOUR <= (SELECT max(ts) FROM events)"""))
+               WHERE ws + INTERVAL 1 HOUR <= (SELECT max(ts) FROM events)""")),
+
+    // s16: timer-driven sessionization (see TimerSessionizer above) — the
+    // oracle is the s02/q64 gaps-and-islands reconstruction per USER, with
+    // the same emission boundary the timers enforce: a session emits iff
+    // its end (last event + 30 min) is at or before the final watermark.
+    Q("s16_stream_timers",
+      (s, d) => {
+        s.conf.set("spark.sql.streaming.stateStore.providerClass",
+          "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+        try runEventsStream(s, d) { src =>
+          import s.implicits._
+          src.withWatermark("ts", "0 seconds")
+            .select(col("user_id"), unix_micros(col("ts")).as("tsu"))
+            .as[TimerEv]
+            .groupByKey(_.user_id)
+            .transformWithState(new TimerSessionizer,
+              TimeMode.EventTime(), OutputMode.Append())
+            .toDF()
+        } finally s.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      },
+      Some("""WITH t AS (
+                SELECT user_id, ts,
+                       CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id
+                                                    ORDER BY ts)
+                                 > INTERVAL 30 MINUTE
+                            OR LAG(ts) OVER (PARTITION BY user_id
+                                             ORDER BY ts) IS NULL
+                            THEN 1 ELSE 0 END AS ns
+                FROM events),
+              sess AS (
+                SELECT user_id, ts,
+                       SUM(ns) OVER (PARTITION BY user_id ORDER BY ts
+                                     ROWS UNBOUNDED PRECEDING) AS sid
+                FROM t)
+              SELECT user_id,
+                     epoch_us(min(ts)) AS ss_us,
+                     epoch_us(max(ts) + INTERVAL 30 MINUTE) AS se_us,
+                     CAST(COUNT(*) AS BIGINT) AS n_events
+              FROM sess GROUP BY user_id, sid
+              HAVING max(ts) + INTERVAL 30 MINUTE
+                       <= (SELECT max(ts) FROM events)"""))
   )
 }

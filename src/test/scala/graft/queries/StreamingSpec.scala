@@ -6,7 +6,7 @@ import java.sql.Timestamp
 
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.Trigger
+import org.apache.spark.sql.streaming.{OutputMode, TimeMode, Trigger}
 
 import graft.SparkSpec
 
@@ -138,6 +138,66 @@ class StreamingSpec extends SparkSpec {
     assert(multi === Map(     // hour 00 accumulated ACROSS batches a+b (4);
       "2024-01-01 00:00:00.0" -> 4L, // hour 01 emitted (1); 02 withheld
       "2024-01-01 01:00:00.0" -> 1L))
+  }
+
+  test("timer sessionizer: multi-batch run re-registers timers and equals " +
+      "the single-batch result (s16 cross-batch contract)") {
+    val s = spark
+    import s.implicits._
+    s.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val srcDir = Files.createTempDirectory("graft_timer_src").toString
+      def addFile(name: String, mtime: Long, rows: Seq[(Long, Timestamp)]): Unit = {
+        val stage = Files.createTempDirectory("graft_timer_stage").toString
+        rows.toDF("user_id", "ts").coalesce(1).write.mode("overwrite").parquet(stage)
+        val part = new File(stage).listFiles().find(_.getName.endsWith(".parquet")).get
+        val dst = Paths.get(srcDir, s"$name.parquet")
+        Files.move(part.toPath, dst)
+        dst.toFile.setLastModified(mtime)
+      }
+      // user 1's open session EXTENDS across the file boundary (timer must
+      // be deleted + re-registered); user 2's session closes between files.
+      addFile("a", 1700000000000L, Seq(
+        (1L, ts("2024-01-01 00:10:00")), (2L, ts("2024-01-01 00:15:00"))))
+      addFile("b", 1700000060000L, Seq(
+        (1L, ts("2024-01-01 00:30:00")),  // within 30min of 00:10 → extends
+        (2L, ts("2024-01-01 01:30:00")),  // > 30min after 00:15 → closes s1
+        (9L, ts("2024-01-01 03:00:00")))) // advances watermark
+
+      def run(maxFiles: Option[Int]): Set[(Long, Long, Long, Long)] = {
+        val out  = Files.createTempDirectory("graft_timer_out").toString
+        val ckpt = Files.createTempDirectory("graft_timer_ckpt").toString
+        val schema = Seq((1L, ts("2024-01-01 00:00:00"))).toDF("user_id", "ts").schema
+        val reader = s.readStream.schema(schema)
+        maxFiles.foreach(n => reader.option("maxFilesPerTrigger", n))
+        val q = reader.parquet(srcDir)
+          .withWatermark("ts", "0 seconds")
+          .select(col("user_id"), unix_micros(col("ts")).as("tsu"))
+          .as[StreamingQ.TimerEv]
+          .groupByKey(_.user_id)
+          .transformWithState(new StreamingQ.TimerSessionizer,
+            TimeMode.EventTime(), OutputMode.Append())
+          .toDF()
+          .writeStream.format("parquet").outputMode("append")
+          .option("checkpointLocation", ckpt).option("path", out)
+          .trigger(Trigger.AvailableNow()).start()
+        q.awaitTermination()
+        s.read.parquet(out).collect()
+          .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+      }
+
+      val multi = run(Some(1))
+      val single = run(None)
+      assert(multi === single)
+      // user 1: ONE merged session (00:10-00:30, 2 events — the cross-file
+      // extension); user 2: TWO 1-event sessions; user 9's tail is withheld
+      assert(multi.size === 3, multi)
+      assert(multi.filter(_._1 == 1L).map(_._4) === Set(2L))
+      assert(multi.count(_._1 == 2L) === 2)
+      assert(multi.filter(_._1 == 2L).forall(_._4 == 1L))
+      assert(!multi.exists(_._1 == 9L))
+    } finally s.conf.unset("spark.sql.streaming.stateStore.providerClass")
   }
 
   test("foreachBatch dual-sink: archive parquet and serving wire topic see " +
