@@ -223,6 +223,39 @@ object StreamingQ {
     }
   }
 
+  /** Typed rows for the MapState processor (s17). */
+  final case class MapEv(event_id: Long, user_id: Long, event_type: String,
+      tsu: Long)
+  final case class MapOut(event_id: Long, user_id: Long, event_type: String,
+      n_type: Long)
+
+  /** s17: MapState — the third arbitrary-state primitive (s12 ValueState,
+    * s16 timers): a per-user map of event_type → running count, updated
+    * point-wise. The state-store contract is per-ENTRY get/put (RocksDB key
+    * = grouping key + user map key), so a hot user with many types never
+    * deserializes the whole map — the property that separates MapState from
+    * a ValueState[Map] at 100 TB.
+    */
+  final class TypeCountProcessor
+      extends StatefulProcessor[Long, MapEv, MapOut] {
+    @transient private var st: org.apache.spark.sql.streaming.MapState[String, Long] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      st = getHandle.getMapState[String, Long]("byType",
+        org.apache.spark.sql.Encoders.STRING,
+        org.apache.spark.sql.Encoders.scalaLong, TTLConfig.NONE)
+
+    override def handleInputRows(key: Long, rows: Iterator[MapEv],
+        tv: TimerValues): Iterator[MapOut] = {
+      rows.toSeq.sortBy(e => (e.tsu, e.event_id)).map { e =>
+        val n = (if (st.containsKey(e.event_type)) st.getValue(e.event_type)
+                 else 0L) + 1L
+        st.updateValue(e.event_type, n)
+        MapOut(e.event_id, key, e.event_type, n)
+      }.iterator
+    }
+  }
+
   def transformWithStateRunningMax(s: SparkSession, d: String): DataFrame = {
     s.conf.set("spark.sql.streaming.stateStore.providerClass",
       "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
@@ -693,6 +726,29 @@ object StreamingQ {
                      CAST(COUNT(*) AS BIGINT) AS n_events
               FROM sess GROUP BY user_id, sid
               HAVING max(ts) + INTERVAL 30 MINUTE
-                       <= (SELECT max(ts) FROM events)"""))
+                       <= (SELECT max(ts) FROM events)""")),
+
+    // s17: MapState per-(user, event_type) running counts (see
+    // TypeCountProcessor above); oracle = row_number per (user, type).
+    Q("s17_stream_mapstate",
+      (s, d) => {
+        s.conf.set("spark.sql.streaming.stateStore.providerClass",
+          "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+        try runEventsStream(s, d) { src =>
+          import s.implicits._
+          src.select(col("event_id"), col("user_id"), col("event_type"),
+              unix_micros(col("ts")).as("tsu"))
+            .as[MapEv]
+            .groupByKey(_.user_id)
+            .transformWithState(new TypeCountProcessor,
+              TimeMode.None(), OutputMode.Append())
+            .toDF()
+        } finally s.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      },
+      Some("""SELECT event_id, user_id, event_type,
+                     CAST(ROW_NUMBER() OVER (PARTITION BY user_id, event_type
+                                             ORDER BY ts, event_id) AS BIGINT)
+                       AS n_type
+              FROM events"""))
   )
 }
