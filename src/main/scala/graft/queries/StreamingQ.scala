@@ -256,6 +256,41 @@ object StreamingQ {
     }
   }
 
+  /** Typed rows for the ListState processor (s18). */
+  final case class ListEv(event_id: Long, user_id: Long, tsu: Long)
+  final case class ListOut(event_id: Long, user_id: Long,
+      prev1: Long, prev2: Long, prev3: Long)
+
+  /** s18: ListState — the last arbitrary-state primitive (s12 ValueState,
+    * s16 timers, s17 MapState): a per-user bounded deque of the 3 most
+    * recent event ids, emitted as each event's look-back context (the
+    * feature-engineering shape: "previous k actions" without a window
+    * shuffle). appendValue is the log-structured fast path; the bound is
+    * enforced by rewriting the list only when it exceeds k — amortized O(1)
+    * per event, state O(k·users).
+    */
+  final class RecentEventsProcessor
+      extends StatefulProcessor[Long, ListEv, ListOut] {
+    private val k = 3
+    @transient private var st: org.apache.spark.sql.streaming.ListState[Long] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      st = getHandle.getListState[Long]("recent",
+        org.apache.spark.sql.Encoders.scalaLong, TTLConfig.NONE)
+
+    override def handleInputRows(key: Long, rows: Iterator[ListEv],
+        tv: TimerValues): Iterator[ListOut] = {
+      var recent = st.get().toList // oldest-first, at most k long
+      val out = rows.toSeq.sortBy(e => (e.tsu, e.event_id)).map { e =>
+        val look = recent.reverse.padTo(k, -1L) // newest-first, -1 pads
+        recent = (recent :+ e.event_id).takeRight(k)
+        ListOut(e.event_id, key, look(0), look(1), look(2))
+      }
+      st.put(recent.toArray) // rewrite once per batch, k elements
+      out.iterator
+    }
+  }
+
   def transformWithStateRunningMax(s: SparkSession, d: String): DataFrame = {
     s.conf.set("spark.sql.streaming.stateStore.providerClass",
       "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
@@ -749,6 +784,30 @@ object StreamingQ {
                      CAST(ROW_NUMBER() OVER (PARTITION BY user_id, event_type
                                              ORDER BY ts, event_id) AS BIGINT)
                        AS n_type
-              FROM events"""))
+              FROM events""")),
+
+    // s18: ListState bounded look-back (see RecentEventsProcessor above);
+    // oracle = lag(1..3) with -1 defaults per user.
+    Q("s18_stream_liststate",
+      (s, d) => {
+        s.conf.set("spark.sql.streaming.stateStore.providerClass",
+          "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+        try runEventsStream(s, d) { src =>
+          import s.implicits._
+          src.select(col("event_id"), col("user_id"),
+              unix_micros(col("ts")).as("tsu"))
+            .as[ListEv]
+            .groupByKey(_.user_id)
+            .transformWithState(new RecentEventsProcessor,
+              TimeMode.None(), OutputMode.Append())
+            .toDF()
+        } finally s.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      },
+      Some("""SELECT event_id, user_id,
+                     coalesce(lag(event_id, 1) OVER w, -1) AS prev1,
+                     coalesce(lag(event_id, 2) OVER w, -1) AS prev2,
+                     coalesce(lag(event_id, 3) OVER w, -1) AS prev3
+              FROM events
+              WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)"""))
   )
 }
