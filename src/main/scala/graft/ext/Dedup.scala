@@ -127,14 +127,22 @@ object Dedup {
     * same input reuse one compact cache entry (9 longs/doc) rather than
     * accumulating copies, and d05 reuses d03's signatures for free.
     */
-  def lshPairs(docs: DataFrame): DataFrame = {
-    val sig = minhash(docs).persist()
+  /** Signature rows exploded to (doc_id, band, h1, h2) — the ONE place the
+    * LSH banding layout is encoded (d03/d05/d09/d10 pair generation and
+    * d11's incremental probe all join on these columns).
+    */
+  private def bandedSignatures(sig: DataFrame): DataFrame = {
     val bandStructs = bands.zipWithIndex.map { case ((x, y), i) =>
       struct(lit(i).as("band"), col(s"mh$x").as("h1"), col(s"mh$y").as("h2"))
     }
-    val banded = sig
+    sig
       .select(col("doc_id"), explode(array(bandStructs: _*)).as("b"))
       .select(col("doc_id"), col("b.band"), col("b.h1"), col("b.h2"))
+  }
+
+  def lshPairs(docs: DataFrame): DataFrame = {
+    val sig = minhash(docs).persist()
+    val banded = bandedSignatures(sig)
     val a = banded.toDF("doc_a", "band_a", "h1a", "h2a")
     // shuffle_hash hint: at 100 TB the signature relation is TB-scale, so
     // AQE's broadcast choice (valid only at toy SF) is the wrong plan shape
@@ -355,12 +363,7 @@ object Dedup {
     */
   def incrementalKeep(docs: DataFrame): DataFrame = {
     val sig = minhash(docs).persist()
-    val bandStructs = bands.zipWithIndex.map { case ((x, y), i) =>
-      struct(lit(i).as("band"), col(s"mh$x").as("h1"), col(s"mh$y").as("h2"))
-    }
-    val banded = sig
-      .select(col("doc_id"), explode(array(bandStructs: _*)).as("b"))
-      .select(col("doc_id"), col("b.band"), col("b.h1"), col("b.h2"))
+    val banded = bandedSignatures(sig)
     val oldB = banded.filter(col("doc_id") % 10 < 8)
       .select(col("band").as("band_o"), col("h1").as("h1o"),
         col("h2").as("h2o")).hint("shuffle_hash")

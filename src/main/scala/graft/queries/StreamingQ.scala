@@ -198,8 +198,14 @@ object StreamingQ {
         tv: TimerValues): Iterator[TimerSess] = {
       val sorted = rows.toSeq.map(_.tsu).sorted
       val out = scala.collection.mutable.ArrayBuffer[TimerSess]()
+      val hadState = st.exists()
+      // The PREVIOUS batch registered a timer at oldLast + gap; capture it
+      // before this batch moves `last`, or the stale timer survives and
+      // fires mid-session (emitting the open session and splitting what the
+      // oracle merges).
+      val staleTimerMs = if (hadState) (st.get()._2 + gapUs) / 1000 else -1L
       var (ss, last, n) =
-        if (st.exists()) st.get()
+        if (hadState) st.get()
         else (sorted.head, sorted.head - gapUs - 1, 0L) // force new session
       for (t <- sorted) {
         if (t - last > gapUs && n > 0) {
@@ -209,7 +215,13 @@ object StreamingQ {
         last = t; n += 1
       }
       st.update((ss, last, n))
-      getHandle.deleteTimer((last + gapUs) / 1000) // no-op if absent
+      if (hadState) getHandle.deleteTimer(staleTimerMs)
+      // ms truncation: the timer (and Spark's watermark) carry millisecond
+      // resolution while session ends are micros — a tail session ending in
+      // the SAME millisecond as max(ts) but after it can emit early. That is
+      // the state-store API's granularity, shared by Spark's own
+      // session_window internals; with microsecond-random event times the
+      // collision probability is ~0 and the oracle boundary stays exact.
       getHandle.registerTimer((last + gapUs) / 1000)
       out.iterator
     }
@@ -235,6 +247,14 @@ object StreamingQ {
     * = grouping key + user map key), so a hot user with many types never
     * deserializes the whole map — the property that separates MapState from
     * a ValueState[Map] at 100 TB.
+    *
+    * Ordering contract (same as s04/s12's running counters): rows sort by
+    * event time WITHIN a batch and state carries order ACROSS batches, so
+    * the running counts equal the oracle's global event-time ROW_NUMBER as
+    * long as batch boundaries are event-time monotonic — true for the
+    * replayed topic here (files arrive in time order) and for any
+    * log-structured source; out-of-order delivery needs s16-style
+    * watermark+timer buffering instead.
     */
   final class TypeCountProcessor
       extends StatefulProcessor[Long, MapEv, MapOut] {
@@ -267,7 +287,8 @@ object StreamingQ {
     * feature-engineering shape: "previous k actions" without a window
     * shuffle). appendValue is the log-structured fast path; the bound is
     * enforced by rewriting the list only when it exceeds k — amortized O(1)
-    * per event, state O(k·users).
+    * per event, state O(k·users). Same cross-batch ordering contract as s17
+    * (batch boundaries event-time monotonic).
     */
   final class RecentEventsProcessor
       extends StatefulProcessor[Long, ListEv, ListOut] {

@@ -114,7 +114,9 @@ class ExtSpec extends SparkSpec {
   }
 
   test("incremental dedup admits exactly the new docs with no old band-collision") {
-    // doc 18 is a near-dup of old doc 1; doc 19 is novel; doc 8 IS old.
+    // old = doc_id % 10 < 8 (docs 1, 2); new = the rest (18, 19, 28).
+    // 18 duplicates old doc 1 and 28 duplicates old doc 2 → both dropped;
+    // 19 is novel → admitted.
     val snap = Seq(
       (1L, "the quick brown fox jumps over the lazy dog"),
       (2L, "some unrelated snapshot document body here"),
@@ -123,7 +125,7 @@ class ExtSpec extends SparkSpec {
       (28L, "some unrelated snapshot document body here")
     ).toDF("doc_id", "text")
     val kept = Dedup.incrementalKeep(snap).as[Long].collect().toSet
-    assert(kept === Set(19L)) // 18 and 28 collide with old 1 and 2; 8s are old
+    assert(kept === Set(19L))
   }
 
   test("normalize: unchanged text flags 0, punctuation/case/space runs flag 1, idempotent") {

@@ -156,14 +156,20 @@ class StreamingSpec extends SparkSpec {
         Files.move(part.toPath, dst)
         dst.toFile.setLastModified(mtime)
       }
-      // user 1's open session EXTENDS across the file boundary (timer must
-      // be deleted + re-registered); user 2's session closes between files.
+      // user 1's open session EXTENDS across TWO file boundaries; file b's
+      // watermark (00:45) passes user 1's FIRST timer (00:10+30m=00:40), so
+      // a stale timer that wasn't deleted on extension would fire mid-
+      // session and split what the oracle merges — the regression this spec
+      // pins. User 2's session closes between files the ordinary way.
       addFile("a", 1700000000000L, Seq(
         (1L, ts("2024-01-01 00:10:00")), (2L, ts("2024-01-01 00:15:00"))))
       addFile("b", 1700000060000L, Seq(
         (1L, ts("2024-01-01 00:30:00")),  // within 30min of 00:10 → extends
         (2L, ts("2024-01-01 01:30:00")),  // > 30min after 00:15 → closes s1
-        (9L, ts("2024-01-01 03:00:00")))) // advances watermark
+        (9L, ts("2024-01-01 00:45:00")))) // watermark past the stale timer
+      addFile("c", 1700000120000L, Seq(
+        (1L, ts("2024-01-01 00:50:00")),  // extends again (30min of 00:30)
+        (9L, ts("2024-01-01 03:00:00")))) // final watermark drains timers
 
       def run(maxFiles: Option[Int]): Set[(Long, Long, Long, Long)] = {
         val out  = Files.createTempDirectory("graft_timer_out").toString
@@ -190,13 +196,15 @@ class StreamingSpec extends SparkSpec {
       val multi = run(Some(1))
       val single = run(None)
       assert(multi === single)
-      // user 1: ONE merged session (00:10-00:30, 2 events — the cross-file
-      // extension); user 2: TWO 1-event sessions; user 9's tail is withheld
-      assert(multi.size === 3, multi)
-      assert(multi.filter(_._1 == 1L).map(_._4) === Set(2L))
+      // user 1: ONE merged session (00:10→00:50, 3 events, extended across
+      // both boundaries — a stale timer would have split it at 00:40);
+      // user 2: TWO 1-event sessions; user 9: 00:45 session emitted, tail
+      // at 03:00 withheld (open).
+      assert(multi.size === 4, multi)
+      assert(multi.filter(_._1 == 1L).map(_._4) === Set(3L), multi)
       assert(multi.count(_._1 == 2L) === 2)
       assert(multi.filter(_._1 == 2L).forall(_._4 == 1L))
-      assert(!multi.exists(_._1 == 9L))
+      assert(multi.count(_._1 == 9L) === 1)
     } finally s.conf.unset("spark.sql.streaming.stateStore.providerClass")
   }
 
