@@ -502,6 +502,36 @@ object DedupQueries {
       (s, d) => Dedup.bestPerCluster(Tables.documents(s, d)),
       Some(Dedup.bestPerClusterSql)),
 
+    // d12: canonicalized dedup survivor MAP — the join-ready artifact a
+    // pipeline filters the corpus with. Canonical key = digest of the
+    // t07 normalization (lowercase, strip sentence punctuation, collapse
+    // spaces), so trivial variants d01's raw digest misses collapse too.
+    // ONE shuffle: a window-min over the 16-byte key assigns every row its
+    // group survivor in place (no groupBy + join-back second exchange); the
+    // shuffle carries (doc_id, digest), never document text — at 100 TB
+    // that's ~24 bytes/doc.
+    Q("d12_dedup_canonical",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val norm = trim(regexp_replace(
+          regexp_replace(lower(col("text")), "[.,!?;:]", ""), " +", " "))
+        Tables.documents(s, d)
+          .select(col("doc_id"), md5(norm).as("canon_h"))
+          .withColumn("survivor_id",
+            min("doc_id").over(Window.partitionBy("canon_h")))
+          .withColumn("is_dup",
+            when(col("doc_id") === col("survivor_id"), 0).otherwise(1))
+      },
+      Some("""SELECT doc_id, canon_h,
+                     min(doc_id) OVER (PARTITION BY canon_h) AS survivor_id,
+                     CAST(CASE WHEN doc_id = min(doc_id) OVER
+                                 (PARTITION BY canon_h)
+                               THEN 0 ELSE 1 END AS INT) AS is_dup
+              FROM (SELECT doc_id,
+                           md5(trim(regexp_replace(regexp_replace(lower(text),
+                             '[.,!?;:]', '', 'g'), ' +', ' ', 'g'))) AS canon_h
+                    FROM documents)""")),
+
     // Incremental (snapshot + new batch) dedup admission.
     Q("d11_dedup_incremental",
       (s, d) => Dedup.incrementalKeep(Tables.documents(s, d)),

@@ -274,6 +274,47 @@ object TextOps {
     docs.select(col("doc_id"), expr("graft_poly_hash(text)").as("fp"))
   }
 
+  /** t09: blocklist scrub — lexicon-based redaction, the shape of a PII /
+    * contamination scrub pass in a training-data pipeline (mask every
+    * blocklisted term, keep per-term hit counts for the removal report).
+    * One codegen'd regexp pass per row, shuffle-free. `\b` is the ASCII
+    * word boundary in both Java regex and RE2, so engine and oracle agree
+    * on match positions; counts use the same pattern via
+    * `regexp_extract_all`, so count and replacement can't drift apart.
+    */
+  val blocklist: Seq[String] = Seq("customer", "spark", "vector")
+
+  private val blockPat = s"\\b(${blocklist.mkString("|")})\\b"
+
+  def blocklistScrub(docs: DataFrame): DataFrame = {
+    val scrub = regexp_replace(col("text"), blockPat, "<MASK>")
+    // expr() goes through the SQL parser, whose string literals treat \b as
+    // backspace — double the backslashes so the regex engine sees \b.
+    def extractAll(pat: String) =
+      expr(s"regexp_extract_all(text, '${pat.replace("\\", "\\\\")}', 0)")
+    val perTerm = blocklist.map { t =>
+      size(extractAll(s"\\b$t\\b")).as(s"n_$t")
+    }
+    docs.select(
+      (col("doc_id") +: perTerm) ++ Seq(
+        size(extractAll(blockPat)).as("n_hits"),
+        md5(scrub).as("scrub_h"),
+        length(scrub).as("n_scrub_chars")): _*)
+  }
+
+  val blocklistScrubSql: String = {
+    val perTerm = blocklist.map { t =>
+      s"CAST(len(regexp_extract_all(text, '\\b$t\\b')) AS INT) AS n_$t"
+    }.mkString(",\n              ")
+    s"""SELECT doc_id,
+              $perTerm,
+              CAST(len(regexp_extract_all(text, '$blockPat')) AS INT) AS n_hits,
+              md5(regexp_replace(text, '$blockPat', '<MASK>', 'g')) AS scrub_h,
+              CAST(length(regexp_replace(text, '$blockPat', '<MASK>', 'g'))
+                   AS INT) AS n_scrub_chars
+       FROM documents"""
+  }
+
   val fingerprintSql: String =
     """SELECT doc_id,
               CAST(list_reduce(
@@ -314,6 +355,10 @@ object TextQueries {
     // corpus-level discipline at token granularity). In-row dedup first, so
     // the one shuffle carries each (doc, token) once; the corpus size joins
     // in as a broadcast scalar.
+    Q("t09_blocklist_scrub",
+      (s, d) => TextOps.blocklistScrub(Tables.documents(s, d)),
+      Some(TextOps.blocklistScrubSql)),
+
     Q("t08_doc_freq",
       (s, d) => {
         val docs = Tables.documents(s, d)
