@@ -336,6 +336,37 @@ object SimilarityQueries {
 
     Q("x06_ann_recall",
       (s, d) => Similarity.annRecall(Tables.embeddings(s, d)),
-      Some(Similarity.annRecallSql()))
+      Some(Similarity.annRecallSql())),
+
+    // x07: kNN JOIN — k nearest corpus vectors for EVERY query in a query
+    // set at once (the retrieval / near-dup-vs-eval workload; x01 is the
+    // one-query special case). Broadcast the tiny query side, score per
+    // (corpus row × query) map-side, then the custom TopKPerKey operator
+    // keeps k per query BEFORE the exchange — the shuffle carries ≤
+    // |queries|·k rows per input partition, never the |corpus|·|queries|
+    // scored cross product a window-rank plan would ship.
+    Q("x07_knn_join",
+      (s, d) => {
+        graft.functions.GraftFunctions.register(s)
+        val emb = Tables.embeddings(s, d)
+        val q = emb.orderBy("vec_id").limit(8)
+          .select(col("vec_id").as("q_id"), col("embedding").as("qe"))
+        val scored = emb.crossJoin(broadcast(q))
+          .filter(col("vec_id") =!= col("q_id"))
+          .withColumn("cos_sim", expr("graft_cos(embedding, qe)"))
+          .select("q_id", "vec_id", "label", "cos_sim")
+        graft.plans.TopKPerKey(scored, keys = Seq("q_id"),
+          orderBy = Seq(("cos_sim", false), ("vec_id", true)), k = 5)
+      },
+      Some(s"""WITH q AS (SELECT vec_id AS q_id, embedding AS qe
+                          FROM embeddings ORDER BY vec_id LIMIT 8),
+                    scored AS (SELECT q.q_id, e.vec_id, e.label,
+                                      ${Similarity.duckCos("e.embedding", "q.qe")}
+                                        AS cos_sim
+                               FROM embeddings e, q WHERE e.vec_id <> q.q_id)
+               SELECT q_id, vec_id, label, cos_sim FROM (
+                 SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id
+                             ORDER BY cos_sim DESC, vec_id) AS rn
+                 FROM scored) WHERE rn <= 5"""))
   )
 }
