@@ -964,6 +964,43 @@ object Extended {
                 ON (CASE WHEN event_id % 3 = 0 THEN 7
                          ELSE user_id % 25 END) = n_nationkey""")),
 
+    // q76: runtime bloom-filter semi-join reduction — Spark's
+    // InjectRuntimeFilter builds a bloom filter over the join keys of the
+    // SELECTIVE side (urgent orders) and pushes might_contain(l_orderkey)
+    // into the fact scan, so most lineitem rows die before the shuffle.
+    // This is THE 100 TB pattern for a selective dim join that is too big
+    // to broadcast. Runs in a scoped newSession(): the injection thresholds
+    // (application-side ≥ 10 GB, no broadcast) are sized for real clusters,
+    // so to exercise the rule at test SF we drop them there without
+    // leaking plan-shape confs into the shared catalog session. The bloom
+    // filter is a physical reduction only — the result must equal the
+    // plain join bit-for-bit (the oracle runs the plain join).
+    Q("q76_bloom_prune_join",
+      (s, d) => {
+        val s2 = s.newSession()
+        s2.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        s2.conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
+        s2.conf.set(
+          "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+          "0")
+        val o = Tables.orders(s2, d)
+          .filter(col("o_orderpriority") === "1-URGENT")
+        Tables.lineitem(s2, d)
+          .join(o, col("l_orderkey") === col("o_orderkey"))
+          .groupBy("l_returnflag")
+          .agg(count(lit(1)).as("n_lines"),
+            sum(dec12(col("l_extendedprice"))
+              * (lit(1) - dec12(col("l_discount"))))
+              .cast("double").as("urgent_revenue"))
+      },
+      Some("""SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n_lines,
+                     CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+                              * (1 - CAST(l_discount AS DECIMAL(12,2))))
+                          AS DOUBLE) AS urgent_revenue
+              FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+              WHERE o_orderpriority = '1-URGENT'
+              GROUP BY l_returnflag""")),
+
     // Genuine CSV sink + source roundtrip (S1/K-family): write with header,
     // read back with the DECLARED schema (inference banned, SURVEY §1.3).
     Q("q38_csv_roundtrip",

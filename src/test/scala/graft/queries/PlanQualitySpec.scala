@@ -57,6 +57,30 @@ class PlanQualitySpec extends SparkSpec {
     assert(!p.contains("Window"))
   }
 
+  test("q76: runtime bloom filter prunes the fact side before the shuffle") {
+    // Built on a scoped newSession with the injection thresholds dropped
+    // (the catalog lambda does this itself), so the executed plan must show
+    // the bloom build on the selective orders side and the pushed
+    // might_contain probe on the lineitem side.
+    val p = planOf("q76_bloom_prune_join")
+    assert(p.contains("bloom_filter_agg"))
+    assert(p.contains("might_contain"))
+  }
+
+  test("d12: canonical dedup map is ONE exchange (window-min, no join-back)") {
+    val p = planOf("d12_dedup_canonical")
+    assert("Exchange hashpartitioning".r.findAllIn(p).size === 1)
+    assert(!p.contains("Join"))
+  }
+
+  test("x07: kNN join keeps k per query before the exchange — no window sort") {
+    val p = planOf("x07_knn_join")
+    assert(p.contains("TopKPartial"))
+    assert(p.contains("TopKFinal"))
+    assert(!p.contains("Window"))
+    assert(p.contains("BroadcastNestedLoopJoin")) // tiny query side broadcast
+  }
+
   test("d03: signature self-join is a shuffled hash join, not a broadcast") {
     // At 100 TB the signature relation is TB-scale: AQE's broadcast choice
     // is only valid at toy SF, so the plan pins the scale-honest shape.
