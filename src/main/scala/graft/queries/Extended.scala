@@ -1001,6 +1001,38 @@ object Extended {
               WHERE o_orderpriority = '1-URGENT'
               GROUP BY l_returnflag""")),
 
+    // q77: z-order clustered layout ([[graft.operators.ZOrder]]) — write
+    // lineitem range-partitioned + sorted by z(l_partkey, l_suppkey), then
+    // answer a 2-D box predicate from the clustered copy. The z-value is
+    // layout-only (queries still filter the natural columns); pruning comes
+    // from the tight per-file min/max stats the clustering induces, pinned
+    // quantitatively in LayoutSpec. Result must equal the plain filter on
+    // the original table (the oracle) — clustering is physical, not
+    // semantic.
+    Q("q77_zorder_scan",
+      (s, d) => {
+        val tmp = Scratch.dir("graft_q77_zorder")
+        Tables.lineitem(s, d)
+          .withColumn("zval",
+            // ×20 scales suppkey (0..99) onto partkey's 0..1999 magnitude
+            // so both dimensions contribute to the top z bits (see ZOrder).
+            graft.operators.ZOrder.zValue(col("l_partkey"),
+              col("l_suppkey") * lit(20)))
+          .repartitionByRange(8, col("zval"))
+          .sortWithinPartitions("zval")
+          .write.mode("overwrite").parquet(tmp)
+        s.read.parquet(tmp)
+          .filter(col("l_partkey").between(50, 149) &&
+            col("l_suppkey").between(2, 5))
+          .select("l_orderkey", "l_linenumber", "l_partkey", "l_suppkey",
+            "l_quantity")
+      },
+      Some("""SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey,
+                     l_quantity
+              FROM lineitem
+              WHERE l_partkey BETWEEN 50 AND 149
+                AND l_suppkey BETWEEN 2 AND 5""")),
+
     // Genuine CSV sink + source roundtrip (S1/K-family): write with header,
     // read back with the DECLARED schema (inference banned, SURVEY §1.3).
     Q("q38_csv_roundtrip",
