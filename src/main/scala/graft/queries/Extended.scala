@@ -1033,6 +1033,60 @@ object Extended {
               WHERE l_partkey BETWEEN 50 AND 149
                 AND l_suppkey BETWEEN 2 AND 5""")),
 
+    // q78: CDC MERGE (upsert + delete) — apply a change batch to a base
+    // snapshot: updates repriced (+100) for o_orderkey%10=3, inserts keyed
+    // above the base domain for %100=7, deletes for %10=4. Latest version
+    // per key wins (row_number over version desc), then delete markers drop.
+    // ONE exchange on the merge key; at 100 TB the same plan runs as a
+    // co-located merge when base and changes share bucketing on the key,
+    // and version-picking stays a narrow per-key window either way.
+    Q("q78_cdc_upsert",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val base = Tables.orders(s, d)
+          .select("o_orderkey", "o_orderstatus", "o_totalprice")
+          .withColumn("op", lit("U")).withColumn("v", lit(0))
+        val updates = Tables.orders(s, d)
+          .filter(col("o_orderkey") % 10 === 3)
+          .select(col("o_orderkey"), col("o_orderstatus"),
+            (col("o_totalprice") + lit(100.0)).as("o_totalprice"))
+          .withColumn("op", lit("U")).withColumn("v", lit(1))
+        val inserts = Tables.orders(s, d)
+          .filter(col("o_orderkey") % 100 === 7)
+          .select((col("o_orderkey") + lit(10000000L)).as("o_orderkey"),
+            col("o_orderstatus"), col("o_totalprice"))
+          .withColumn("op", lit("U")).withColumn("v", lit(1))
+        val deletes = Tables.orders(s, d)
+          .filter(col("o_orderkey") % 10 === 4)
+          .select("o_orderkey", "o_orderstatus", "o_totalprice")
+          .withColumn("op", lit("D")).withColumn("v", lit(1))
+        base.unionByName(updates).unionByName(inserts).unionByName(deletes)
+          .withColumn("rn", row_number().over(
+            Window.partitionBy("o_orderkey").orderBy(col("v").desc)))
+          .filter(col("rn") === 1 && col("op") =!= "D")
+          .select("o_orderkey", "o_orderstatus", "o_totalprice", "v")
+      },
+      Some("""WITH changes AS (
+                SELECT o_orderkey, o_orderstatus, o_totalprice + 100.0
+                         AS o_totalprice, 'U' AS op, 1 AS v
+                FROM orders WHERE o_orderkey % 10 = 3
+                UNION ALL
+                SELECT o_orderkey + 10000000, o_orderstatus, o_totalprice,
+                       'U', 1
+                FROM orders WHERE o_orderkey % 100 = 7
+                UNION ALL
+                SELECT o_orderkey, o_orderstatus, o_totalprice, 'D', 1
+                FROM orders WHERE o_orderkey % 10 = 4),
+              merged AS (
+                SELECT *, ROW_NUMBER() OVER (PARTITION BY o_orderkey
+                                             ORDER BY v DESC) AS rn
+                FROM (SELECT o_orderkey, o_orderstatus, o_totalprice,
+                             'U' AS op, 0 AS v FROM orders
+                      UNION ALL SELECT * FROM changes))
+              SELECT o_orderkey, o_orderstatus, o_totalprice,
+                     CAST(v AS INT) AS v
+              FROM merged WHERE rn = 1 AND op <> 'D'""")),
+
     // Genuine CSV sink + source roundtrip (S1/K-family): write with header,
     // read back with the DECLARED schema (inference banned, SURVEY §1.3).
     Q("q38_csv_roundtrip",
