@@ -743,6 +743,40 @@ object StreamingQ {
                FROM g
                WHERE ws + INTERVAL 1 HOUR <= (SELECT max(ts) FROM events)""")),
 
+    // s19: CHAINED windowed aggregations — 15-minute quarters roll up into
+    // hourly stats in ONE streaming query (two stateful operators back to
+    // back; Spark propagates the watermark through the first agg, so the
+    // hourly agg sees finalized quarters only). The 100 TB shape for
+    // multi-resolution dashboards: the second state store holds one row
+    // per emitted quarter, never raw events. Append mode emits an hour
+    // once the watermark passes its end; with delay 0 that is every hour
+    // whose end <= max(ts) — the oracle encodes the same boundary.
+    Q("s19_stream_rollup",
+      (s, d) => runEventsStream(s, d) { src =>
+        src.withWatermark("ts", "0 seconds")
+          .groupBy(window(col("ts"), "15 minutes"))
+          .agg(count(lit(1)).as("q_events"))
+          .groupBy(window(col("window"), "1 hour"))
+          .agg(count(lit(1)).as("n_quarters"),
+            max("q_events").as("peak_quarter_events"),
+            sum("q_events").as("total_events"))
+          .select(col("window.start").as("ws"), col("n_quarters"),
+            col("peak_quarter_events"), col("total_events"))
+      },
+      Some("""WITH q AS (
+                SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS ws,
+                       make_timestamp((epoch_us(ts) // 900000000)
+                                      * 900000000) AS qs,
+                       CAST(COUNT(*) AS BIGINT) AS q_events
+                FROM events GROUP BY 1, 2)
+              SELECT ws, CAST(COUNT(*) AS BIGINT) AS n_quarters,
+                     max(q_events) AS peak_quarter_events,
+                     CAST(SUM(q_events) AS BIGINT) AS total_events
+              FROM q
+              GROUP BY ws
+              HAVING ws + INTERVAL 1 HOUR <= (SELECT max(ts) FROM events)"""))
+      ,
+
     // s16: timer-driven sessionization (see TimerSessionizer above) — the
     // oracle is the s02/q64 gaps-and-islands reconstruction per USER, with
     // the same emission boundary the timers enforce: a session emits iff
