@@ -103,6 +103,21 @@ object PipelineQueries {
            FROM a_${sensors.head} $joins"""
       }),
 
+    // p04: small-file COMPACTION — the table-maintenance op every 100 TB
+    // lake needs: a 64-small-file layout (here manufactured from documents;
+    // in production the residue of many streaming micro-batch commits)
+    // rewrites into few large range-clustered files. repartitionByRange +
+    // sortWithinPartitions(doc_id) gives disjoint per-file key ranges, so
+    // post-compaction point/range reads prune to one file via parquet
+    // min/max stats (pinned in PipelineSpec). Content must be bit-identical
+    // to the source — compaction is layout-only; the oracle reads the
+    // original table.
+    Q("p04_compaction",
+      (s, d) => Compaction.smallThenCompact(s, Tables.documents(s, d),
+        graft.util.Scratch.dir("graft_p04_small"),
+        graft.util.Scratch.dir("graft_p04_compact")),
+      Some("SELECT doc_id, text, lang, source, n_chars FROM documents")),
+
     // p03: the TRAINING-DATA pipeline end-to-end as one composed plan —
     // exact dedup (keep min doc_id per content digest) → deterministic 50%
     // content-hash sample → quality gate (t02's score > 1.1) → per-source
@@ -147,4 +162,20 @@ object PipelineQueries {
             GROUP BY d.source"""
       })
   )
+}
+
+/** p04's compaction pass, factored so PipelineSpec can pin the file-count
+  * and range-disjointness layout properties on the same code path.
+  */
+object Compaction {
+  def smallThenCompact(s: org.apache.spark.sql.SparkSession,
+      docs: org.apache.spark.sql.DataFrame,
+      small: String, compact: String): org.apache.spark.sql.DataFrame = {
+    docs.repartition(64).write.mode("overwrite").parquet(small)
+    s.read.parquet(small)
+      .repartitionByRange(4, col("doc_id"))
+      .sortWithinPartitions("doc_id")
+      .write.mode("overwrite").parquet(compact)
+    s.read.parquet(compact)
+  }
 }
