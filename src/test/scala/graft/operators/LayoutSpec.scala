@@ -50,9 +50,16 @@ class LayoutSpec extends SparkSpec {
       (perFile.getDouble(0), perFile.getDouble(1), perFile.getLong(2))
     assert(nFiles >= 8)
     // Global spans at sf0.01: l_partkey 0..1999, l_suppkey 0..99. An
-    // unclustered write leaves every file spanning ~the full domain; the
-    // 8-way z-layout must cut the average file's span on BOTH dimensions.
-    assert(avgPk < 2000 * 0.6, s"partkey span not tightened: $avgPk")
-    assert(avgSk < 100 * 0.6, s"suppkey span not tightened: $avgSk")
+    // unclustered write leaves every file spanning ~the full 2-D domain
+    // (area ratio ~1.0). The 8-way z-layout must shrink the average file's
+    // key-space BOX to a fraction of the domain, with some tightening on
+    // EACH dimension (exact per-dimension splits depend on where the
+    // range-sampler lands relative to bit boundaries, so the per-dim bound
+    // is loose and the area bound carries the assertion).
+    val areaRatio = (avgPk / 2000.0) * (avgSk / 100.0)
+    assert(areaRatio < 0.25, s"file box area not shrunk: $areaRatio " +
+      s"(pk=$avgPk, sk=$avgSk)")
+    assert(avgPk < 2000 * 0.9, s"partkey span not tightened: $avgPk")
+    assert(avgSk < 100 * 0.9, s"suppkey span not tightened: $avgSk")
   }
 }
