@@ -532,6 +532,49 @@ object DedupQueries {
                              '[.,!?;:]', '', 'g'), ' +', ' ', 'g'))) AS canon_h
                     FROM documents)""")),
 
+    // d13: benchmark DECONTAMINATION — flag corpus documents sharing any
+    // word-5-gram with an eval set (here the 25 lowest doc_ids), reporting
+    // the distinct shared-gram count per contaminated doc. The canonical
+    // train/test-leak scrub: eval grams are tiny and BROADCAST, corpus
+    // grams come from the same one-pass in-row-distinct native kernel as
+    // d08, so the plan is scan → per-row gram explode → broadcast hash
+    // join → partial-agg'd count. No shuffle ever carries the corpus gram
+    // list; at 100 TB the only exchange is the final (doc_id, count)
+    // aggregation.
+    Q("d13_decontaminate",
+      (s, d) => {
+        graft.functions.GraftFunctions.register(s)
+        val docs = Tables.documents(s, d)
+        val evalGrams = docs.filter(col("doc_id") < 25)
+          .select(explode(expr("graft_gram5_distinct(text)")).as("gram_hash"))
+          .distinct()
+        docs.filter(col("doc_id") >= 25)
+          .select(col("doc_id"),
+            explode(expr("graft_gram5_distinct(text)")).as("gram_hash"))
+          .join(broadcast(evalGrams), "gram_hash")
+          .groupBy("doc_id")
+          .agg(count(lit(1)).as("n_shared_grams"))
+      },
+      Some {
+        val P = PortableHash.P
+        val gram5 = (1 to 4).foldLeft("th[i]") { (acc, j) =>
+          s"(($acc) * 31 + th[i + $j]) % $P"
+        }
+        s"""WITH g AS (SELECT doc_id,
+                              unnest(list_distinct(list_transform(
+                                range(1, len(th) - 3), i -> $gram5)))
+                                AS gram_hash
+                       FROM (SELECT doc_id,
+                                    ${PortableHash.duckTokenHashes} AS th
+                             FROM documents)
+                       WHERE len(th) >= 5),
+                 eg AS (SELECT DISTINCT gram_hash FROM g WHERE doc_id < 25)
+            SELECT g.doc_id, CAST(count(*) AS BIGINT) AS n_shared_grams
+            FROM g JOIN eg USING (gram_hash)
+            WHERE g.doc_id >= 25
+            GROUP BY g.doc_id"""
+      }),
+
     // Incremental (snapshot + new batch) dedup admission.
     Q("d11_dedup_incremental",
       (s, d) => Dedup.incrementalKeep(Tables.documents(s, d)),
