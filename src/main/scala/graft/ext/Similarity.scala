@@ -367,6 +367,46 @@ object SimilarityQueries {
                SELECT q_id, vec_id, label, cos_sim FROM (
                  SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id
                              ORDER BY cos_sim DESC, vec_id) AS rn
-                 FROM scored) WHERE rn <= 5"""))
+                 FROM scored) WHERE rn <= 5""")),
+
+    // x08: MAXSIM late-interaction scoring (the ColBERT retrieval shape):
+    // the query is MULTI-vector (label 0's 4 lowest vec_ids); each
+    // candidate group (= label) scores as the mean over query vectors of
+    // the max cosine to any of its vectors. Broadcast query side, map-side
+    // cosine, then two partial-agg'd exchanges (max per (label, q_vec),
+    // combine per label) — never a per-group vector collection. The mean
+    // uses the floor-quantize + integer-sum discipline (sum of doubles is
+    // order-sensitive; integer sums are not), divided by the
+    // power-of-two constant 4·2^32 so the final double is exact in both
+    // engines.
+    Q("x08_maxsim",
+      (s, d) => {
+        graft.functions.GraftFunctions.register(s)
+        val emb = Tables.embeddings(s, d)
+        val qv = emb.filter(col("label") === 0).orderBy("vec_id").limit(4)
+          .select(col("vec_id").as("q_vec"), col("embedding").as("qe"))
+        emb.filter(col("label") =!= 0)
+          .crossJoin(broadcast(qv))
+          .withColumn("cos_sim", expr("graft_cos(embedding, qe)"))
+          .groupBy("label", "q_vec").agg(max("cos_sim").as("mx"))
+          .groupBy("label")
+          .agg((sum(floor(col("mx") * lit(4294967296L)).cast("long"))
+            .cast("double") / lit(1.7179869184e10)).as("maxsim_score"))
+          .orderBy(col("maxsim_score").desc, col("label"))
+          .limit(5)
+      },
+      Some(s"""WITH q AS (SELECT vec_id AS q_vec, embedding AS qe
+                          FROM embeddings WHERE label = 0
+                          ORDER BY vec_id LIMIT 4),
+                    sc AS (SELECT e.label, q.q_vec,
+                                  max(${Similarity.duckCos("e.embedding", "q.qe")})
+                                    AS mx
+                           FROM embeddings e, q WHERE e.label <> 0
+                           GROUP BY e.label, q.q_vec)
+               SELECT label,
+                      CAST(SUM(CAST(floor(mx * 4294967296) AS BIGINT))
+                           AS DOUBLE) / 17179869184.0 AS maxsim_score
+               FROM sc GROUP BY label
+               ORDER BY maxsim_score DESC, label LIMIT 5"""))
   )
 }
