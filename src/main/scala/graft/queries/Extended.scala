@@ -1087,6 +1087,51 @@ object Extended {
                      CAST(v AS INT) AS v
               FROM merged WHERE rn = 1 AND op <> 'D'""")),
 
+    // q79: rolling z-score ANOMALY detection — flag an event whose value
+    // sits >2σ from the mean of its user's previous 4 events. One shuffle
+    // (the user window); everything else is per-row. Cross-engine
+    // exactness: a sliding SUM of doubles is accumulation-order-sensitive,
+    // so the value is scaled to integer cents once (decimal cast, exact)
+    // and the 2σ test is algebraically cleared of divisions —
+    // (4x−s1)² > 4(4·s2−s1²) over BIGINTs only, no float ever enters.
+    Q("q79_anomaly_zscore",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+          .rowsBetween(-4, -1)
+        val x = (col("value").cast(DecimalType(12, 2)) * 100).cast("long")
+        Tables.events(s, d)
+          .select(col("event_id"), col("user_id"), col("ts"), x.as("x"))
+          .withColumn("s1", sum("x").over(w))
+          .withColumn("s2", sum(col("x") * col("x")).over(w))
+          .withColumn("n", count("x").over(w))
+          .filter(col("n") === 4)
+          .withColumn("is_anomaly",
+            when((lit(4) * col("x") - col("s1"))
+              * (lit(4) * col("x") - col("s1"))
+              > lit(4) * (lit(4) * col("s2") - col("s1") * col("s1")), 1)
+              .otherwise(0))
+          .select("event_id", "user_id", "x", "s1", "is_anomaly")
+      },
+      Some("""WITH b AS (SELECT event_id, user_id, ts,
+                                CAST(CAST(value AS DECIMAL(12,2)) * 100
+                                     AS BIGINT) AS x
+                         FROM events),
+                   wnd AS (SELECT event_id, user_id, x,
+                                  SUM(x) OVER w AS s1,
+                                  SUM(x * x) OVER w AS s2,
+                                  COUNT(x) OVER w AS n
+                           FROM b
+                           WINDOW w AS (PARTITION BY user_id
+                                        ORDER BY ts, event_id
+                                        ROWS BETWEEN 4 PRECEDING
+                                                 AND 1 PRECEDING))
+              SELECT event_id, user_id, x, s1,
+                     CAST(CASE WHEN (4 * x - s1) * (4 * x - s1)
+                                    > 4 * (4 * s2 - s1 * s1)
+                               THEN 1 ELSE 0 END AS INT) AS is_anomaly
+              FROM wnd WHERE n = 4""")),
+
     // Genuine CSV sink + source roundtrip (S1/K-family): write with header,
     // read back with the DECLARED schema (inference banned, SURVEY §1.3).
     Q("q38_csv_roundtrip",
