@@ -1132,6 +1132,69 @@ object Extended {
                                THEN 1 ELSE 0 END AS INT) AS is_anomaly
               FROM wnd WHERE n = 4""")),
 
+    // q80: MERGEABLE quantile sketch — per-type P50/P95/P99 from a
+    // fixed-width histogram (bin = floor(value/2), 256 bins over the
+    // domain). The histogram IS the sketch: (type, bin, count) rows are
+    // order-free and mergeable across partitions/days, so at 100 TB the
+    // corpus-wide shuffle carries |types|·256 counters, never values —
+    // unlike exact percentile (q40), which must sort every value. Rank →
+    // estimate interpolation stays in integers until one final double
+    // division with identical formula text in both engines, so the
+    // estimates hash-match exactly.
+    Q("q80_quantile_sketch",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val hist = Tables.events(s, d)
+          .select(col("event_type"),
+            floor(col("value") / 2).cast("long").as("bin"))
+          .groupBy("event_type", "bin").agg(count(lit(1)).as("c"))
+        val w = Window.partitionBy("event_type").orderBy("bin")
+        val cum = hist
+          .withColumn("cum", sum("c").over(w))
+          .withColumn("n", sum("c").over(Window.partitionBy("event_type")))
+        val ests = Seq(50, 95, 99).foldLeft(cum) { (df, p) =>
+          df.withColumn(s"need$p",
+            floor((lit(p) * col("n") + 99) / lit(100.0)).cast("long"))
+            .withColumn(s"est$p", expr(
+              s"bin * 2 + CAST(need$p - cum + c AS DOUBLE) * 2.0 / c"))
+        }
+        ests.groupBy("event_type").agg(
+          max("n").as("n_events"),
+          expr("min_by(est50, bin) FILTER (WHERE cum >= need50)").as("p50_est"),
+          expr("min_by(est95, bin) FILTER (WHERE cum >= need95)").as("p95_est"),
+          expr("min_by(est99, bin) FILTER (WHERE cum >= need99)").as("p99_est"))
+      },
+      Some("""WITH h AS (SELECT event_type,
+                                CAST(floor(value / 2) AS BIGINT) AS bin,
+                                CAST(count(*) AS BIGINT) AS c
+                         FROM events GROUP BY 1, 2),
+                   w AS (SELECT event_type, bin, c,
+                                CAST(SUM(c) OVER (PARTITION BY event_type
+                                                  ORDER BY bin) AS BIGINT)
+                                  AS cum,
+                                CAST(SUM(c) OVER (PARTITION BY event_type)
+                                     AS BIGINT) AS n
+                         FROM h),
+                   e AS (SELECT *,
+                                CAST(floor((50 * n + 99) / 100.0) AS BIGINT)
+                                  AS need50,
+                                CAST(floor((95 * n + 99) / 100.0) AS BIGINT)
+                                  AS need95,
+                                CAST(floor((99 * n + 99) / 100.0) AS BIGINT)
+                                  AS need99
+                         FROM w)
+              SELECT event_type, max(n) AS n_events,
+                     min_by(bin * 2 + CAST(need50 - cum + c AS DOUBLE)
+                            * 2.0 / c, bin)
+                       FILTER (WHERE cum >= need50) AS p50_est,
+                     min_by(bin * 2 + CAST(need95 - cum + c AS DOUBLE)
+                            * 2.0 / c, bin)
+                       FILTER (WHERE cum >= need95) AS p95_est,
+                     min_by(bin * 2 + CAST(need99 - cum + c AS DOUBLE)
+                            * 2.0 / c, bin)
+                       FILTER (WHERE cum >= need99) AS p99_est
+              FROM e GROUP BY event_type""")),
+
     // Genuine CSV sink + source roundtrip (S1/K-family): write with header,
     // read back with the DECLARED schema (inference banned, SURVEY §1.3).
     Q("q38_csv_roundtrip",
