@@ -309,6 +309,26 @@ object Relational {
         .except(Tables.supplier(s, d).select(col("s_nationkey").as("nk"))),
       Some("""SELECT n_nationkey AS nk FROM nation
               EXCEPT
-              SELECT s_nationkey FROM supplier"""))
+              SELECT s_nationkey FROM supplier""")),
+
+    // Multiset (ALL) variants — exceptAll/intersectAll keep per-row
+    // MULTIPLICITY (bag semantics), which the distinct forms above destroy:
+    // the engine plans them as count-aggregated anti/semi arithmetic, one
+    // shuffle each side on the compared key, never a row-by-row NOT IN.
+    Q("q81_except_all",
+      (s, d) => Tables.customer(s, d).select((col("c_nationkey") % 7).as("k"))
+        .exceptAll(Tables.supplier(s, d)
+          .select((col("s_nationkey") % 7).as("k"))),
+      Some("""SELECT c_nationkey % 7 AS k FROM customer
+              EXCEPT ALL
+              SELECT s_nationkey % 7 FROM supplier""")),
+
+    Q("q82_intersect_all",
+      (s, d) => Tables.customer(s, d).select((col("c_nationkey") % 7).as("k"))
+        .intersectAll(Tables.supplier(s, d)
+          .select((col("s_nationkey") % 7).as("k"))),
+      Some("""SELECT c_nationkey % 7 AS k FROM customer
+              INTERSECT ALL
+              SELECT s_nationkey % 7 FROM supplier"""))
   )
 }
