@@ -284,7 +284,13 @@ object TextOps {
     */
   val blocklist: Seq[String] = Seq("customer", "spark", "vector")
 
-  private val blockPat = s"\\b(${blocklist.mkString("|")})\\b"
+  /** Terms are regex-quoted (`\Q…\E`, honored by both Java regex and RE2,
+    * so 'c++' or 'node.js' can't warp the pattern) and slugged for the
+    * per-term count column names.
+    */
+  private def quoted(t: String) = java.util.regex.Pattern.quote(t)
+  private def slug(t: String) = t.toLowerCase.replaceAll("[^a-z0-9]+", "_")
+  private val blockPat = s"\\b(${blocklist.map(quoted).mkString("|")})\\b"
 
   def blocklistScrub(docs: DataFrame): DataFrame = {
     val scrub = regexp_replace(col("text"), blockPat, "<MASK>")
@@ -293,7 +299,7 @@ object TextOps {
     def extractAll(pat: String) =
       expr(s"regexp_extract_all(text, '${pat.replace("\\", "\\\\")}', 0)")
     val perTerm = blocklist.map { t =>
-      size(extractAll(s"\\b$t\\b")).as(s"n_$t")
+      size(extractAll(s"\\b${quoted(t)}\\b")).as(s"n_${slug(t)}")
     }
     docs.select(
       (col("doc_id") +: perTerm) ++ Seq(
@@ -304,7 +310,8 @@ object TextOps {
 
   val blocklistScrubSql: String = {
     val perTerm = blocklist.map { t =>
-      s"CAST(len(regexp_extract_all(text, '\\b$t\\b')) AS INT) AS n_$t"
+      s"CAST(len(regexp_extract_all(text, '\\b${quoted(t)}\\b')) AS INT)" +
+        s" AS n_${slug(t)}"
     }.mkString(",\n              ")
     s"""SELECT doc_id,
               $perTerm,
@@ -355,10 +362,6 @@ object TextQueries {
     // corpus-level discipline at token granularity). In-row dedup first, so
     // the one shuffle carries each (doc, token) once; the corpus size joins
     // in as a broadcast scalar.
-    Q("t09_blocklist_scrub",
-      (s, d) => TextOps.blocklistScrub(Tables.documents(s, d)),
-      Some(TextOps.blocklistScrubSql)),
-
     Q("t08_doc_freq",
       (s, d) => {
         val docs = Tables.documents(s, d)
@@ -378,6 +381,10 @@ object TextQueries {
               SELECT tok, CAST(count(*) AS BIGINT) AS df,
                      CAST(count(*) AS DOUBLE) / n_docs AS df_ratio
               FROM tok, n GROUP BY tok, n_docs
-              HAVING count(*) * 4 >= n_docs"""))
+              HAVING count(*) * 4 >= n_docs""")),
+
+    Q("t09_blocklist_scrub",
+      (s, d) => TextOps.blocklistScrub(Tables.documents(s, d)),
+      Some(TextOps.blocklistScrubSql))
   )
 }

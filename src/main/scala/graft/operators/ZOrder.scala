@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.Column
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Z-order (Morton) interleaving for multi-dimensional data clustering.
@@ -41,5 +41,19 @@ object ZOrder {
       shiftleft(shiftright(xm, i).bitwiseAND(lit(1L)), 2 * i)
         .bitwiseOR(shiftleft(shiftright(ym, i).bitwiseAND(lit(1L)), 2 * i + 1))
     }.reduce(_ bitwiseOR _)
+  }
+
+  /** The clustered-layout write (q77's layout pass, also pinned by
+    * LayoutSpec on this same code path): range-partition + sort `df` by
+    * z(x, y) into `files` parquet files at `dest`, return the read-back.
+    * Callers pre-scale x/y to comparable magnitude per [[zValue]]'s note.
+    */
+  def clusteredWrite(df: DataFrame, x: Column, y: Column, dest: String,
+      files: Int = 8): DataFrame = {
+    df.withColumn("zval", zValue(x, y))
+      .repartitionByRange(files, col("zval"))
+      .sortWithinPartitions("zval")
+      .write.mode("overwrite").parquet(dest)
+    df.sparkSession.read.parquet(dest)
   }
 }

@@ -1011,17 +1011,11 @@ object Extended {
     // semantic.
     Q("q77_zorder_scan",
       (s, d) => {
-        val tmp = Scratch.dir("graft_q77_zorder")
-        Tables.lineitem(s, d)
-          .withColumn("zval",
-            // ×20 scales suppkey (0..99) onto partkey's 0..1999 magnitude
-            // so both dimensions contribute to the top z bits (see ZOrder).
-            graft.operators.ZOrder.zValue(col("l_partkey"),
-              col("l_suppkey") * lit(20)))
-          .repartitionByRange(8, col("zval"))
-          .sortWithinPartitions("zval")
-          .write.mode("overwrite").parquet(tmp)
-        s.read.parquet(tmp)
+        // ×20 scales suppkey (0..99) onto partkey's 0..1999 magnitude so
+        // both dimensions contribute to the top z bits (see ZOrder).
+        graft.operators.ZOrder.clusteredWrite(Tables.lineitem(s, d),
+            col("l_partkey"), col("l_suppkey") * lit(20),
+            Scratch.dir("graft_q77_zorder"))
           .filter(col("l_partkey").between(50, 149) &&
             col("l_suppkey").between(2, 5))
           .select("l_orderkey", "l_linenumber", "l_partkey", "l_suppkey",

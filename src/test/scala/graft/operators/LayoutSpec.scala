@@ -31,14 +31,11 @@ class LayoutSpec extends SparkSpec {
 
   test("z-order layout tightens per-file min/max on BOTH box columns") {
     val tmp = graft.util.Scratch.dir("graft_layoutspec_z")
-    Tables.lineitem(spark, sf)
-      .withColumn("zval",
-        ZOrder.zValue(col("l_partkey"), col("l_suppkey") * lit(20)))
-      .repartitionByRange(8, col("zval"))
-      .sortWithinPartitions("zval")
-      .write.mode("overwrite").parquet(tmp)
+    // The same clusteredWrite code path q77 runs — the spec pins the query.
+    val clustered = ZOrder.clusteredWrite(Tables.lineitem(spark, sf),
+      col("l_partkey"), col("l_suppkey") * lit(20), tmp)
 
-    val perFile = spark.read.parquet(tmp)
+    val perFile = clustered
       .groupBy(input_file_name().as("f"))
       .agg(
         (max("l_partkey") - min("l_partkey")).as("pk_span"),
