@@ -20,6 +20,66 @@ import graft.sources.Tables
   * summation would make the answer partitioning-dependent at 1000 executors.
   */
 object Extended {
+
+  /** q80's histogram→percentile finisher over any (`key`, bin, c) relation:
+    * cumulative counts per key in bin order, ceil-rank targets for
+    * P50/P95/P99, first qualifying bin interpolated. All-integer until one
+    * final double division with identical formula text engine/oracle — see
+    * q80's entry for the full rationale. Shared by q80 (batch, key =
+    * event_type) and s20 (streaming-published sketch, key = window start),
+    * so sketch production and finishing can't drift apart.
+    */
+  def sketchQuantiles(hist: org.apache.spark.sql.DataFrame,
+      key: String): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(key).orderBy("bin")
+    val cum = hist
+      .withColumn("cum", sum("c").over(w))
+      .withColumn("n", sum("c").over(Window.partitionBy(key)))
+    val ests = Seq(50, 95, 99).foldLeft(cum) { (df, p) =>
+      df.withColumn(s"need$p",
+        floor((lit(p) * col("n") + 99) / lit(100.0)).cast("long"))
+        .withColumn(s"est$p", expr(
+          s"bin * 2 + CAST(need$p - cum + c AS DOUBLE) * 2.0 / c"))
+    }
+    ests.groupBy(key).agg(
+      max("n").as("n_events"),
+      expr("min_by(est50, bin) FILTER (WHERE cum >= need50)").as("p50_est"),
+      expr("min_by(est95, bin) FILTER (WHERE cum >= need95)").as("p95_est"),
+      expr("min_by(est99, bin) FILTER (WHERE cum >= need99)").as("p99_est"))
+  }
+
+  /** DuckDB mirror of [[sketchQuantiles]]: `histSql` must yield
+    * (`key`, bin, c).
+    */
+  def sketchQuantilesSql(histSql: String, key: String): String =
+    s"""WITH h AS ($histSql),
+             w AS (SELECT $key, bin, c,
+                          CAST(SUM(c) OVER (PARTITION BY $key
+                                            ORDER BY bin) AS BIGINT) AS cum,
+                          CAST(SUM(c) OVER (PARTITION BY $key) AS BIGINT)
+                            AS n
+                   FROM h),
+             e AS (SELECT *,
+                          CAST(floor((50 * n + 99) / 100.0) AS BIGINT)
+                            AS need50,
+                          CAST(floor((95 * n + 99) / 100.0) AS BIGINT)
+                            AS need95,
+                          CAST(floor((99 * n + 99) / 100.0) AS BIGINT)
+                            AS need99
+                   FROM w)
+        SELECT $key, max(n) AS n_events,
+               min_by(bin * 2 + CAST(need50 - cum + c AS DOUBLE)
+                      * 2.0 / c, bin)
+                 FILTER (WHERE cum >= need50) AS p50_est,
+               min_by(bin * 2 + CAST(need95 - cum + c AS DOUBLE)
+                      * 2.0 / c, bin)
+                 FILTER (WHERE cum >= need95) AS p95_est,
+               min_by(bin * 2 + CAST(need99 - cum + c AS DOUBLE)
+                      * 2.0 / c, bin)
+                 FILTER (WHERE cum >= need99) AS p99_est
+        FROM e GROUP BY $key"""
+
   private def dec12(c: org.apache.spark.sql.Column) = c.cast(DecimalType(12, 2))
 
   val queries: Seq[Q] = Seq(
@@ -1136,58 +1196,17 @@ object Extended {
     // division with identical formula text in both engines, so the
     // estimates hash-match exactly.
     Q("q80_quantile_sketch",
-      (s, d) => {
-        import org.apache.spark.sql.expressions.Window
-        val hist = Tables.events(s, d)
+      (s, d) => sketchQuantiles(
+        Tables.events(s, d)
           .select(col("event_type"),
             floor(col("value") / 2).cast("long").as("bin"))
-          .groupBy("event_type", "bin").agg(count(lit(1)).as("c"))
-        val w = Window.partitionBy("event_type").orderBy("bin")
-        val cum = hist
-          .withColumn("cum", sum("c").over(w))
-          .withColumn("n", sum("c").over(Window.partitionBy("event_type")))
-        val ests = Seq(50, 95, 99).foldLeft(cum) { (df, p) =>
-          df.withColumn(s"need$p",
-            floor((lit(p) * col("n") + 99) / lit(100.0)).cast("long"))
-            .withColumn(s"est$p", expr(
-              s"bin * 2 + CAST(need$p - cum + c AS DOUBLE) * 2.0 / c"))
-        }
-        ests.groupBy("event_type").agg(
-          max("n").as("n_events"),
-          expr("min_by(est50, bin) FILTER (WHERE cum >= need50)").as("p50_est"),
-          expr("min_by(est95, bin) FILTER (WHERE cum >= need95)").as("p95_est"),
-          expr("min_by(est99, bin) FILTER (WHERE cum >= need99)").as("p99_est"))
-      },
-      Some("""WITH h AS (SELECT event_type,
-                                CAST(floor(value / 2) AS BIGINT) AS bin,
-                                CAST(count(*) AS BIGINT) AS c
-                         FROM events GROUP BY 1, 2),
-                   w AS (SELECT event_type, bin, c,
-                                CAST(SUM(c) OVER (PARTITION BY event_type
-                                                  ORDER BY bin) AS BIGINT)
-                                  AS cum,
-                                CAST(SUM(c) OVER (PARTITION BY event_type)
-                                     AS BIGINT) AS n
-                         FROM h),
-                   e AS (SELECT *,
-                                CAST(floor((50 * n + 99) / 100.0) AS BIGINT)
-                                  AS need50,
-                                CAST(floor((95 * n + 99) / 100.0) AS BIGINT)
-                                  AS need95,
-                                CAST(floor((99 * n + 99) / 100.0) AS BIGINT)
-                                  AS need99
-                         FROM w)
-              SELECT event_type, max(n) AS n_events,
-                     min_by(bin * 2 + CAST(need50 - cum + c AS DOUBLE)
-                            * 2.0 / c, bin)
-                       FILTER (WHERE cum >= need50) AS p50_est,
-                     min_by(bin * 2 + CAST(need95 - cum + c AS DOUBLE)
-                            * 2.0 / c, bin)
-                       FILTER (WHERE cum >= need95) AS p95_est,
-                     min_by(bin * 2 + CAST(need99 - cum + c AS DOUBLE)
-                            * 2.0 / c, bin)
-                       FILTER (WHERE cum >= need99) AS p99_est
-              FROM e GROUP BY event_type""")),
+          .groupBy("event_type", "bin").agg(count(lit(1)).as("c")),
+        "event_type"),
+      Some(sketchQuantilesSql(
+        """SELECT event_type, CAST(floor(value / 2) AS BIGINT) AS bin,
+                  CAST(count(*) AS BIGINT) AS c
+           FROM events GROUP BY 1, 2""",
+        "event_type"))),
 
     // Genuine CSV sink + source roundtrip (S1/K-family): write with header,
     // read back with the DECLARED schema (inference banned, SURVEY §1.3).

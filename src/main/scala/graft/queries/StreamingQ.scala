@@ -777,6 +777,33 @@ object StreamingQ {
               HAVING ws + INTERVAL 1 HOUR <= (SELECT max(ts) FROM events)"""))
       ,
 
+    // s20: the LAMBDA pattern end-to-end — the stream PUBLISHES q80's
+    // mergeable histogram sketch (per hourly window × value bin counts —
+    // order-free, so state-store merges across micro-batches are exact)
+    // and the batch finisher (the SAME Extended.sketchQuantiles code path
+    // q80 runs) turns the sunk sketch into per-hour P50/P95/P99. At
+    // 100 TB the streaming job ships |windows|·256 counters to the lake;
+    // consumers finish percentiles without ever touching raw events.
+    Q("s20_stream_quantile",
+      (s, d) => {
+        val hist = runEventsStream(s, d) { src =>
+          src.withWatermark("ts", "0 seconds")
+            .groupBy(window(col("ts"), "1 hour"),
+              floor(col("value") / 2).cast("long").as("bin"))
+            .agg(count(lit(1)).as("c"))
+            .select(col("window.start").as("ws"), col("bin"), col("c"))
+        }
+        graft.queries.Extended.sketchQuantiles(hist, "ws")
+      },
+      Some(graft.queries.Extended.sketchQuantilesSql(
+        """SELECT ws, bin, c FROM (
+             SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS ws,
+                    CAST(floor(value / 2) AS BIGINT) AS bin,
+                    CAST(count(*) AS BIGINT) AS c
+             FROM events GROUP BY 1, 2)
+           WHERE ws + INTERVAL 1 HOUR <= (SELECT max(ts) FROM events)""",
+        "ws"))),
+
     // s16: timer-driven sessionization (see TimerSessionizer above) — the
     // oracle is the s02/q64 gaps-and-islands reconstruction per USER, with
     // the same emission boundary the timers enforce: a session emits iff
