@@ -329,6 +329,26 @@ object Relational {
           .select((col("s_nationkey") % 7).as("k"))),
       Some("""SELECT c_nationkey % 7 AS k FROM customer
               INTERSECT ALL
-              SELECT s_nationkey % 7 FROM supplier"""))
+              SELECT s_nationkey % 7 FROM supplier""")),
+
+    // Schema-evolution union: unionByName(allowMissingColumns) null-fills
+    // columns absent on one side — how heterogeneous table versions append
+    // (q18's aligned union assumes identical schemas; q58 is the parquet
+    // read-side merge of the same concern). DuckDB's UNION ALL BY NAME is
+    // the oracle twin.
+    Q("q83_union_missing_cols",
+      (s, d) => Tables.customer(s, d)
+        .select(col("c_custkey").as("id"), col("c_acctbal").as("bal"),
+          col("c_mktsegment").as("seg"))
+        .unionByName(
+          Tables.supplier(s, d)
+            .select((col("s_suppkey") + 100000L).as("id"),
+              col("s_acctbal").as("bal")),
+          allowMissingColumns = true),
+      Some("""SELECT c_custkey AS id, c_acctbal AS bal, c_mktsegment AS seg
+              FROM customer
+              UNION ALL BY NAME
+              SELECT s_suppkey + 100000 AS id, s_acctbal AS bal
+              FROM supplier"""))
   )
 }
