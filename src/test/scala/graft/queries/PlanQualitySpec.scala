@@ -81,6 +81,19 @@ class PlanQualitySpec extends SparkSpec {
     assert(p.contains("BroadcastNestedLoopJoin")) // tiny query side broadcast
   }
 
+  test("d13: eval grams broadcast — corpus grams never shuffle to a merge join") {
+    val p = planOf("d13_decontaminate")
+    assert(p.contains("BroadcastHashJoin"))
+    assert(!p.contains("SortMergeJoin"))
+  }
+
+  test("q79: anomaly flags are ONE exchange (the user window), no join") {
+    val p = planOf("q79_anomaly_zscore")
+    assert("Exchange hashpartitioning".r.findAllIn(p).size === 1)
+    assert(p.contains("Window"))
+    assert(!p.contains("Join"))
+  }
+
   test("d03: signature self-join is a shuffled hash join, not a broadcast") {
     // At 100 TB the signature relation is TB-scale: AQE's broadcast choice
     // is only valid at toy SF, so the plan pins the scale-honest shape.
