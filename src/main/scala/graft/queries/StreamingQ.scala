@@ -655,6 +655,59 @@ object StreamingQ {
       Some("""SELECT event_id, event_type, value, CAST(0 AS BIGINT) AS batch_id
               FROM events""")),
 
+    // s21: DEAD-LETTER-QUEUE routing — the malformed-record discipline of
+    // a production ingest: wire rows whose value field fails try_cast go
+    // to a quarantine sink (with the raw line preserved for replay), the
+    // rest to the main table, both from ONE pass in foreachBatch. Nothing
+    // is dropped silently — main ∪ DLQ = input, exactly once. Corruption
+    // is manufactured deterministically (event_id % 7 = 3 → value "xx"),
+    // so the main-side oracle is the complement filter; the DLQ side is
+    // asserted by row count in the same run (n_dlq column).
+    Q("s21_stream_dlq",
+      (s, d) => {
+        val wireDir = graft.util.Scratch.dir("graft_s21_wire")
+        Tables.events(s, d)
+          .select(concat_ws("|",
+            col("event_id"), col("user_id"), col("event_type"),
+            when(col("event_id") % 7 === 3, lit("xx"))
+              .otherwise(col("value").cast("string"))).as("value"))
+          .write.mode("overwrite").text(wireDir)
+        val main = graft.util.Scratch.dir("graft_s21_main")
+        val dlq  = graft.util.Scratch.dir("graft_s21_dlq")
+        val ckpt = graft.util.Scratch.dir("graft_s21_ckpt")
+        val parsed = s.readStream.text(wireDir)
+          .select(col("value").as("line"),
+            split(col("value"), "\\|").as("f"))
+          .select(col("line"),
+            col("f").getItem(0).cast("long").as("event_id"),
+            col("f").getItem(1).cast("long").as("user_id"),
+            col("f").getItem(2).as("event_type"),
+            expr("try_cast(f[3] AS DOUBLE)").as("value"))
+        val q = parsed.writeStream
+          .outputMode("append")
+          .option("checkpointLocation", ckpt)
+          .trigger(Trigger.AvailableNow())
+          .foreachBatch { (batch: DataFrame, _: Long) =>
+            val b = batch.persist()
+            b.filter(col("value").isNotNull)
+              .select("event_id", "user_id", "event_type", "value")
+              .write.mode("append").parquet(main)
+            b.filter(col("value").isNull)
+              .select("line") // raw line, replayable after a parser fix
+              .write.mode("append").parquet(dlq)
+            b.unpersist()
+            ()
+          }
+          .start()
+        q.awaitTermination()
+        s.read.parquet(main)
+          .withColumn("n_dlq", lit(s.read.parquet(dlq).count()))
+      },
+      Some("""SELECT event_id, user_id, event_type, value,
+                     (SELECT CAST(count(*) AS BIGINT) FROM events
+                      WHERE event_id % 7 = 3) AS n_dlq
+              FROM events WHERE event_id % 7 <> 3""")),
+
     // s09: COMPLETE output mode — every micro-batch re-emits the FULL
     // aggregate table (no watermark; state holds every group). The file
     // sink can't take complete mode, so foreachBatch overwrites the sink
