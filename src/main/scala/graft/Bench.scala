@@ -39,7 +39,12 @@ object Bench {
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    // Stop Spark BEFORE printing: any executor/state-store shutdown warnings
+    // land ahead of the JSON, keeping it the final stdout line (the harness
+    // parses the last line; sbt's own "[success]" banner is suppressed via
+    // Global / showSuccess := false in build.sbt).
     spark.stop()
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    System.out.flush()
   }
 }
