@@ -385,6 +385,56 @@ object TextQueries {
 
     Q("t09_blocklist_scrub",
       (s, d) => TextOps.blocklistScrub(Tables.documents(s, d)),
-      Some(TextOps.blocklistScrubSql))
+      Some(TextOps.blocklistScrubSql)),
+
+    // t10: idf-weighted characteristic terms per source — the corpus-slice
+    // profiling pass (what distinguishes src3 from the rest of the mix).
+    // tf = occurrences within the source, df = #sources containing the
+    // term; score = tf * (n_sources - df + 1) stays in exact BIGINT
+    // arithmetic (a float idf = ln(N/df) would hash-diverge between
+    // engines on libm rounding). Top-3 per source by (score, term).
+    // Shape at 100 TB: the explode shuffles (source, token) pairs once
+    // with map-side combine; df is a second vocabulary-sized agg; the
+    // rank window runs per source over |vocab| rows, never corpus rows;
+    // n_sources joins in as a broadcast scalar.
+    Q("t10_tfidf_terms",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val docs = Tables.documents(s, d)
+        val toks = docs.select(col("source"),
+          explode(split(col("text"), " ")).as("tok"))
+          .filter(col("tok") =!= "")
+        val tf = toks.groupBy("source", "tok").agg(count(lit(1)).as("tf"))
+        val df = tf.groupBy("tok")
+          .agg(countDistinct("source").as("df"))
+        val nSrc = docs.agg(countDistinct("source").as("n_sources"))
+        val scored = tf.join(df, "tok").crossJoin(broadcast(nSrc))
+          .withColumn("score",
+            col("tf") * (col("n_sources") - col("df") + 1))
+        val w = Window.partitionBy("source")
+          .orderBy(col("score").desc, col("tok"))
+        scored.withColumn("rk", row_number().over(w))
+          .filter(col("rk") <= 3)
+          .select("source", "tok", "tf", "df", "score", "rk")
+      },
+      Some("""WITH toks AS (SELECT source, unnest(string_split(text, ' '))
+                                     AS tok
+                            FROM documents),
+                   tf AS (SELECT source, tok, CAST(count(*) AS BIGINT) AS tf
+                          FROM toks WHERE tok <> '' GROUP BY source, tok),
+                   df AS (SELECT tok,
+                                 CAST(count(DISTINCT source) AS BIGINT) AS df
+                          FROM tf GROUP BY tok),
+                   n AS (SELECT CAST(count(DISTINCT source) AS BIGINT)
+                                  AS n_sources
+                         FROM documents)
+              SELECT source, tok, tf, df, score, rk FROM (
+                SELECT source, tok, tf, df,
+                       tf * (n_sources - df + 1) AS score,
+                       CAST(row_number() OVER (PARTITION BY source
+                            ORDER BY tf * (n_sources - df + 1) DESC, tok)
+                            AS INT) AS rk
+                FROM tf JOIN df USING (tok), n) z
+              WHERE rk <= 3"""))
   )
 }

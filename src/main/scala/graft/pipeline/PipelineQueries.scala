@@ -160,7 +160,52 @@ object PipelineQueries {
             FROM q JOIN dedup d ON q.doc_id = d.doc_id
             WHERE q.quality_score > 1.1
             GROUP BY d.source"""
-      })
+      }),
+
+    // p05: SEQUENCE PACKING — the batched-training feed shape: documents
+    // laid into fixed token-budget bins (budget 512) in a deterministic
+    // order (doc_id within source), bin = floor(start_offset / budget)
+    // where start_offset is the running token count of all earlier docs in
+    // the source. This is offset-chunking (a doc can straddle a bin
+    // boundary and is assigned to its start bin) — order-deterministic and
+    // partition-stable, unlike greedy first-fit whose output depends on
+    // arrival order. Per bin: doc count, token sum, doc_id span.
+    //
+    // Scale: ONE exchange — the running sum windows on source; the
+    // (source, bin) aggregation reuses the source partitioning (source is
+    // a prefix of the grouping key, so EnsureRequirements inserts no
+    // second shuffle). Token counts are per-row kernel work.
+    Q("p05_sequence_packing",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val w = Window.partitionBy("source").orderBy("doc_id")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        Tables.documents(s, d)
+          .select(col("source"), col("doc_id"),
+            size(split(col("text"), " ")).cast("long").as("n_tok"))
+          .withColumn("cum", sum("n_tok").over(w))
+          .withColumn("bin",
+            floor((col("cum") - col("n_tok")) / lit(512)).cast("long"))
+          .groupBy("source", "bin")
+          .agg(count(lit(1)).as("n_docs"), sum("n_tok").as("sum_tok"),
+            min("doc_id").as("first_doc"), max("doc_id").as("last_doc"))
+      },
+      Some("""WITH t AS (SELECT source, doc_id,
+                                CAST(len(string_split(text, ' ')) AS BIGINT)
+                                  AS n_tok
+                         FROM documents),
+                   c AS (SELECT source, doc_id, n_tok,
+                                CAST(SUM(n_tok) OVER (PARTITION BY source
+                                     ORDER BY doc_id
+                                     ROWS UNBOUNDED PRECEDING) AS BIGINT)
+                                  AS cum
+                         FROM t)
+              SELECT source,
+                     CAST(floor((cum - n_tok) / 512.0) AS BIGINT) AS bin,
+                     CAST(count(*) AS BIGINT) AS n_docs,
+                     CAST(sum(n_tok) AS BIGINT) AS sum_tok,
+                     min(doc_id) AS first_doc, max(doc_id) AS last_doc
+              FROM c GROUP BY 1, 2"""))
   )
 }
 

@@ -1258,6 +1258,83 @@ object Extended {
           .filter(col("o_totalprice") >= 100000.0)
       },
       Some("""SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice
-              FROM orders WHERE o_totalprice >= 100000.0"""))
+              FROM orders WHERE o_totalprice >= 100000.0""")),
+
+    // XML sink + source roundtrip (Spark 4 built-in XML source — the fourth
+    // wire format next to CSV/JSON/ORC; reference readers are CSV-only,
+    // utils/spark_transforming.py:40-48, so this is pure capability win).
+    // Read back with the DECLARED schema (inference banned, SURVEY §1.3);
+    // Double.toString emits the shortest roundtrippable repr, so doubles
+    // survive the text format bit-exactly.
+    Q("q84_xml_roundtrip",
+      (s, d) => {
+        val sel = Tables.orders(s, d)
+          .select("o_orderkey", "o_orderstatus", "o_totalprice")
+        val tmp = Scratch.dir("graft_q84_xml")
+        sel.write.mode("overwrite").option("rowTag", "row")
+          .format("xml").save(tmp)
+        s.read.option("rowTag", "row").schema(sel.schema)
+          .format("xml").load(tmp)
+      },
+      Some("SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders")),
+
+    // Semi-structured VARIANT column (Spark 4 type): parse the events JSON
+    // props once into variant, path-extract with variant_get, aggregate.
+    // At 100 TB this is the schema-on-read path for heterogeneous payloads:
+    // parse_json is a per-row codegen'd kernel (no shuffle), the binary
+    // variant encoding is columnar-friendly, and only the extracted path —
+    // not the whole document — reaches the aggregation exchange.
+    Q("q85_variant_extract",
+      (s, d) => Tables.events(s, d)
+        .select(col("event_type"),
+          expr("variant_get(parse_json(props), '$.k', 'bigint')").as("k"))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"), sum("k").as("sum_k"), max("k").as("max_k")),
+      Some("""SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+                     CAST(sum(CAST(json_extract(props, '$.k') AS BIGINT))
+                          AS BIGINT) AS sum_k,
+                     CAST(max(CAST(json_extract(props, '$.k') AS BIGINT))
+                          AS BIGINT) AS max_k
+              FROM events GROUP BY event_type""")),
+
+    // Correlated LATERAL subquery with per-row ORDER BY + LIMIT — the
+    // top-N-per-outer-row shape expressed relationally. Catalyst rewrites
+    // the correlation to a join + per-key windowed rank: the customer side
+    // shuffles ONCE on nationkey; there is no per-nation re-execution
+    // (the naive interpretation would be |nation| scans at 100 TB).
+    Q("q86_lateral_topn",
+      (s, d) => {
+        Tables.nation(s, d).createOrReplaceTempView("graft_q86_nation")
+        Tables.customer(s, d).createOrReplaceTempView("graft_q86_customer")
+        s.sql("""SELECT n.n_name, l.c_name, l.c_acctbal
+                 FROM graft_q86_nation n,
+                 LATERAL (SELECT c_name, c_acctbal
+                          FROM graft_q86_customer c
+                          WHERE c.c_nationkey = n.n_nationkey
+                          ORDER BY c_acctbal DESC, c_name LIMIT 2) l""")
+      },
+      Some("""SELECT n.n_name, l.c_name, l.c_acctbal
+              FROM nation n,
+              LATERAL (SELECT c_name, c_acctbal FROM customer c
+                       WHERE c.c_nationkey = n.n_nationkey
+                       ORDER BY c_acctbal DESC, c_name LIMIT 2) l""")),
+
+    // Ordered string aggregation via ANSI listagg ... WITHIN GROUP (Spark 4
+    // expression; DuckDB spells it string_agg ORDER BY). Scale note: the
+    // result string is bounded by the GROUP's value domain (5 nations per
+    // region here) — listagg over an unbounded group is the same
+    // memory-unbounded anti-pattern as collect_list and belongs behind a
+    // top-k/limit guard (q37's ordered collect has the same caveat).
+    Q("q87_listagg",
+      (s, d) => Tables.nation(s, d)
+        .join(Tables.region(s, d),
+          col("n_regionkey") === col("r_regionkey"))
+        .groupBy("r_name")
+        .agg(expr("listagg(n_name, ',') WITHIN GROUP (ORDER BY n_name)")
+          .as("nations")),
+      Some("""SELECT r_name, string_agg(n_name, ',' ORDER BY n_name)
+                       AS nations
+              FROM region JOIN nation ON n_regionkey = r_regionkey
+              GROUP BY r_name"""))
   )
 }

@@ -142,6 +142,22 @@ class PlanQualitySpec extends SparkSpec {
     assert(p.contains("partial_count"), p) // mix report combines map-side
   }
 
+  test("p05: packing is ONE exchange — (source,bin) agg reuses source partitioning") {
+    val p = planOf("p05_sequence_packing")
+    assert("Exchange hashpartitioning".r.findAllIn(p).size === 1, p)
+    assert(p.contains("partial_count"), p) // bin stats combine map-side
+  }
+
+  test("q86: lateral top-n de-correlates — WindowGroupLimit before the exchange, nation broadcast") {
+    val p = planOf("q86_lateral_topn")
+    // Catalyst must rewrite the per-row LATERAL into join + ranked window,
+    // with the group-limit pushed BELOW the shuffle (map-side top-k prune)
+    // — not re-execute the subquery per outer row.
+    assert(p.contains("WindowGroupLimit"), p)
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert("Exchange hashpartitioning".r.findAllIn(p).size === 1, p)
+  }
+
   test("q59: KMV sketch aggregates partial -> final (mergeable at scale)") {
     val p = planOf("q59_kmv_sketch")
     assert(p.contains("ObjectHashAggregate"))
