@@ -1335,6 +1335,49 @@ object Extended {
       Some("""SELECT r_name, string_agg(n_name, ',' ORDER BY n_name)
                        AS nations
               FROM region JOIN nation ON n_regionkey = r_regionkey
-              GROUP BY r_name"""))
+              GROUP BY r_name""")),
+
+    // Recursive CTE (Spark 4 WITH RECURSIVE): hierarchy walk over the
+    // implicit referrer tree parent(c) = floor(c/2) rooted at custkey 1 —
+    // per-node depth and root-to-node balance path-sum. Iterative
+    // self-reference is the one relational shape plain joins can't express
+    // at unknown depth (d09's connected components hand-rolls the same
+    // loop in Scala against the oracle's recursive CTE; this is the
+    // in-SQL-surface twin). Path sums accumulate in DECIMAL so the result
+    // is order-exact in both engines; depth grows O(log n), so the
+    // iteration count — and the number of shuffles — is ~14 even at
+    // 100 TB keyspace, each iteration a key-partitioned hash join.
+    Q("q88_recursive_cte",
+      (s, d) => {
+        Tables.customer(s, d).createOrReplaceTempView("graft_q88_customer")
+        s.sql("""WITH RECURSIVE chain AS (
+                   SELECT c_custkey, 0 AS depth,
+                          CAST(c_acctbal AS DECIMAL(18,2)) AS path_bal
+                   FROM graft_q88_customer WHERE c_custkey = 1
+                   UNION ALL
+                   SELECT c.c_custkey, p.depth + 1,
+                          CAST(p.path_bal + CAST(c.c_acctbal AS DECIMAL(18,2))
+                               AS DECIMAL(18,2))
+                   FROM graft_q88_customer c JOIN chain p
+                     ON CAST(floor(c.c_custkey / 2.0) AS BIGINT) = p.c_custkey
+                   WHERE c.c_custkey > 1)
+                 SELECT c_custkey, depth,
+                        CAST(path_bal AS DOUBLE) AS path_bal
+                 FROM chain""")
+      },
+      Some("""WITH RECURSIVE chain AS (
+                SELECT c_custkey, 0 AS depth,
+                       CAST(c_acctbal AS DECIMAL(18,2)) AS path_bal
+                FROM customer WHERE c_custkey = 1
+                UNION ALL
+                SELECT c.c_custkey, p.depth + 1,
+                       CAST(p.path_bal + CAST(c.c_acctbal AS DECIMAL(18,2))
+                            AS DECIMAL(18,2))
+                FROM customer c JOIN chain p
+                  ON CAST(floor(c.c_custkey / 2.0) AS BIGINT) = p.c_custkey
+                WHERE c.c_custkey > 1)
+              SELECT c_custkey, depth,
+                     CAST(path_bal AS DOUBLE) AS path_bal
+              FROM chain"""))
   )
 }

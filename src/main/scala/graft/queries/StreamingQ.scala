@@ -312,6 +312,46 @@ object StreamingQ {
     }
   }
 
+  /** Typed rows for the quota processor (s22). */
+  final case class QuotaEv(event_id: Long, user_id: Long, tsu: Long,
+      wstart_us: Long)
+  final case class QuotaOut(event_id: Long, user_id: Long, wstart_us: Long,
+      rn: Long)
+
+  /** s22: per-key QUOTA enforcement — admit at most N events per
+    * (user, day window); the streaming guardrail shape (API rate caps;
+    * in a training pipeline, the cap-docs-per-domain balancing rule).
+    * Key = (user, window), state = ONE counter; events beyond the cap are
+    * dropped at ingest, so downstream state/sinks are bounded by
+    * N · |active keys| regardless of input volume — the point of admission
+    * control at 100 TB. Admission order is (event time, event_id) within a
+    * batch, counter-continued across batches (the s17 ordering contract:
+    * batch boundaries are event-time monotonic for the replayed log).
+    * State here is TTLConfig.NONE because the replay is bounded; a
+    * production deployment sets a TTL a safe multiple of the window span
+    * so expired (user, window) counters age out of the store.
+    */
+  final class QuotaProcessor
+      extends StatefulProcessor[(Long, Long), QuotaEv, QuotaOut] {
+    private val cap = 3L
+    @transient private var st: org.apache.spark.sql.streaming.ValueState[Long] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      st = getHandle.getValueState[Long]("admitted",
+        org.apache.spark.sql.Encoders.scalaLong, TTLConfig.NONE)
+
+    override def handleInputRows(key: (Long, Long), rows: Iterator[QuotaEv],
+        tv: TimerValues): Iterator[QuotaOut] = {
+      var n = if (st.exists()) st.get() else 0L
+      val out = rows.toSeq.sortBy(e => (e.tsu, e.event_id)).flatMap { e =>
+        if (n < cap) { n += 1; Some(QuotaOut(e.event_id, key._1, key._2, n)) }
+        else None
+      }
+      st.update(n)
+      out.iterator
+    }
+  }
+
   def transformWithStateRunningMax(s: SparkSession, d: String): DataFrame = {
     s.conf.set("spark.sql.streaming.stateStore.providerClass",
       "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
@@ -943,6 +983,36 @@ object StreamingQ {
                      coalesce(lag(event_id, 2) OVER w, -1) AS prev2,
                      coalesce(lag(event_id, 3) OVER w, -1) AS prev3
               FROM events
-              WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)"""))
+              WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)""")),
+
+    // s22: per-(user, day) admission quota (see QuotaProcessor above);
+    // oracle = row_number per (user, day) capped at 3 — the window is a
+    // DAY so the cap actually binds on the testdata (~14% of events are
+    // rejected at sf0.01; an hourly window never fills at this density).
+    Q("s22_stream_quota",
+      (s, d) => {
+        s.conf.set("spark.sql.streaming.stateStore.providerClass",
+          "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+        try runEventsStream(s, d) { src =>
+          import s.implicits._
+          src.select(col("event_id"), col("user_id"),
+              unix_micros(col("ts")).as("tsu"))
+            .withColumn("wstart_us",
+              col("tsu") - pmod(col("tsu"), lit(86400000000L)))
+            .as[QuotaEv]
+            .groupByKey(e => (e.user_id, e.wstart_us))
+            .transformWithState(new QuotaProcessor,
+              TimeMode.None(), OutputMode.Append())
+            .toDF()
+        } finally s.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      },
+      Some("""SELECT event_id, user_id, wstart_us, rn FROM (
+                SELECT event_id, user_id,
+                       epoch_us(date_trunc('day', ts)) AS wstart_us,
+                       CAST(ROW_NUMBER() OVER (
+                              PARTITION BY user_id, date_trunc('day', ts)
+                              ORDER BY ts, event_id) AS BIGINT) AS rn
+                FROM events) z
+              WHERE rn <= 3"""))
   )
 }
