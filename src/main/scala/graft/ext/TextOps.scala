@@ -435,6 +435,30 @@ object TextQueries {
                             ORDER BY tf * (n_sources - df + 1) DESC, tok)
                             AS INT) AS rk
                 FROM tf JOIN df USING (tok), n) z
-              WHERE rk <= 3"""))
+              WHERE rk <= 3""")),
+
+    // t11: sliding token windows via the custom Catalyst GENERATOR
+    // (graft.functions.TokenWindowsExpr — the long-doc chunking feed for
+    // context-window training, m07's tile explode at token granularity).
+    // 8-token windows every 4 tokens; the generator STREAMS windows out of
+    // GenerateExec one at a time, never materializing the per-doc window
+    // array the equivalent explode(transform(sequence(...))) would build.
+    Q("t11_token_windows",
+      (s, d) => {
+        graft.functions.GraftFunctions.register(s)
+        Tables.documents(s, d)
+          .select(col("doc_id"), expr("graft_token_windows(text, 8, 4)"))
+      },
+      Some("""WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks
+                         FROM documents),
+                   st AS (SELECT doc_id, toks,
+                                 unnest(generate_series(0, len(toks) - 1, 4))
+                                   AS st
+                          FROM t)
+              SELECT doc_id, CAST(st // 4 AS INT) AS win_idx,
+                     array_to_string(
+                       toks[st + 1 : least(st + 8, len(toks))], ' ')
+                       AS win_text
+              FROM st"""))
   )
 }

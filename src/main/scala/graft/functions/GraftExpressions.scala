@@ -309,6 +309,59 @@ case class KmvUnionEstExpr(left: Expression, right: Expression, k: Int)
     copy(left = newLeft, right = newRight)
 }
 
+/** Custom Catalyst GENERATOR (the table-function rung next to the scalar
+  * expressions above and the aggregates in [[KmvSketch]]): sliding
+  * token windows of `n` tokens every `stride`, one output row per window.
+  *
+  * Why a Generator and not `explode(transform(sequence(...), ...))`: the
+  * built-in form materializes the COMPLETE window array per input row
+  * before exploding — a 1 M-token document with stride 4 builds a ~250 k
+  * element array (each holding an n-token string slice) in executor
+  * memory. A Generator's contract is an iterator: [[GenerateExec]] pulls
+  * windows one at a time, so peak memory is one window regardless of
+  * document size. That is the same stream-don't-materialize discipline as
+  * m07's bounded tile explode, applied where the blow-up factor is
+  * row-dependent. CodegenFallback is deliberate: GenerateExec's codegen
+  * path only covers the explode family, and the per-window work (a slice
+  * + join) dwarfs the virtual-call overhead.
+  *
+  * Token split is `split(" ", -1)` — empties kept, matching DuckDB's
+  * string_split semantics (see TextHash doc for the shared contract).
+  */
+case class TokenWindowsExpr(child: Expression, n: Int, stride: Int)
+    extends UnaryExpression
+    with org.apache.spark.sql.catalyst.expressions.Generator
+    with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+  require(n > 0 && stride > 0, "window size and stride must be positive")
+  override def checkInputDataTypes():
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (child.dataType == StringType)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      s"$prettyName expects a string argument, got ${child.dataType.simpleString}")
+  override def elementSchema: StructType = StructType(Seq(
+    StructField("win_idx", IntegerType, nullable = false),
+    StructField("win_text", StringType, nullable = false)))
+  override def prettyName: String = "graft_token_windows"
+  override def eval(input: org.apache.spark.sql.catalyst.InternalRow): IterableOnce[org.apache.spark.sql.catalyst.InternalRow] = {
+    val v = child.eval(input)
+    if (v == null) Iterator.empty
+    else {
+      val toks = v.asInstanceOf[org.apache.spark.unsafe.types.UTF8String]
+        .toString.split(" ", -1)
+      Range(0, toks.length, stride).iterator.zipWithIndex.map {
+        case (st, i) =>
+          val win = toks.slice(st, math.min(st + n, toks.length))
+            .mkString(" ")
+          org.apache.spark.sql.catalyst.InternalRow(i,
+            org.apache.spark.unsafe.types.UTF8String.fromString(win))
+      }
+    }
+  }
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 /** Per-session registration of the engine's native functions. */
 object GraftFunctions {
   val fns: Seq[(String, Seq[Expression] => Expression)] = Seq(
@@ -325,7 +378,10 @@ object GraftFunctions {
     "graft_lsh_bucket"   -> (cs => LshBucketExpr(cs.head)),
     // mergeable KMV distinct sketch (analyzer wraps the raw AggregateFunction)
     "graft_kmv"          -> (cs => KmvSketchAgg(cs.head, 64)),
-    "graft_kmv_union_est" -> (cs => KmvUnionEstExpr(cs(0), cs(1), 64))
+    "graft_kmv_union_est" -> (cs => KmvUnionEstExpr(cs(0), cs(1), 64)),
+    // generator (table function): args 2 and 3 must be int literals
+    "graft_token_windows" -> (cs => TokenWindowsExpr(cs(0),
+      cs(1).eval(null).asInstanceOf[Int], cs(2).eval(null).asInstanceOf[Int]))
   )
 
   /** Idempotent: safe to call at the head of every query builder. */
