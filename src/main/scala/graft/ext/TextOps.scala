@@ -459,6 +459,33 @@ object TextQueries {
                      array_to_string(
                        toks[st + 1 : least(st + 8, len(toks))], ' ')
                        AS win_text
-              FROM st"""))
+              FROM st""")),
+
+    // t12: per-SOURCE document cap — the domain-balancing sample every
+    // web-scale corpus applies (cap N docs per domain so no single crawl
+    // host dominates training). The pick is deterministic-pseudorandom:
+    // rank within source by md5(text) (identical bytes → identical rank in
+    // any engine; no RNG, so the sample is reproducible run-over-run),
+    // doc_id as tie-break. ONE shuffle of (source, 16-byte hash, id) — the
+    // window never carries document text; at 100 TB with skewed sources the
+    // rank-then-filter form also spills safely (sort-based window), unlike
+    // a per-group collect.
+    Q("t12_source_cap",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val w = Window.partitionBy("source")
+          .orderBy(col("h"), col("doc_id"))
+        Tables.documents(s, d)
+          .select(col("source"), col("doc_id"), md5(col("text")).as("h"))
+          .withColumn("rk", row_number().over(w))
+          .filter(col("rk") <= 5)
+          .select("source", "doc_id", "rk")
+      },
+      Some("""SELECT source, doc_id, CAST(rk AS INT) AS rk FROM (
+                SELECT source, doc_id,
+                       row_number() OVER (PARTITION BY source
+                                          ORDER BY md5(text), doc_id) AS rk
+                FROM documents) z
+              WHERE rk <= 5"""))
   )
 }

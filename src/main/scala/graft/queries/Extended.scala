@@ -1378,6 +1378,100 @@ object Extended {
                 WHERE c.c_custkey > 1)
               SELECT c_custkey, depth,
                      CAST(path_bal AS DOUBLE) AS path_bal
-              FROM chain"""))
+              FROM chain""")),
+
+    // q89: gaps-and-islands — per-user runs of CONSECUTIVE active days
+    // (the classic streak/retention shape). distinct (user, day) first, so
+    // the windowed part never sees raw events; anchor = day - row_number
+    // collapses each consecutive run to one constant. Both windows and the
+    // final agg share the user_id partitioning, so the whole query is ONE
+    // shuffle of (user_id, date) pairs — at 100 TB that's bounded by
+    // users × days, orders of magnitude under the event count.
+    Q("q89_streaks",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val days = Tables.events(s, d)
+          .select(col("user_id"), to_date(col("ts")).as("dt")).distinct()
+        val w = Window.partitionBy("user_id").orderBy("dt")
+        days
+          .withColumn("anchor", date_sub(col("dt"), row_number().over(w)))
+          .groupBy("user_id", "anchor")
+          .agg(min("dt").as("streak_start"), max("dt").as("streak_end"),
+            count(lit(1)).as("streak_days"))
+          .filter(col("streak_days") >= 2)
+          .select("user_id", "streak_start", "streak_end", "streak_days")
+      },
+      Some("""WITH days AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS dt
+                            FROM events),
+                   isl AS (SELECT user_id, dt,
+                                  dt - CAST(row_number() OVER (
+                                         PARTITION BY user_id ORDER BY dt)
+                                       AS INT) AS anchor
+                           FROM days)
+              SELECT user_id, min(dt) AS streak_start,
+                     max(dt) AS streak_end,
+                     CAST(count(*) AS BIGINT) AS streak_days
+              FROM isl GROUP BY user_id, anchor
+              HAVING count(*) >= 2""")),
+
+    // q90: global exact-percentile GATE — keep rows at/above the corpus P90
+    // and aggregate the survivors (the quality-threshold cut every
+    // training-data pipeline runs, e.g. "top decile by score"). The cutoff
+    // is SQL-standard percentile_disc (an actual data value — no
+    // interpolation, so it hash-matches across engines bit-for-bit) computed
+    // once and BROADCAST; the corpus side stays a scan + filter + partial
+    // agg with no extra shuffle. At 100 TB the cutoff agg is the only
+    // global step, and percentile_disc's sort can be swapped for the q80
+    // histogram sketch without touching the gate's shape.
+    Q("q90_percentile_cut",
+      (s, d) => {
+        val li = Tables.lineitem(s, d)
+        val cut = li.agg(expr(
+          "percentile_disc(0.9) WITHIN GROUP (ORDER BY l_extendedprice)")
+          .as("cut"))
+        li.crossJoin(broadcast(cut))
+          .filter(col("l_extendedprice") >= col("cut"))
+          .groupBy("l_returnflag")
+          .agg(count(lit(1)).as("n_top"),
+            sum(col("l_extendedprice").cast(DecimalType(18, 2)))
+              .cast(DecimalType(18, 2)).cast("double").as("rev_top"))
+      },
+      Some("""WITH cut AS (SELECT percentile_disc(0.9) WITHIN GROUP
+                                    (ORDER BY l_extendedprice) AS cut
+                           FROM lineitem)
+              SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n_top,
+                     CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)))
+                          AS DECIMAL(18,2)) AS DOUBLE) AS rev_top
+              FROM lineitem, cut WHERE l_extendedprice >= cut
+              GROUP BY l_returnflag""")),
+
+    // q92: 2-D SKYLINE (pareto frontier) — parts not dominated by any other
+    // (dominated = some part is strictly larger AND strictly cheaper). The
+    // naive form is an O(n²) NOT EXISTS self-join (that's the oracle); the
+    // engine reduces it to: per-size partial-agg min price (one shuffle of
+    // (size, price) pairs), a running strict-prefix min over the ~|sizes|
+    // aggregated rows (single-partition window is FINE there — cardinality
+    // is the attribute domain, not the row count), and a broadcast join of
+    // the per-size threshold back onto the scan. At 100 TB: one partial
+    // agg + one broadcast, never a self-join.
+    Q("q92_skyline",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val parts = Tables.part(s, d)
+        val bySize = parts.groupBy("p_size")
+          .agg(min("p_retailprice").as("size_min"))
+        val w = Window.orderBy(col("p_size").desc)
+          .rowsBetween(Window.unboundedPreceding, -1)
+        val thr = bySize
+          .withColumn("thr", min("size_min").over(w))
+          .select("p_size", "thr")
+        parts.join(broadcast(thr), "p_size")
+          .filter(col("thr").isNull || col("p_retailprice") <= col("thr"))
+          .select("p_partkey", "p_size", "p_retailprice")
+      },
+      Some("""SELECT p_partkey, p_size, p_retailprice FROM part p
+              WHERE NOT EXISTS (SELECT 1 FROM part q
+                                WHERE q.p_size > p.p_size
+                                  AND q.p_retailprice < p.p_retailprice)"""))
   )
 }

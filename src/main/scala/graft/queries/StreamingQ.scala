@@ -352,6 +352,46 @@ object StreamingQ {
     }
   }
 
+  /** Typed rows for the streaming z-score processor (s23). */
+  final case class ZEv(event_id: Long, user_id: Long, tsu: Long, x: Long)
+  final case class ZOut(event_id: Long, user_id: Long, x: Long,
+      n_prev: Long, is_anomaly: Int)
+
+  /** s23: streaming anomaly flags from EXACT running moments — q79's
+    * all-integer z² test (scaled-long values; (n·x−s1)² > 4·(n·s2−s1²) ⇔
+    * |z| > 2, no division, no floats) over an UNBOUNDED per-user history
+    * instead of q79's 4-row frame. The whole history lives in state as
+    * three longs (n, Σx, Σx²) — order-free, mergeable, O(users) state
+    * forever; the batch equivalent needs a running window over every event.
+    * Rows are scored against moments of strictly PRECEDING events (then
+    * folded in), so results are replay-deterministic across any
+    * micro-batch slicing.
+    */
+  final class RunningZProcessor
+      extends StatefulProcessor[Long, ZEv, ZOut] {
+    @transient private var st: org.apache.spark.sql.streaming.ValueState[(Long, Long, Long)] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      st = getHandle.getValueState[(Long, Long, Long)]("moments",
+        org.apache.spark.sql.Encoders.product[(Long, Long, Long)],
+        TTLConfig.NONE)
+
+    override def handleInputRows(key: Long, rows: Iterator[ZEv],
+        tv: TimerValues): Iterator[ZOut] = {
+      var (n, s1, s2) = if (st.exists()) st.get() else (0L, 0L, 0L)
+      val out = rows.toSeq.sortBy(e => (e.tsu, e.event_id)).map { e =>
+        val dev = n * e.x - s1
+        val flag =
+          if (n >= 4 && dev * dev > 4 * (n * s2 - s1 * s1)) 1 else 0
+        val o = ZOut(e.event_id, key, e.x, n, flag)
+        n += 1; s1 += e.x; s2 += e.x * e.x
+        o
+      }
+      st.update((n, s1, s2))
+      out.iterator
+    }
+  }
+
   def transformWithStateRunningMax(s: SparkSession, d: String): DataFrame = {
     s.conf.set("spark.sql.streaming.stateStore.providerClass",
       "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
@@ -1013,6 +1053,48 @@ object StreamingQ {
                               PARTITION BY user_id, date_trunc('day', ts)
                               ORDER BY ts, event_id) AS BIGINT) AS rn
                 FROM events) z
-              WHERE rn <= 3"""))
+              WHERE rn <= 3""")),
+
+    // s23: streaming exact-moments anomaly detector (RunningZProcessor
+    // above); oracle = the same integer z² test against an
+    // UNBOUNDED-PRECEDING window per user. First 4 events per user score 0
+    // (n < 4 ⇒ no flag) on both sides; COUNT over an empty frame is 0 in
+    // DuckDB, matching n_prev = 0 for a user's first event.
+    Q("s23_stream_zscore",
+      (s, d) => {
+        s.conf.set("spark.sql.streaming.stateStore.providerClass",
+          "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+        try runEventsStream(s, d) { src =>
+          import s.implicits._
+          src.select(col("event_id"), col("user_id"),
+              unix_micros(col("ts")).as("tsu"),
+              (col("value").cast(org.apache.spark.sql.types.DecimalType(12, 2))
+                * 100).cast("long").as("x"))
+            .as[ZEv]
+            .groupByKey(_.user_id)
+            .transformWithState(new RunningZProcessor,
+              TimeMode.None(), OutputMode.Append())
+            .toDF()
+        } finally s.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      },
+      Some("""WITH b AS (SELECT event_id, user_id, ts,
+                                CAST(CAST(value AS DECIMAL(12,2)) * 100
+                                     AS BIGINT) AS x
+                         FROM events),
+                   wnd AS (SELECT event_id, user_id, x,
+                                  COUNT(x) OVER w AS n,
+                                  SUM(x) OVER w AS s1,
+                                  SUM(x * x) OVER w AS s2
+                           FROM b
+                           WINDOW w AS (PARTITION BY user_id
+                                        ORDER BY ts, event_id
+                                        ROWS BETWEEN UNBOUNDED PRECEDING
+                                                 AND 1 PRECEDING))
+              SELECT event_id, user_id, x, n AS n_prev,
+                     CAST(CASE WHEN n >= 4
+                                AND (n * x - s1) * (n * x - s1)
+                                    > 4 * (n * s2 - s1 * s1)
+                               THEN 1 ELSE 0 END AS INT) AS is_anomaly
+              FROM wnd"""))
   )
 }

@@ -206,6 +206,31 @@ class PlanQualitySpec extends SparkSpec {
     }
   }
 
+  test("q92: skyline is agg + broadcast threshold join — never a self-join") {
+    val p = planOf("q92_skyline")
+    assert(p.contains("BroadcastHashJoin"))
+    assert(!p.contains("SortMergeJoin"))
+    assert(!p.contains("CartesianProduct"))
+    // the single-partition window runs over the per-size aggregate only:
+    // partial agg must appear below the window's exchange
+    assert(p.contains("partial_min"))
+  }
+
+  test("q90: percentile cutoff broadcasts — corpus side is scan+filter+agg") {
+    val p = planOf("q90_percentile_cut")
+    assert(p.contains("BroadcastNestedLoopJoin"))
+    assert(!p.contains("SortMergeJoin"))
+  }
+
+  test("q89: streaks reuse ONE user partitioning across window and agg") {
+    val p = planOf("q89_streaks")
+    // distinct (user, day) + row_number + final agg: the row_number window
+    // and the groupBy(user, anchor) agg share the user_id-prefix hash
+    // partitioning, so only the distinct and the window repartition —
+    // 2 exchanges total, none carrying raw events
+    assert("Exchange hashpartitioning".r.findAllIn(p).size <= 2)
+  }
+
   test("bucketed tables join without a shuffle exchange") {
     val s = spark
     val prevThreshold = s.conf.get("spark.sql.autoBroadcastJoinThreshold")
