@@ -26,6 +26,24 @@ import graft.sources.Tables
   */
 object StreamingQ {
 
+  /** Stateful streaming cost scales with state-store count (= shuffle
+    * partitions at plan time): snapshots, WAL and commit run per store per
+    * micro-batch. Size state partitioning to the state volume (default 4
+    * here; graft.stream.stateParts overrides) rather than the CPU count —
+    * at real scale this knob grows with keys, not cores. Restored after
+    * the body (which must plan AND drain its query inside) so batch plans
+    * keep the session setting. Shared by runEventsStream and every
+    * hand-rolled streaming query below.
+    */
+  def withStateParts[T](s: SparkSession)(body: => T): T = {
+    val prevParts = s.conf.get("spark.sql.shuffle.partitions")
+    val stateParts =
+      s.conf.getOption("graft.stream.stateParts").getOrElse("4")
+    s.conf.set("spark.sql.shuffle.partitions", stateParts)
+    try body
+    finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
+  }
+
   /** Run a file-source events stream through `xform` into a checkpointed
     * parquet sink; return the sunk rows. `copies` symlinks the source
     * parquet N times (duplicate delivery simulation for dedup ops).
@@ -42,19 +60,9 @@ object StreamingQ {
     val out  = graft.util.Scratch.dir("graft_stream_out")
     val ckpt = graft.util.Scratch.dir("graft_stream_ckpt")
 
-    // Stateful streaming cost scales with state-store count (= shuffle
-    // partitions at plan time): snapshots, WAL and commit run per store per
-    // micro-batch. Size state partitioning to the state volume (default 4
-    // here; graft.stream.stateParts overrides) rather than the CPU count —
-    // at real scale this knob grows with keys, not cores. Restored after
-    // the query so batch plans keep the session setting.
-    val prevParts = s.conf.get("spark.sql.shuffle.partitions")
-    val stateParts =
-      s.conf.getOption("graft.stream.stateParts").getOrElse("4")
-    s.conf.set("spark.sql.shuffle.partitions", stateParts)
-    val src = Tables.normalizeEvents(
-      s.readStream.schema(rawSchema).parquet(srcDir.toString))
-    val q = try {
+    val q = withStateParts(s) {
+      val src = Tables.normalizeEvents(
+        s.readStream.schema(rawSchema).parquet(srcDir.toString))
       val q0 = xform(src).writeStream
         .format("parquet")
         .outputMode("append")
@@ -64,7 +72,7 @@ object StreamingQ {
         .start()
       q0.awaitTermination() // restore only after batches planned + drained
       q0
-    } finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
+    }
     if (sys.env.contains("GRAFT_STREAM_DEBUG"))
       q.recentProgress.foreach(p => println(
         s"[stream] batch=${p.batchId} rows=${p.numInputRows} ${p.durationMs}" +
@@ -512,7 +520,7 @@ object StreamingQ {
     // the reference's Kafka-source substitution (SURVEY §2.1 S3) as a real
     // connector rather than a built-in file source.
     Q("s13_dsv2_stream_source",
-      (s, d) => {
+      (s, d) => withStateParts(s) {
         val sel = Tables.events(s, d).select(col("event_id"), col("user_id"),
           col("event_type"), col("value"), unix_micros(col("ts")).as("tsu"))
         val topic = graft.util.Scratch.dir("graft_s13_topic")
@@ -542,7 +550,7 @@ object StreamingQ {
     // multiple epochs at test scale via the spec; here one drain), land on
     // the wire, and are read back through the connector's batch scan.
     Q("s14_dsv2_stream_sink",
-      (s, d) => {
+      (s, d) => withStateParts(s) {
         val path = s"$d/events.parquet"
         val rawSchema = s.read.parquet(path).schema
         val srcDir = Paths.get(graft.util.Scratch.dir("graft_s14_src"))
@@ -662,7 +670,7 @@ object StreamingQ {
     // arithmetic, so the oracle's 2* is bit-exact). Completes the output-
     // mode family: append (s01…), complete (s09), update (here).
     Q("s11_stream_update",
-      (s, d) => {
+      (s, d) => withStateParts(s) {
         val path = s"$d/events.parquet"
         val rawSchema = s.read.parquet(path).schema
         val srcDir = Paths.get(graft.util.Scratch.dir("graft_s11_src"))
@@ -709,7 +717,7 @@ object StreamingQ {
     // Each batch lands as parquet tagged with its batchId; exactly-once
     // comes from the (batchId, data) pair being deterministic on replay.
     Q("s08_foreach_batch",
-      (s, d) => {
+      (s, d) => withStateParts(s) {
         val path = s"$d/events.parquet"
         val rawSchema = s.read.parquet(path).schema
         val srcDir = Paths.get(graft.util.Scratch.dir("graft_s08_src"))
@@ -744,7 +752,7 @@ object StreamingQ {
     // so the main-side oracle is the complement filter; the DLQ side is
     // asserted by row count in the same run (n_dlq column).
     Q("s21_stream_dlq",
-      (s, d) => {
+      (s, d) => withStateParts(s) {
         val wireDir = graft.util.Scratch.dir("graft_s21_wire")
         Tables.events(s, d)
           .select(concat_ws("|",
@@ -795,7 +803,7 @@ object StreamingQ {
     // total aggregate, so the oracle has no emission boundary (unlike
     // s01/s02/s06's append-mode boundaries).
     Q("s09_stream_complete",
-      (s, d) => {
+      (s, d) => withStateParts(s) {
         val path = s"$d/events.parquet"
         val rawSchema = s.read.parquet(path).schema
         val srcDir = Paths.get(graft.util.Scratch.dir("graft_s09_src"))
