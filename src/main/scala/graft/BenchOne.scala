@@ -13,6 +13,8 @@ object BenchOne {
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    sys.env.get("GRAFT_STATE_PARTS")
+      .foreach(v => spark.conf.set("graft.stream.stateParts", v))
     spark.read.parquet(args(1) + "/lineitem.parquet").groupBy("l_returnflag").count().collect()
     val fn = SparkEntry.queries(args(0))
     val times = (1 to 2).map { _ =>

@@ -486,6 +486,37 @@ object TextQueries {
                        row_number() OVER (PARTITION BY source
                                           ORDER BY md5(text), doc_id) AS rk
                 FROM documents) z
-              WHERE rk <= 5"""))
+              WHERE rk <= 5""")),
+
+    // t13: BPE-style MERGE CANDIDATES — corpus-wide adjacent-token-pair
+    // counts, top-20 (the inner step of tokenizer training: each BPE
+    // iteration merges the most frequent pair and recounts). Pairing is
+    // per-row array surgery (zip of the token list with its own tail — no
+    // posexplode self-join on (doc, pos), which would shuffle every token
+    // twice); the only exchange carries (pair, partial count) after
+    // map-side combine, and top-20 is TakeOrdered, not a global sort. At
+    // 100 TB the shuffle is bounded by |vocab|² observed pairs, far under
+    // the token count, and the merge loop re-runs this query with the
+    // merged vocab folded into the tokenizer.
+    Q("t13_bpe_pairs",
+      (s, d) => Tables.documents(s, d)
+        .select(split(col("text"), " ").as("toks"))
+        .select(explode(expr(
+          """arrays_zip(slice(toks, 1, size(toks) - 1),
+                        slice(toks, 2, size(toks) - 1))""")).as("pr"))
+        .groupBy(col("pr.0").as("a"), col("pr.1").as("b"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("a"), col("b"))
+        .limit(20),
+      Some("""WITH t AS (SELECT string_split(text, ' ') AS toks
+                         FROM documents),
+                   p AS (SELECT toks,
+                                unnest(generate_series(1, len(toks) - 1))
+                                  AS i
+                         FROM t)
+              SELECT toks[i] AS a, toks[i + 1] AS b,
+                     CAST(count(*) AS BIGINT) AS n
+              FROM p GROUP BY 1, 2
+              ORDER BY n DESC, a, b LIMIT 20"""))
   )
 }

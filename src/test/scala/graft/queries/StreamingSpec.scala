@@ -370,4 +370,66 @@ class StreamingSpec extends SparkSpec {
         4L -> ((1L, 2.0))))                     // batch 2: fresh user 8
     } finally s.conf.unset("spark.sql.streaming.stateStore.providerClass")
   }
+
+  test("running z-score flags are identical under any micro-batch slicing") {
+    val s = spark
+    import s.implicits._
+
+    // one user, 6 events: 5 near 100 then an outlier at 900 — the outlier
+    // must flag against the preceding moments regardless of where the
+    // micro-batch boundary falls (all-in-one vs one-file-per-batch).
+    val evs = Seq(
+      (1L, 7L, ts("2024-01-01 00:01:00"), 100L),
+      (2L, 7L, ts("2024-01-01 00:02:00"), 102L),
+      (3L, 7L, ts("2024-01-01 00:03:00"), 98L),
+      (4L, 7L, ts("2024-01-01 00:04:00"), 101L),
+      (5L, 7L, ts("2024-01-01 00:05:00"), 99L),
+      (6L, 7L, ts("2024-01-01 00:06:00"), 900L))
+
+    def run(maxFiles: Option[Int]): Seq[(Long, Long, Int)] = {
+      val srcDir = Files.createTempDirectory("graft_zs_src").toString
+      val out    = Files.createTempDirectory("graft_zs_out").toString
+      val ckpt   = Files.createTempDirectory("graft_zs_ckpt").toString
+      evs.grouped(2).zipWithIndex.foreach { case (chunk, i) =>
+        val stage = Files.createTempDirectory(s"graft_zs_$i").toString
+        chunk.toDF("event_id", "user_id", "ts", "x")
+          .coalesce(1).write.mode("overwrite").parquet(stage)
+        val part = new File(stage).listFiles()
+          .find(_.getName.endsWith(".parquet")).get
+        val dst = Paths.get(srcDir, s"f$i.parquet")
+        Files.move(part.toPath, dst)
+        dst.toFile.setLastModified(1700000000000L + i * 60000)
+      }
+      s.conf.set("spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+      try {
+        val schema = evs.take(1).toDF("event_id", "user_id", "ts", "x").schema
+        val rd = s.readStream.schema(schema)
+        val src = maxFiles.fold(rd)(n => rd.option("maxFilesPerTrigger", n))
+          .parquet(srcDir)
+          .select(col("event_id"), col("user_id"),
+            unix_micros(col("ts")).as("tsu"), col("x"))
+          .as[StreamingQ.ZEv]
+          .groupByKey(_.user_id)
+          .transformWithState(new StreamingQ.RunningZProcessor,
+            TimeMode.None(), OutputMode.Append())
+          .toDF()
+        val q = src.writeStream.format("parquet").outputMode("append")
+          .option("checkpointLocation", ckpt).option("path", out)
+          .trigger(Trigger.AvailableNow()).start()
+        q.awaitTermination()
+        s.read.parquet(out).collect()
+          .map(r => (r.getLong(0), r.getLong(3), r.getInt(4)))
+          .sortBy(_._1).toSeq
+      } finally s.conf.unset("spark.sql.streaming.stateStore.providerClass")
+    }
+
+    val oneBatch = run(None)
+    val threeBatches = run(Some(1))
+    assert(oneBatch === threeBatches)
+    // only the outlier flags, scored against n_prev = 5 prior events
+    assert(oneBatch.map(t => t._1 -> t._3).toMap ===
+      Map(1L -> 0, 2L -> 0, 3L -> 0, 4L -> 0, 5L -> 0, 6L -> 1))
+    assert(oneBatch.find(_._1 == 6L).get._2 === 5L)
+  }
 }
