@@ -12,6 +12,8 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    sys.env.get("GRAFT_STATE_PARTS")
+      .foreach(v => spark.conf.set("graft.stream.stateParts", v))
     // Warm-up (BASELINE.md measures "min of 2 full-materialization runs
     // after warm-up"): JIT the scan/shuffle/codegen paths once so the first
     // timed query doesn't pay executor + compiler bring-up (~7 s of fixed

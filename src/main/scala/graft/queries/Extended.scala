@@ -1388,19 +1388,8 @@ object Extended {
     // shuffle of (user_id, date) pairs — at 100 TB that's bounded by
     // users × days, orders of magnitude under the event count.
     Q("q89_streaks",
-      (s, d) => {
-        import org.apache.spark.sql.expressions.Window
-        val days = Tables.events(s, d)
-          .select(col("user_id"), to_date(col("ts")).as("dt")).distinct()
-        val w = Window.partitionBy("user_id").orderBy("dt")
-        days
-          .withColumn("anchor", date_sub(col("dt"), row_number().over(w)))
-          .groupBy("user_id", "anchor")
-          .agg(min("dt").as("streak_start"), max("dt").as("streak_end"),
-            count(lit(1)).as("streak_days"))
-          .filter(col("streak_days") >= 2)
-          .select("user_id", "streak_start", "streak_end", "streak_days")
-      },
+      (s, d) => graft.operators.Streaks.consecutiveDays(
+        Tables.events(s, d), "user_id", "ts"),
       Some("""WITH days AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS dt
                             FROM events),
                    isl AS (SELECT user_id, dt,
@@ -1455,20 +1444,9 @@ object Extended {
     // the per-size threshold back onto the scan. At 100 TB: one partial
     // agg + one broadcast, never a self-join.
     Q("q92_skyline",
-      (s, d) => {
-        import org.apache.spark.sql.expressions.Window
-        val parts = Tables.part(s, d)
-        val bySize = parts.groupBy("p_size")
-          .agg(min("p_retailprice").as("size_min"))
-        val w = Window.orderBy(col("p_size").desc)
-          .rowsBetween(Window.unboundedPreceding, -1)
-        val thr = bySize
-          .withColumn("thr", min("size_min").over(w))
-          .select("p_size", "thr")
-        parts.join(broadcast(thr), "p_size")
-          .filter(col("thr").isNull || col("p_retailprice") <= col("thr"))
-          .select("p_partkey", "p_size", "p_retailprice")
-      },
+      (s, d) => graft.operators.Skyline.pareto2D(
+          Tables.part(s, d), "p_size", "p_retailprice")
+        .select("p_partkey", "p_size", "p_retailprice"),
       Some("""SELECT p_partkey, p_size, p_retailprice FROM part p
               WHERE NOT EXISTS (SELECT 1 FROM part q
                                 WHERE q.p_size > p.p_size
