@@ -1450,6 +1450,57 @@ object Extended {
       Some("""SELECT p_partkey, p_size, p_retailprice FROM part p
               WHERE NOT EXISTS (SELECT 1 FROM part q
                                 WHERE q.p_size > p.p_size
-                                  AND q.p_retailprice < p.p_retailprice)"""))
+                                  AND q.p_retailprice < p.p_retailprice)""")),
+
+    // q93: BUCKETED co-located join — both tables written with
+    // bucketBy(8, <orderkey>) + sortBy (repartitioned on the key first so
+    // each bucket is exactly one file), then joined with NO shuffle: the
+    // bucketed scans report HashPartitioning(key, 8), so EnsureRequirements
+    // accepts them as co-partitioned and SortMergeJoin consumes the bucket
+    // files in place. This is the pay-the-shuffle-ONCE-at-write pattern a
+    // warehouse uses for its largest fact tables: every downstream join or
+    // aggregation on the bucket key reuses the layout for free, which at
+    // 100 TB turns the single biggest recurring exchange into a
+    // write-time cost amortized over all consumers. Scoped newSession:
+    // broadcast is disabled so the test SF exercises the same SMJ plan a
+    // cluster would run on two fact-sized sides. Bucketing is physical
+    // layout, never semantics — the result must equal the plain join (the
+    // oracle) bit-for-bit. Plan pinned in PlanQualitySpec: exactly ONE
+    // exchange in the whole query (the final groupBy re-key), zero under
+    // the join.
+    Q("q93_bucketed_join",
+      (s, d) => {
+        val s2 = s.newSession()
+        s2.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        val loc = Scratch.dir("graft_q93_bucketed")
+        Tables.lineitem(s2, d)
+          .select("l_orderkey", "l_extendedprice", "l_discount")
+          .repartition(8, col("l_orderkey"))
+          .write.mode("overwrite")
+          .bucketBy(8, "l_orderkey").sortBy("l_orderkey")
+          .option("path", s"$loc/lineitem_b")
+          .saveAsTable("graft_q93_lineitem")
+        Tables.orders(s2, d)
+          .select("o_orderkey", "o_orderpriority")
+          .repartition(8, col("o_orderkey"))
+          .write.mode("overwrite")
+          .bucketBy(8, "o_orderkey").sortBy("o_orderkey")
+          .option("path", s"$loc/orders_b")
+          .saveAsTable("graft_q93_orders")
+        s2.table("graft_q93_lineitem")
+          .join(s2.table("graft_q93_orders"),
+            col("l_orderkey") === col("o_orderkey"))
+          .groupBy("o_orderpriority")
+          .agg(count(lit(1)).as("n_lines"),
+            sum(dec12(col("l_extendedprice")) *
+              (lit(1) - dec12(col("l_discount"))))
+              .cast("double").as("revenue"))
+      },
+      Some("""SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n_lines,
+                     CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+                              * (1 - CAST(l_discount AS DECIMAL(12,2))))
+                          AS DOUBLE) AS revenue
+              FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+              GROUP BY o_orderpriority"""))
   )
 }

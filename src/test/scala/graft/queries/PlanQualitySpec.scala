@@ -231,6 +231,16 @@ class PlanQualitySpec extends SparkSpec {
     assert("Exchange hashpartitioning".r.findAllIn(p).size <= 2)
   }
 
+  test("q93: bucketed co-located join — only the final agg exchanges") {
+    val p = planOf("q93_bucketed_join")
+    assert(p.contains("SortMergeJoin"), p)
+    // the join consumes the two bucketed scans in place; the single
+    // exchange is the groupBy(o_orderpriority) re-key above it
+    assert("Exchange hashpartitioning".r.findAllIn(p).size === 1, p)
+    assert(!p.contains("Exchange hashpartitioning(l_orderkey"), p)
+    assert(!p.contains("Exchange hashpartitioning(o_orderkey"), p)
+  }
+
   test("bucketed tables join without a shuffle exchange") {
     val s = spark
     val prevThreshold = s.conf.get("spark.sql.autoBroadcastJoinThreshold")
