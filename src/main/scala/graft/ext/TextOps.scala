@@ -517,6 +517,69 @@ object TextQueries {
               SELECT toks[i] AS a, toks[i + 1] AS b,
                      CAST(count(*) AS BIGINT) AS n
               FROM p GROUP BY 1, 2
-              ORDER BY n DESC, a, b LIMIT 20"""))
+              ORDER BY n DESC, a, b LIMIT 20""")),
+
+    // t14: duplicated-PASSAGE scrub — the corpus-level cleanup that d08
+    // only detects: docs are chunked into aligned 4-token passages, a
+    // passage appearing in >= 3 DISTINCT docs is boilerplate, and each doc
+    // is rebuilt with those passages removed (order preserved) plus a
+    // removal count. Plan shape: the boilerplate lexicon is found with
+    // d08's in-row-dedup discipline (array_distinct per doc before the
+    // explode, so the corpus count is ONE map-side-combined exchange of
+    // passage strings) and is aggregate-scale by construction, so the
+    // scrub join BROADCASTS it (d13's pattern) — the corpus side never
+    // shuffles for the join. The final per-doc reassembly is the only
+    // corpus-sized exchange, and its collect_list is bounded by the
+    // DOCUMENT's own length (per-doc reconstruction, not an unbounded
+    // group). At 100 TB: one lexicon agg + one doc-key exchange, and the
+    // lexicon would persist as the reusable scrub artifact across corpus
+    // versions.
+    Q("t14_passage_scrub",
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        val segArr = expr(
+          """transform(sequence(1, cast(ceil(size(split(text, ' ')) / 4.0)
+                                        as int)),
+                       i -> array_join(slice(split(text, ' '),
+                                             (i - 1) * 4 + 1, 4), ' '))""")
+        val bp = docs
+          .select(explode(array_distinct(segArr)).as("seg"))
+          .groupBy("seg").agg(count(lit(1)).as("n_docs"))
+          .filter(col("n_docs") >= 3)
+          .select("seg").withColumn("is_bp", lit(true))
+        docs.select(col("doc_id"), posexplode(segArr).as(Seq("idx", "seg")))
+          .join(broadcast(bp), Seq("seg"), "left_outer")
+          .select(col("doc_id"), col("idx"), col("seg"),
+            coalesce(col("is_bp"), lit(false)).as("is_bp"))
+          .groupBy("doc_id")
+          .agg(expr("array_sort(collect_list(struct(idx, seg, is_bp)))")
+            .as("a"))
+          .select(col("doc_id"),
+            concat_ws(" ",
+              expr("transform(filter(a, x -> NOT x.is_bp), x -> x.seg)"))
+              .as("clean_text"),
+            expr("size(filter(a, x -> x.is_bp))").cast("long")
+              .as("n_removed"))
+      },
+      Some("""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t
+                            FROM documents),
+                   segs AS (SELECT doc_id, i AS idx,
+                                   array_to_string(list_slice(
+                                     t, (i - 1) * 4 + 1, i * 4), ' ') AS seg
+                            FROM toks,
+                                 unnest(range(1, CAST(ceil(len(t) / 4.0)
+                                                      AS INT) + 1)) AS u(i)),
+                   bp AS (SELECT seg
+                          FROM (SELECT DISTINCT doc_id, seg FROM segs)
+                          GROUP BY seg HAVING count(*) >= 3)
+              SELECT doc_id,
+                     coalesce(string_agg(seg, ' ' ORDER BY idx)
+                                FILTER (WHERE seg NOT IN
+                                        (SELECT seg FROM bp)), '')
+                       AS clean_text,
+                     CAST(count(*) FILTER (WHERE seg IN
+                                           (SELECT seg FROM bp)) AS BIGINT)
+                       AS n_removed
+              FROM segs GROUP BY doc_id"""))
   )
 }

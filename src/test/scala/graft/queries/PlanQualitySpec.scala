@@ -231,6 +231,15 @@ class PlanQualitySpec extends SparkSpec {
     assert("Exchange hashpartitioning".r.findAllIn(p).size <= 2)
   }
 
+  test("t14: scrub lexicon broadcasts — corpus exchanges only for lexicon agg + per-doc rebuild") {
+    val p = planOf("t14_passage_scrub")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+    // one exchange builds the passage lexicon (map-side combined), one
+    // re-keys by doc_id for the order-preserving reassembly
+    assert("Exchange hashpartitioning".r.findAllIn(p).size === 2, p)
+  }
+
   test("q93: bucketed co-located join — only the final agg exchanges") {
     val p = planOf("q93_bucketed_join")
     assert(p.contains("SortMergeJoin"), p)
