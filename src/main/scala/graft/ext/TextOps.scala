@@ -536,12 +536,12 @@ object TextQueries {
     // versions.
     Q("t14_passage_scrub",
       (s, d) => {
+        // passages via the native codegen'd kernel (one byte scan per row;
+        // the transform/sequence/slice HOF form re-evaluated its lambda
+        // body per element outside whole-stage codegen)
+        graft.functions.GraftFunctions.register(s)
         val docs = Tables.documents(s, d)
-        val segArr = expr(
-          """transform(sequence(1, cast(ceil(size(split(text, ' ')) / 4.0)
-                                        as int)),
-                       i -> array_join(slice(split(text, ' '),
-                                             (i - 1) * 4 + 1, 4), ' '))""")
+        val segArr = expr("graft_passages(text, 4)")
         val bp = docs
           .select(explode(array_distinct(segArr)).as("seg"))
           .groupBy("seg").agg(count(lit(1)).as("n_docs"))

@@ -362,6 +362,30 @@ case class TokenWindowsExpr(child: Expression, n: Int, stride: Int)
     copy(child = newChild)
 }
 
+/** Aligned w-token passages of a string — see [[TextHash.passages]]. */
+case class PassagesExpr(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def checkInputDataTypes():
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (left.dataType == StringType && right.dataType == IntegerType)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      s"$prettyName expects (string, int), got " +
+        s"(${left.dataType.simpleString}, ${right.dataType.simpleString})")
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "graft_passages"
+  protected override def nullSafeEval(s: Any, w: Any): Any =
+    TextHash.passages(
+      s.asInstanceOf[org.apache.spark.unsafe.types.UTF8String],
+      w.asInstanceOf[Int])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      (s, w) => s"graft.functions.TextHash.passages($s, $w)")
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
 /** Per-session registration of the engine's native functions. */
 object GraftFunctions {
   val fns: Seq[(String, Seq[Expression] => Expression)] = Seq(
@@ -371,6 +395,7 @@ object GraftFunctions {
     "graft_gram5_distinct" -> (cs => Gram5DistinctExpr(cs.head)),
     "graft_simhash"      -> (cs => SimHashExpr(cs.head)),
     "graft_rep_stats"    -> (cs => RepStatsExpr(cs.head)),
+    "graft_passages"     -> (cs => PassagesExpr(cs(0), cs(1))),
     "graft_quarter_means" -> (cs => QuarterMeansExpr(cs.head)),
     "graft_edge_ngrams"  -> (cs => EdgeNgramsExpr(cs.head)),
     "graft_dot"          -> (cs => DotFExpr(cs(0), cs(1))),

@@ -220,6 +220,41 @@ object TextHash {
       Array[Any](n, counts.size, topTok, topBig))
   }
 
+  /** Aligned `w`-token passages in ONE byte scan (t14 hot path). Because
+    * tokens are defined by single-space splits, joining `w` consecutive
+    * tokens with single spaces reproduces the original SUBSTRING between
+    * those token boundaries — so a passage is just the byte slice between
+    * every w-th space (0x20 never occurs inside a multi-byte UTF-8
+    * sequence). Value-identical to
+    * `transform(sequence(1, ceil(ntoks/w)), i ->
+    *    array_join(slice(split(text,' '), (i-1)*w+1, w), ' '))`
+    * including empty-token and trailing-space edges, without materializing
+    * the token array or re-evaluating the lambda body per element.
+    */
+  def passages(s: UTF8String, w: Int): ArrayData = {
+    val bytes = s.getBytes
+    val nb = bytes.length
+    val out = new java.util.ArrayList[AnyRef](nb / (4 * math.max(w, 1)) + 1)
+    var start = 0
+    var spaces = 0
+    var i = 0
+    while (i < nb) {
+      if (bytes(i) == 0x20) {
+        spaces += 1
+        if (spaces == w) {
+          out.add(UTF8String.fromBytes(
+            java.util.Arrays.copyOfRange(bytes, start, i)))
+          start = i + 1
+          spaces = 0
+        }
+      }
+      i += 1
+    }
+    out.add(UTF8String.fromBytes(
+      java.util.Arrays.copyOfRange(bytes, start, nb)))
+    new GenericArrayData(out.toArray)
+  }
+
   /** 16-bit SimHash over token hashes: bit b set iff the ±1 vote sum over
     * tokens (bit b of each token hash) is positive.
     */

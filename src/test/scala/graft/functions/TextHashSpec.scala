@@ -133,6 +133,34 @@ class TextHashSpec extends AnyFunSuite {
       assert(r.passed, r.status.toString)
     }
   }
+
+  test("passages equals the slice/join model, including edges") {
+    // naive model: the transform/sequence/slice/array_join SQL form t14's
+    // oracle uses (and the engine's HOF form replaced)
+    def ref(s: String, w: Int): Seq[String] = {
+      val toks = s.split(" ", -1)
+      (0 until math.ceil(toks.length / w.toDouble).toInt)
+        .map(g => toks.slice(g * w, g * w + w).mkString(" "))
+    }
+    def got(s: String, w: Int): Seq[String] =
+      TextHash.passages(u(s), w).toArray[UTF8String](
+        org.apache.spark.sql.types.StringType).toSeq.map(_.toString)
+    for (s <- Seq("", " ", "a", "a b c d", "a b c d e", "a  b ", "x " * 9,
+                  "trés café 中文 字符 ok a b c d"); w <- Seq(1, 2, 4))
+      assert(got(s, w) === ref(s, w), s"input: '$s' w=$w")
+    // property: small alphabet with space bias so empty tokens, runs of
+    // spaces, and non-ASCII multibyte chars all occur
+    locally {
+      import org.scalacheck.{Gen, Prop, Test => SCTest}
+      val gen = Gen.listOf(Gen.oneOf('a', 'é', ' ', ' ')).map(_.mkString)
+      val r = SCTest.check(
+        SCTest.Parameters.default.withMinSuccessfulTests(300),
+        Prop.forAll(gen, Gen.choose(1, 6)) { (s, w) =>
+          got(s, w) == ref(s, w)
+        })
+      assert(r.passed, r.status.toString)
+    }
+  }
 }
 
 class VecOpsSpec extends AnyFunSuite {
