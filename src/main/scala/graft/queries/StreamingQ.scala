@@ -1103,6 +1103,41 @@ object StreamingQ {
                                 AND (n * x - s1) * (n * x - s1)
                                     > 4 * (n * s2 - s1 * s1)
                                THEN 1 ELSE 0 END AS INT) AS is_anomaly
-              FROM wnd"""))
+              FROM wnd""")),
+
+    // s24: stream-stream LEFT SEMI interval join — "signups that converted
+    // within 24h", emitting each signup ROW at most once, with NO purchase
+    // columns ever materialized (the funnel-gate shape; contrast s07 inner
+    // = one row per matching pair, s10 outer = null-padded non-matches).
+    // Semi rows emit as soon as the first match arrives; state for both
+    // sides is watermark-bounded exactly like s07/s10. Completes the
+    // stream-stream join family: inner / left outer / left semi.
+    Q("s24_stream_semi_join",
+      (s, d) => runEventsStream(s, d) { src =>
+        val cutoff = "2024-01-16 00:00:00"
+        val signups = src.filter(col("event_type") === "signup" &&
+            col("ts") < to_timestamp(lit(cutoff)))
+          .select(col("event_id"), (col("user_id") % 200).as("sk"),
+            col("ts").as("sts"))
+          .withWatermark("sts", "0 seconds")
+        val purchases = src.filter(col("event_type") === "purchase" &&
+            col("ts") < to_timestamp(lit(cutoff)))
+          .select((col("user_id") % 200).as("pk"), col("ts").as("pts"))
+          .withWatermark("pts", "0 seconds")
+        signups.join(purchases,
+          expr("sk = pk AND pts >= sts AND pts <= sts + interval 24 hours"),
+          "left_semi")
+          .select("event_id", "sk", "sts")
+      },
+      Some("""SELECT event_id, user_id % 200 AS sk, ts AS sts
+              FROM events s
+              WHERE event_type = 'signup'
+                AND ts < TIMESTAMP '2024-01-16 00:00:00'
+                AND EXISTS (SELECT 1 FROM events p
+                            WHERE p.event_type = 'purchase'
+                              AND p.ts < TIMESTAMP '2024-01-16 00:00:00'
+                              AND p.user_id % 200 = s.user_id % 200
+                              AND p.ts >= s.ts
+                              AND p.ts <= s.ts + INTERVAL 24 HOUR)"""))
   )
 }
