@@ -1501,6 +1501,22 @@ object Extended {
                               * (1 - CAST(l_discount AS DECIMAL(12,2))))
                           AS DOUBLE) AS revenue
               FROM lineitem JOIN orders ON l_orderkey = o_orderkey
-              GROUP BY o_orderpriority"""))
+              GROUP BY o_orderpriority""")),
+
+    // q94: iterative LINK-GRAPH authority ranking
+    // ([[graft.operators.LinkRank]]) — 3 damped power iterations over the
+    // distinct (user-domain → event-domain) edge relation, all-integer so
+    // the fixpoint is order-free exact (see the operator scaladoc for the
+    // per-iteration broadcast + single-exchange plan shape and the
+    // bucketed-co-location story when the node side outgrows broadcast).
+    // The oracle unrolls the same integer formula, so this is the
+    // hash-gated twin of the data-dependent iteration d09 already covers.
+    Q("q94_link_rank",
+      (s, d) => graft.operators.LinkRank.rank(
+        Tables.events(s, d).select((col("user_id") % 50).as("src"),
+          (col("event_id") % 50).as("dst")).distinct(), 3),
+      Some(graft.operators.LinkRank.rankSql(
+        "SELECT DISTINCT user_id % 50 AS src, event_id % 50 AS dst FROM events",
+        3)))
   )
 }

@@ -240,6 +240,13 @@ class PlanQualitySpec extends SparkSpec {
     assert("Exchange hashpartitioning".r.findAllIn(p).size === 2, p)
   }
 
+  test("q94: link-rank iterations broadcast the node-scale rank side — edges never merge-join") {
+    val p = planOf("q94_link_rank")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
   test("q93: bucketed co-located join — only the final agg exchanges") {
     val p = planOf("q93_bucketed_join")
     assert(p.contains("SortMergeJoin"), p)
