@@ -48,7 +48,8 @@ object LinkRank {
         .join(broadcast(ranks), col("src") === col("node"))
         .select(col("dst"), expr("rank DIV deg").as("c"))
         .groupBy("dst").agg(sum("c").as("in_sum"))
-      ranks = nodes.join(contrib, col("node") === col("dst"), "left_outer")
+      ranks = nodes.join(broadcast(contrib),
+          col("node") === col("dst"), "left_outer")
         .select(col("node"), expr(
           s"coalesce(in_sum, 0L) * $DampNum DIV $DampDen + $BaseRank")
           .as("rank"))
