@@ -1517,6 +1517,37 @@ object Extended {
           (col("event_id") % 50).as("dst")).distinct(), 3),
       Some(graft.operators.LinkRank.rankSql(
         "SELECT DISTINCT user_id % 50 AS src, event_id % 50 AS dst FROM events",
-        3)))
+        3))),
+
+    // q95: SQL-language UDF + parameterized SQL (Spark 4 API surface a
+    // switching user writes queries with): the revenue formula is declared
+    // ONCE as a SQL scalar function (CREATE FUNCTION ... RETURN expr — a
+    // catalog object, no JVM closure, so Catalyst inlines the body and the
+    // query stays in whole-stage codegen: this is the UDF form that does
+    // NOT break pushdown/codegen the way a Scala lambda UDF does), and the
+    // threshold arrives as a named bind parameter instead of string
+    // interpolation. DuckDB mirrors with a MACRO. Bit-exactness: the body
+    // is the q76 decimal-exact discipline, inlined.
+    Q("q95_sql_udf",
+      (s, d) => {
+        Tables.lineitem(s, d).createOrReplaceTempView("lineitem_v")
+        s.sql("""CREATE OR REPLACE TEMPORARY FUNCTION graft_rev(
+                   p DOUBLE, disc DOUBLE) RETURNS DECIMAL(26, 4)
+                 RETURN CAST(p AS DECIMAL(12, 2))
+                        * (1 - CAST(disc AS DECIMAL(12, 2)))""")
+        s.sql(
+          """SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n_lines,
+                    CAST(sum(graft_rev(l_extendedprice, l_discount))
+                         AS DOUBLE) AS revenue
+             FROM lineitem_v WHERE l_quantity < :maxq
+             GROUP BY l_returnflag""",
+          Map("maxq" -> 30))
+      },
+      Some("""SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n_lines,
+                     CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+                              * (1 - CAST(l_discount AS DECIMAL(12,2))))
+                          AS DOUBLE) AS revenue
+              FROM lineitem WHERE l_quantity < 30
+              GROUP BY l_returnflag"""))
   )
 }

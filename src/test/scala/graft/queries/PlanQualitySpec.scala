@@ -240,6 +240,14 @@ class PlanQualitySpec extends SparkSpec {
     assert("Exchange hashpartitioning".r.findAllIn(p).size === 2, p)
   }
 
+  test("q95: SQL UDF inlines — the bind-param filter still reaches the scan") {
+    val p = planOf("q95_sql_udf")
+    // a Scala-lambda UDF here would appear as BatchEvalPython/Invoke and
+    // block pushdown; the SQL-body function must leave neither trace
+    assert(p.contains("PushedFilters: [IsNotNull(l_quantity), LessThan(l_quantity,30.0)"), p)
+    assert(!p.contains("UDF"), p)
+  }
+
   test("q94: link-rank iterations broadcast the node-scale rank side — edges never merge-join") {
     val p = planOf("q94_link_rank")
     assert(p.contains("BroadcastHashJoin"), p)
