@@ -580,6 +580,39 @@ object TextQueries {
                      CAST(count(*) FILTER (WHERE seg IN
                                            (SELECT seg FROM bp)) AS BIGINT)
                        AS n_removed
-              FROM segs GROUP BY doc_id"""))
+              FROM segs GROUP BY doc_id""")),
+
+    // t15: per-doc corpus-frequency QUALITY score — the mean document
+    // frequency of a doc's distinct tokens (a Gopher-style gate: a doc of
+    // corpus-rare tokens is likely gibberish/OCR noise, a doc of
+    // ubiquitous tokens likely boilerplate; pipelines band-pass on this).
+    // Tokens are deduped IN-ROW before the explode (t08's discipline), the
+    // df relation is vocabulary-scale so it BROADCASTS back onto the
+    // per-doc tokens, and the score is ONE double division of two exact
+    // longs (IEEE-exact in both engines — no accumulated float drift).
+    // Exchanges: the df count + the per-doc agg, both map-side combined.
+    // At a scale where vocabulary outgrows broadcast, the join runs
+    // token-bucketed (q93's layout) with the same two exchanges.
+    Q("t15_df_quality",
+      (s, d) => {
+        val tokd = Tables.documents(s, d)
+          .select(col("doc_id"),
+            explode(array_distinct(split(col("text"), " "))).as("tok"))
+        val df = tokd.groupBy("tok").agg(count(lit(1)).as("df"))
+        tokd.join(broadcast(df), "tok")
+          .groupBy("doc_id")
+          .agg(count(lit(1)).as("n_toks"), sum("df").as("sum_df"))
+          .select(col("doc_id"), col("n_toks"),
+            (col("sum_df").cast("double") / col("n_toks")).as("mean_df"))
+      },
+      Some("""WITH tokd AS (SELECT doc_id,
+                                   unnest(list_distinct(
+                                     string_split(text, ' '))) AS tok
+                            FROM documents),
+                   df AS (SELECT tok, count(*) AS df FROM tokd GROUP BY tok)
+              SELECT doc_id, CAST(count(*) AS BIGINT) AS n_toks,
+                     CAST(sum(df) AS DOUBLE) / count(*) AS mean_df
+              FROM tokd JOIN df USING (tok)
+              GROUP BY doc_id"""))
   )
 }
