@@ -1548,6 +1548,56 @@ object Extended {
                               * (1 - CAST(l_discount AS DECIMAL(12,2))))
                           AS DOUBLE) AS revenue
               FROM lineitem WHERE l_quantity < 30
-              GROUP BY l_returnflag"""))
+              GROUP BY l_returnflag""")),
+
+    // q96: STORAGE-PARTITIONED JOIN through the graft-wire V2 connector —
+    // the lakehouse counterpart of q93's bucketed tables, for sources
+    // Spark's catalog doesn't own. Both topics are written in the keyed
+    // layout (option keyBy: one wire file per key value, key in the file
+    // NAME), the connector's scans expose the key per input partition
+    // (HasPartitionKey) and report KeyGroupedPartitioning, and with V2
+    // bucketing enabled Spark plans the join with NO exchange on either
+    // side — the one shuffle in each topic's write is the last time these
+    // rows ever move. Plan pinned in PlanQualitySpec. Result must equal
+    // the plain join (the oracle) bit-for-bit: partitioning is layout,
+    // never semantics. The key-group profile join itself is the
+    // enrich-events-with-cohort-stats shape.
+    Q("q96_dsv2_spj",
+      (s, d) => {
+        val s2 = s.newSession()
+        s2.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        s2.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
+        s2.conf.set("spark.sql.sources.v2.bucketing.pushPartValues.enabled",
+          "true")
+        val ev = Tables.events(s2, d)
+          .select((col("user_id") % 32).as("k"), col("event_id"),
+            col("value"))
+        val prof = ev.groupBy("k")
+          .agg(count(lit(1)).as("k_events"),
+            sum(col("value").cast(DecimalType(12, 2))).cast("double")
+              .as("k_sum"))
+        val factsDir = Scratch.dir("graft_q96_facts")
+        val profDir  = Scratch.dir("graft_q96_prof")
+        ev.repartition(32, col("k")).write.format("graft-wire")
+          .option("keyBy", "k").mode("overwrite").save(factsDir)
+        prof.repartition(8, col("k")).write.format("graft-wire")
+          .option("keyBy", "k").mode("overwrite").save(profDir)
+        val facts = s2.read.format("graft-wire").schema(ev.schema)
+          .option("keyBy", "k").load(factsDir)
+        val profs = s2.read.format("graft-wire")
+          .schema("k LONG, k_events LONG, k_sum DOUBLE")
+          .option("keyBy", "k").load(profDir)
+          .withColumnRenamed("k", "pk")
+        facts.join(profs, col("k") === col("pk"))
+          .select("event_id", "k", "value", "k_events", "k_sum")
+      },
+      Some("""WITH ev AS (SELECT user_id % 32 AS k, event_id, value
+                          FROM events),
+                   prof AS (SELECT k, CAST(count(*) AS BIGINT) AS k_events,
+                                   CAST(sum(CAST(value AS DECIMAL(12,2)))
+                                        AS DOUBLE) AS k_sum
+                            FROM ev GROUP BY k)
+              SELECT event_id, k, value, k_events, k_sum
+              FROM ev JOIN prof USING (k)"""))
   )
 }

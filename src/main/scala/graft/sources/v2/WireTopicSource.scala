@@ -10,7 +10,9 @@ import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, SupportsWrite, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.expressions.Expressions
 import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.connector.read.partitioning.{KeyGroupedPartitioning, Partitioning, UnknownPartitioning}
 import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset, ReadLimit, ReadMaxFiles, SupportsTriggerAvailableNow}
 import org.apache.spark.sql.connector.write.{BatchWrite, DataWriter, DataWriterFactory, LogicalWriteInfo, PhysicalWriteInfo, SupportsTruncate, Write, WriteBuilder, WriterCommitMessage}
 import org.apache.spark.sql.connector.write.streaming.{StreamingDataWriterFactory, StreamingWrite}
@@ -81,16 +83,26 @@ final class WireTable(schema: StructType, options: CaseInsensitiveStringMap)
       TableCapability.BATCH_WRITE, TableCapability.TRUNCATE,
       TableCapability.STREAMING_WRITE)
 
+  /** `keyBy` (a LongType column of the wire layout) switches the topic to
+    * the KEY-GROUPED layout: writes fan rows into one file per key value
+    * (`part-k<value>-…`), reads group the files per key and report
+    * [[KeyGroupedPartitioning]] — the storage-partitioned-join contract.
+    */
+  private val keyBy = Option(options.get("keyBy"))
+
   override def newScanBuilder(o: CaseInsensitiveStringMap): ScanBuilder =
     new WireScanBuilder(schema, path, sep,
-      Option(o.get("maxFilesPerTrigger")).map(_.toInt))
+      Option(o.get("maxFilesPerTrigger")).map(_.toInt),
+      Option(o.get("keyBy")).orElse(keyBy))
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
-    new WireWriteBuilder(info.schema(), path, sep)
+    new WireWriteBuilder(info.schema(), path, sep,
+      Option(info.options().get("keyBy")).orElse(keyBy))
 }
 
 final class WireScanBuilder(fullSchema: StructType, path: String, sep: String,
-    maxFilesPerTrigger: Option[Int] = None)
+    maxFilesPerTrigger: Option[Int] = None,
+    keyBy: Option[String] = None)
     extends ScanBuilder
     with SupportsPushDownRequiredColumns with SupportsPushDownFilters
     with SupportsPushDownLimit {
@@ -125,7 +137,7 @@ final class WireScanBuilder(fullSchema: StructType, path: String, sep: String,
 
   override def build(): Scan =
     new WireScan(fullSchema, required, pushed, path, sep, maxFilesPerTrigger,
-      limit)
+      limit, keyBy)
 }
 
 final class WireScan(
@@ -135,17 +147,41 @@ final class WireScan(
     path: String,
     sep: String,
     maxFilesPerTrigger: Option[Int] = None,
-    limit: Option[Int] = None) extends Scan with Batch {
+    limit: Option[Int] = None,
+    keyBy: Option[String] = None)
+    extends Scan with Batch with SupportsReportPartitioning {
 
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
   override def description(): String =
     s"GraftWireScan path=$path pushed=[${pushed.mkString(", ")}] " +
       s"read=[${required.fieldNames.mkString(", ")}]" +
-      limit.map(l => s" limit=$l").getOrElse("")
+      limit.map(l => s" limit=$l").getOrElse("") +
+      keyBy.map(k => s" keyBy=$k").getOrElse("")
+
+  /** Key-grouped layout: one partition per key VALUE (all of the key's
+    * files), key recovered from the writer's `part-k<value>-…` names —
+    * never by opening the files. Exposing the key via [[HasPartitionKey]]
+    * plus the [[KeyGroupedPartitioning]] report below is what lets Spark
+    * plan a storage-partitioned join: two topics keyed the same way join
+    * with NO exchange on either side.
+    */
+  private lazy val keyedPartitions: Array[InputPartition] =
+    WireTopicFiles.list(path)
+      .groupBy(WireTopicFiles.keyOf)
+      .toArray.sortBy(_._1)
+      .map { case (k, files) => WireKeyedPartition(files, k): InputPartition }
+
+  override def outputPartitioning(): Partitioning = keyBy match {
+    case Some(k) =>
+      new KeyGroupedPartitioning(Array(Expressions.identity(k)),
+        keyedPartitions.length)
+    case None => new UnknownPartitioning(0)
+  }
 
   override def planInputPartitions(): Array[InputPartition] =
-    WireTopicFiles.list(path)
+    if (keyBy.isDefined) keyedPartitions
+    else WireTopicFiles.list(path)
       .map(f => WireFilePartition(f): InputPartition)
 
   override def createReaderFactory(): PartitionReaderFactory =
@@ -174,6 +210,17 @@ object WireTopicFiles {
         !st.getPath.getName.startsWith("."))
       .sortBy(st => (st.getModificationTime, st.getPath.getName))
       .map(_.getPath.toString)
+  }
+
+  private val keyPat = Pattern.compile("part-k(-?\\d+)-")
+
+  /** Partition-key value from a keyed-layout file name (`part-k<v>-…`). */
+  def keyOf(file: String): Long = {
+    val name = new HPath(file).getName
+    val m = keyPat.matcher(name)
+    if (!m.find()) throw new IllegalArgumentException(
+      s"graft-wire keyBy topic contains a non-keyed file: $name")
+    m.group(1).toLong
   }
 }
 
@@ -234,6 +281,13 @@ final class WireMicroBatchStream(
 
 final case class WireFilePartition(file: String) extends InputPartition
 
+/** One key value's whole file group, key exposed for SPJ planning. */
+final case class WireKeyedPartition(files: Array[String], key: Long)
+    extends InputPartition with HasPartitionKey {
+  override def partitionKey(): InternalRow =
+    new GenericInternalRow(Array[Any](key))
+}
+
 // ---------------------------------------------------------------------------
 // Write side: the Kafka-producer analogue (reference
 // data_generator/dataframe_to_kafka.py:99-121 collected to the driver and
@@ -256,17 +310,19 @@ final case class WireFilePartition(file: String) extends InputPartition
   * files inside driver commit, after the new staging set is fully written —
   * the topic never observes a half-written state.
   */
-final class WireWriteBuilder(schema: StructType, path: String, sep: String)
+final class WireWriteBuilder(schema: StructType, path: String, sep: String,
+    keyBy: Option[String] = None)
     extends WriteBuilder with SupportsTruncate {
   private var doTruncate = false
   override def truncate(): WriteBuilder = { doTruncate = true; this }
   override def build(): Write = new Write {
     override def toBatch: BatchWrite =
-      new WireBatchWrite(schema, path, sep, doTruncate)
+      new WireBatchWrite(schema, path, sep, doTruncate, keyBy)
     override def toStreaming: StreamingWrite =
       new WireStreamingWrite(schema, path, sep)
     override def description(): String =
-      s"GraftWireWrite path=$path truncate=$doTruncate"
+      s"GraftWireWrite path=$path truncate=$doTruncate" +
+        keyBy.map(k => s" keyBy=$k").getOrElse("")
   }
 }
 
@@ -287,10 +343,12 @@ final class WireStreamingWrite(schema: StructType, path: String, sep: String)
   override def commit(epochId: Long, messages: Array[WriterCommitMessage]): Unit = {
     val dir = new HPath(path)
     val fs = FileSystem.get(dir.toUri, new Configuration())
-    messages.foreach { case WireCommit(staged, finalName) =>
-      val target = new HPath(dir, finalName)
-      fs.delete(target, false) // replayed epoch: replace, don't duplicate
-      fs.rename(new HPath(staged), target)
+    messages.foreach { case WireCommit(files) =>
+      files.foreach { case (staged, finalName) =>
+        val target = new HPath(dir, finalName)
+        fs.delete(target, false) // replayed epoch: replace, don't duplicate
+        fs.rename(new HPath(staged), target)
+      }
     }
   }
 
@@ -298,13 +356,18 @@ final class WireStreamingWrite(schema: StructType, path: String, sep: String)
     val dir = new HPath(path)
     val fs = FileSystem.get(dir.toUri, new Configuration())
     messages.foreach {
-      case WireCommit(staged, _) => fs.delete(new HPath(staged), false)
+      case WireCommit(files) =>
+        files.foreach { case (staged, _) => fs.delete(new HPath(staged), false) }
       case _ => ()
     }
   }
 }
 
-final case class WireCommit(stagedFile: String, finalName: String)
+/** Task commit report: each (staged, finalName) pair renames at driver
+  * commit (one pair per task in the plain layout; one per key value the
+  * task saw in the keyBy layout).
+  */
+final case class WireCommit(files: Seq[(String, String)])
     extends WriterCommitMessage
 
 /** Ships only serializable primitives to executors (schema as DDL text). */
@@ -318,18 +381,27 @@ final case class WireStreamingWriterFactory(ddl: String, path: String,
 }
 
 final class WireBatchWrite(
-    schema: StructType, path: String, sep: String, truncate: Boolean)
+    schema: StructType, path: String, sep: String, truncate: Boolean,
+    keyBy: Option[String] = None)
     extends BatchWrite {
 
   override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory =
-    new WireWriterFactory(schema.toDDL, path, sep)
+    new WireWriterFactory(schema.toDDL, path, sep,
+      keyBy.map { k =>
+        val idx = schema.fieldIndex(k)
+        require(schema.fields(idx).dataType == LongType,
+          s"graft-wire keyBy column must be LongType: $k")
+        idx
+      })
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
     val dir = new HPath(path)
     val fs = FileSystem.get(dir.toUri, new Configuration())
     val previous = if (truncate) WireTopicFiles.list(path) else Array.empty[String]
-    messages.foreach { case WireCommit(staged, finalName) =>
-      fs.rename(new HPath(staged), new HPath(dir, finalName))
+    messages.foreach { case WireCommit(files) =>
+      files.foreach { case (staged, finalName) =>
+        fs.rename(new HPath(staged), new HPath(dir, finalName))
+      }
     }
     previous.foreach(f => fs.delete(new HPath(f), false))
   }
@@ -338,18 +410,73 @@ final class WireBatchWrite(
     val dir = new HPath(path)
     val fs = FileSystem.get(dir.toUri, new Configuration())
     messages.foreach {
-      case WireCommit(staged, _) => fs.delete(new HPath(staged), false)
+      case WireCommit(files) =>
+        files.foreach { case (staged, _) => fs.delete(new HPath(staged), false) }
       case _ => ()
     }
   }
 }
 
-final class WireWriterFactory(ddl: String, path: String, sep: String)
+final class WireWriterFactory(ddl: String, path: String, sep: String,
+    keyIdx: Option[Int] = None)
     extends DataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
-    new WireFileWriter(StructType.fromDDL(ddl), path, sep,
-      f"_tmp_part-$partitionId%05d-$taskId.wire",
-      f"part-$partitionId%05d-$taskId.wire")
+    keyIdx match {
+      case Some(i) =>
+        new WireKeyedFileWriter(StructType.fromDDL(ddl), path, sep, i,
+          partitionId, taskId)
+      case None =>
+        new WireFileWriter(StructType.fromDDL(ddl), path, sep,
+          f"_tmp_part-$partitionId%05d-$taskId.wire",
+          f"part-$partitionId%05d-$taskId.wire")
+    }
+}
+
+/** Keyed-layout writer: one wire file per key VALUE seen by this task,
+  * named `part-k<value>-p<partition>-<task>.wire` so the read side can
+  * recover the key from the listing alone. Repartition the frame by the
+  * key column first and each task holds a disjoint key slice — the
+  * one-shuffle write that buys every later join its shuffle-freedom
+  * (exactly the q93 bucketed-table bargain, here for a custom source).
+  * Null keys are rejected: a partition key must BE a value.
+  */
+final class WireKeyedFileWriter(
+    schema: StructType, path: String, sep: String, keyIdx: Int,
+    partitionId: Int, taskId: Long) extends DataWriter[InternalRow] {
+
+  private val fs = FileSystem.get(
+    new HPath(path).toUri, new Configuration())
+  private val open = scala.collection.mutable.LinkedHashMap
+    .empty[Long, (HPath, String, java.io.BufferedWriter)]
+
+  private def writerFor(key: Long): java.io.BufferedWriter =
+    open.getOrElseUpdate(key, {
+      val staged = new HPath(path,
+        f"_tmp_part-k$key-p$partitionId%05d-$taskId.wire")
+      val fin = f"part-k$key-p$partitionId%05d-$taskId.wire"
+      (staged, fin, new java.io.BufferedWriter(
+        new java.io.OutputStreamWriter(fs.create(staged, true), "UTF-8")))
+    })._3
+
+  override def write(row: InternalRow): Unit = {
+    if (row.isNullAt(keyIdx)) throw new IllegalArgumentException(
+      "graft-wire keyBy: null partition key")
+    writerFor(row.getLong(keyIdx))
+      .write(WireLineFormat.format(schema, sep, row))
+  }
+
+  override def commit(): WriterCommitMessage = {
+    open.values.foreach(_._3.close())
+    WireCommit(open.values.map { case (st, fin, _) =>
+      st.toString -> fin
+    }.toSeq)
+  }
+
+  override def abort(): Unit = open.values.foreach { case (st, _, w) =>
+    w.close(); fs.delete(st, false)
+  }
+
+  override def close(): Unit = ()
 }
 
 final class WireFileWriter(
@@ -361,7 +488,25 @@ final class WireFileWriter(
   private val out = new java.io.BufferedWriter(
     new java.io.OutputStreamWriter(fs.create(staged, true), "UTF-8"))
 
-  override def write(row: InternalRow): Unit = {
+  override def write(row: InternalRow): Unit =
+    out.write(WireLineFormat.format(schema, sep, row))
+
+  override def commit(): WriterCommitMessage = {
+    out.close()
+    WireCommit(Seq(staged.toString -> finalName))
+  }
+
+  override def abort(): Unit = {
+    out.close()
+    fs.delete(staged, false)
+  }
+
+  override def close(): Unit = ()
+}
+
+/** One wire line per row (shared by the plain and keyed writers). */
+object WireLineFormat {
+  def format(schema: StructType, sep: String, row: InternalRow): String = {
     val sb = new java.lang.StringBuilder
     var i = 0
     while (i < schema.length) {
@@ -381,20 +526,8 @@ final class WireFileWriter(
       i += 1
     }
     sb.append('\n')
-    out.write(sb.toString)
+    sb.toString
   }
-
-  override def commit(): WriterCommitMessage = {
-    out.close()
-    WireCommit(staged.toString, finalName)
-  }
-
-  override def abort(): Unit = {
-    out.close()
-    fs.delete(staged, false)
-  }
-
-  override def close(): Unit = ()
 }
 
 /** Serializable factory: schema rides as DDL text, filters as the
@@ -407,13 +540,18 @@ final class WireReaderFactory(
     sep: String,
     limit: Option[Int] = None) extends PartitionReaderFactory {
 
-  override def createReader(p: InputPartition): PartitionReader[InternalRow] =
-    new WireFileReader(p.asInstanceOf[WireFilePartition].file,
+  override def createReader(p: InputPartition): PartitionReader[InternalRow] = {
+    val files = p match {
+      case WireFilePartition(f)      => Array(f)
+      case WireKeyedPartition(fs, _) => fs
+    }
+    new WireFileReader(files,
       StructType.fromDDL(fullDdl), requiredNames, pushed, sep, limit)
+  }
 }
 
 final class WireFileReader(
-    file: String,
+    files: Array[String],
     fullSchema: StructType,
     requiredNames: Array[String],
     pushed: Array[Filter],
@@ -431,11 +569,28 @@ final class WireFileReader(
   private val sepQuoted = Pattern.quote(sep)
 
   private val fs = {
-    val p = new HPath(file)
+    val p = new HPath(files.head)
     FileSystem.get(p.toUri, new Configuration())
   }
-  private val in = new java.io.BufferedReader(
-    new java.io.InputStreamReader(fs.open(new HPath(file)), "UTF-8"))
+  private var fileIdx = 0
+  private var in = open(files(0))
+
+  private def open(f: String) = new java.io.BufferedReader(
+    new java.io.InputStreamReader(fs.open(new HPath(f)), "UTF-8"))
+
+  /** Advance through the partition's file group (one file in the plain
+    * layout; a key's whole group in the keyBy layout).
+    */
+  private def readLine(): String = {
+    var line = in.readLine()
+    while (line == null && fileIdx < files.length - 1) {
+      in.close()
+      fileIdx += 1
+      in = open(files(fileIdx))
+      line = in.readLine()
+    }
+    line
+  }
 
   private var row: InternalRow = _
   private var emitted = 0
@@ -444,7 +599,7 @@ final class WireFileReader(
     // pushed per-partition limit: stop PARSING once satisfied (Spark's
     // global limit still applies across partitions)
     if (limit.exists(emitted >= _)) return false
-    var line = in.readLine()
+    var line = readLine()
     while (line != null) {
       val parts = line.split(sepQuoted, -1)
       // typed values for the parse set only; "" decodes to null (CsvWire)
@@ -468,7 +623,7 @@ final class WireFileReader(
         emitted += 1
         return true
       }
-      line = in.readLine()
+      line = readLine()
     }
     false
   }

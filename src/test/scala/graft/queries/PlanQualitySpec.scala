@@ -240,6 +240,13 @@ class PlanQualitySpec extends SparkSpec {
     assert("Exchange hashpartitioning".r.findAllIn(p).size === 2, p)
   }
 
+  test("q96: storage-partitioned join — zero exchanges over the keyed V2 scans") {
+    val p = planOf("q96_dsv2_spj")
+    assert(p.contains("SortMergeJoin"), p)
+    assert(p.contains("BatchScan graft-wire"), p)
+    assert(!p.contains("Exchange"), p)
+  }
+
   test("q95: SQL UDF inlines — the bind-param filter still reaches the scan") {
     val p = planOf("q95_sql_udf")
     // a Scala-lambda UDF here would appear as BatchEvalPython/Invoke and

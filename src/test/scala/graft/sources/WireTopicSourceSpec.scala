@@ -205,6 +205,64 @@ class WireTopicSourceSpec extends SparkSpec {
       .collect().map(_.getLong(0)).toSet === Set(1L, 2L))
   }
 
+  // ---- keyed layout (storage-partitioned join contract) -----------------
+
+  test("keyBy write lays out one file group per key; read groups them") {
+    val dir = Scratch.dir("graft_wire_keyed")
+    Seq((0L, Some(1.0), "a"), (1L, Some(2.0), "b"), (2L, Some(3.0), "c"),
+      (0L, Some(4.0), "d"), (1L, Some(5.0), "e"))
+      .toDF("id", "qty", "tag")
+      .repartition(2, col("id"))
+      .write.format("graft-wire").option("keyBy", "id")
+      .mode("overwrite").save(dir)
+    val names = new java.io.File(dir).listFiles().map(_.getName)
+      .filterNot(n => n.startsWith(".") || n.startsWith("_")) // .crc sidecars
+    // every visible file carries its key in the name
+    assert(names.forall(_.startsWith("part-k")), names.mkString(","))
+    assert(names.map(graft.sources.v2.WireTopicFiles.keyOf).toSet ===
+      Set(0L, 1L, 2L))
+    val keyed = s.read.format("graft-wire").schema(schema)
+      .option("keyBy", "id").load(dir)
+    // one input partition per key VALUE, not per file
+    assert(keyed.rdd.getNumPartitions === 3)
+    assert(keyed.collect().map(r => (r.getLong(0), r.getDouble(1))).toSet ===
+      Set((0L, 1.0), (1L, 2.0), (2L, 3.0), (0L, 4.0), (1L, 5.0)))
+  }
+
+  test("two keyed topics join with no exchange (storage-partitioned join)") {
+    val s2 = s.newSession()
+    s2.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    s2.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
+    val (dirA, dirB) =
+      (Scratch.dir("graft_wire_spj_a"), Scratch.dir("graft_wire_spj_b"))
+    import org.apache.spark.sql.{Row => SRow}
+    val rowsA = (0L to 49L).map(i => SRow(i % 5, i, s"a$i"))
+    val rowsB = (0L to 4L).map(k => SRow(k, k * 100, s"b$k"))
+    val sch = schema // id, qty double? reuse: build explicit long schemas
+    val schA = StructType(Seq(StructField("k", LongType),
+      StructField("v", LongType), StructField("tag", StringType)))
+    val schB = StructType(Seq(StructField("k", LongType),
+      StructField("w", LongType), StructField("btag", StringType)))
+    s2.createDataFrame(s2.sparkContext.parallelize(rowsA, 4), schA)
+      .repartition(4, col("k")).write.format("graft-wire")
+      .option("keyBy", "k").mode("overwrite").save(dirA)
+    s2.createDataFrame(s2.sparkContext.parallelize(rowsB, 2), schB)
+      .repartition(2, col("k")).write.format("graft-wire")
+      .option("keyBy", "k").mode("overwrite").save(dirB)
+    val a = s2.read.format("graft-wire").schema(schA)
+      .option("keyBy", "k").load(dirA)
+    val b = s2.read.format("graft-wire").schema(schB)
+      .option("keyBy", "k").load(dirB).withColumnRenamed("k", "bk")
+    val j = a.join(b, col("k") === col("bk")).select("k", "v", "w")
+    val p = j.queryExecution.executedPlan.toString
+    assert(p.contains("SortMergeJoin"), p)
+    assert(!p.contains("Exchange"), p)
+    assert(j.count() === 50)
+    // spot-check the join is semantically the plain join
+    assert(j.filter(col("k") === 3L).select(sum("w")).head.getLong(0) ===
+      10 * 300L)
+  }
+
   test("streaming: restart from checkpoint consumes only NEW topic files") {
     val topic = Scratch.dir("graft_wire_restart")
     writeWireFile(topic, "f1.wire", 1700000000000L, Seq("1,10.0,a"))
