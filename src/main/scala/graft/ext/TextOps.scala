@@ -613,6 +613,53 @@ object TextQueries {
               SELECT doc_id, CAST(count(*) AS BIGINT) AS n_toks,
                      CAST(sum(df) AS DOUBLE) / count(*) AS mean_df
               FROM tokd JOIN df USING (tok)
-              GROUP BY doc_id"""))
+              GROUP BY doc_id""")),
+
+    // t16: LENGTH-BUCKETED batch manifests — the dynamic-batching feed
+    // shape (p05 packs concatenated sequences to a token budget; this
+    // groups similar-length docs into fixed-size padded batches so the
+    // padding waste an encoder pays is bounded by the bucket width).
+    // Docs land in 16-token-wide length buckets, are ordered
+    // DETERMINISTICALLY inside each bucket by (md5(text), doc_id) (t12's
+    // reproducible-pseudorandom discipline — no RNG, re-runs give the
+    // same batches), and every 8 consecutive docs form a batch. Both the
+    // row_number window and the (bucket, batch_no) aggregate share the
+    // bucket-prefix partitioning, so the whole query is ONE exchange of
+    // (bucket, hash, n_tokens) triples — text never moves. All stats are
+    // integer-exact (padded = n_docs·max_len).
+    Q("t16_length_batching",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val w = Window.partitionBy("bucket").orderBy(col("h"), col("doc_id"))
+        Tables.documents(s, d)
+          .select(col("doc_id"), md5(col("text")).as("h"),
+            size(split(col("text"), " ")).cast("long").as("n_tokens"))
+          .withColumn("bucket", expr("n_tokens DIV 16"))
+          .withColumn("rn", row_number().over(w))
+          .withColumn("batch_no", expr("(rn - 1) DIV 8"))
+          .groupBy("bucket", "batch_no")
+          .agg(count(lit(1)).as("n_docs"),
+            max("n_tokens").as("max_len"),
+            sum("n_tokens").as("sum_tokens"))
+          .select(col("bucket"), col("batch_no"), col("n_docs"),
+            col("max_len"), col("sum_tokens"),
+            (col("n_docs") * col("max_len") - col("sum_tokens"))
+              .as("pad_waste"))
+      },
+      Some("""WITH docs AS (SELECT doc_id, md5(text) AS h,
+                                   CAST(len(string_split(text, ' '))
+                                        AS BIGINT) AS n_tokens
+                            FROM documents),
+                   b AS (SELECT doc_id, n_tokens, n_tokens // 16 AS bucket,
+                                (row_number() OVER (
+                                   PARTITION BY n_tokens // 16
+                                   ORDER BY h, doc_id) - 1) // 8 AS batch_no
+                         FROM docs)
+              SELECT bucket, batch_no, CAST(count(*) AS BIGINT) AS n_docs,
+                     max(n_tokens) AS max_len,
+                     CAST(sum(n_tokens) AS BIGINT) AS sum_tokens,
+                     CAST(count(*) * max(n_tokens) - sum(n_tokens)
+                          AS BIGINT) AS pad_waste
+              FROM b GROUP BY bucket, batch_no"""))
   )
 }

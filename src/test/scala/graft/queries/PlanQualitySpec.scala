@@ -240,6 +240,12 @@ class PlanQualitySpec extends SparkSpec {
     assert("Exchange hashpartitioning".r.findAllIn(p).size === 2, p)
   }
 
+  test("t16: batching is ONE exchange — (bucket,batch) agg reuses the bucket window partitioning") {
+    val p = planOf("t16_length_batching")
+    assert("Exchange hashpartitioning".r.findAllIn(p).size === 1, p)
+    assert(p.contains("Window"), p)
+  }
+
   test("q96: storage-partitioned join — zero exchanges over the keyed V2 scans") {
     val p = planOf("q96_dsv2_spj")
     assert(p.contains("SortMergeJoin"), p)
