@@ -566,7 +566,10 @@ final class WireFileReader(
     .collect { case (f, i) if requiredNames.contains(f.name) || filterRefs(f.name) => i }
   private val emitIdx: Array[Int] =
     requiredNames.map(n => fullSchema.fieldIndex(n))
-  private val sepQuoted = Pattern.quote(sep)
+  // compiled ONCE: String.split(Pattern.quote(sep)) would re-compile the
+  // regex per LINE (the \Q..\E quoting also defeats split's single-char
+  // fast path) — at wire-scan rates that was the scan's hot spot
+  private val sepPattern = Pattern.compile(Pattern.quote(sep))
 
   private val fs = {
     val p = new HPath(files.head)
@@ -601,7 +604,7 @@ final class WireFileReader(
     if (limit.exists(emitted >= _)) return false
     var line = readLine()
     while (line != null) {
-      val parts = line.split(sepQuoted, -1)
+      val parts = sepPattern.split(line, -1)
       // typed values for the parse set only; "" decodes to null (CsvWire)
       val vals = new Array[Any](fullSchema.length)
       var j = 0
