@@ -272,6 +272,61 @@ object MultimodalQueries {
                      CAST(list_sum(list_transform(range(1, length(text) + 1),
                             i -> ascii(substr(text, i, 1)))) AS DOUBLE)
                        / length(text) AS mean_byte
-              FROM documents"""))
+              FROM documents""")),
+
+    // m08: decode AFTER dedup — the composition every multimodal pipeline
+    // runs to keep the expensive stage cheap: content-digest the payloads,
+    // run the decoder ONCE per distinct payload (the d01 exact-dedup shape
+    // feeding the m04 mapPartitions decode), then map the features back to
+    // every carrying document by digest. The corpus is the documents table
+    // unioned with a shifted copy (a deterministic re-crawl stand-in:
+    // every payload arrives twice), so the decode runs on HALF the rows
+    // the naive plan would. At 100 TB the decode is GPU-hours — this
+    // reorder, not the decoder, is where the money is; the digest relation
+    // (16-byte keys) shuffles once, payloads never move twice.
+    Q("m08_dedup_decode",
+      (s, d) => {
+        import s.implicits._
+        val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
+        val all = docs.unionByName(
+          docs.select((col("doc_id") + 10000).as("doc_id"), col("text")))
+        val uniq = all.groupBy(md5(col("text")).as("h"))
+          .agg(min("doc_id").as("doc_id"), min("text").as("text"))
+        val feats = MediaDecoder.decodeAll(
+            uniq.select(col("doc_id"), lit("text/utf-8").as("fmt"),
+              encode(col("text"), "UTF-8").as("payload")).as[MediaRecord])
+          .toDF()
+          .select(col("doc_id").as("rep_id"), col("n_bytes"),
+            col("width"), col("height"), col("mean_byte"))
+        all.select(col("doc_id"), md5(col("text")).as("h"))
+          .join(uniq.select(col("h"), col("doc_id").as("rep_id")), "h")
+          .join(feats, "rep_id")
+          .select("doc_id", "rep_id", "n_bytes", "width", "height",
+            "mean_byte")
+      },
+      Some("""WITH all_docs AS (SELECT doc_id, text FROM documents
+                                UNION ALL
+                                SELECT doc_id + 10000, text FROM documents),
+                   uniq AS (SELECT md5(text) AS h, min(doc_id) AS rep_id,
+                                   min(text) AS text
+                            FROM all_docs GROUP BY md5(text)),
+                   feats AS (SELECT rep_id,
+                                    CAST(octet_length(encode(text)) AS INT)
+                                      AS n_bytes,
+                                    CAST(16 + ascii(substr(text, 1, 1)) % 64
+                                         AS INT) AS width,
+                                    CAST(16 + ascii(substr(text, 2, 1)) % 64
+                                         AS INT) AS height,
+                                    CAST(list_sum(list_transform(
+                                           range(1, length(text) + 1),
+                                           i -> ascii(substr(text, i, 1))))
+                                         AS DOUBLE) / length(text)
+                                      AS mean_byte
+                             FROM uniq)
+              SELECT d.doc_id, u.rep_id, f.n_bytes, f.width, f.height,
+                     f.mean_byte
+              FROM all_docs d
+              JOIN uniq u ON md5(d.text) = u.h
+              JOIN feats f ON u.rep_id = f.rep_id"""))
   )
 }

@@ -263,6 +263,45 @@ class WireTopicSourceSpec extends SparkSpec {
       10 * 300L)
   }
 
+  test("storage-partitioned join survives mismatched key sets (pushPartValues)") {
+    // one side is missing keys the other has — Spark must fill the gaps
+    // (empty partitions) rather than fall back to a shuffle, and inner-join
+    // semantics must hold exactly
+    val s2 = s.newSession()
+    s2.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    s2.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
+    s2.conf.set("spark.sql.sources.v2.bucketing.pushPartValues.enabled", "true")
+    val (dirA, dirB) =
+      (Scratch.dir("graft_wire_spj_ma"), Scratch.dir("graft_wire_spj_mb"))
+    import org.apache.spark.sql.{Row => SRow}
+    val schA = StructType(Seq(StructField("k", LongType),
+      StructField("v", LongType)))
+    val schB = StructType(Seq(StructField("k", LongType),
+      StructField("w", LongType)))
+    // A has keys 0..4, B only 1 and 3
+    s2.createDataFrame(
+        s2.sparkContext.parallelize((0L to 24L).map(i => SRow(i % 5, i)), 3),
+        schA)
+      .repartition(3, col("k")).write.format("graft-wire")
+      .option("keyBy", "k").mode("overwrite").save(dirA)
+    s2.createDataFrame(
+        s2.sparkContext.parallelize(Seq(SRow(1L, 10L), SRow(3L, 30L)), 2),
+        schB)
+      .repartition(2, col("k")).write.format("graft-wire")
+      .option("keyBy", "k").mode("overwrite").save(dirB)
+    val a = s2.read.format("graft-wire").schema(schA)
+      .option("keyBy", "k").load(dirA)
+    val b = s2.read.format("graft-wire").schema(schB)
+      .option("keyBy", "k").load(dirB).withColumnRenamed("k", "bk")
+    val j = a.join(b, col("k") === col("bk")).select("k", "v", "w")
+    val p = j.queryExecution.executedPlan.toString
+    assert(p.contains("SortMergeJoin"), p)
+    assert(!p.contains("Exchange"), p)
+    assert(j.count() === 10) // 5 rows per key in A × keys {1, 3}
+    assert(j.select("k").distinct().collect().map(_.getLong(0)).toSet ===
+      Set(1L, 3L))
+  }
+
   test("streaming: restart from checkpoint consumes only NEW topic files") {
     val topic = Scratch.dir("graft_wire_restart")
     writeWireFile(topic, "f1.wire", 1700000000000L, Seq("1,10.0,a"))
