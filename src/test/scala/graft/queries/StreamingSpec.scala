@@ -317,6 +317,32 @@ class StreamingSpec extends SparkSpec {
       "spark.sql.streaming.stateStore.providerClass")
   }
 
+  test("RocksDB changelog checkpointing yields identical session windows " +
+      "(the production checkpoint mode: per-batch deltas, not snapshots)") {
+    // With changelog checkpointing the per-micro-batch durable write is the
+    // changelog delta; snapshots upload in the background. Commit latency
+    // stops scaling with total state size — the knob a 100 TB deployment
+    // actually runs with. Results must be bit-identical to the default.
+    val sf = "/root/testdata/sf0.001"
+    def canon(df: org.apache.spark.sql.DataFrame): Seq[String] =
+      df.collect().map(_.toString).sorted.toSeq
+    val default = canon(Catalog.byName("s02_stream_session").run(spark, sf))
+    assert(default.nonEmpty)
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    spark.conf.set(
+      "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled",
+      "true")
+    try {
+      val rocks = canon(Catalog.byName("s02_stream_session").run(spark, sf))
+      assert(rocks === default)
+    } finally {
+      spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      spark.conf.unset(
+        "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled")
+    }
+  }
+
   test("transformWithState accumulates ValueState across micro-batches") {
     val s = spark
     import s.implicits._
