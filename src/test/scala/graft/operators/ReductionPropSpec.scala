@@ -66,4 +66,31 @@ class ReductionPropSpec extends SparkSpec {
       assert(got === want, s"seed=$seed")
     }
   }
+
+  test("link rank equals naive integer power iteration on random graphs") {
+    val s = spark
+    import s.implicits._
+    for (seed <- 1 to 12) {
+      val rnd = new scala.util.Random(200 + seed)
+      val n = 2 + rnd.nextInt(40)
+      val edges = Seq.fill(n)(
+        (rnd.nextInt(8).toLong, rnd.nextInt(8).toLong)).distinct
+      val iters = 1 + rnd.nextInt(4)
+      val got = LinkRank.rank(edges.toDF("src", "dst"), iters)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+      // naive driver-side model of the same integer formula — dangling
+      // nodes (dst-only) still hold rank and leak nothing, matching the
+      // operator's closed node set
+      val nodes = (edges.map(_._1) ++ edges.map(_._2)).distinct.sorted
+      val deg = edges.groupBy(_._1).view.mapValues(_.size.toLong).toMap
+      var rank = nodes.map(_ -> LinkRank.InitRank).toMap
+      (1 to iters).foreach { _ =>
+        val in = edges.groupBy(_._2).view.mapValues(
+          _.map { case (src, _) => rank(src) / deg(src) }.sum).toMap
+        rank = nodes.map(v => v -> (in.getOrElse(v, 0L) * LinkRank.DampNum
+          / LinkRank.DampDen + LinkRank.BaseRank)).toMap
+      }
+      assert(got === rank.toSeq.sorted, s"seed=$seed edges=$edges iters=$iters")
+    }
+  }
 }
