@@ -302,6 +302,22 @@ class WireTopicSourceSpec extends SparkSpec {
       Set(1L, 3L))
   }
 
+  test("a keyed topic still streams (micro-batch path reads per file)") {
+    // the keyBy layout changes batch planning only; the streaming source
+    // treats the key-named files as ordinary topic files
+    val dir = Scratch.dir("graft_wire_keyed_stream")
+    Seq((0L, Some(1.0), "a"), (1L, Some(2.0), "b"), (2L, Some(3.0), "c"))
+      .toDF("id", "qty", "tag")
+      .repartition(1)
+      .write.format("graft-wire").option("keyBy", "id")
+      .mode("overwrite").save(dir)
+    val out = Scratch.dir("graft_wire_keyed_stream_out")
+    val ckpt = Scratch.dir("graft_wire_keyed_stream_ckpt")
+    drainStream(dir, out, ckpt, maxFiles = None)
+    assert(s.read.parquet(out).collect().map(_.getLong(0)).toSet ===
+      Set(0L, 1L, 2L))
+  }
+
   test("streaming: restart from checkpoint consumes only NEW topic files") {
     val topic = Scratch.dir("graft_wire_restart")
     writeWireFile(topic, "f1.wire", 1700000000000L, Seq("1,10.0,a"))
