@@ -614,6 +614,91 @@ object DedupQueries {
                         FROM documents)
                   WHERE len(th) >= 5)
             GROUP BY gram_hash HAVING COUNT(DISTINCT doc_id) >= 3"""
+      }),
+
+    // d14: LSH candidate-prune EVALUATION — precision/recall of the d03
+    // banding against exact Jaccard ≥ 0.5 on a bounded eval slice (doc_id
+    // < 100, augmented with a planted duplicate of every doc — the
+    // standard recall-on-planted-pairs protocol; the testdata's organic
+    // near-dups are token-level, max shingle-Jaccard 0.12, so without
+    // planting the ≥ 0.5 truth set is empty). x06 answers this for the
+    // ANN prune; this is the text-dedup twin: the number that decides
+    // whether 4×2 banding is shippable before a 100 TB run commits to it.
+    // The truth set uses the SAME similarity the signatures approximate —
+    // Jaccard over word-BIGRAM shingle hashes (token-set Jaccard would
+    // measure a different space and blame the banding for pairs it never
+    // claims). The brute-force all-pairs truth set is DELIBERATELY
+    // O(slice²) — the slice is the knob (a production eval uses a few
+    // thousand docs; the corpus-scale path stays candidates-only). Counts
+    // are exact longs; the two ratios are single IEEE divisions guarded
+    // identically in both engines.
+    Q("d14_lsh_eval",
+      (s, d) => {
+        graft.functions.GraftFunctions.register(s)
+        val slice = Tables.documents(s, d).filter(col("doc_id") < 100)
+          .select("doc_id", "text")
+        val aug = slice.unionByName(
+          slice.select((col("doc_id") + 10000).as("doc_id"), col("text")))
+        val toks = aug
+          .filter(size(split(col("text"), " ")) >= 2) // minhash's own gate
+          .select(col("doc_id"), expr("graft_token_hashes(text)").as("th"))
+          .select(col("doc_id"), expr(
+            s"array_distinct(${PortableHash.sparkShingles("th")})").as("t"))
+        val exact = toks.toDF("doc_a", "ta")
+          .join(toks.toDF("doc_b", "tb"), col("doc_a") < col("doc_b"))
+          .filter(size(array_intersect(col("ta"), col("tb"))).cast("double")
+            / size(array_union(col("ta"), col("tb"))) >= 0.5)
+          .select("doc_a", "doc_b")
+        val cand = Dedup.lshPairs(aug)
+        val ce = exact.agg(count(lit(1)).as("n_exact"))
+        val cc = cand.agg(count(lit(1)).as("n_cand"))
+        val ch = cand.intersect(exact).agg(count(lit(1)).as("n_hit"))
+        ce.crossJoin(cc).crossJoin(ch).select(
+          col("n_exact"), col("n_cand"), col("n_hit"),
+          when(col("n_cand") > 0,
+            col("n_hit").cast("double") / col("n_cand")).as("precision"),
+          when(col("n_exact") > 0,
+            col("n_hit").cast("double") / col("n_exact")).as("recall"))
+      },
+      Some {
+        // planted copies have IDENTICAL text, hence identical signatures
+        // and shingle sets: the oracle mirrors the augmentation by
+        // unioning each slice-side relation with a doc_id+10000 copy
+        val sliceSig = s"SELECT * FROM (${Dedup.minhashSql}) WHERE doc_id < 100"
+        val mhCols = (0 until Dedup.k).map(j => s"mh$j").mkString(", ")
+        s"""WITH sig0 AS ($sliceSig),
+                 sigaug AS (SELECT * FROM sig0
+                            UNION ALL
+                            SELECT doc_id + 10000 AS doc_id, $mhCols
+                            FROM sig0),
+                 toks0 AS (SELECT doc_id,
+                                  list_distinct(
+                                    ${PortableHash.duckShingles("th")}) AS t
+                           FROM (SELECT doc_id,
+                                        ${PortableHash.duckTokenHashes} AS th
+                                 FROM documents
+                                 WHERE doc_id < 100
+                                   AND len(string_split(text, ' ')) >= 2)),
+                 toks AS (SELECT * FROM toks0
+                          UNION ALL
+                          SELECT doc_id + 10000 AS doc_id, t FROM toks0),
+                 exact AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+                           FROM toks a JOIN toks b ON a.doc_id < b.doc_id
+                           WHERE CAST(len(list_intersect(a.t, b.t)) AS DOUBLE)
+                                 / len(list_distinct(list_concat(a.t, b.t)))
+                                 >= 0.5),
+                 sig AS (SELECT * FROM sigaug),
+                 cand AS (${Dedup.lshArmsSql}),
+                 hit AS (SELECT * FROM cand INTERSECT SELECT * FROM exact)
+            SELECT (SELECT CAST(count(*) AS BIGINT) FROM exact) AS n_exact,
+                   (SELECT CAST(count(*) AS BIGINT) FROM cand) AS n_cand,
+                   (SELECT CAST(count(*) AS BIGINT) FROM hit) AS n_hit,
+                   CASE WHEN (SELECT count(*) FROM cand) > 0
+                        THEN CAST((SELECT count(*) FROM hit) AS DOUBLE)
+                             / (SELECT count(*) FROM cand) END AS precision,
+                   CASE WHEN (SELECT count(*) FROM exact) > 0
+                        THEN CAST((SELECT count(*) FROM hit) AS DOUBLE)
+                             / (SELECT count(*) FROM exact) END AS recall"""
       })
   )
 }
