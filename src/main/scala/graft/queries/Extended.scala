@@ -1598,6 +1598,50 @@ object Extended {
                                         AS DOUBLE) AS k_sum
                             FROM ev GROUP BY k)
               SELECT event_id, k, value, k_events, k_sum
-              FROM ev JOIN prof USING (k)"""))
+              FROM ev JOIN prof USING (k)""")),
+
+    // q97: SQL PIPE syntax (Spark 4 |> operator — the linear query form):
+    // same plan as the nested SELECT, purely surface; the pipe program
+    // must hash-match the classic form the oracle runs.
+    Q("q97_pipe_syntax",
+      (s, d) => {
+        Tables.lineitem(s, d).createOrReplaceTempView("lineitem_p")
+        s.sql("""FROM lineitem_p
+                 |> WHERE l_quantity > 25
+                 |> AGGREGATE CAST(count(*) AS BIGINT) AS n_lines,
+                              CAST(sum(CAST(l_extendedprice
+                                            AS DECIMAL(12,2)))
+                                   AS DOUBLE) AS sum_price
+                    GROUP BY l_returnflag""")
+      },
+      Some("""SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n_lines,
+                     CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)))
+                          AS DOUBLE) AS sum_price
+              FROM lineitem WHERE l_quantity > 25
+              GROUP BY l_returnflag""")),
+
+    // q98: case-insensitive COLLATION grouping (Spark 4 collations): the
+    // wire mangles event_type casing (every even event upper-cased); the
+    // UTF8_LCASE collation groups the variants back together WITHOUT
+    // rewriting the data — comparison semantics live in the type, and the
+    // per-group representative is the deterministic binary min of the
+    // ORIGINAL strings (the collated key itself could surface either
+    // variant). The oracle mirrors with lower()-keyed grouping, which is
+    // the same equivalence for this data.
+    Q("q98_collation",
+      (s, d) => {
+        val ev = Tables.events(s, d).select(
+          when(col("event_id") % 2 === 0, upper(col("event_type")))
+            .otherwise(col("event_type")).as("et"))
+        ev.groupBy(expr("collate(et, 'UTF8_LCASE')"))
+          .agg(min("et").as("event_type"), count(lit(1)).as("n"))
+          .select("event_type", "n")
+      },
+      Some("""SELECT min(et) AS event_type, CAST(count(*) AS BIGINT) AS n
+              FROM (SELECT CASE WHEN event_id % 2 = 0
+                                THEN upper(event_type)
+                                ELSE event_type END AS et
+                    FROM events)
+              GROUP BY lower(et)"""))
   )
 }
