@@ -1642,6 +1642,31 @@ object Extended {
                                 THEN upper(event_type)
                                 ELSE event_type END AS et
                     FROM events)
-              GROUP BY lower(et)"""))
+              GROUP BY lower(et)""")),
+
+    // q99: TRY_* dirty-data semantics — the error-containment functions a
+    // cleaning pipeline runs on untrusted wire values: every 3rd value
+    // string gets trailing junk (try_cast → NULL, never a task failure —
+    // at 100 TB one poisoned row must not kill a 6-hour job) and the
+    // per-row divisor is 0 on every 5th row (try_divide → NULL). The
+    // oracle encodes the same OUTCOMES with CASE (DuckDB's TRY_CAST
+    // exists but its zero-division semantics differ, so outcomes — not
+    // mechanisms — are mirrored).
+    Q("q99_try_funcs",
+      (s, d) => Tables.events(s, d)
+        .select(col("event_id"), col("value"),
+          when(col("event_id") % 3 === 0,
+            concat(col("value").cast("string"), lit("x")))
+            .otherwise(col("value").cast("string")).as("raw"))
+        .select(col("event_id"),
+          expr("try_cast(raw AS DOUBLE)").as("parsed"),
+          expr("try_divide(value, CAST(event_id % 5 AS DOUBLE))")
+            .as("ratio")),
+      Some("""SELECT event_id,
+                     CASE WHEN event_id % 3 = 0 THEN NULL
+                          ELSE value END AS parsed,
+                     CASE WHEN event_id % 5 = 0 THEN NULL
+                          ELSE value / (event_id % 5) END AS ratio
+              FROM events"""))
   )
 }
