@@ -1667,6 +1667,36 @@ object Extended {
                           ELSE value END AS parsed,
                      CASE WHEN event_id % 5 = 0 THEN NULL
                           ELSE value / (event_id % 5) END AS ratio
-              FROM events"""))
+              FROM events""")),
+
+    // q100: FORWARD FILL — last-non-null carry-forward per user in event
+    // time (last_value ... IGNORE NULLS over an unbounded-preceding
+    // frame): the sensor-gap repair the reference's domain needs (a PIR
+    // sensor that missed a beat inherits its previous reading). Every 4th
+    // reading is nulled to simulate dropouts. One exchange (the user
+    // window); the running frame is O(1) state per row — at 100 TB this
+    // is shuffle-equivalent to any per-user window already paid.
+    Q("q100_forward_fill",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val w = Window.partitionBy("user_id")
+          .orderBy(col("ts"), col("event_id"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        Tables.events(s, d)
+          .select(col("event_id"), col("user_id"), col("ts"),
+            when(col("event_id") % 4 =!= 0, col("value")).as("v"))
+          .withColumn("v_filled", last("v", ignoreNulls = true).over(w))
+          .select("event_id", "user_id", "v", "v_filled")
+      },
+      Some("""WITH g AS (SELECT event_id, user_id, ts,
+                                CASE WHEN event_id % 4 <> 0 THEN value
+                                     END AS v
+                         FROM events)
+              SELECT event_id, user_id, v,
+                     last_value(v IGNORE NULLS) OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                       AS v_filled
+              FROM g"""))
   )
 }
