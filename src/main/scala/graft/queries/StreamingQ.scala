@@ -1138,6 +1138,59 @@ object StreamingQ {
                               AND p.ts < TIMESTAMP '2024-01-16 00:00:00'
                               AND p.user_id % 200 = s.user_id % 200
                               AND p.ts >= s.ts
-                              AND p.ts <= s.ts + INTERVAL 24 HOUR)"""))
+                              AND p.ts <= s.ts + INTERVAL 24 HOUR)""")),
+
+    // s25: stream-stream FULL OUTER interval join — s10's outer-emission
+    // semantics on BOTH sides, completing the join-type family (inner
+    // s07, left outer s10, left semi s24, full outer here). Outer rows
+    // emit only once the watermark proves no match can arrive: an
+    // unmatched signup needs wm past sts + 24h (its whole match window);
+    // an unmatched purchase needs wm past pts (no future signup can have
+    // sts <= pts). Rows whose windows are still open when the source
+    // drains stay in state and are withheld — the oracle encodes both
+    // boundaries explicitly under the min-of-watermarks policy.
+    Q("s25_stream_full_outer_join",
+      (s, d) => runEventsStream(s, d) { src =>
+        val cutoff = "2024-01-16 00:00:00"
+        val signups = src.filter(col("event_type") === "signup" &&
+            col("ts") < to_timestamp(lit(cutoff)))
+          .select((col("user_id") % 200).as("sk"), col("ts").as("sts"))
+          .withWatermark("sts", "0 seconds")
+        val purchases = src.filter(col("event_type") === "purchase" &&
+            col("ts") < to_timestamp(lit(cutoff)))
+          .select((col("user_id") % 200).as("pk"), col("ts").as("pts"))
+          .withWatermark("pts", "0 seconds")
+        signups.join(purchases,
+          expr("sk = pk AND pts >= sts AND pts <= sts + interval 24 hours"),
+          "full_outer")
+          .select("sk", "sts", "pk", "pts")
+      },
+      Some("""WITH s AS (SELECT user_id % 200 AS sk, ts AS sts FROM events
+                         WHERE event_type = 'signup'
+                           AND ts < TIMESTAMP '2024-01-16 00:00:00'),
+                   p AS (SELECT user_id % 200 AS pk, ts AS pts FROM events
+                         WHERE event_type = 'purchase'
+                           AND ts < TIMESTAMP '2024-01-16 00:00:00'),
+                   wm AS (SELECT least((SELECT max(sts) FROM s),
+                                       (SELECT max(pts) FROM p)) AS w)
+              SELECT sk, sts, pk, pts
+              FROM s JOIN p ON sk = pk AND pts >= sts
+                           AND pts <= sts + INTERVAL 24 HOUR
+              UNION ALL
+              SELECT sk, sts, CAST(NULL AS BIGINT) AS pk,
+                     CAST(NULL AS TIMESTAMP) AS pts
+              FROM s
+              WHERE NOT EXISTS (SELECT 1 FROM p WHERE pk = sk
+                                  AND pts >= sts
+                                  AND pts <= sts + INTERVAL 24 HOUR)
+                AND sts + INTERVAL 24 HOUR < (SELECT w FROM wm)
+              UNION ALL
+              SELECT CAST(NULL AS BIGINT) AS sk,
+                     CAST(NULL AS TIMESTAMP) AS sts, pk, pts
+              FROM p
+              WHERE NOT EXISTS (SELECT 1 FROM s WHERE sk = pk
+                                  AND pts >= sts
+                                  AND pts <= sts + INTERVAL 24 HOUR)
+                AND pts < (SELECT w FROM wm)"""))
   )
 }
