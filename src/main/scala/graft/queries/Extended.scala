@@ -1697,6 +1697,58 @@ object Extended {
                        PARTITION BY user_id ORDER BY ts, event_id
                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
                        AS v_filled
-              FROM g"""))
+              FROM g""")),
+
+    // q101: the SCALE-SAFE exact percentile gate — q90's semantics
+    // (percentile_disc(0.9) cutoff, then gate + aggregate) without q90's
+    // single-reducer sort of raw rows. Prices are 2-decimal, so ×100 is
+    // an EXACT integer domain: the corpus collapses to a (cents, count)
+    // histogram (one map-side-combined exchange, cardinality = the price
+    // DOMAIN, not the row count), the cutoff is the smallest value whose
+    // cumulative count reaches rank ceil(0.9·n) — computed in pure
+    // integer arithmetic ((9n+9) DIV 10, percentile_disc's exact
+    // definition) over the tiny aggregate — and the gate stays
+    // scan → broadcast-filter → partial agg. The oracle runs the SAME
+    // integer-rank formula, so equality is by construction; q90 remains
+    // the built-in-function form of the identical cut.
+    Q("q101_percentile_gate_exact",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val li = Tables.lineitem(s, d).select(col("l_returnflag"),
+          col("l_extendedprice"),
+          (col("l_extendedprice").cast(DecimalType(12, 2)) * 100)
+            .cast("long").as("cents"))
+        val hist = li.groupBy("cents").agg(count(lit(1)).as("c"))
+        val cut = hist
+          .withColumn("cum", sum("c").over(Window.orderBy("cents")))
+          .crossJoin(broadcast(hist.agg(sum("c").as("n"))))
+          .filter(col("cum") >= expr("(9 * n + 9) DIV 10"))
+          .agg(min("cents").as("cut_cents"))
+        li.crossJoin(broadcast(cut))
+          .filter(col("cents") >= col("cut_cents"))
+          .groupBy("l_returnflag")
+          .agg(count(lit(1)).as("n_top"),
+            sum(col("l_extendedprice").cast(DecimalType(18, 2)))
+              .cast(DecimalType(18, 2)).cast("double").as("rev_top"))
+      },
+      Some("""WITH h AS (SELECT CAST(CAST(l_extendedprice AS DECIMAL(12,2))
+                                     * 100 AS BIGINT) AS cents,
+                                CAST(count(*) AS BIGINT) AS c
+                         FROM lineitem GROUP BY 1),
+                   cum AS (SELECT cents,
+                                  CAST(SUM(c) OVER (ORDER BY cents)
+                                       AS BIGINT) AS cum,
+                                  CAST((SELECT SUM(c) FROM h) AS BIGINT)
+                                    AS n
+                           FROM h),
+                   cut AS (SELECT min(cents) AS cut_cents FROM cum
+                           WHERE cum >= (9 * n + 9) // 10)
+              SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n_top,
+                     CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)))
+                          AS DECIMAL(18,2)) AS DOUBLE) AS rev_top
+              FROM lineitem, cut
+              WHERE CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * 100
+                         AS BIGINT) >= cut_cents
+              GROUP BY l_returnflag"""))
   )
 }

@@ -246,6 +246,15 @@ class PlanQualitySpec extends SparkSpec {
     assert(p.contains("Window"), p)
   }
 
+  test("q101: percentile gate sorts the price DOMAIN, never the raw rows") {
+    val p = planOf("q101_percentile_gate_exact")
+    // the histogram partial-aggregates before its exchange; the only
+    // single-partition step runs over the (cents, count) aggregate
+    assert(p.contains("partial_count"), p)
+    assert(!p.contains("Exchange rangepartitioning"), p) // no global row sort
+    assert(p.contains("BroadcastNestedLoopJoin"), p)     // cutoff broadcast
+  }
+
   test("q96: storage-partitioned join — zero exchanges over the keyed V2 scans") {
     val p = planOf("q96_dsv2_spj")
     assert(p.contains("SortMergeJoin"), p)
