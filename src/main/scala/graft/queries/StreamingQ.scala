@@ -135,6 +135,12 @@ object StreamingQ {
         .toDF()
     }
 
+  /** Typed rows for the streaming forward fill (s26). */
+  final case class FillEv(event_id: Long, user_id: Long, tsu: Long,
+      v: Option[Double])
+  final case class FillOut(event_id: Long, user_id: Long, v: Option[Double],
+      v_filled: Option[Double])
+
   /** Typed rows for the transformWithState processor (s12). */
   final case class TwsEv(event_id: Long, user_id: Long, tsu: Long,
       value: Double)
@@ -1139,6 +1145,49 @@ object StreamingQ {
                               AND p.user_id % 200 = s.user_id % 200
                               AND p.ts >= s.ts
                               AND p.ts <= s.ts + INTERVAL 24 HOUR)""")),
+
+    // s26: streaming FORWARD FILL — q100's last-observation-carried-
+    // forward as per-user streaming state (the batch/stream pair
+    // discipline of q79/s23): a ValueState holds the last non-null
+    // reading; every event emits with its gap repaired, and the carry
+    // survives micro-batch boundaries through the state store. State is
+    // O(users) — one double — forever, regardless of stream length.
+    // Hash-exact vs q100's batch window oracle because the fill is a pure
+    // left fold in (event-time, event_id) order: in-batch order comes
+    // from the sorted group iterator (s04's discipline), cross-batch
+    // order from state continuation.
+    Q("s26_stream_forward_fill",
+      (s, d) => runEventsStream(s, d) { src =>
+        import s.implicits._
+        src.select(col("event_id"), col("user_id"),
+            unix_micros(col("ts")).as("tsu"),
+            when(col("event_id") % 4 =!= 0, col("value")).as("v"))
+          .as[FillEv]
+          .groupByKey(_.user_id)
+          .flatMapGroupsWithState(
+            OutputMode.Append, GroupStateTimeout.NoTimeout) {
+            (user: Long, it: Iterator[FillEv],
+             state: org.apache.spark.sql.streaming.GroupState[Double]) =>
+              var last: Option[Double] = state.getOption
+              val out = it.toSeq.sortBy(e => (e.tsu, e.event_id)).map { e =>
+                if (e.v.isDefined) last = e.v
+                FillOut(e.event_id, user, e.v, last)
+              }
+              last.foreach(state.update)
+              out.iterator
+          }
+          .toDF()
+      },
+      Some("""WITH g AS (SELECT event_id, user_id, ts,
+                                CASE WHEN event_id % 4 <> 0 THEN value
+                                     END AS v
+                         FROM events)
+              SELECT event_id, user_id, v,
+                     last_value(v IGNORE NULLS) OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                       AS v_filled
+              FROM g""")),
 
     // s25: stream-stream FULL OUTER interval join — s10's outer-emission
     // semantics on BOTH sides, completing the join-type family (inner
