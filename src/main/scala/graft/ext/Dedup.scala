@@ -616,6 +616,48 @@ object DedupQueries {
             GROUP BY gram_hash HAVING COUNT(DISTINCT doc_id) >= 3"""
       }),
 
+    // d15: SimHash NEAR-DUP PAIRING via the pigeonhole block join — the
+    // published simhash dedup algorithm: split the signature into 4
+    // blocks; Hamming distance ≤ 2 can corrupt at most 2 blocks, so every
+    // qualifying pair shares at least one of the C(4,2)=6 block PAIRS
+    // (completeness is a theorem, not a heuristic). Candidates come from
+    // ONE equi-join on the exploded (block-pair, bits) keys — the d03
+    // banding shape — and the exact popcount(xor) ≤ 2 verify runs on
+    // candidates only. The oracle is the O(n²) brute force, affordable at
+    // oracle SF; the engine never builds the quadratic space. Scale note:
+    // the demo hash is 16-bit (blocks of 4 bits), so clustered corpora
+    // collide heavily — production uses 64-bit simhash (16-bit blocks),
+    // where block collisions are ~2⁻¹⁶ and the prune is sharp; the plan
+    // shape is identical.
+    Q("d15_simhash_pairs",
+      (s, d) => {
+        val sim = Dedup.simhash(Tables.documents(s, d))
+        val blockPairs = Seq((0, 1), (0, 2), (0, 3), (1, 2), (1, 3), (2, 3))
+        val keyed = sim.select(col("doc_id"), col("simhash"),
+          explode(array(blockPairs.zipWithIndex.map { case ((i, j), idx) =>
+            struct(lit(idx).as("bp"),
+              expr(s"(simhash >> ${4 * i}) & 15").as("b1"),
+              expr(s"(simhash >> ${4 * j}) & 15").as("b2"))
+          }: _*)).as("k"))
+          .select(col("doc_id"), col("simhash"),
+            col("k.bp"), col("k.b1"), col("k.b2"))
+        val a = keyed.toDF("doc_a", "sh_a", "bp", "b1", "b2")
+        val b = keyed.toDF("doc_b", "sh_b", "bp_b", "b1b", "b2b")
+          .hint("shuffle_hash") // signature relation: same rationale as d03
+        a.join(b, col("bp") === col("bp_b") && col("b1") === col("b1b") &&
+            col("b2") === col("b2b") && col("doc_a") < col("doc_b"))
+          .select("doc_a", "doc_b", "sh_a", "sh_b").distinct()
+          .select(col("doc_a"), col("doc_b"),
+            expr("CAST(bit_count(sh_a ^ sh_b) AS INT)").as("hamming"))
+          .filter(col("hamming") <= 2)
+      },
+      Some(s"""WITH sh AS (${Dedup.simhashSql})
+               SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                      CAST(bit_count(xor(a.simhash, b.simhash)) AS INT)
+                        AS hamming
+               FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+               WHERE bit_count(xor(a.simhash, b.simhash)) <= 2""")),
+
     // d14: LSH candidate-prune EVALUATION — precision/recall of the d03
     // banding against exact Jaccard ≥ 0.5 on a bounded eval slice (doc_id
     // < 100, augmented with a planted duplicate of every doc — the
