@@ -467,6 +467,66 @@ object SimilarityQueries {
                     ex AS (SELECT vec_id FROM (${Similarity.knnBruteSql(10)}))
                SELECT t.vec_id, t.label, t.qdot,
                       t.vec_id IN (SELECT vec_id FROM ex) AS in_exact_topk
-               FROM top t"""))
+               FROM top t""")),
+
+    // x10: TWO-STAGE retrieval — the production coarse-to-fine pattern:
+    // an int8-quantized shortlist (x09's integer scoring, k×5 = 50 wide)
+    // feeds an exact float-cosine re-rank that returns the final top-10.
+    // The expensive exact kernel touches 50 rows instead of the corpus;
+    // the shortlist stage is the int8 scan that fits cache tiers at
+    // 100 TB. Both stages are deterministic (integer shortlist ranking,
+    // the same graft_cos fold as x01 for the re-rank), so the two-stage
+    // result is hash-stable — and on this corpus it recovers the exact
+    // top-10 whenever the shortlist recall holds, which x09's flag
+    // column measures.
+    Q("x10_two_stage_knn",
+      (s, d) => {
+        graft.functions.GraftFunctions.register(s)
+        val coded = Tables.embeddings(s, d)
+          .withColumn("mx", expr(
+            "CAST(array_max(transform(embedding, x -> abs(x))) AS DOUBLE)"))
+          .filter(col("mx") > 0)
+          .withColumn("code", expr(
+            """transform(embedding,
+                         x -> CAST(floor(CAST(x AS DOUBLE) / mx * 127.0
+                                         + 0.5) AS BIGINT))"""))
+        val q = coded.orderBy("vec_id").limit(1)
+          .select(col("vec_id").as("q_id"), col("code").as("qc"),
+            col("embedding").as("qe"))
+        val shortlist = coded.crossJoin(broadcast(q))
+          .filter(col("vec_id") =!= col("q_id"))
+          .withColumn("qdot", expr(
+            """aggregate(zip_with(code, qc, (x, y) -> x * y),
+                         CAST(0 AS BIGINT), (acc, x) -> acc + x)"""))
+          .orderBy(col("qdot").desc, col("vec_id")).limit(50)
+        shortlist
+          .withColumn("cos_sim", expr("graft_cos(embedding, qe)"))
+          .select("vec_id", "label", "cos_sim")
+          .orderBy(col("cos_sim").desc, col("vec_id")).limit(10)
+      },
+      Some(s"""WITH c2 AS (SELECT vec_id, label, embedding,
+                                  list_transform(embedding,
+                                    x -> CAST(floor(CAST(x AS DOUBLE)
+                                           / CAST(list_max(list_transform(
+                                               embedding, y -> abs(y)))
+                                             AS DOUBLE) * 127.0 + 0.5)
+                                         AS BIGINT)) AS code
+                           FROM embeddings
+                           WHERE CAST(list_max(list_transform(embedding,
+                                   y -> abs(y))) AS DOUBLE) > 0),
+                    q AS (SELECT vec_id AS q_id, code AS qc,
+                                 embedding AS qe
+                          FROM c2 ORDER BY vec_id LIMIT 1),
+                    shortlist AS (SELECT vec_id, label, embedding, qe,
+                                         CAST(list_sum(list_transform(
+                                                range(1, len(code) + 1),
+                                                i -> code[i] * qc[i]))
+                                              AS BIGINT) AS qdot
+                                  FROM c2, q WHERE vec_id <> q_id
+                                  ORDER BY qdot DESC, vec_id LIMIT 50)
+               SELECT vec_id, label,
+                      ${Similarity.duckCos("embedding", "qe")} AS cos_sim
+               FROM shortlist
+               ORDER BY cos_sim DESC, vec_id LIMIT 10"""))
   )
 }
