@@ -246,6 +246,13 @@ class PlanQualitySpec extends SparkSpec {
     assert(p.contains("Window"), p)
   }
 
+  test("d15: simhash block join is a shuffled hash join, never a cartesian") {
+    val p = planOf("d15_simhash_pairs")
+    assert(p.contains("ShuffledHashJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
   test("q101: percentile gate sorts the price DOMAIN, never the raw rows") {
     val p = planOf("q101_percentile_gate_exact")
     // the histogram partial-aggregates before its exchange; the only
