@@ -397,6 +397,69 @@ class StreamingSpec extends SparkSpec {
     } finally s.conf.unset("spark.sql.streaming.stateStore.providerClass")
   }
 
+  test("forward-fill carry survives a micro-batch boundary (s26)") {
+    val s = spark
+    import s.implicits._
+    val srcDir = Files.createTempDirectory("graft_ff_src").toString
+    val out    = Files.createTempDirectory("graft_ff_out").toString
+    val ckpt   = Files.createTempDirectory("graft_ff_ckpt").toString
+    def addFile(name: String, mtime: Long,
+        rows: Seq[(Long, Long, Timestamp, Option[Double])]): Unit = {
+      val stage = Files.createTempDirectory(s"graft_ff_$name").toString
+      rows.toDF("event_id", "user_id", "ts", "v")
+        .coalesce(1).write.mode("overwrite").parquet(stage)
+      val part = new File(stage).listFiles()
+        .find(_.getName.endsWith(".parquet")).get
+      val dst = Paths.get(srcDir, s"$name.parquet")
+      Files.move(part.toPath, dst)
+      dst.toFile.setLastModified(mtime)
+    }
+    // user 7's last batch-1 reading (42.0) must repair the null that
+    // arrives in batch 2 — the carry lives in the state store, not in
+    // any window over the batch
+    addFile("a", 1700000000000L, Seq(
+      (1L, 7L, ts("2024-01-01 00:10:00"), Some(42.0)),
+      (2L, 7L, ts("2024-01-01 00:20:00"), None)))
+    addFile("b", 1700000060000L, Seq(
+      (3L, 7L, ts("2024-01-01 00:30:00"), None),
+      (4L, 7L, ts("2024-01-01 00:40:00"), Some(9.0)),
+      (5L, 8L, ts("2024-01-01 00:50:00"), None))) // user 8: nothing to carry
+    val schema = Seq((1L, 1L, ts("2024-01-01 00:00:00"), Option(1.0)))
+      .toDF("event_id", "user_id", "ts", "v").schema
+    val q = s.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1).parquet(srcDir)
+      .select(col("event_id"), col("user_id"),
+        unix_micros(col("ts")).as("tsu"), col("v"))
+      .as[StreamingQ.FillEv]
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(
+        OutputMode.Append,
+        org.apache.spark.sql.streaming.GroupStateTimeout.NoTimeout) {
+        (user: Long, it: Iterator[StreamingQ.FillEv],
+         state: org.apache.spark.sql.streaming.GroupState[Double]) =>
+          var last: Option[Double] = state.getOption
+          val res = it.toSeq.sortBy(e => (e.tsu, e.event_id)).map { e =>
+            if (e.v.isDefined) last = e.v
+            StreamingQ.FillOut(e.event_id, user, e.v, last)
+          }
+          last.foreach(state.update)
+          res.iterator
+      }
+      .toDF()
+      .writeStream.format("parquet").outputMode("append")
+      .option("checkpointLocation", ckpt).option("path", out)
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val got = s.read.parquet(out).collect()
+      .map(r => r.getLong(0) ->
+        (if (r.isNullAt(3)) None else Some(r.getDouble(3)))).toMap
+    assert(got === Map(
+      1L -> Some(42.0), 2L -> Some(42.0), // batch 1 fill
+      3L -> Some(42.0),                   // batch 2 inherits batch-1 carry
+      4L -> Some(9.0),                    // fresh reading replaces the carry
+      5L -> None))                        // no prior reading: stays null
+  }
+
   test("running z-score flags are identical under any micro-batch slicing") {
     val s = spark
     import s.implicits._
