@@ -1749,6 +1749,54 @@ object Extended {
               FROM lineitem, cut
               WHERE CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * 100
                          AS BIGINT) >= cut_cents
-              GROUP BY l_returnflag"""))
+              GROUP BY l_returnflag""")),
+
+    // q102: SCD TYPE-2 point-in-time join — facts look up the dimension
+    // VERSION that was valid at their event time (the slowly-changing-
+    // dimension pattern every warehouse runs): each nation key carries 3
+    // versions with half-open validity windows [start, end) over January,
+    // and the join condition is key equality + ts-in-window. The dim is
+    // version-count × key-count (dimension-scale), so it BROADCASTS and
+    // the equality key carries the hash join with the window as the
+    // residual condition — facts never shuffle. If the versioned dim ever
+    // reaches fact scale, the same lookup runs as the q29 as-of machinery
+    // on (key, valid_from). Exactly one version matches per fact row by
+    // construction (windows partition the month), so row count is
+    // preserved — the oracle checks that implicitly.
+    Q("q102_scd2_join",
+      (s, d) => {
+        import s.implicits._
+        val versions = Tables.nation(s, d)
+          .select(col("n_nationkey").cast("long").as("nk"))
+          .crossJoin(
+            Seq(1, 2, 3).toDF("version")
+              .withColumn("vstart", expr(
+                "make_timestamp(2024, 1, 1 + (version - 1) * 10, 0, 0, 0)"))
+              .withColumn("vend", expr(
+                "make_timestamp(2024, 1, CASE WHEN version = 3 THEN 31 " +
+                  "ELSE 1 + version * 10 END, 0, 0, 0)")))
+          .withColumn("rate", col("nk") * 100 + col("version"))
+        val facts = Tables.events(s, d)
+          .select(col("event_id"), (col("user_id") % 25).as("nk"),
+            col("ts"))
+        facts.join(broadcast(versions),
+            facts("nk") === versions("nk") &&
+              col("ts") >= col("vstart") && col("ts") < col("vend"))
+          .select(col("event_id"), facts("nk"), col("version"), col("rate"))
+      },
+      Some("""WITH versions AS (
+                SELECT CAST(n_nationkey AS BIGINT) AS nk, version,
+                       make_timestamp(2024, 1, 1 + (version - 1) * 10,
+                                      0, 0, 0) AS vstart,
+                       make_timestamp(2024, 1, CASE WHEN version = 3
+                                                    THEN 31
+                                                    ELSE 1 + version * 10
+                                               END, 0, 0, 0) AS vend,
+                       CAST(n_nationkey AS BIGINT) * 100 + version AS rate
+                FROM nation, (SELECT unnest([1, 2, 3]) AS version))
+              SELECT event_id, user_id % 25 AS nk, version, rate
+              FROM events e JOIN versions v
+                ON user_id % 25 = v.nk
+               AND e.ts >= v.vstart AND e.ts < v.vend"""))
   )
 }
