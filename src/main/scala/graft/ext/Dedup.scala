@@ -658,6 +658,49 @@ object DedupQueries {
                FROM sh a JOIN sh b ON a.doc_id < b.doc_id
                WHERE bit_count(xor(a.simhash, b.simhash)) <= 2""")),
 
+    // d16: CONTAINMENT near-dup — Broder's asymmetric companion to
+    // Jaccard: |A∩B|/|A| ≈ 1 catches "A is quoted/embedded inside B"
+    // (boilerplate-wrapped reposts, quote-inclusion), which symmetric
+    // Jaccard misses whenever |B| ≫ |A| drags the union down. Runs on
+    // the d03 LSH candidates only (the quadratic space is never built,
+    // d05's discipline), keeps pairs where EITHER direction is ≥ 0.8,
+    // and reports both directions so the caller knows which side is the
+    // container. Ratios are single IEEE divisions of exact set sizes.
+    Q("d16_containment",
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        val toks = docs.select(col("doc_id"),
+          array_distinct(split(col("text"), " ")).as("toks")).persist()
+        Dedup.lshPairs(docs)
+          .join(toks.select(col("doc_id").as("doc_a"),
+            col("toks").as("ta")), "doc_a")
+          .join(toks.select(col("doc_id").as("doc_b"),
+            col("toks").as("tb")), "doc_b")
+          .select(col("doc_a"), col("doc_b"),
+            (size(array_intersect(col("ta"), col("tb"))).cast("double")
+              / size(col("ta"))).as("cont_a"),
+            (size(array_intersect(col("ta"), col("tb"))).cast("double")
+              / size(col("tb"))).as("cont_b"))
+          .filter(greatest(col("cont_a"), col("cont_b")) >= 0.8)
+      },
+      Some(s"""WITH pairs AS (${Dedup.lshPairsSql}),
+                    toks AS (SELECT doc_id,
+                                    list_distinct(string_split(text, ' '))
+                                      AS t
+                             FROM documents)
+               SELECT doc_a, doc_b,
+                      CAST(len(list_intersect(a.t, b.t)) AS DOUBLE)
+                        / len(a.t) AS cont_a,
+                      CAST(len(list_intersect(a.t, b.t)) AS DOUBLE)
+                        / len(b.t) AS cont_b
+               FROM pairs JOIN toks a ON doc_a = a.doc_id
+                          JOIN toks b ON doc_b = b.doc_id
+               WHERE greatest(CAST(len(list_intersect(a.t, b.t)) AS DOUBLE)
+                                / len(a.t),
+                              CAST(len(list_intersect(a.t, b.t)) AS DOUBLE)
+                                / len(b.t)) >= 0.8"""),
+    ),
+
     // d14: LSH candidate-prune EVALUATION — precision/recall of the d03
     // banding against exact Jaccard ≥ 0.5 on a bounded eval slice (doc_id
     // < 100, augmented with a planted duplicate of every doc — the

@@ -134,6 +134,26 @@ class TextHashSpec extends AnyFunSuite {
     }
   }
 
+  test("pigeonhole completeness: Hamming<=2 always shares a 4-bit block pair (d15)") {
+    // the theorem d15's candidate join relies on: 2 corrupted bits hit at
+    // most 2 of the 4 blocks, so some block PAIR survives intact
+    import org.scalacheck.{Gen, Prop, Test => SCTest}
+    def blocks(x: Long): Seq[Long] = (0 until 4).map(i => (x >> (4 * i)) & 15)
+    val gen = for {
+      base <- Gen.chooseNum(0L, 65535L)
+      nbits <- Gen.choose(0, 2)
+      flips <- Gen.listOfN(nbits, Gen.choose(0, 15))
+    } yield (base, flips.foldLeft(base)((v, b) => v ^ (1L << b)))
+    val r = SCTest.check(
+      SCTest.Parameters.default.withMinSuccessfulTests(500),
+      Prop.forAll(gen) { case (a, b) =>
+        val (ba, bb) = (blocks(a), blocks(b))
+        val pairs = for (i <- 0 until 4; j <- i + 1 until 4) yield (i, j)
+        pairs.exists { case (i, j) => ba(i) == bb(i) && ba(j) == bb(j) }
+      })
+    assert(r.passed, r.status.toString)
+  }
+
   test("passages equals the slice/join model, including edges") {
     // naive model: the transform/sequence/slice/array_join SQL form t14's
     // oracle uses (and the engine's HOF form replaced)
