@@ -660,6 +660,43 @@ object TextQueries {
                      CAST(sum(n_tokens) AS BIGINT) AS sum_tokens,
                      CAST(count(*) * max(n_tokens) - sum(n_tokens)
                           AS BIGINT) AS pad_waste
-              FROM b GROUP BY bucket, batch_no"""))
+              FROM b GROUP BY bucket, batch_no""")),
+
+    // t17: vocabulary COVERAGE / OOV rate — fix a top-K corpus vocabulary
+    // (by occurrence count, ties broken by token for determinism) and
+    // score every doc by the fraction of its token OCCURRENCES outside
+    // it: the number that sizes a tokenizer's vocab and flags docs a
+    // fixed vocab serves badly. K=20 of this corpus's 31-token domain so
+    // the rate is non-trivial. The vocab is aggregate-scale → broadcast
+    // back onto occurrences (t15's shape); the OOV flag is a null-check
+    // after the left join, and the rate is one IEEE division of exact
+    // longs. Two map-side-combined exchanges.
+    Q("t17_oov_rate",
+      (s, d) => {
+        val occ = Tables.documents(s, d)
+          .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+        val vocab = occ.groupBy("tok").agg(count(lit(1)).as("n"))
+          .orderBy(col("n").desc, col("tok")).limit(20)
+          .select(col("tok")).withColumn("iv", lit(true))
+        occ.join(broadcast(vocab), Seq("tok"), "left_outer")
+          .groupBy("doc_id")
+          .agg(count(lit(1)).as("n_tokens"),
+            sum(when(col("iv").isNull, 1L).otherwise(0L)).as("n_oov"))
+          .select(col("doc_id"), col("n_tokens"), col("n_oov"),
+            (col("n_oov").cast("double") / col("n_tokens")).as("oov_rate"))
+      },
+      Some("""WITH occ AS (SELECT doc_id,
+                                  unnest(string_split(text, ' ')) AS tok
+                           FROM documents),
+                   v AS (SELECT tok FROM (
+                           SELECT tok, count(*) AS n FROM occ
+                           GROUP BY tok ORDER BY n DESC, tok LIMIT 20))
+              SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+                     CAST(count(*) FILTER (WHERE tok NOT IN
+                            (SELECT tok FROM v)) AS BIGINT) AS n_oov,
+                     CAST(count(*) FILTER (WHERE tok NOT IN
+                            (SELECT tok FROM v)) AS DOUBLE) / count(*)
+                       AS oov_rate
+              FROM occ GROUP BY doc_id"""))
   )
 }
