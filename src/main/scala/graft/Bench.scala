@@ -46,7 +46,31 @@ object Bench {
     // parses the last line; sbt's own "[success]" banner is suppressed via
     // Global / showSuccess := false in build.sbt).
     spark.stop()
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val fullLine =
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    // The harness records only the last ~2000 chars of stdout; a 180+-query
+    // map (~5.7 KB) can never fit. Three outputs, least→most compact:
+    //   1. BENCH_FULL.json on disk — the complete per-query map;
+    //   2. the full JSON line, for any full-stdout parser;
+    //   3. a compact (<1.5 KB) FINAL line — total, per-suite subtotals,
+    //      and the slowest 30 queries at 3 dp — that fits the tail whole.
+    try java.nio.file.Files.write(
+      java.nio.file.Paths.get("BENCH_FULL.json"),
+      (fullLine + "\n").getBytes("UTF-8"))
+    catch { case _: Throwable => () }
+    println(fullLine)
+    def r3(v: Double): String = if (v < 0) "-1" else f"$v%.3f"
+    val suites = results.toSeq.groupBy(_._1.takeWhile(!_.isDigit))
+      .toSeq.sortBy(_._1)
+      .map { case (p, kv) => s"\"suite_$p\":${r3(kv.map(_._2).sum)}" }
+    val slowest = results.toSeq.sortBy(-_._2).take(30)
+      .map { case (k, v) => s"\"$k\":${r3(v)}" }
+    val compactQs = (suites ++ slowest).mkString("{", ",", "}")
+    println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","n_queries":${results.size},"queries":$compactQs,"detail":"BENCH_FULL.json","sf":"$sfDir"}""")
     System.out.flush()
+    // Async Spark daemons (e.g. the StateStore maintenance thread) can dump
+    // a stack trace AFTER spark.stop() returns, landing past the JSON and
+    // breaking last-line parsing. Work is done and output flushed — halt now.
+    Runtime.getRuntime.halt(0)
   }
 }

@@ -1180,7 +1180,8 @@ object Extended {
                                         ORDER BY ts, event_id
                                         ROWS BETWEEN 4 PRECEDING
                                                  AND 1 PRECEDING))
-              SELECT event_id, user_id, x, s1,
+              SELECT event_id, user_id, x,
+                     CAST(s1 AS BIGINT) AS s1,
                      CAST(CASE WHEN (4 * x - s1) * (4 * x - s1)
                                     > 4 * (4 * s2 - s1 * s1)
                                THEN 1 ELSE 0 END AS INT) AS is_anomaly
