@@ -1798,6 +1798,76 @@ object Extended {
               SELECT event_id, user_id % 25 AS nk, version, rate
               FROM events e JOIN versions v
                 ON user_id % 25 = v.nk
-               AND e.ts >= v.vstart AND e.ts < v.vend"""))
+               AND e.ts >= v.vstart AND e.ts < v.vend""")),
+
+    // q103: RETENTION COHORT matrix — users grouped by first-seen day,
+    // counted on each later active day (the activation/retention table
+    // behind every product dashboard). Scale discipline: the event stream
+    // is first deduped to (user, day) — map-side partial agg shrinks the
+    // shuffle to user-day granularity before anything else runs — and the
+    // first-seen day is a second agg over that SAME user-keyed shuffle
+    // (co-partitioned, AQE-reusable). Because (user, day) is unique and
+    // day_offset is a function of (day, user's cohort), each user hits a
+    // (cohort, offset) cell at most once — so the final count is a plain
+    // count(*), never a COUNT(DISTINCT) Expand at corpus scale.
+    Q("q103_retention_cohort",
+      (s, d) => {
+        val ev = Tables.events(s, d)
+          .select(col("user_id"), to_date(col("ts")).as("day"))
+          .distinct()
+        val firstSeen = ev.groupBy("user_id")
+          .agg(min("day").as("cohort_day"))
+        ev.join(firstSeen, "user_id")
+          .groupBy(col("cohort_day"),
+            datediff(col("day"), col("cohort_day")).as("day_offset"))
+          .agg(count(lit(1)).as("active_users"))
+      },
+      Some("""WITH ev AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day
+                          FROM events),
+                   fs AS (SELECT user_id, min(day) AS cohort_day
+                          FROM ev GROUP BY 1)
+              SELECT fs.cohort_day,
+                     CAST(datediff('day', fs.cohort_day, ev.day) AS INT)
+                       AS day_offset,
+                     count(*) AS active_users
+              FROM ev JOIN fs USING (user_id)
+              GROUP BY 1, 2""")),
+
+    // q104: EXACT rolling 7-day distinct users per day. Windowed
+    // COUNT(DISTINCT) doesn't exist as a window function (and a naive
+    // range-window collect_set is an unbounded per-group array — the x04
+    // anti-pattern). The scale-safe exact form: dedup to (user, day),
+    // EXPLODE each user-day into the ≤7 window-end days it contributes
+    // to, dedup (user, window) again, then a plain count — linear 7×
+    // user-day blow-up, two map-side-combinable shuffles, no state, no
+    // sketch error. Trailing windows past the last data day are clipped
+    // by a broadcast scalar max.
+    Q("q104_rolling_distinct",
+      (s, d) => {
+        val ev = Tables.events(s, d)
+          .select(col("user_id"), to_date(col("ts")).as("day"))
+          .distinct()
+        // max over the RAW scan, not over `ev`: same value, and the scalar
+        // branch skips the dedup shuffle (partial max per split → 1 row).
+        val mx = Tables.events(s, d)
+          .agg(max(to_date(col("ts"))).as("md"))
+        ev.select(col("user_id"),
+            explode(sequence(col("day"), date_add(col("day"), 6))).as("w"))
+          .distinct()
+          .join(broadcast(mx))
+          .filter(col("w") <= col("md"))
+          .groupBy("w").agg(count(lit(1)).as("users_7d"))
+      },
+      Some("""WITH ev AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day
+                          FROM events),
+                   contrib AS (SELECT DISTINCT user_id,
+                                      day + CAST(g AS INT) AS w
+                               FROM ev,
+                                    (SELECT unnest(generate_series(0, 6))
+                                       AS g) s)
+              SELECT w, count(*) AS users_7d
+              FROM contrib
+              WHERE w <= (SELECT max(CAST(ts AS DATE)) FROM events)
+              GROUP BY 1"""))
   )
 }

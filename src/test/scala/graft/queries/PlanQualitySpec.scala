@@ -294,6 +294,20 @@ class PlanQualitySpec extends SparkSpec {
     assert(!p.contains("Exchange hashpartitioning(o_orderkey"), p)
   }
 
+  test("q103: cohort counts are plain count(*) — no COUNT DISTINCT Expand") {
+    val p = planOf("q103_retention_cohort")
+    assert(!p.contains("Expand"), p)
+    // dedup and first-seen agg share the user_id hash partitioning
+    assert(p.contains("Exchange hashpartitioning(user_id"), p)
+  }
+
+  test("q104: rolling distinct is explode + dedup — no Expand, 1-row max broadcasts") {
+    val p = planOf("q104_rolling_distinct")
+    assert(!p.contains("Expand"), p)
+    assert(p.contains("Generate explode"), p)
+    assert(p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
   test("bucketed tables join without a shuffle exchange") {
     val s = spark
     val prevThreshold = s.conf.get("spark.sql.autoBroadcastJoinThreshold")
