@@ -59,7 +59,9 @@ object Bench {
       (fullLine + "\n").getBytes("UTF-8"))
     catch { case _: Throwable => () }
     println(fullLine)
-    def r3(v: Double): String = if (v < 0) "-1" else f"$v%.3f"
+    def r3(v: Double): String =
+      if (v < 0) "-1"
+      else String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
     val suites = results.toSeq.groupBy(_._1.takeWhile(!_.isDigit))
       .toSeq.sortBy(_._1)
       .map { case (p, kv) => s"\"suite_$p\":${r3(kv.map(_._2).sum)}" }
