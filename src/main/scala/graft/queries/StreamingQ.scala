@@ -141,6 +141,10 @@ object StreamingQ {
   final case class FillOut(event_id: Long, user_id: Long, v: Option[Double],
       v_filled: Option[Double])
 
+  /** Typed rows for the streaming first-seen attribution (s27). */
+  final case class SeenEv(user_id: Long, tsu: Long)
+  final case class SeenOut(user_id: Long, cohort_day: java.sql.Date)
+
   /** Typed rows for the transformWithState processor (s12). */
   final case class TwsEv(event_id: Long, user_id: Long, tsu: Long,
       value: Double)
@@ -1188,6 +1192,44 @@ object StreamingQ {
                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
                        AS v_filled
               FROM g""")),
+
+    // s27: streaming FIRST-SEEN attribution — q103's cohort assignment as
+    // it would run in production: the first event of each user emits ONE
+    // (user, cohort_day) row and a per-user boolean state suppresses every
+    // later sighting. State is O(users) — one flag forever — and the
+    // emission is append-mode (no retraction needed because the first
+    // in-order sighting IS the cohort). In-batch order comes from the
+    // min-by-(event-time, event_id) group fold (s04's discipline);
+    // cross-batch, state continuation guarantees at-most-once emission and
+    // the time-ordered replay guarantees the first batch that contains a
+    // user holds their earliest event — the same arrival-order contract
+    // s26's carry-forward documents. Hash-exact vs the batch min(ts)
+    // oracle; day boundary in UTC micros so both engines bucket
+    // identically.
+    Q("s27_stream_first_seen",
+      (s, d) => runEventsStream(s, d) { src =>
+        import s.implicits._
+        src.select(col("user_id"), unix_micros(col("ts")).as("tsu"))
+          .as[SeenEv]
+          .groupByKey(_.user_id)
+          .flatMapGroupsWithState(
+            OutputMode.Append, GroupStateTimeout.NoTimeout) {
+            (user: Long, it: Iterator[SeenEv],
+             state: org.apache.spark.sql.streaming.GroupState[Boolean]) =>
+              if (state.exists) Iterator.empty
+              else {
+                val first = it.minBy(e => (e.tsu, 0L))
+                state.update(true)
+                Iterator.single(SeenOut(user,
+                  java.sql.Date.valueOf(
+                    java.time.LocalDate.ofEpochDay(
+                      Math.floorDiv(first.tsu, 86400000000L)))))
+              }
+          }
+          .toDF()
+      },
+      Some("""SELECT user_id, CAST(min(ts) AS DATE) AS cohort_day
+              FROM events GROUP BY 1""")),
 
     // s25: stream-stream FULL OUTER interval join — s10's outer-emission
     // semantics on BOTH sides, completing the join-type family (inner

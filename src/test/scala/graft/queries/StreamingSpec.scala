@@ -460,6 +460,63 @@ class StreamingSpec extends SparkSpec {
       5L -> None))                        // no prior reading: stays null
   }
 
+  test("first-seen emits once per user across micro-batch boundaries (s27)") {
+    val s = spark
+    import s.implicits._
+    val srcDir = Files.createTempDirectory("graft_fs_src").toString
+    val out    = Files.createTempDirectory("graft_fs_out").toString
+    val ckpt   = Files.createTempDirectory("graft_fs_ckpt").toString
+    def addFile(name: String, mtime: Long,
+        rows: Seq[(Long, Timestamp)]): Unit = {
+      val stage = Files.createTempDirectory(s"graft_fs_$name").toString
+      rows.toDF("user_id", "ts")
+        .coalesce(1).write.mode("overwrite").parquet(stage)
+      val part = new File(stage).listFiles()
+        .find(_.getName.endsWith(".parquet")).get
+      val dst = Paths.get(srcDir, s"$name.parquet")
+      Files.move(part.toPath, dst)
+      dst.toFile.setLastModified(mtime)
+    }
+    // user 7 appears in BOTH batches: only the batch-1 sighting may emit,
+    // and its day must win even though batch 2 re-delivers the user on a
+    // later day. User 8 is batch-2-only and emits there.
+    addFile("a", 1700000000000L, Seq(
+      (7L, ts("2024-01-02 10:00:00")),
+      (7L, ts("2024-01-01 09:00:00")))) // in-batch min wins: Jan 1
+    addFile("b", 1700000060000L, Seq(
+      (7L, ts("2024-01-05 00:00:00")),  // suppressed by state
+      (8L, ts("2024-01-04 23:59:59"))))
+    val schema = Seq((1L, ts("2024-01-01 00:00:00")))
+      .toDF("user_id", "ts").schema
+    val q = s.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1).parquet(srcDir)
+      .select(col("user_id"), unix_micros(col("ts")).as("tsu"))
+      .as[StreamingQ.SeenEv]
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(
+        OutputMode.Append,
+        org.apache.spark.sql.streaming.GroupStateTimeout.NoTimeout) {
+        (user: Long, it: Iterator[StreamingQ.SeenEv],
+         state: org.apache.spark.sql.streaming.GroupState[Boolean]) =>
+          if (state.exists) Iterator.empty
+          else {
+            val first = it.minBy(e => (e.tsu, 0L))
+            state.update(true)
+            Iterator.single(StreamingQ.SeenOut(user,
+              java.sql.Date.valueOf(java.time.LocalDate.ofEpochDay(
+                Math.floorDiv(first.tsu, 86400000000L)))))
+          }
+      }
+      .toDF()
+      .writeStream.format("parquet").outputMode("append")
+      .option("checkpointLocation", ckpt).option("path", out)
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val got = s.read.parquet(out).collect()
+      .map(r => r.getLong(0) -> r.getDate(1).toString).toMap
+    assert(got === Map(7L -> "2024-01-01", 8L -> "2024-01-04"))
+  }
+
   test("running z-score flags are identical under any micro-batch slicing") {
     val s = spark
     import s.implicits._
