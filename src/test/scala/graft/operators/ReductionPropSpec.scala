@@ -67,6 +67,37 @@ class ReductionPropSpec extends SparkSpec {
     }
   }
 
+  test("rolling 7-day distinct (q104's explode+dedup) equals brute recount") {
+    val s = spark
+    import s.implicits._
+    val day0 = Date.valueOf("2024-01-01").toLocalDate
+    for (seed <- 1 to 20) {
+      val rnd = new scala.util.Random(200 + seed)
+      val n = 1 + rnd.nextInt(80)
+      // few users × few days with repeats: windows overlap and users recur
+      val rows = Seq.fill(n)((rnd.nextInt(5).toLong,
+        Date.valueOf(day0.plusDays(rnd.nextInt(15)))))
+      val ev = rows.toDF("user_id", "day").distinct()
+      val mx = ev.agg(max("day").as("md"))
+      val got = ev.select(col("user_id"),
+          explode(sequence(col("day"), date_add(col("day"), 6))).as("w"))
+        .distinct()
+        .join(broadcast(mx)).filter(col("w") <= col("md"))
+        .groupBy("w").agg(count(lit(1)).as("users_7d"))
+        .collect().map(r => (r.getDate(0).toString, r.getLong(1)))
+        .sorted.toSeq
+      val dist = rows.map { case (u, d) => (u, d.toLocalDate) }.distinct
+      val (lo, hi) = (dist.map(_._2).min, dist.map(_._2).max)
+      val want = Iterator.iterate(lo)(_.plusDays(1)).takeWhile(!_.isAfter(hi))
+        .map { w =>
+          val lo7 = w.minusDays(6)
+          (w.toString, dist.filter { case (_, d) =>
+            !d.isBefore(lo7) && !d.isAfter(w) }.map(_._1).distinct.size.toLong)
+        }.filter(_._2 > 0).toSeq.sorted
+      assert(got === want, s"seed=$seed")
+    }
+  }
+
   test("link rank equals naive integer power iteration on random graphs") {
     val s = spark
     import s.implicits._
