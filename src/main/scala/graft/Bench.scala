@@ -12,6 +12,16 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // Load provenance: bench totals on this box swing ±50% with external
+    // load (a load-2 neighbor inflated one committed pass 100→154 s with no
+    // code change). Record the 1-min load average at start and end so a
+    // contended artifact is machine-readably discountable.
+    def loadAvg(): Double = {
+      val v = java.lang.management.ManagementFactory
+        .getOperatingSystemMXBean.getSystemLoadAverage
+      math.round(v * 100.0) / 100.0
+    }
+    val loadStart = loadAvg()
     sys.env.get("GRAFT_STATE_PARTS")
       .foreach(v => spark.conf.set("graft.stream.stateParts", v))
     // Warm-up (BASELINE.md measures "min of 2 full-materialization runs
@@ -46,8 +56,9 @@ object Bench {
     // parses the last line; sbt's own "[success]" banner is suppressed via
     // Global / showSuccess := false in build.sbt).
     spark.stop()
+    val loadEnd = loadAvg()
     val fullLine =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","runs_per_query":2,"load_avg_start":$loadStart,"load_avg_end":$loadEnd,"queries":$qs,"sf":"$sfDir"}"""
     // The harness records only the last ~2000 chars of stdout; a 180+-query
     // map (~5.7 KB) can never fit. Three outputs, least→most compact:
     //   1. BENCH_FULL.json on disk — the complete per-query map;
@@ -68,8 +79,12 @@ object Bench {
     val slowest = results.toSeq.sortBy(-_._2).take(30)
       .map { case (k, v) => s"\"$k\":${r3(v)}" }
     val compactQs = (suites ++ slowest).mkString("{", ",", "}")
-    println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","n_queries":${results.size},"queries":$compactQs,"detail":"BENCH_FULL.json","sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","n_queries":${results.size},"runs_per_query":2,"load_avg_start":$loadStart,"load_avg_end":$loadEnd,"queries":$compactQs,"detail":"BENCH_FULL.json","sf":"$sfDir"}""")
     System.out.flush()
+    // halt() skips JVM shutdown hooks, so run Scratch's recursive-delete
+    // explicitly — otherwise every bench invocation leaks its sink/roundtrip
+    // scratch dirs into /tmp (the exact drift Scratch exists to prevent).
+    graft.util.Scratch.cleanup()
     // Async Spark daemons (e.g. the StateStore maintenance thread) can dump
     // a stack trace AFTER spark.stop() returns, landing past the JSON and
     // breaking last-line parsing. Work is done and output flushed — halt now.

@@ -367,11 +367,18 @@ case class PassagesExpr(left: Expression, right: Expression)
     extends BinaryExpression {
   override def checkInputDataTypes():
       org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
-    if (left.dataType == StringType && right.dataType == IntegerType)
-      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
-    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
-      s"$prettyName expects (string, int), got " +
-        s"(${left.dataType.simpleString}, ${right.dataType.simpleString})")
+    if (left.dataType != StringType || right.dataType != IntegerType)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"$prettyName expects (string, int), got " +
+          s"(${left.dataType.simpleString}, ${right.dataType.simpleString})")
+    // The documented transform/sequence/slice equivalence divides by w, so
+    // w < 1 has no defined meaning; reject a foldable non-positive width at
+    // analysis time rather than silently returning one whole-text passage.
+    else if (right.foldable && {
+        val v = right.eval(); v != null && v.asInstanceOf[Int] < 1 })
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"$prettyName passage width must be >= 1")
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
   override def dataType: DataType = ArrayType(StringType, containsNull = false)
   override def prettyName: String = "graft_passages"
   protected override def nullSafeEval(s: Any, w: Any): Any =

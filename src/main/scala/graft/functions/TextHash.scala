@@ -232,6 +232,9 @@ object TextHash {
     * the token array or re-evaluating the lambda body per element.
     */
   def passages(s: UTF8String, w: Int): ArrayData = {
+    // PassagesExpr rejects foldable w < 1 at analysis time; this guards the
+    // direct-call and non-foldable paths the analyzer can't see.
+    require(w >= 1, s"passage width must be >= 1, got $w")
     val bytes = s.getBytes
     val nb = bytes.length
     val out = new java.util.ArrayList[AnyRef](nb / (4 * math.max(w, 1)) + 1)

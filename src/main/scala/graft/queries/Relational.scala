@@ -173,14 +173,27 @@ object Relational {
               WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
               GROUP BY l_returnflag, l_linestatus""")),
 
-    // Q11: HLL sketch — approx_count_distinct. No portable oracle (HLL
-    // implementations differ); driver records a rows-only check.
+    // Q11: HLL sketch — approx_count_distinct. HLL registers can't
+    // hash-match across engines, but the ESTIMATE can be error-gated: the
+    // query emits the exact distinct count plus a boolean asserting
+    // |approx − exact| ≤ 3·rsd·exact (rsd = 0.05 ⇒ ±15%, a ~99.7%
+    // confidence band for HLL++'s near-Gaussian error); the oracle emits
+    // the same exact count with TRUE. The hash comparison then FAILS iff
+    // the sketch ever lands outside its advertised error bound — a real
+    // correctness gate on the approximation, not a rows-only count.
     Q("q11_approx_distinct",
       (s, d) => Tables.lineitem(s, d)
         .groupBy("l_returnflag")
-        .agg(approx_count_distinct("l_partkey").as("approx_parts"),
-             count(lit(1)).as("n_rows")),
-      None),
+        .agg(approx_count_distinct(col("l_partkey"), rsd = 0.05)
+               .as("approx_parts"),
+             countDistinct(col("l_partkey")).as("exact_parts"))
+        .select(col("l_returnflag"), col("exact_parts"),
+          (abs(col("approx_parts") - col("exact_parts"))
+            <= lit(3 * 0.05) * col("exact_parts")).as("within_tol")),
+      Some("""SELECT l_returnflag,
+                     CAST(COUNT(DISTINCT l_partkey) AS BIGINT) AS exact_parts,
+                     TRUE AS within_tol
+              FROM lineitem GROUP BY 1""")),
 
     // Q12: rollup (grouping sets family).
     Q("q12_rollup",

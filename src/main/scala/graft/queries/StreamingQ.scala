@@ -142,7 +142,7 @@ object StreamingQ {
       v_filled: Option[Double])
 
   /** Typed rows for the streaming first-seen attribution (s27). */
-  final case class SeenEv(user_id: Long, tsu: Long)
+  final case class SeenEv(user_id: Long, tsu: Long, event_id: Long)
   final case class SeenOut(user_id: Long, cohort_day: java.sql.Date)
 
   /** Typed rows for the transformWithState processor (s12). */
@@ -1209,7 +1209,8 @@ object StreamingQ {
     Q("s27_stream_first_seen",
       (s, d) => runEventsStream(s, d) { src =>
         import s.implicits._
-        src.select(col("user_id"), unix_micros(col("ts")).as("tsu"))
+        src.select(col("user_id"), unix_micros(col("ts")).as("tsu"),
+            col("event_id"))
           .as[SeenEv]
           .groupByKey(_.user_id)
           .flatMapGroupsWithState(
@@ -1218,7 +1219,10 @@ object StreamingQ {
              state: org.apache.spark.sql.streaming.GroupState[Boolean]) =>
               if (state.exists) Iterator.empty
               else {
-                val first = it.minBy(e => (e.tsu, 0L))
+                // Tie-break equal timestamps on event_id so "first event"
+                // is a total order (only the day is emitted today, but the
+                // choice must stay deterministic if that ever widens).
+                val first = it.minBy(e => (e.tsu, e.event_id))
                 state.update(true)
                 Iterator.single(SeenOut(user,
                   java.sql.Date.valueOf(

@@ -398,12 +398,26 @@ final class WireBatchWrite(
     val dir = new HPath(path)
     val fs = FileSystem.get(dir.toUri, new Configuration())
     val previous = if (truncate) WireTopicFiles.list(path) else Array.empty[String]
+    val committed = scala.collection.mutable.Set.empty[String]
     messages.foreach { case WireCommit(files) =>
       files.foreach { case (staged, finalName) =>
-        fs.rename(new HPath(staged), new HPath(dir, finalName))
+        val target = new HPath(dir, finalName)
+        // rename() returns false (it does not throw) when the target name
+        // already exists — a retried task, or keyed files landing in a
+        // non-truncated topic. Mirror the streaming commit path: clear the
+        // target first, then treat a failed rename as a lost-rows error.
+        fs.delete(target, false)
+        if (!fs.rename(new HPath(staged), target))
+          throw new java.io.IOException(
+            s"graft-wire batch commit: rename $staged -> $target failed")
+        committed += fs.makeQualified(target).toString
       }
     }
-    previous.foreach(f => fs.delete(new HPath(f), false))
+    // Truncate semantics: drop pre-existing topic files, but never a name
+    // this very commit just (re)wrote over.
+    previous.filterNot(f =>
+        committed.contains(fs.makeQualified(new HPath(f)).toString))
+      .foreach(f => fs.delete(new HPath(f), false))
   }
 
   override def abort(messages: Array[WriterCommitMessage]): Unit = {
@@ -439,6 +453,13 @@ final class WireWriterFactory(ddl: String, path: String, sep: String,
   * one-shuffle write that buys every later join its shuffle-freedom
   * (exactly the q93 bucketed-table bargain, here for a custom source).
   * Null keys are rejected: a partition key must BE a value.
+  *
+  * One file handle stays open per DISTINCT key this task sees, until
+  * commit. A caller that skips the documented repartition-by-key can
+  * therefore route every key through every task; rather than exhaust file
+  * descriptors at some load-dependent point, the writer fails fast past
+  * `graft.wire.keyBy.maxOpenWriters` (default 1024, settable via system
+  * property) with the fix in the message.
   */
 final class WireKeyedFileWriter(
     schema: StructType, path: String, sep: String, keyIdx: Int,
@@ -448,9 +469,16 @@ final class WireKeyedFileWriter(
     new HPath(path).toUri, new Configuration())
   private val open = scala.collection.mutable.LinkedHashMap
     .empty[Long, (HPath, String, java.io.BufferedWriter)]
+  private val maxOpen =
+    java.lang.Long.getLong("graft.wire.keyBy.maxOpenWriters", 1024L)
 
   private def writerFor(key: Long): java.io.BufferedWriter =
     open.getOrElseUpdate(key, {
+      if (open.size >= maxOpen) throw new IllegalStateException(
+        s"graft-wire keyBy: task $partitionId saw more than $maxOpen " +
+          "distinct key values; repartition the input by the keyBy column " +
+          "so each task holds a bounded key slice (or raise " +
+          "-Dgraft.wire.keyBy.maxOpenWriters)")
       val staged = new HPath(path,
         f"_tmp_part-k$key-p$partitionId%05d-$taskId.wire")
       val fin = f"part-k$key-p$partitionId%05d-$taskId.wire"

@@ -467,9 +467,9 @@ class StreamingSpec extends SparkSpec {
     val out    = Files.createTempDirectory("graft_fs_out").toString
     val ckpt   = Files.createTempDirectory("graft_fs_ckpt").toString
     def addFile(name: String, mtime: Long,
-        rows: Seq[(Long, Timestamp)]): Unit = {
+        rows: Seq[(Long, Timestamp, Long)]): Unit = {
       val stage = Files.createTempDirectory(s"graft_fs_$name").toString
-      rows.toDF("user_id", "ts")
+      rows.toDF("user_id", "ts", "event_id")
         .coalesce(1).write.mode("overwrite").parquet(stage)
       val part = new File(stage).listFiles()
         .find(_.getName.endsWith(".parquet")).get
@@ -481,16 +481,17 @@ class StreamingSpec extends SparkSpec {
     // and its day must win even though batch 2 re-delivers the user on a
     // later day. User 8 is batch-2-only and emits there.
     addFile("a", 1700000000000L, Seq(
-      (7L, ts("2024-01-02 10:00:00")),
-      (7L, ts("2024-01-01 09:00:00")))) // in-batch min wins: Jan 1
+      (7L, ts("2024-01-02 10:00:00"), 11L),
+      (7L, ts("2024-01-01 09:00:00"), 12L))) // in-batch min wins: Jan 1
     addFile("b", 1700000060000L, Seq(
-      (7L, ts("2024-01-05 00:00:00")),  // suppressed by state
-      (8L, ts("2024-01-04 23:59:59"))))
-    val schema = Seq((1L, ts("2024-01-01 00:00:00")))
-      .toDF("user_id", "ts").schema
+      (7L, ts("2024-01-05 00:00:00"), 13L),  // suppressed by state
+      (8L, ts("2024-01-04 23:59:59"), 14L)))
+    val schema = Seq((1L, ts("2024-01-01 00:00:00"), 1L))
+      .toDF("user_id", "ts", "event_id").schema
     val q = s.readStream.schema(schema)
       .option("maxFilesPerTrigger", 1).parquet(srcDir)
-      .select(col("user_id"), unix_micros(col("ts")).as("tsu"))
+      .select(col("user_id"), unix_micros(col("ts")).as("tsu"),
+        col("event_id"))
       .as[StreamingQ.SeenEv]
       .groupByKey(_.user_id)
       .flatMapGroupsWithState(
@@ -500,7 +501,7 @@ class StreamingSpec extends SparkSpec {
          state: org.apache.spark.sql.streaming.GroupState[Boolean]) =>
           if (state.exists) Iterator.empty
           else {
-            val first = it.minBy(e => (e.tsu, 0L))
+            val first = it.minBy(e => (e.tsu, e.event_id))
             state.update(true)
             Iterator.single(StreamingQ.SeenOut(user,
               java.sql.Date.valueOf(java.time.LocalDate.ofEpochDay(
