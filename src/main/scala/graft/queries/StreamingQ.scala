@@ -145,6 +145,36 @@ object StreamingQ {
   final case class SeenEv(user_id: Long, tsu: Long, event_id: Long)
   final case class SeenOut(user_id: Long, cohort_day: java.sql.Date)
 
+  /** s27's transform, factored out so PlanQualitySpec can pin its
+    * incremental plan (one stateful operator, append emission) on a stream
+    * it drives itself.
+    */
+  def firstSeenXform(s: SparkSession)(src: DataFrame): DataFrame = {
+    import s.implicits._
+    src.select(col("user_id"), unix_micros(col("ts")).as("tsu"),
+        col("event_id"))
+      .as[SeenEv]
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (user: Long, it: Iterator[SeenEv],
+         state: org.apache.spark.sql.streaming.GroupState[Boolean]) =>
+          if (state.exists) Iterator.empty
+          else {
+            // Tie-break equal timestamps on event_id so "first event" is a
+            // total order (only the day is emitted today, but the choice
+            // must stay deterministic if that ever widens).
+            val first = it.minBy(e => (e.tsu, e.event_id))
+            state.update(true)
+            Iterator.single(SeenOut(user,
+              java.sql.Date.valueOf(
+                java.time.LocalDate.ofEpochDay(
+                  Math.floorDiv(first.tsu, 86400000000L)))))
+          }
+      }
+      .toDF()
+  }
+
   /** Typed rows for the transformWithState processor (s12). */
   final case class TwsEv(event_id: Long, user_id: Long, tsu: Long,
       value: Double)
@@ -1207,31 +1237,7 @@ object StreamingQ {
     // oracle; day boundary in UTC micros so both engines bucket
     // identically.
     Q("s27_stream_first_seen",
-      (s, d) => runEventsStream(s, d) { src =>
-        import s.implicits._
-        src.select(col("user_id"), unix_micros(col("ts")).as("tsu"),
-            col("event_id"))
-          .as[SeenEv]
-          .groupByKey(_.user_id)
-          .flatMapGroupsWithState(
-            OutputMode.Append, GroupStateTimeout.NoTimeout) {
-            (user: Long, it: Iterator[SeenEv],
-             state: org.apache.spark.sql.streaming.GroupState[Boolean]) =>
-              if (state.exists) Iterator.empty
-              else {
-                // Tie-break equal timestamps on event_id so "first event"
-                // is a total order (only the day is emitted today, but the
-                // choice must stay deterministic if that ever widens).
-                val first = it.minBy(e => (e.tsu, e.event_id))
-                state.update(true)
-                Iterator.single(SeenOut(user,
-                  java.sql.Date.valueOf(
-                    java.time.LocalDate.ofEpochDay(
-                      Math.floorDiv(first.tsu, 86400000000L)))))
-              }
-          }
-          .toDF()
-      },
+      (s, d) => runEventsStream(s, d)(firstSeenXform(s)),
       Some("""SELECT user_id, CAST(min(ts) AS DATE) AS cohort_day
               FROM events GROUP BY 1""")),
 

@@ -1,5 +1,7 @@
 package graft.queries
 
+import java.nio.file.{Files, Paths}
+
 import org.apache.spark.sql.functions._
 
 import graft.SparkSpec
@@ -306,6 +308,64 @@ class PlanQualitySpec extends SparkSpec {
     assert(!p.contains("Expand"), p)
     assert(p.contains("Generate explode"), p)
     assert(p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
+  test("q100: forward fill is ONE exchange — the user window — no join") {
+    val p = planOf("q100_forward_fill")
+    assert("Exchange hashpartitioning".r.findAllIn(p).size === 1, p)
+    assert(p.contains("Window"), p)
+    assert(!p.contains("Join"), p)
+  }
+
+  test("q102: SCD2 point-in-time join broadcasts the versioned dim — facts never shuffle") {
+    val p = planOf("q102_scd2_join")
+    // equality on nk carries the hash join; the validity window is the
+    // residual condition on the SAME node — not a nested-loop fallback
+    assert("BroadcastHashJoin .* >= vstart".r.findFirstIn(p).isDefined, p)
+    assert(!p.contains("SortMergeJoin"), p)
+    assert(!p.contains("Exchange hashpartitioning"), p) // fact side flows through
+    // the only nested-loop is the dim BUILD (nation × 3 versions, dim-scale
+    // cross); the fact relation must never feed one
+    "BroadcastNestedLoopJoin.*".r.findAllIn(p).foreach(l =>
+      assert(l.contains("Cross"), p))
+  }
+
+  test("s27: first-seen runs as ONE stateful operator with append emission") {
+    // Drive the streaming transform directly (AvailableNow over the events
+    // parquet) and pin the INCREMENTAL plan: exactly one
+    // FlatMapGroupsWithState state store keyed by user, no second stateful
+    // op, no sort — emission is append-mode pass-through above the state op.
+    val s = spark
+    val src = Paths.get(graft.util.Scratch.dir("graft_s27_src"))
+    Files.createSymbolicLink(src.resolve("events.parquet"),
+      Paths.get(s"$sf/events.parquet"))
+    val out  = graft.util.Scratch.dir("graft_s27_out")
+    val ckpt = graft.util.Scratch.dir("graft_s27_ckpt")
+    val schema = s.read.parquet(s"$sf/events.parquet").schema
+    val q = StreamingQ.withStateParts(s) {
+      val stream = Tables.normalizeEvents(
+        s.readStream.schema(schema).parquet(src.toString))
+      val q0 = StreamingQ.firstSeenXform(s)(stream).writeStream
+        .format("parquet").outputMode("append")
+        .option("checkpointLocation", ckpt).option("path", out)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q0.awaitTermination(); q0
+    }
+    val p = q.asInstanceOf[
+        org.apache.spark.sql.execution.streaming.runtime.StreamingQueryWrapper]
+      .streamingQuery.lastExecution.executedPlan.toString
+    assert("FlatMapGroupsWithState".r.findAllIn(p).size === 1, p)
+    // the flag state lives inside the flatMap operator itself — no second
+    // stateful op (a windowed-agg formulation would add StateStoreSave)
+    assert("StateStoreSave|StateStoreRestore".r.findAllIn(p).isEmpty, p)
+    assert(p.contains("Append, NoTimeout"), p)
+    // ONE exchange: the stateful operator's required key partitioning
+    // (the groupByKey-appended user key); the local per-partition Sort
+    // above it is the operator's grouping contract, not a global sort
+    assert("Exchange hashpartitioning".r.findAllIn(p).size === 1, p)
+    assert(!p.contains("Exchange rangepartitioning"), p)
+    assert(s.read.parquet(out).count() > 0)
   }
 
   test("bucketed tables join without a shuffle exchange") {
