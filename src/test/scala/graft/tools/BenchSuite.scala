@@ -1,0 +1,40 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Dev harness: Bench's min-of-2 noop-sink methodology over a name-filtered
+  * slice of the catalog (e.g. the d-/x-suites at the sf1 scale checkpoint).
+  * Usage: `Test/runMain graft.BenchSuite <prefix[,prefix...]> <sfDir>`.
+  */
+object BenchSuite {
+  def main(args: Array[String]): Unit = {
+    val prefixes = args(0).split(",").toSeq
+    val sfDir = args(1)
+    val spark = SparkSession.builder().master("local[32]")
+      .config("spark.sql.shuffle.partitions", 32)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    spark.read.parquet(sfDir + "/documents.parquet").count()
+    val picked = SparkEntry.queries.filter { case (n, _) =>
+      prefixes.exists(n.startsWith)
+    }
+    val results = picked.toSeq.sortBy(_._1).map { case (name, fn) =>
+      val times = (1 to 2).map { _ =>
+        val t0 = System.nanoTime()
+        try {
+          fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+          (System.nanoTime() - t0) / 1e9
+        } catch { case e: Throwable => println(s"FAIL $name: $e"); -1.0 }
+      }
+      val m = if (times.exists(_ < 0)) -1.0 else times.min
+      println(f"BENCHSUITE $name min=$m%.3f")
+      name -> m
+    }
+    println(f"BENCHSUITE_TOTAL ${results.map(_._2).sum}%.2f over ${results.size} queries")
+    spark.stop()
+    graft.util.Scratch.cleanup()
+    Runtime.getRuntime.halt(0)
+  }
+}

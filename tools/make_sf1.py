@@ -1,0 +1,83 @@
+#!/usr/bin/env python3
+"""Derive a 10x "sf1" documents/embeddings pair from the driver's sf0.1
+tables, for the scale checkpoint of the d-suite (dedup) and x-suite (ANN).
+
+Scaling must not manufacture cross-copy near-duplicates (10 verbatim copies
+would give every doc 9 exact clones and blow the LSH candidate set up
+quadratically — not what a 10x corpus looks like). So:
+
+- documents: copy k of 10 suffixes EVERY whitespace token with "x<k>"
+  (k=0 keeps the original text). Token sets map bijectively within a copy,
+  so every within-copy Jaccard/MinHash/SimHash relationship of the original
+  corpus is preserved exactly, while token sets across copies are disjoint
+  — no new near-dup pairs. doc_id offset k*N keeps ids unique; n_chars is
+  recomputed from the transformed text.
+- embeddings: copy k rotates the vector dimensions by k (np.roll). Norms
+  and all within-copy pairwise cosines are preserved exactly; cross-copy
+  cosines decorrelate. vec_id offset k*N.
+
+The remaining 8 tables are symlinked from sf0.1 (the d/x suites don't read
+them; the oracle harness just needs the views to exist).
+
+Usage: python3 tools/make_sf1.py [outDir]   (default benchdata/sf1)
+"""
+import os
+import sys
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+SRC = "/root/testdata/sf0.1"
+OUT = sys.argv[1] if len(sys.argv) > 1 else "benchdata/sf1"
+COPIES = 10
+
+os.makedirs(OUT, exist_ok=True)
+
+docs = pq.read_table(f"{SRC}/documents.parquet")
+n_docs = docs.num_rows
+doc_id = docs.column("doc_id").to_numpy()
+text = docs.column("text").to_pylist()
+lang = docs.column("lang")
+source = docs.column("source")
+
+chunks = []
+for k in range(COPIES):
+    if k == 0:
+        t_k = text
+    else:
+        sfx = f"x{k}"
+        t_k = [" ".join(w + sfx for w in t.split(" ")) for t in text]
+    chunks.append(pa.table({
+        "doc_id": pa.array(doc_id + k * n_docs, pa.int64()),
+        "text": pa.array(t_k, pa.string()),
+        "lang": lang,
+        "source": source,
+        "n_chars": pa.array([len(t) for t in t_k], pa.int64()),
+    }))
+pq.write_table(pa.concat_tables(chunks), f"{OUT}/documents.parquet")
+print(f"documents: {n_docs} -> {n_docs * COPIES}")
+
+emb = pq.read_table(f"{SRC}/embeddings.parquet")
+n_vec = emb.num_rows
+vec_id = emb.column("vec_id").to_numpy()
+vecs = np.array(emb.column("embedding").to_pylist(), dtype=np.float32)
+label = emb.column("label")
+
+echunks = []
+for k in range(COPIES):
+    echunks.append(pa.table({
+        "vec_id": pa.array(vec_id + k * n_vec, pa.int64()),
+        "embedding": pa.array(np.roll(vecs, k, axis=1).tolist(),
+                              pa.list_(pa.float32())),
+        "label": label,
+    }))
+pq.write_table(pa.concat_tables(echunks), f"{OUT}/embeddings.parquet")
+print(f"embeddings: {n_vec} -> {n_vec * COPIES}")
+
+for t in ["region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events"]:
+    dst = f"{OUT}/{t}.parquet"
+    if not os.path.exists(dst):
+        os.symlink(f"{SRC}/{t}.parquet", dst)
+print(f"done: {OUT}")
