@@ -165,10 +165,14 @@ object Dedup {
 
   def lshPairsSql: String = s"WITH sig AS ($minhashSql) $lshArmsSql"
 
-  /** 16-bit SimHash over token hashes: bit b set iff the ±1 vote sum over
-    * tokens (bit b of each token hash) is positive. Per-row, shuffle-free.
+  /** 60-bit SimHash over token hashes (TextHash.simHash): 4 blocks × 15
+    * bits, block k voting on bits of the MinHash-permuted token hash
+    * `(A(k)*h + B(k)) mod P`. Per-row, shuffle-free. The oracle twin
+    * unnests tokens once and folds all 60 vote sums in a single grouped
+    * aggregate pass (not 60 list_transform passes over every row).
     */
-  val simhashBits = 16
+  val simhashBlocks = 4
+  val simhashBlockBits = 15
   def simhash(docs: DataFrame): DataFrame = {
     graft.functions.GraftFunctions.register(docs.sparkSession)
     docs.filter(length(col("text")) > 0)
@@ -176,16 +180,22 @@ object Dedup {
   }
 
   def simhashSql: String = {
-    val bitsums = (0 until simhashBits).map { b =>
-      s"""list_sum(list_transform(th, h ->
-            CASE WHEN (h // ${1L << b}) % 2 = 1 THEN 1 ELSE -1 END))"""
-    }
-    val sh = bitsums.zipWithIndex
-      .map { case (s, b) => s"(CASE WHEN ($s) > 0 THEN ${1L << b} ELSE 0 END)" }
-      .mkString(" + ")
-    s"""SELECT doc_id, CAST($sh AS BIGINT) AS simhash
-        FROM (SELECT doc_id, $duckTokenHashes AS th
-              FROM documents WHERE length(text) > 0)"""
+    val terms = (0 until simhashBlocks).flatMap { k =>
+      (0 until simhashBlockBits).map { b =>
+        val pos = simhashBlockBits * k + b
+        s"""(CASE WHEN sum(CASE WHEN (h$k // ${1L << b}) % 2 = 1
+                               THEN 1 ELSE -1 END) > 0
+                  THEN ${1L << pos} ELSE 0 END)"""
+      }
+    }.mkString(" + ")
+    val perms = (0 until simhashBlocks).map { k =>
+      s"(${A(k)} * h + ${B(k)}) % $P AS h$k"
+    }.mkString(", ")
+    s"""SELECT doc_id, CAST($terms AS BIGINT) AS simhash
+        FROM (SELECT doc_id, ${perms}
+              FROM (SELECT doc_id, unnest($duckTokenHashes) AS h
+                    FROM documents WHERE length(text) > 0))
+        GROUP BY doc_id"""
   }
 
   /** Jaccard verification on LSH candidates: distinct-token set overlap.
@@ -624,20 +634,22 @@ object DedupQueries {
     // ONE equi-join on the exploded (block-pair, bits) keys — the d03
     // banding shape — and the exact popcount(xor) ≤ 2 verify runs on
     // candidates only. The oracle is the O(n²) brute force, affordable at
-    // oracle SF; the engine never builds the quadratic space. Scale note:
-    // the demo hash is 16-bit (blocks of 4 bits), so clustered corpora
-    // collide heavily — production uses 64-bit simhash (16-bit blocks),
-    // where block collisions are ~2⁻¹⁶ and the prune is sharp; the plan
-    // shape is identical.
+    // oracle SF; the engine never builds the quadratic space. The 60-bit
+    // hash (4 blocks × 15 bits, TextHash.simHash) keeps block-pair
+    // collisions ~2⁻³⁰ on unrelated docs, so the candidate set stays
+    // near-linear on clustered corpora (the earlier 16-bit demo hash went
+    // 38× on 10× data at sf1; this shape measured linear).
     Q("d15_simhash_pairs",
       (s, d) => {
         val sim = Dedup.simhash(Tables.documents(s, d))
         val blockPairs = Seq((0, 1), (0, 2), (0, 3), (1, 2), (1, 3), (2, 3))
+        val bw = Dedup.simhashBlockBits
+        val mask = (1L << bw) - 1
         val keyed = sim.select(col("doc_id"), col("simhash"),
           explode(array(blockPairs.zipWithIndex.map { case ((i, j), idx) =>
             struct(lit(idx).as("bp"),
-              expr(s"(simhash >> ${4 * i}) & 15").as("b1"),
-              expr(s"(simhash >> ${4 * j}) & 15").as("b2"))
+              expr(s"(simhash >> ${bw * i}) & $mask").as("b1"),
+              expr(s"(simhash >> ${bw * j}) & $mask").as("b2"))
           }: _*)).as("k"))
           .select(col("doc_id"), col("simhash"),
             col("k.bp"), col("k.b1"), col("k.b2"))

@@ -258,25 +258,40 @@ object TextHash {
     new GenericArrayData(out.toArray)
   }
 
-  /** 16-bit SimHash over token hashes: bit b set iff the ±1 vote sum over
-    * tokens (bit b of each token hash) is positive.
+  /** 60-bit SimHash over token hashes: 4 blocks × 15 bits. Block k derives
+    * per-token bits from the affine-permuted hash `(A(k)*h + B(k)) mod P`
+    * (the MinHash permutation family — independent ~30-bit streams from one
+    * ~30-bit token hash); bit b of block k is set iff the ±1 vote sum over
+    * tokens (bit b of the permuted hash) is positive. 60 bits (not 64) keeps
+    * every partial sum and the final value sign-safe in BOTH engines — the
+    * DuckDB twin builds the value as a SUM of 2^pos terms, and 2^63 would
+    * overflow signed BIGINT. 15-bit blocks make pigeonhole block collisions
+    * ~2⁻¹⁵, so d15's candidate join stays sharp on clustered corpora (the
+    * old 16-bit/4-bit-block demo went quadratic at sf1: 38× on 10× data).
     */
   def simHash(s: UTF8String): Long = {
     val th = tokenHashesRaw(s)
-    val votes = new Array[Int](16)
+    val votes = new Array[Int](60)
     var i = 0
     while (i < th.length) {
       val h = th(i)
-      var b = 0
-      while (b < 16) {
-        if (((h >>> b) & 1L) == 1L) votes(b) += 1 else votes(b) -= 1
-        b += 1
+      var k = 0
+      while (k < 4) {
+        val hk = (A(k) * h + B(k)) % P
+        val base = 15 * k
+        var b = 0
+        while (b < 15) {
+          if (((hk >>> b) & 1L) == 1L) votes(base + b) += 1
+          else votes(base + b) -= 1
+          b += 1
+        }
+        k += 1
       }
       i += 1
     }
     var out = 0L
     var b = 0
-    while (b < 16) { if (votes(b) > 0) out |= (1L << b); b += 1 }
+    while (b < 60) { if (votes(b) > 0) out |= (1L << b); b += 1 }
     out
   }
 }

@@ -78,14 +78,19 @@ class TextHashSpec extends AnyFunSuite {
     assert(TextHash.minHashSig(u(text)).toLongArray().toSeq === expected)
   }
 
-  test("simHash votes per bit over token hashes") {
+  test("simHash votes per bit of the 4 permuted streams (60-bit)") {
     val text = "alpha beta gamma"
     val toks = text.split(" ", -1).map(refPoly)
-    val expected = (0 until 16).map { b =>
-      val votes = toks.map(h => if (((h >>> b) & 1L) == 1L) 1 else -1).sum
-      if (votes > 0) 1L << b else 0L
+    val expected = (0 until 4).flatMap { k =>
+      val perm = toks.map(h => (TextHash.A(k) * h + TextHash.B(k)) % P)
+      (0 until 15).map { b =>
+        val votes = perm.map(h => if (((h >>> b) & 1L) == 1L) 1 else -1).sum
+        if (votes > 0) 1L << (15 * k + b) else 0L
+      }
     }.sum
     assert(TextHash.simHash(u(text)) === expected)
+    // sign-safe: bit 63 never set, value non-negative in both engines
+    assert(TextHash.simHash(u(text)) >= 0L)
   }
 
   test("identical texts collide; different texts (generally) do not") {
