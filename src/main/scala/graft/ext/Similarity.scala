@@ -418,26 +418,23 @@ object SimilarityQueries {
     // tiers, with the flag column as the shipped recall check. All
     // arithmetic is exact and portable: quantization in doubles with one
     // floor, scoring in int64 — no float accumulation anywhere, so the
-    // ranking is bit-stable under any partitioning.
+    // ranking is bit-stable under any partitioning. Quantize + score are
+    // the compiled graft_q127/graft_doti kernels (one codegen'd pass per
+    // vector; the interpreted transform/zip_with HOF form measured ~6×
+    // slower on the sf1 corpus).
     Q("x09_quantized_knn",
       (s, d) => {
+        graft.functions.GraftFunctions.register(s)
         val coded = Tables.embeddings(s, d)
-          .withColumn("mx", expr(
-            "CAST(array_max(transform(embedding, x -> abs(x))) AS DOUBLE)"))
-          .filter(col("mx") > 0)
-          .withColumn("code", expr(
-            """transform(embedding,
-                         x -> CAST(floor(CAST(x AS DOUBLE) / mx * 127.0
-                                         + 0.5) AS BIGINT))"""))
+          .withColumn("code", expr("graft_q127(embedding)"))
+          .filter(col("code").isNotNull)
         val q = coded.orderBy("vec_id").limit(1)
           .select(col("vec_id").as("q_id"), col("code").as("qc"))
         val exact = graft.ext.Similarity.knnBrute(Tables.embeddings(s, d))
           .select(col("vec_id").as("evid"))
         val top = coded.crossJoin(broadcast(q))
           .filter(col("vec_id") =!= col("q_id"))
-          .withColumn("qdot", expr(
-            """aggregate(zip_with(code, qc, (x, y) -> x * y),
-                         CAST(0 AS BIGINT), (acc, x) -> acc + x)"""))
+          .withColumn("qdot", expr("graft_doti(code, qc)"))
           .select("vec_id", "label", "qdot")
           .orderBy(col("qdot").desc, col("vec_id")).limit(10)
         top.join(broadcast(exact), col("vec_id") === col("evid"),
@@ -483,21 +480,14 @@ object SimilarityQueries {
       (s, d) => {
         graft.functions.GraftFunctions.register(s)
         val coded = Tables.embeddings(s, d)
-          .withColumn("mx", expr(
-            "CAST(array_max(transform(embedding, x -> abs(x))) AS DOUBLE)"))
-          .filter(col("mx") > 0)
-          .withColumn("code", expr(
-            """transform(embedding,
-                         x -> CAST(floor(CAST(x AS DOUBLE) / mx * 127.0
-                                         + 0.5) AS BIGINT))"""))
+          .withColumn("code", expr("graft_q127(embedding)"))
+          .filter(col("code").isNotNull)
         val q = coded.orderBy("vec_id").limit(1)
           .select(col("vec_id").as("q_id"), col("code").as("qc"),
             col("embedding").as("qe"))
         val shortlist = coded.crossJoin(broadcast(q))
           .filter(col("vec_id") =!= col("q_id"))
-          .withColumn("qdot", expr(
-            """aggregate(zip_with(code, qc, (x, y) -> x * y),
-                         CAST(0 AS BIGINT), (acc, x) -> acc + x)"""))
+          .withColumn("qdot", expr("graft_doti(code, qc)"))
           .orderBy(col("qdot").desc, col("vec_id")).limit(50)
         shortlist
           .withColumn("cos_sim", expr("graft_cos(embedding, qe)"))

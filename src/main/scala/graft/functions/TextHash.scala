@@ -351,6 +351,63 @@ object VecOps {
     if (denom == 0.0) null else d.doubleValue() / denom
   }
 
+  /** INT8 symmetric scalar quantization (x09/x10 hot path): code_i =
+    * floor(x_i / max|x| × 127 + 0.5), every step in doubles — bit-identical
+    * to the SQL `transform(...)` / DuckDB `list_transform` form it
+    * replaces (float→double is exact; same left-to-right fold). Null for
+    * the all-zero vector (max|x| ≤ 0), mirroring the oracle's `mx > 0`
+    * filter.
+    */
+  def q127F(a: ArrayData): ArrayData = {
+    val n = a.numElements()
+    var mx = 0.0
+    var i = 0
+    while (i < n) {
+      val v = math.abs(a.getFloat(i).toDouble)
+      if (v > mx) mx = v
+      i += 1
+    }
+    if (mx <= 0.0) return null
+    val out = new Array[Long](n)
+    i = 0
+    while (i < n) {
+      out(i) = math.floor(a.getFloat(i).toDouble / mx * 127.0 + 0.5).toLong
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  def q127D(a: ArrayData): ArrayData = {
+    val n = a.numElements()
+    var mx = 0.0
+    var i = 0
+    while (i < n) {
+      val v = math.abs(a.getDouble(i))
+      if (v > mx) mx = v
+      i += 1
+    }
+    if (mx <= 0.0) return null
+    val out = new Array[Long](n)
+    i = 0
+    while (i < n) {
+      out(i) = math.floor(a.getDouble(i) / mx * 127.0 + 0.5).toLong
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  /** Exact int64 dot product of two BIGINT code arrays; null on length
+    * mismatch (the `aggregate(zip_with(...))` null-padding semantics).
+    */
+  def dotI(a: ArrayData, b: ArrayData): java.lang.Long = {
+    val n = a.numElements()
+    if (n != b.numElements()) return null
+    var acc = 0L
+    var i = 0
+    while (i < n) { acc += a.getLong(i) * b.getLong(i); i += 1 }
+    acc
+  }
+
   /** Dot product against the deterministic hyperplane j: component i
     * (1-based) is ((j*31 + (i-1)*17) % 7) - 3 — mirrors
     * graft.ext.Similarity.sparkPlaneDot.

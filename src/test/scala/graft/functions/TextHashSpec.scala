@@ -93,6 +93,21 @@ class TextHashSpec extends AnyFunSuite {
     assert(TextHash.simHash(u(text)) >= 0L)
   }
 
+  test("q127 quantization and integer dot match the SQL-fold semantics") {
+    import org.apache.spark.sql.catalyst.util.GenericArrayData
+    def fArr(xs: Float*) = new GenericArrayData(xs.toArray)
+    def lArr(xs: Long*) = new GenericArrayData(xs.toArray)
+    val v = Seq(0.5f, -1.0f, 0.25f, 0.0f)
+    val mx = v.map(x => math.abs(x.toDouble)).max
+    val expected = v.map(x => math.floor(x.toDouble / mx * 127.0 + 0.5).toLong)
+    assert(VecOps.q127F(fArr(v: _*)).toLongArray().toSeq === expected)
+    // all-zero vector → null (the oracle's mx > 0 filter)
+    assert(VecOps.q127F(fArr(0.0f, 0.0f)) === null)
+    assert(VecOps.dotI(lArr(1L, -2L, 3L), lArr(4L, 5L, -6L)) === 4L - 10L - 18L)
+    // length mismatch → null (zip_with null-padding semantics)
+    assert(VecOps.dotI(lArr(1L), lArr(1L, 2L)) === null)
+  }
+
   test("identical texts collide; different texts (generally) do not") {
     val a = TextHash.minHashSig(u("shared prefix words here")).toLongArray().toSeq
     val b = TextHash.minHashSig(u("shared prefix words here")).toLongArray().toSeq

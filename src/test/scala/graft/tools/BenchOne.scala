@@ -15,6 +15,8 @@ object BenchOne {
     spark.sparkContext.setLogLevel("WARN")
     sys.env.get("GRAFT_STATE_PARTS")
       .foreach(v => spark.conf.set("graft.stream.stateParts", v))
+    sys.env.get("GRAFT_STATE_PROVIDER").foreach(v => spark.conf.set(
+      "spark.sql.streaming.stateStore.providerClass", v))
     spark.read.parquet(args(1) + "/lineitem.parquet").groupBy("l_returnflag").count().collect()
     val fn = SparkEntry.queries(args(0))
     val times = (1 to 2).map { _ =>
