@@ -248,6 +248,18 @@ class PlanQualitySpec extends SparkSpec {
     assert(p.contains("Window"), p)
   }
 
+  test("x09/x10: quantize + integer score stay compiled kernels, not HOFs") {
+    for (q <- Seq("x09_quantized_knn", "x10_two_stage_knn")) {
+      val p = planOf(q)
+      // the codegen'd expressions must appear; the interpreted lambda forms
+      // (transform / aggregate(zip_with)) must not creep back into the plan
+      assert(p.contains("graft_q127"), q)
+      assert(p.contains("graft_doti"), q)
+      assert(!p.contains("zip_with"), q)
+      assert(!p.contains("lambdafunction"), q)
+    }
+  }
+
   test("d15: simhash block join is a shuffled hash join, never a cartesian") {
     val p = planOf("d15_simhash_pairs")
     assert(p.contains("ShuffledHashJoin"), p)
