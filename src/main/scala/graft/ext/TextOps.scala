@@ -282,7 +282,7 @@ object TextOps {
     * on match positions; counts use the same pattern via
     * `regexp_extract_all`, so count and replacement can't drift apart.
     */
-  val blocklist: Seq[String] = Seq("customer", "spark", "vector")
+  val blocklist: Seq[String] = graft.functions.TextHash.blockTerms
 
   /** Terms are regex-quoted (`\Q…\E`, honored by both Java regex and RE2,
     * so 'c++' or 'node.js' can't warp the pattern) and slugged for the
@@ -293,19 +293,18 @@ object TextOps {
   private val blockPat = s"\\b(${blocklist.map(quoted).mkString("|")})\\b"
 
   def blocklistScrub(docs: DataFrame): DataFrame = {
-    val scrub = regexp_replace(col("text"), blockPat, "<MASK>")
-    // expr() goes through the SQL parser, whose string literals treat \b as
-    // backspace — double the backslashes so the regex engine sees \b.
-    def extractAll(pat: String) =
-      expr(s"regexp_extract_all(text, '${pat.replace("\\", "\\\\")}', 0)")
-    val perTerm = blocklist.map { t =>
-      size(extractAll(s"\\b${quoted(t)}\\b")).as(s"n_${slug(t)}")
-    }
-    docs.select(
-      (col("doc_id") +: perTerm) ++ Seq(
-        size(extractAll(blockPat)).as("n_hits"),
-        md5(scrub).as("scrub_h"),
-        length(scrub).as("n_scrub_chars")): _*)
+    graft.functions.GraftFunctions.register(docs.sparkSession)
+    // ONE byte scan (graft_block_scrub) produces every column: per-term
+    // counts, total hits, and the masked text — the regex form was N+1
+    // java.util.regex passes over each document (5.3× the oracle at sf1).
+    // The oracle keeps the per-term regexp_extract_all/regexp_replace form;
+    // the hash gate pins the equivalence (\b semantics included).
+    docs.select(col("doc_id"), expr("graft_block_scrub(text)").as("bs"))
+      .select(
+        (col("doc_id") +: blocklist.map(t => col(s"bs.n_${slug(t)}"))) ++ Seq(
+          col("bs.n_hits").as("n_hits"),
+          md5(col("bs.scrub")).as("scrub_h"),
+          length(col("bs.scrub")).as("n_scrub_chars")): _*)
   }
 
   val blocklistScrubSql: String = {

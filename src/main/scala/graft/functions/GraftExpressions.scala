@@ -456,6 +456,66 @@ case class PassagesExpr(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** t09's blocklist scrub + per-term counts in one byte scan
+  * (TextHash.blockScrub): struct(n_<term>..., n_hits, scrub). Field names
+  * derive from TextHash.blockTerms so the kernel and the query column list
+  * can't drift.
+  */
+case class BlockScrubExpr(child: Expression)
+    extends UnaryExpression {
+  override def checkInputDataTypes():
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (child.dataType == StringType)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      s"$prettyName expects a string argument, got ${child.dataType.simpleString}")
+  override def dataType: DataType = StructType(
+    TextHash.blockTerms.map(t => StructField(
+      "n_" + t.toLowerCase.replaceAll("[^a-z0-9]+", "_"),
+      IntegerType, nullable = false)) ++ Seq(
+      StructField("n_hits", IntegerType, nullable = false),
+      StructField("scrub", StringType, nullable = false)))
+  override def prettyName: String = "graft_block_scrub"
+  protected override def nullSafeEval(input: Any): Any =
+    TextHash.blockScrub(
+      input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.TextHash.blockScrub($c)")
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** Strided byte-sample thumbnail hex (TextHash.thumbHex) — m05's one-pass
+  * resize kernel; the HOF form it replaces re-hexed the whole text per
+  * sampled byte.
+  */
+case class ThumbHexExpr(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def checkInputDataTypes():
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (left.dataType != StringType || right.dataType != IntegerType)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"$prettyName expects (string, int), got " +
+          s"(${left.dataType.simpleString}, ${right.dataType.simpleString})")
+    else if (right.foldable && {
+        val v = right.eval(); v != null && v.asInstanceOf[Int] < 1 })
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"$prettyName byte budget must be >= 1")
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+  override def dataType: DataType = StringType
+  override def prettyName: String = "graft_thumb"
+  protected override def nullSafeEval(s: Any, k: Any): Any =
+    TextHash.thumbHex(
+      s.asInstanceOf[org.apache.spark.unsafe.types.UTF8String],
+      k.asInstanceOf[Int])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      (s, k) => s"graft.functions.TextHash.thumbHex($s, $k)")
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
 /** Per-session registration of the engine's native functions. */
 object GraftFunctions {
   val fns: Seq[(String, Seq[Expression] => Expression)] = Seq(
@@ -472,6 +532,8 @@ object GraftFunctions {
     "graft_cos"          -> (cs => CosFExpr(cs(0), cs(1))),
     "graft_q127"         -> (cs => Q127Expr(cs.head)),
     "graft_doti"         -> (cs => DotIExpr(cs(0), cs(1))),
+    "graft_thumb"        -> (cs => ThumbHexExpr(cs(0), cs(1))),
+    "graft_block_scrub"  -> (cs => BlockScrubExpr(cs.head)),
     "graft_lsh_bucket"   -> (cs => LshBucketExpr(cs.head)),
     // mergeable KMV distinct sketch (analyzer wraps the raw AggregateFunction)
     "graft_kmv"          -> (cs => KmvSketchAgg(cs.head, 64)),

@@ -220,6 +220,71 @@ object TextHash {
       Array[Any](n, counts.size, topTok, topBig))
   }
 
+  /** The t09 blocklist — canonical term list lives here so the kernel and
+    * graft.ext.TextOps' oracle SQL share one source of truth.
+    */
+  val blockTerms: Seq[String] = Seq("customer", "spark", "vector")
+  private val blockTermBytes: Array[Array[Byte]] =
+    blockTerms.map(_.getBytes("UTF-8")).toArray
+  private val maskBytes = "<MASK>".getBytes("UTF-8")
+
+  /** ASCII word-class byte (`\w` = [a-zA-Z0-9_] in Java regex AND RE2
+    * default mode; a byte ≥ 0x80 belongs to a non-ASCII char, which both
+    * engines treat as non-word, so the byte-level test is exact).
+    */
+  private def isWordByte(b: Byte): Boolean = {
+    val c = b & 0xff
+    (c >= 'a' && c <= 'z') || (c >= 'A' && c <= 'Z') ||
+      (c >= '0' && c <= '9') || c == '_'
+  }
+
+  /** t09's scrub + counts in ONE byte scan: replicates
+    * `regexp_extract_all/regexp_replace(text, '\b(t1|t2|t3)\b')` —
+    * left-to-right scan, alternatives tried in list order at each position,
+    * non-overlapping, `\b` = ASCII word-boundary — while also counting each
+    * term's hits, so the N+1 java.util.regex passes collapse to one scan.
+    * Returns (n_<term>..., n_hits, scrub).
+    */
+  def blockScrub(s: UTF8String): org.apache.spark.sql.catalyst.InternalRow = {
+    val bytes = s.getBytes
+    val n = bytes.length
+    val nt = blockTermBytes.length
+    val counts = new Array[Int](nt)
+    var hits = 0
+    val out = new java.io.ByteArrayOutputStream(n + 16)
+    var i = 0
+    while (i < n) {
+      var matched = -1
+      if (i == 0 || !isWordByte(bytes(i - 1))) {
+        var t = 0
+        while (t < nt && matched < 0) {
+          val term = blockTermBytes(t)
+          val len = term.length
+          if (i + len <= n &&
+              java.util.Arrays.equals(bytes, i, i + len, term, 0, len) &&
+              (i + len == n || !isWordByte(bytes(i + len))))
+            matched = t
+          t += 1
+        }
+      }
+      if (matched >= 0) {
+        counts(matched) += 1
+        hits += 1
+        out.write(maskBytes, 0, maskBytes.length)
+        i += blockTermBytes(matched).length
+      } else {
+        out.write(bytes(i))
+        i += 1
+      }
+    }
+    val fields = new Array[Any](nt + 2)
+    var k = 0
+    while (k < nt) { fields(k) = counts(k); k += 1 }
+    fields(nt) = hits
+    fields(nt + 1) = UTF8String.fromBytes(out.toByteArray)
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(fields)
+  }
+
   /** Aligned `w`-token passages in ONE byte scan (t14 hot path). Because
     * tokens are defined by single-space splits, joining `w` consecutive
     * tokens with single spaces reproduces the original SUBSTRING between
@@ -256,6 +321,31 @@ object TextHash {
     out.add(UTF8String.fromBytes(
       java.util.Arrays.copyOfRange(bytes, start, nb)))
     new GenericArrayData(out.toArray)
+  }
+
+  /** Strided byte-sample "thumbnail" hex (m05's resize stub): uppercase hex
+    * of UTF-8 bytes 0, stride, 2·stride, … for min(k, n) samples with
+    * stride = max(1, n / k) — byte-identical to the SQL
+    * `concat_ws('', transform(sequence(...), i -> substr(hex(encode(text)),
+    * 1 + i*stride*2, 2)))` form it replaces, which re-hexed the whole text
+    * per sampled byte (O(n·k) per row).
+    */
+  def thumbHex(s: UTF8String, k: Int): UTF8String = {
+    require(k >= 1, s"thumb byte budget must be >= 1, got $k")
+    val bytes = s.getBytes
+    val n = bytes.length
+    val m = math.min(k, n)
+    val stride = math.max(1, n / k)
+    val hex = "0123456789ABCDEF".getBytes
+    val out = new Array[Byte](2 * m)
+    var i = 0
+    while (i < m) {
+      val b = bytes(i * stride) & 0xff
+      out(2 * i) = hex(b >>> 4)
+      out(2 * i + 1) = hex(b & 15)
+      i += 1
+    }
+    UTF8String.fromBytes(out)
   }
 
   /** 60-bit SimHash over token hashes: 4 blocks × 15 bits. Block k derives

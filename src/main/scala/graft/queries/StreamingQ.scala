@@ -53,9 +53,11 @@ object StreamingQ {
     val path = s"$d/events.parquet"
     val rawSchema = s.read.parquet(path).schema
     val srcDir = Paths.get(graft.util.Scratch.dir("graft_stream_src"))
+    // Absolutize the link target: a relative sfDir would otherwise resolve
+    // against the scratch dir and produce broken links → an empty stream.
+    val target = Paths.get(path).toAbsolutePath.normalize()
     (1 to copies).foreach { i =>
-      Files.createSymbolicLink(srcDir.resolve(s"events_$i.parquet"),
-        Paths.get(path))
+      Files.createSymbolicLink(srcDir.resolve(s"events_$i.parquet"), target)
     }
     val out  = graft.util.Scratch.dir("graft_stream_out")
     val ckpt = graft.util.Scratch.dir("graft_stream_ckpt")

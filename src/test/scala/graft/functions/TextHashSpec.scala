@@ -108,6 +108,31 @@ class TextHashSpec extends AnyFunSuite {
     assert(VecOps.dotI(lArr(1L), lArr(1L, 2L)) === null)
   }
 
+  test("blockScrub replicates \\b-bounded regex counts and masking") {
+    def run(s: String) = {
+      val r = TextHash.blockScrub(u(s))
+      (r.getInt(0), r.getInt(1), r.getInt(2), r.getInt(3),
+        r.getUTF8String(4).toString)
+    }
+    assert(run("customer spark") === (1, 1, 0, 2, "<MASK> <MASK>"))
+    // word chars adjacent → no boundary → no match
+    assert(run("sparky spark_ xspark") === (0, 0, 0, 0, "sparky spark_ xspark"))
+    // punctuation and string edges are boundaries; case-sensitive
+    assert(run("spark,vector!") === (0, 1, 1, 2, "<MASK>,<MASK>!"))
+    assert(run("SPARK Customer") === (0, 0, 0, 0, "SPARK Customer"))
+    assert(run("") === (0, 0, 0, 0, ""))
+    // non-ASCII neighbor is non-word → boundary (é is non-word in both
+    // Java regex default and RE2)
+    assert(run("éspark") === (0, 1, 0, 1, "é<MASK>"))
+  }
+
+  test("thumbHex strided byte sampling matches the SQL substr form") {
+    // n=4 < k → stride 1, all bytes
+    assert(TextHash.thumbHex(u("abcj"), 16).toString === "6162636A")
+    // n=8, k=4 → stride 2 → bytes 0,2,4,6
+    assert(TextHash.thumbHex(u("abcdefgh"), 4).toString === "61636567")
+  }
+
   test("identical texts collide; different texts (generally) do not") {
     val a = TextHash.minHashSig(u("shared prefix words here")).toLongArray().toSeq
     val b = TextHash.minHashSig(u("shared prefix words here")).toLongArray().toSeq
