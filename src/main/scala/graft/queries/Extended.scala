@@ -1710,14 +1710,20 @@ object Extended {
     // (percentile_disc(0.9) cutoff, then gate + aggregate) without q90's
     // single-reducer sort of raw rows. Prices are 2-decimal, so ×100 is
     // an EXACT integer domain: the corpus collapses to a (cents, count)
-    // histogram (one map-side-combined exchange, cardinality = the price
-    // DOMAIN, not the row count), the cutoff is the smallest value whose
-    // cumulative count reaches rank ceil(0.9·n) — computed in pure
-    // integer arithmetic ((9n+9) DIV 10, percentile_disc's exact
-    // definition) over the tiny aggregate — and the gate stays
+    // histogram (one map-side-combined exchange), and the rank-
+    // ceil(0.9·n) cutoff — pure integer arithmetic, (9n+9) DIV 10,
+    // percentile_disc's exact definition — is found TWO-LEVEL, because on
+    // continuous prices the distinct-cents domain approaches the row
+    // count (sf1 measured it in the millions, and the old single-window
+    // cumsum became a single-reducer sort of nearly the corpus): a
+    // 10⁴-cent coarse histogram (≤ ~1.1k buckets at any scale) picks the
+    // target bucket and its prefix offset, then the fine cumsum runs over
+    // ONE bucket's distinct cents (≤ 10⁴ rows). Both windows are bounded
+    // by construction regardless of corpus size; the gate stays
     // scan → broadcast-filter → partial agg. The oracle runs the SAME
-    // integer-rank formula, so equality is by construction; q90 remains
-    // the built-in-function form of the identical cut.
+    // integer-rank formula single-level (DuckDB's problem is smaller), so
+    // equality is by construction; q90 remains the built-in-function form
+    // of the identical cut.
     Q("q101_percentile_gate_exact",
       (s, d) => {
         import org.apache.spark.sql.expressions.Window
@@ -1725,18 +1731,57 @@ object Extended {
           col("l_extendedprice"),
           (col("l_extendedprice").cast(DecimalType(12, 2)) * 100)
             .cast("long").as("cents"))
-        val hist = li.groupBy("cents").agg(count(lit(1)).as("c"))
-        val cut = hist
-          .withColumn("cum", sum("c").over(Window.orderBy("cents")))
-          .crossJoin(broadcast(hist.agg(sum("c").as("n"))))
+        // PASS 1: one scan → (bucket × returnflag) partials. This single
+        // relation answers BOTH questions: the bucket-level cumulative
+        // count that picks the target bucket b*, and the final gate sums
+        // for every fully-included bucket (b > b*). Decimal partial sums
+        // are exact, so splitting the total by bucket cannot drift.
+        val grouped = li
+          .groupBy(expr("cents DIV 10000").as("b"), col("l_returnflag"))
+          .agg(count(lit(1)).as("c"),
+            sum(col("l_extendedprice").cast(DecimalType(18, 2))).as("s"))
+          .persist() // ~1k buckets × flags; read by pick AND the final gate
+        val coarse = grouped.groupBy("b").agg(sum("c").as("cb"))
+        val wb = Window.orderBy("b")
+        val pick = coarse
+          .withColumn("cum", sum("cb").over(wb))
+          .withColumn("n", sum("cb").over(
+            wb.rowsBetween(Window.unboundedPreceding,
+              Window.unboundedFollowing)))
           .filter(col("cum") >= expr("(9 * n + 9) DIV 10"))
+          .orderBy("b").limit(1)
+          .select(col("b").as("bstar"), (col("cum") - col("cb")).as("offset"),
+            expr("(9 * n + 9) DIV 10").as("target"))
+        // PASS 2: only b*'s rows (a ~1/1000 slice) get the exact
+        // cents-level split; the cut is the smallest cents whose
+        // offset-adjusted cumulative count reaches the target rank. The
+        // full-domain (cents, count) histogram would shuffle nearly the
+        // whole corpus on continuous prices — near-unique cents defeat
+        // the map-side combine (measured at sf1).
+        val fine = li.crossJoin(broadcast(pick))
+          .filter(expr("cents DIV 10000") === col("bstar"))
+          .groupBy("cents", "l_returnflag", "offset", "target")
+          .agg(count(lit(1)).as("c"),
+            sum(col("l_extendedprice").cast(DecimalType(18, 2))).as("s"))
+          .persist() // ≤ 10⁴ distinct cents × flags; read by cut AND finePart
+        val cut = fine
+          .groupBy("cents", "offset", "target").agg(sum("c").as("cc"))
+          .withColumn("cumw",
+            sum("cc").over(Window.orderBy("cents")) + col("offset"))
+          .filter(col("cumw") >= col("target"))
           .agg(min("cents").as("cut_cents"))
-        li.crossJoin(broadcast(cut))
+        // Final gate = full buckets beyond b* (from pass 1) ∪ b*'s rows at
+        // or above the cut (from pass 2) — no third scan of the corpus.
+        val fullPart = grouped.crossJoin(broadcast(pick))
+          .filter(col("b") > col("bstar"))
+          .select("l_returnflag", "c", "s")
+        val finePart = fine.crossJoin(broadcast(cut))
           .filter(col("cents") >= col("cut_cents"))
+          .select("l_returnflag", "c", "s")
+        fullPart.unionByName(finePart)
           .groupBy("l_returnflag")
-          .agg(count(lit(1)).as("n_top"),
-            sum(col("l_extendedprice").cast(DecimalType(18, 2)))
-              .cast(DecimalType(18, 2)).cast("double").as("rev_top"))
+          .agg(sum("c").as("n_top"),
+            sum("s").cast(DecimalType(18, 2)).cast("double").as("rev_top"))
       },
       Some("""WITH h AS (SELECT CAST(CAST(l_extendedprice AS DECIMAL(12,2))
                                      * 100 AS BIGINT) AS cents,

@@ -597,7 +597,7 @@ object StreamingQ {
         val rawSchema = s.read.parquet(path).schema
         val srcDir = Paths.get(graft.util.Scratch.dir("graft_s14_src"))
         Files.createSymbolicLink(srcDir.resolve("events.parquet"),
-          Paths.get(path))
+          Paths.get(path).toAbsolutePath.normalize())
         val topic = graft.util.Scratch.dir("graft_s14_topic")
         val ckpt  = graft.util.Scratch.dir("graft_s14_ckpt")
         val src = Tables.normalizeEvents(
@@ -718,7 +718,7 @@ object StreamingQ {
         val srcDir = Paths.get(graft.util.Scratch.dir("graft_s11_src"))
         (1 to 2).foreach { i =>
           Files.createSymbolicLink(srcDir.resolve(s"events_$i.parquet"),
-            Paths.get(path))
+            Paths.get(path).toAbsolutePath.normalize())
         }
         val out  = graft.util.Scratch.dir("graft_s11_out")
         val ckpt = graft.util.Scratch.dir("graft_s11_ckpt")
@@ -764,7 +764,7 @@ object StreamingQ {
         val rawSchema = s.read.parquet(path).schema
         val srcDir = Paths.get(graft.util.Scratch.dir("graft_s08_src"))
         Files.createSymbolicLink(srcDir.resolve("events.parquet"),
-          Paths.get(path))
+          Paths.get(path).toAbsolutePath.normalize())
         val out  = graft.util.Scratch.dir("graft_s08_out")
         val ckpt = graft.util.Scratch.dir("graft_s08_ckpt")
         val src = Tables.normalizeEvents(
@@ -850,7 +850,7 @@ object StreamingQ {
         val rawSchema = s.read.parquet(path).schema
         val srcDir = Paths.get(graft.util.Scratch.dir("graft_s09_src"))
         Files.createSymbolicLink(srcDir.resolve("events.parquet"),
-          Paths.get(path))
+          Paths.get(path).toAbsolutePath.normalize())
         val out  = graft.util.Scratch.dir("graft_s09_out")
         val ckpt = graft.util.Scratch.dir("graft_s09_ckpt")
         val src = Tables.normalizeEvents(
