@@ -228,9 +228,13 @@ object TextHash {
     blockTerms.map(_.getBytes("UTF-8")).toArray
   private val maskBytes = "<MASK>".getBytes("UTF-8")
 
-  /** ASCII word-class byte (`\w` = [a-zA-Z0-9_] in Java regex AND RE2
-    * default mode; a byte ≥ 0x80 belongs to a non-ASCII char, which both
-    * engines treat as non-word, so the byte-level test is exact).
+  /** ASCII word-class byte — the ORACLE's boundary semantics: DuckDB's RE2
+    * `\b` uses ASCII `\w` = [a-zA-Z0-9_], so a byte ≥ 0x80 (non-ASCII
+    * char) is a boundary. NOTE: java.util.regex's `\b` is Unicode-aware
+    * ('é' counts as a word char), so the PREVIOUS regex-based engine path
+    * silently disagreed with the oracle on terms adjacent to non-ASCII
+    * text; this kernel pins the RE2 definition (property-tested against
+    * explicit ASCII-lookaround regexes in TextHashSpec).
     */
   private def isWordByte(b: Byte): Boolean = {
     val c = b & 0xff

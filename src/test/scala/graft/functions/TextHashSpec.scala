@@ -133,6 +133,62 @@ class TextHashSpec extends AnyFunSuite {
     assert(TextHash.thumbHex(u("abcdefgh"), 4).toString === "61636567")
   }
 
+  test("blockScrub equals java.util.regex on random strings (property)") {
+    // the exact claim the kernel makes: counts = per-term regex
+    // extract_all sizes, scrub = combined-pattern replaceAll — under the
+    // ORACLE's boundary semantics (RE2's ASCII \b), expressed here as
+    // explicit ASCII lookarounds so java.util.regex can serve as an
+    // independent reference. (Java's own \b is Unicode-aware — 'é' is a
+    // word char — which is NOT what DuckDB computes; see TextHash.)
+    import org.scalacheck.{Gen, Prop, Test => SCTest}
+    val terms = TextHash.blockTerms
+    val W = "a-zA-Z0-9_"
+    val pats = terms.map(t => java.util.regex.Pattern.compile(
+      s"(?<![$W])" + java.util.regex.Pattern.quote(t) + s"(?![$W])"))
+    val combined = java.util.regex.Pattern.compile(s"(?<![$W])(" +
+      terms.map(java.util.regex.Pattern.quote).mkString("|") + s")(?![$W])")
+    def ref(s: String): (Seq[Int], Int, String) = {
+      def count(p: java.util.regex.Pattern) = {
+        val m = p.matcher(s); var c = 0; while (m.find()) c += 1; c
+      }
+      (pats.map(count), count(combined),
+        combined.matcher(s).replaceAll("<MASK>"))
+    }
+    // fragments bias: full terms, term prefixes/suffixes, word chars
+    // (boundary killers), punctuation, digits, underscore, non-ASCII
+    val frag = Gen.oneOf("spark", "customer", "vector", "spar", "ark",
+      "vectors", "Xcustomer", " ", ",", ".", "_", "9", "é", "a", "")
+    val gen = Gen.listOf(frag).map(_.mkString)
+    val r = SCTest.check(
+      SCTest.Parameters.default.withMinSuccessfulTests(500),
+      Prop.forAll(gen) { s =>
+        val g = TextHash.blockScrub(u(s))
+        val (cs, hits, scrub) = ref(s)
+        (0 until 3).forall(i => g.getInt(i) == cs(i)) &&
+          g.getInt(3) == hits && g.getUTF8String(4).toString == scrub
+      })
+    assert(r.passed, r.status.toString)
+  }
+
+  test("thumbHex equals the naive hex/stride model (property)") {
+    import org.scalacheck.{Gen, Prop, Test => SCTest}
+    def ref(s: String, k: Int): String = {
+      val b = s.getBytes("UTF-8")
+      if (b.isEmpty) "" else {
+        val stride = math.max(1, b.length / k)
+        (0 until math.min(k, b.length))
+          .map(i => f"${b(i * stride) & 0xff}%02X").mkString
+      }
+    }
+    val gen = Gen.listOf(Gen.oneOf('a', 'Z', '0', 'é', '中', ' ')).map(_.mkString)
+    val r = SCTest.check(
+      SCTest.Parameters.default.withMinSuccessfulTests(500),
+      Prop.forAll(gen, Gen.choose(1, 40)) { (s, k) =>
+        TextHash.thumbHex(u(s), k).toString == ref(s, k)
+      })
+    assert(r.passed, r.status.toString)
+  }
+
   test("identical texts collide; different texts (generally) do not") {
     val a = TextHash.minHashSig(u("shared prefix words here")).toLongArray().toSeq
     val b = TextHash.minHashSig(u("shared prefix words here")).toLongArray().toSeq
@@ -179,15 +235,17 @@ class TextHashSpec extends AnyFunSuite {
     }
   }
 
-  test("pigeonhole completeness: Hamming<=2 always shares a 4-bit block pair (d15)") {
+  test("pigeonhole completeness: Hamming<=2 always shares a 15-bit block pair (d15)") {
     // the theorem d15's candidate join relies on: 2 corrupted bits hit at
     // most 2 of the 4 blocks, so some block PAIR survives intact
+    // (60-bit layout: 4 × 15-bit blocks, matching TextHash.simHash)
     import org.scalacheck.{Gen, Prop, Test => SCTest}
-    def blocks(x: Long): Seq[Long] = (0 until 4).map(i => (x >> (4 * i)) & 15)
+    def blocks(x: Long): Seq[Long] =
+      (0 until 4).map(i => (x >> (15 * i)) & 32767)
     val gen = for {
-      base <- Gen.chooseNum(0L, 65535L)
+      base <- Gen.chooseNum(0L, (1L << 60) - 1)
       nbits <- Gen.choose(0, 2)
-      flips <- Gen.listOfN(nbits, Gen.choose(0, 15))
+      flips <- Gen.listOfN(nbits, Gen.choose(0, 59))
     } yield (base, flips.foldLeft(base)((v, b) => v ^ (1L << b)))
     val r = SCTest.check(
       SCTest.Parameters.default.withMinSuccessfulTests(500),
@@ -245,5 +303,34 @@ class VecOpsSpec extends AnyFunSuite {
     val b = VecOps.lshBucket(arr(Array.fill(64)(0.25f): _*))
     assert(b === VecOps.lshBucket(arr(Array.fill(64)(0.25f): _*)))
     assert(b >= 0 && b < 256)
+  }
+
+  test("q127F equals the HOF formula; dotI equals the naive fold (property)") {
+    import org.scalacheck.{Gen, Prop, Test => SCTest}
+    def refQ(v: Seq[Float]): Option[Seq[Long]] = {
+      val mx = if (v.isEmpty) 0.0 else v.map(x => math.abs(x.toDouble)).max
+      if (mx <= 0.0) None
+      else Some(v.map(x => math.floor(x.toDouble / mx * 127.0 + 0.5).toLong))
+    }
+    val genV = Gen.listOf(Gen.oneOf(
+      Gen.chooseNum(-1.0f, 1.0f), Gen.const(0.0f), Gen.const(-0.0f)))
+    val r = SCTest.check(
+      SCTest.Parameters.default.withMinSuccessfulTests(500),
+      Prop.forAll(genV) { v =>
+        val got = Option(VecOps.q127F(arr(v: _*))).map(_.toLongArray().toSeq)
+        got == refQ(v)
+      })
+    assert(r.passed, r.status.toString)
+    val genL = Gen.listOf(Gen.chooseNum(-127L, 127L))
+    val r2 = SCTest.check(
+      SCTest.Parameters.default.withMinSuccessfulTests(300),
+      Prop.forAll(genL, genL) { (a, b) =>
+        val got = Option(VecOps.dotI(new GenericArrayData(a.toArray),
+          new GenericArrayData(b.toArray))).map(_.longValue)
+        val want = if (a.length != b.length) None
+                   else Some(a.zip(b).map { case (x, y) => x * y }.sum)
+        got == want
+      })
+    assert(r2.passed, r2.status.toString)
   }
 }
