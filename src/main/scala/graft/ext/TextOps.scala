@@ -73,20 +73,25 @@ object TextOps {
     * portable whitespace-count form (split-free).
     */
   def quality(docs: DataFrame, keep: Seq[String] = Nil): DataFrame = {
+    graft.functions.GraftFunctions.register(docs.sparkSession)
+    // graft_quality_stats counts spaces, punctuation, and stopword markers
+    // (TextHash.qualityStops) in ONE byte scan — the 6 allocating string
+    // passes it replaces (2 regex char-deletions + 4 replace-count folds)
+    // were 2.1× the oracle at sf1
     val nChars  = length(col("text"))
-    val nSpace  = length(col("text")) - length(regexp_replace(col("text"), " ", ""))
+    val nSpace  = col("qs.n_space")
     val nTokens = nSpace + 1
-    val nPunct  = length(col("text")) -
-      length(regexp_replace(col("text"), "[.,!?;:]", ""))
-    val nStop   = Seq(" the ", " a ", " of ", " and ")
-      .map(occurrences(col("text"), _)).reduce(_ + _)
-    docs.select(
-      (col("doc_id") +: keep.map(col)) ++ Seq(
-        nChars.as("n_chars_m"),
-        nTokens.cast("long").as("n_tokens"),
-        ((nChars - nSpace).cast("double") / nTokens).as("avg_tok_len"),
-        (nPunct.cast("double") / nChars).as("punct_ratio"),
-        (nStop.cast("double") / nTokens).as("stop_ratio")): _*)
+    val nPunct  = col("qs.n_punct")
+    val nStop   = col("qs.n_stop")
+    docs.select(col("doc_id") +: (keep.map(col) :+
+        col("text") :+ expr("graft_quality_stats(text)").as("qs")): _*)
+      .select(
+        (col("doc_id") +: keep.map(col)) ++ Seq(
+          nChars.as("n_chars_m"),
+          nTokens.cast("long").as("n_tokens"),
+          ((nChars - nSpace).cast("double") / nTokens).as("avg_tok_len"),
+          (nPunct.cast("double") / nChars).as("punct_ratio"),
+          (nStop.cast("double") / nTokens).as("stop_ratio")): _*)
       .withColumn("quality_score",
         col("avg_tok_len") * 0.25 - col("punct_ratio") * 2.0 +
           col("stop_ratio") * 1.0)

@@ -485,6 +485,31 @@ case class BlockScrubExpr(child: Expression)
     copy(child = newChild)
 }
 
+/** t02's quality counters in one byte scan (TextHash.qualityStats):
+  * struct(n_space, n_punct, n_stop).
+  */
+case class QualityStatsExpr(child: Expression)
+    extends UnaryExpression {
+  override def checkInputDataTypes():
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (child.dataType == StringType)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      s"$prettyName expects a string argument, got ${child.dataType.simpleString}")
+  override def dataType: DataType = StructType(Seq(
+    StructField("n_space", IntegerType, nullable = false),
+    StructField("n_punct", IntegerType, nullable = false),
+    StructField("n_stop", IntegerType, nullable = false)))
+  override def prettyName: String = "graft_quality_stats"
+  protected override def nullSafeEval(input: Any): Any =
+    TextHash.qualityStats(
+      input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.TextHash.qualityStats($c)")
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 /** Strided byte-sample thumbnail hex (TextHash.thumbHex) — m05's one-pass
   * resize kernel; the HOF form it replaces re-hexed the whole text per
   * sampled byte.
@@ -534,6 +559,7 @@ object GraftFunctions {
     "graft_doti"         -> (cs => DotIExpr(cs(0), cs(1))),
     "graft_thumb"        -> (cs => ThumbHexExpr(cs(0), cs(1))),
     "graft_block_scrub"  -> (cs => BlockScrubExpr(cs.head)),
+    "graft_quality_stats" -> (cs => QualityStatsExpr(cs.head)),
     "graft_lsh_bucket"   -> (cs => LshBucketExpr(cs.head)),
     // mergeable KMV distinct sketch (analyzer wraps the raw AggregateFunction)
     "graft_kmv"          -> (cs => KmvSketchAgg(cs.head, 64)),

@@ -289,6 +289,52 @@ object TextHash {
     new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(fields)
   }
 
+  /** The t02 stopword markers — canonical list here so the kernel and
+    * graft.ext.TextOps' oracle SQL share one source of truth.
+    */
+  val qualityStops: Seq[String] = Seq(" the ", " a ", " of ", " and ")
+  private val qualityStopBytes: Array[Array[Byte]] =
+    qualityStops.map(_.getBytes("UTF-8")).toArray
+
+  /** t02's quality counters in ONE byte scan: spaces, sentence punctuation
+    * ([.,!?;:]), and total non-overlapping stopword-marker occurrences —
+    * value-identical to the 6 allocating string passes they replace
+    * (2 regex char-deletions + 4 `replace`-count folds). ASCII patterns
+    * match byte-wise exactly in UTF-8 (self-synchronizing), and counting
+    * left-to-right advancing by the pattern length IS `replace`'s
+    * non-overlap rule. Counts are char counts (every counted byte is a
+    * 1-byte char), matching the oracle's length() arithmetic.
+    */
+  def qualityStats(s: UTF8String): org.apache.spark.sql.catalyst.InternalRow = {
+    val b = s.getBytes
+    val n = b.length
+    var nSpace = 0
+    var nPunct = 0
+    var i = 0
+    while (i < n) {
+      val c = b(i)
+      if (c == ' ') nSpace += 1
+      else if (c == '.' || c == ',' || c == '!' || c == '?' ||
+               c == ';' || c == ':') nPunct += 1
+      i += 1
+    }
+    var nStop = 0
+    var k = 0
+    while (k < qualityStopBytes.length) {
+      val p = qualityStopBytes(k)
+      val pl = p.length
+      var j = 0
+      while (j + pl <= n) {
+        var m = 0
+        while (m < pl && b(j + m) == p(m)) m += 1
+        if (m == pl) { nStop += 1; j += pl } else j += 1
+      }
+      k += 1
+    }
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      Array[Any](nSpace, nPunct, nStop))
+  }
+
   /** Aligned `w`-token passages in ONE byte scan (t14 hot path). Because
     * tokens are defined by single-space splits, joining `w` consecutive
     * tokens with single spaces reproduces the original SUBSTRING between

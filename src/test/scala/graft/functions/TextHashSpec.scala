@@ -170,6 +170,27 @@ class TextHashSpec extends AnyFunSuite {
     assert(r.passed, r.status.toString)
   }
 
+  test("qualityStats equals the replace-count string model (property)") {
+    import org.scalacheck.{Gen, Prop, Test => SCTest}
+    def ref(s: String): (Int, Int, Int) = {
+      val nSpace = s.length - s.replace(" ", "").length
+      val nPunct = s.length - s.replaceAll("[.,!?;:]", "").length
+      val nStop = TextHash.qualityStops
+        .map(k => (s.length - s.replace(k, "").length) / k.length).sum
+      (nSpace, nPunct, nStop)
+    }
+    val frag = Gen.oneOf(" the ", " a ", " of ", " and ", "the", "a", " ",
+      ".", ",", "!", "x", "é", "中", "")
+    val gen = Gen.listOf(frag).map(_.mkString)
+    val r = SCTest.check(
+      SCTest.Parameters.default.withMinSuccessfulTests(500),
+      Prop.forAll(gen) { s =>
+        val g = TextHash.qualityStats(u(s))
+        (g.getInt(0), g.getInt(1), g.getInt(2)) == ref(s)
+      })
+    assert(r.passed, r.status.toString)
+  }
+
   test("thumbHex equals the naive hex/stride model (property)") {
     import org.scalacheck.{Gen, Prop, Test => SCTest}
     def ref(s: String, k: Int): String = {
