@@ -206,16 +206,15 @@ object MultimodalQueries {
     // encoder (image tiles / audio segments / long-doc context windows).
     // Per-row fan-out only (#tiles = ceil(len/32), no shuffle); at 100 TB
     // the exploded relation partitions by (doc_id) for encoder locality.
-    // The empty-payload filter is load-bearing: Spark's `sequence(1, 0)`
-    // DESCENDS while DuckDB's `range(1, 1)` is empty.
+    // Tiles come from the codegen'd graft_hex_tiles kernel (one byte scan
+    // per row); the original transform(sequence(...))-over-full-hex HOF ran
+    // as an interpreted lambda per tile and benched 2.0× the oracle.
     Q("m07_tile_chunks",
       (s, d) => {
-        val nTiles = "CAST(ceil(length(hx) / 64.0) AS INT)"
+        graft.functions.GraftFunctions.register(s)
         Tables.documents(s, d)
           .filter(length(col("text")) > 0)
-          .select(col("doc_id"), hex(encode(col("text"), "UTF-8")).as("hx"))
-          .select(col("doc_id"), posexplode(expr(
-            s"transform(sequence(1, $nTiles), i -> substr(hx, (i-1)*64 + 1, 64))"))
+          .select(col("doc_id"), posexplode(expr("graft_hex_tiles(text, 32)"))
             .as(Seq("tile_idx", "tile_hex")))
           .select(col("doc_id"), col("tile_idx"),
             (length(col("tile_hex")) / 2).cast("int").as("tile_bytes"),

@@ -541,6 +541,37 @@ case class ThumbHexExpr(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** Fixed-width hex tile chunks (TextHash.hexTiles) — m07's explode kernel;
+  * the HOF form it replaces materialized the full hex string per row and
+  * sliced it with an interpreted lambda per tile.
+  */
+case class HexTilesExpr(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def checkInputDataTypes():
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (left.dataType != StringType || right.dataType != IntegerType)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"$prettyName expects (string, int), got " +
+          s"(${left.dataType.simpleString}, ${right.dataType.simpleString})")
+    else if (right.foldable && {
+        val v = right.eval(); v != null && v.asInstanceOf[Int] < 1 })
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"$prettyName tile byte width must be >= 1")
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "graft_hex_tiles"
+  protected override def nullSafeEval(s: Any, w: Any): Any =
+    TextHash.hexTiles(
+      s.asInstanceOf[org.apache.spark.unsafe.types.UTF8String],
+      w.asInstanceOf[Int])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      (s, w) => s"graft.functions.TextHash.hexTiles($s, $w)")
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
 /** Per-session registration of the engine's native functions. */
 object GraftFunctions {
   val fns: Seq[(String, Seq[Expression] => Expression)] = Seq(
@@ -558,6 +589,7 @@ object GraftFunctions {
     "graft_q127"         -> (cs => Q127Expr(cs.head)),
     "graft_doti"         -> (cs => DotIExpr(cs(0), cs(1))),
     "graft_thumb"        -> (cs => ThumbHexExpr(cs(0), cs(1))),
+    "graft_hex_tiles"    -> (cs => HexTilesExpr(cs(0), cs(1))),
     "graft_block_scrub"  -> (cs => BlockScrubExpr(cs.head)),
     "graft_quality_stats" -> (cs => QualityStatsExpr(cs.head)),
     "graft_lsh_bucket"   -> (cs => LshBucketExpr(cs.head)),

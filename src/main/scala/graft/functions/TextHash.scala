@@ -398,6 +398,38 @@ object TextHash {
     UTF8String.fromBytes(out)
   }
 
+  /** Fixed-width hex tile chunks (m07's explode kernel): uppercase hex of
+    * UTF-8 bytes [t·w, (t+1)·w) for t = 0 … ceil(n/w)−1. Element-identical
+    * to the `transform(sequence(1, ceil(len/(2w))), i ->
+    * substr(hex(encode(text)), (i−1)·2w + 1, 2w))` HOF form it replaces,
+    * which materialized the full hex string per row and re-sliced it
+    * through an interpreted lambda per tile.
+    */
+  def hexTiles(s: UTF8String, w: Int): ArrayData = {
+    require(w >= 1, s"tile byte width must be >= 1, got $w")
+    val bytes = s.getBytes
+    val n = bytes.length
+    val hex = "0123456789ABCDEF".getBytes
+    val nt = (n + w - 1) / w
+    val out = new Array[AnyRef](nt)
+    var t = 0
+    while (t < nt) {
+      val start = t * w
+      val end = math.min(start + w, n)
+      val o = new Array[Byte](2 * (end - start))
+      var i = start
+      while (i < end) {
+        val b = bytes(i) & 0xff
+        o(2 * (i - start)) = hex(b >>> 4)
+        o(2 * (i - start) + 1) = hex(b & 15)
+        i += 1
+      }
+      out(t) = UTF8String.fromBytes(o)
+      t += 1
+    }
+    new GenericArrayData(out)
+  }
+
   /** 60-bit SimHash over token hashes: 4 blocks × 15 bits. Block k derives
     * per-token bits from the affine-permuted hash `(A(k)*h + B(k)) mod P`
     * (the MinHash permutation family — independent ~30-bit streams from one

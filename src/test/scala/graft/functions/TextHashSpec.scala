@@ -210,6 +210,28 @@ class TextHashSpec extends AnyFunSuite {
     assert(r.passed, r.status.toString)
   }
 
+  test("hexTiles equals the full-hex substr-slice model (property)") {
+    import org.scalacheck.{Gen, Prop, Test => SCTest}
+    // the exact claim the kernel makes: tile t is substr(hex(utf8(s)),
+    // t*2w + 1, 2w) of the FULL hex string, for ceil(n/w) tiles
+    def ref(s: String, w: Int): Seq[String] = {
+      val hx = s.getBytes("UTF-8").map(b => f"${b & 0xff}%02X").mkString
+      val nt = (hx.length + 2 * w - 1) / (2 * w)
+      (0 until nt).map(t => hx.slice(t * 2 * w, (t + 1) * 2 * w))
+    }
+    val gen = Gen.listOf(Gen.oneOf('a', 'Z', '0', 'é', '中', ' ')).map(_.mkString)
+    val r = SCTest.check(
+      SCTest.Parameters.default.withMinSuccessfulTests(500),
+      Prop.forAll(gen, Gen.choose(1, 40)) { (s, w) =>
+        val g = TextHash.hexTiles(u(s), w)
+        val e = ref(s, w)
+        g.numElements() == e.length &&
+          (0 until g.numElements()).forall(i =>
+            g.getUTF8String(i).toString == e(i))
+      })
+    assert(r.passed, r.status.toString)
+  }
+
   test("identical texts collide; different texts (generally) do not") {
     val a = TextHash.minHashSig(u("shared prefix words here")).toLongArray().toSeq
     val b = TextHash.minHashSig(u("shared prefix words here")).toLongArray().toSeq
