@@ -11,15 +11,40 @@ object Verify {
     val only: Option[Set[String]] =
       if (args.length > 2) Some(args(2).split(",").toSet) else None
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
+    // SPARK_GRAFT_MASTER overrides the master (e.g. "local-cluster[2,8,4096]"
+    // for real executor JVMs — the closure-serialization / broadcast /
+    // codegen-classloader falsification local[N] cannot provide). Under
+    // local-cluster the executor processes boot from /opt/spark/jars only,
+    // so the packaged graft jar must be shipped via spark.jars
+    // (SPARK_GRAFT_JARS); executors fetch it from the driver's file server
+    // and add it to their MutableURLClassLoader, which is also the loader
+    // Janino uses to resolve graft.functions.* from generated code.
+    val master = sys.env.getOrElse("SPARK_GRAFT_MASTER", s"local[$cpus]")
+    val builder0 = SparkSession.builder()
+      .master(master)
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       // events.parquet is written as TIMESTAMP(NANOS); Spark only reads it
       // as LongType nanos with this flag (Tables.normalizeEvents converts).
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
-      .getOrCreate()
+    val builder = sys.env.get("SPARK_GRAFT_JARS").fold(builder0) { jars =>
+      builder0
+        .config("spark.jars", jars)
+        // Executor JVMs are launched fresh from SPARK_HOME; Spark 4 on
+        // JDK 17 needs the module opens there just as the driver does
+        // (build.sbt injects them only into the forked driver JVM).
+        .config("spark.executor.extraJavaOptions", Seq(
+          "java.base/java.lang", "java.base/java.lang.invoke",
+          "java.base/java.lang.reflect", "java.base/java.io",
+          "java.base/java.net", "java.base/java.nio",
+          "java.base/java.util", "java.base/java.util.concurrent",
+          "java.base/java.util.concurrent.atomic",
+          "java.base/sun.nio.ch", "java.base/sun.nio.cs",
+          "java.base/sun.security.action", "java.base/sun.util.calendar",
+        ).map(p => s"--add-opens=$p=ALL-UNNAMED").mkString(" "))
+    }
+    val spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
     SparkEntry.queries
