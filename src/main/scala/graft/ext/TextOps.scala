@@ -706,38 +706,50 @@ object TextQueries {
     // t18: corpus char-trigram LM FAMILIARITY — the classic two-pass
     // model-then-score shape every n-gram quality filter uses (KenLM-style
     // perplexity gating, reduced to integer corpus counts so the oracle is
-    // exact): pass 1 builds the trigram table, pass 2 scores each doc by
-    // the corpus frequency of its own trigrams. The model is bounded by
-    // the alphabet (|Σ|³), NOT the corpus — at 100 TB it is still a
-    // broadcast table, so scoring is a map-side join + one per-doc
-    // map-side-combined aggregate; no float log-probs (a real LM's
-    // Σ log p(g) hash-diverges on libm; Σ count(g) carries the same
-    // ordering signal exactly).
+    // exact): pass 1 builds the trigram-frequency model, pass 2 scores each
+    // doc by the corpus frequency of its own trigrams. The model is a
+    // HASHED VOCABULARY — trigrams fold into 65536 poly-hash buckets — so
+    // its size is bounded BY CONSTRUCTION (≤ 2^16 rows) rather than by an
+    // alphabet assumption: over 100 TB of multilingual/Unicode crawl the
+    // distinct-trigram table is not a priori broadcastable, but the bucket
+    // table always is (the hash-kernel LM move). Scoring is then a
+    // map-side broadcast join + one per-doc map-side-combined aggregate;
+    // no float log-probs (a real LM's Σ log p(g) hash-diverges on libm;
+    // Σ count(bucket) carries the same ordering signal exactly).
     Q("t18_trigram_lm",
       (s, d) => {
         graft.functions.GraftFunctions.register(s)
         def tris(df: DataFrame) = df
           .filter(length(col("text")) >= 3)
           .select(col("doc_id"), expr("graft_char_grams(text, 3)"))
+          .select(col("doc_id"),
+            pmod(expr("graft_poly_hash(g)"), lit(65536L)).as("b"))
         val docs = Tables.spread(Tables.documents(s, d))
-        val model = tris(docs).groupBy("g").agg(count(lit(1)).as("c"))
-        tris(docs).join(broadcast(model), "g")
+        val model = tris(docs).groupBy("b").agg(count(lit(1)).as("c"))
+        tris(docs).join(broadcast(model), "b")
           .groupBy("doc_id")
           .agg(count(lit(1)).as("n_tris"), sum("c").as("familiarity"))
           .select(col("doc_id"), col("n_tris"), col("familiarity"),
             (col("familiarity").cast("double") / col("n_tris"))
               .as("mean_freq"))
       },
-      Some("""WITH tri AS (
+      // NOTE: the trigram must be materialized as a plain column BEFORE
+      // duckPoly is applied — duckPoly expands to a list_transform lambda
+      // whose bound variable `i` would shadow the position `i` inside an
+      // inlined substring(text, i, 3) and silently hash the wrong grams.
+      Some(s"""WITH tri AS (
                 SELECT doc_id, substring(text, CAST(i AS INT), 3) AS g
                 FROM (SELECT doc_id, text,
                              unnest(generate_series(1, length(text) - 2)) AS i
                       FROM documents WHERE length(text) >= 3)),
-              model AS (SELECT g, count(*) AS c FROM tri GROUP BY g)
+              trib AS (
+                SELECT doc_id, ${PortableHash.duckPoly("g")} % 65536 AS b
+                FROM tri),
+              model AS (SELECT b, count(*) AS c FROM trib GROUP BY b)
               SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tris,
                      CAST(sum(c) AS BIGINT) AS familiarity,
                      CAST(sum(c) AS DOUBLE) / count(*) AS mean_freq
-              FROM tri JOIN model USING (g) GROUP BY doc_id""")),
+              FROM trib JOIN model USING (b) GROUP BY doc_id""")),
 
     // t19: SOURCE-MIXTURE resampling — re-weight the corpus to a target
     // domain mixture (the data-recipe step before training: upweight

@@ -246,37 +246,53 @@ object PipelineQueries {
     // p07: deterministic TRAINING-ORDER shuffle — the "global shuffle"
     // every training run needs, made a pure function of content keys (no
     // RNG, no seed file: re-runs, re-partitionings and engine swaps give
-    // the SAME order). Shard = content-hash % 16 on a 'shard|' channel;
-    // within-shard order is an independent 'ord|' hash channel (so shard
-    // assignment and intra-shard order are uncorrelated), tie-broken by
-    // doc_id. At 100 TB this is the scalable form of ORDER BY random():
-    // ONE hash-partition exchange (near-uniform shards, no skew), an
-    // in-partition sort bounded by shard size, and NO global sort — the
-    // window's partition key IS the shuffle key. Shards then stream to
-    // shard-partitioned training files.
+    // the SAME order). Shard = content-hash % n_shards on a 'shard|'
+    // channel; within-shard order is an independent 'ord|' hash channel
+    // (so shard assignment and intra-shard order are uncorrelated),
+    // tie-broken by doc_id. n_shards SCALES WITH THE CORPUS — one shard
+    // per ~64 MB of text (floor 16), computed from sum(n_chars) in pure
+    // int64 so the oracle derives the identical count — a fixed shard
+    // count would cap the sort stage's parallelism and break the bounded
+    // in-partition-sort claim at 100 TB. At that scale this is the
+    // scalable form of ORDER BY random(): ONE corpus hash-partition
+    // exchange (near-uniform shards, no skew; the 1-row shard-count
+    // aggregate is metadata-scale), an in-partition sort bounded by
+    // ~64 MB of docs, and NO global sort — the window's partition key IS
+    // the shuffle key. Shards then stream to shard-partitioned training
+    // files.
     Q("p07_training_shuffle",
       (s, d) => {
         import org.apache.spark.sql.expressions.Window
         graft.functions.GraftFunctions.register(s)
+        val shardChars = 64000000L
         val w = Window.partitionBy("shard").orderBy(col("ho"), col("doc_id"))
-        Tables.documents(s, d)
+        val docs = Tables.documents(s, d)
+        val nsh = docs.agg(expr(
+          s"greatest(CAST(16 AS BIGINT), (sum(n_chars) + ${shardChars - 1}) DIV $shardChars)")
+          .as("n_shards"))
+        docs.crossJoin(broadcast(nsh))
           .select(col("doc_id"),
             pmod(expr(
               "graft_poly_hash(concat('shard|', CAST(doc_id AS STRING)))"),
-              lit(16L)).as("shard"),
+              col("n_shards")).as("shard"),
             expr("graft_poly_hash(concat('ord|', CAST(doc_id AS STRING)))")
               .as("ho"))
           .withColumn("pos", row_number().over(w).cast("long"))
           .select("doc_id", "shard", "pos")
       },
-      Some(s"""WITH h AS (
+      Some(s"""WITH nsh AS (
+                 SELECT greatest(CAST(16 AS BIGINT),
+                                 (CAST(sum(n_chars) AS BIGINT) + 63999999)
+                                   // 64000000) AS n_shards
+                 FROM documents),
+               h AS (
                  SELECT doc_id,
                         ${graft.ext.PortableHash.duckPoly(
-                          "('shard|' || CAST(doc_id AS VARCHAR))")} % 16
+                          "('shard|' || CAST(doc_id AS VARCHAR))")} % n_shards
                           AS shard,
                         ${graft.ext.PortableHash.duckPoly(
                           "('ord|' || CAST(doc_id AS VARCHAR))")} AS ho
-                 FROM documents)
+                 FROM documents, nsh)
                SELECT doc_id, shard,
                       CAST(row_number() OVER (PARTITION BY shard
                                               ORDER BY ho, doc_id) AS BIGINT)

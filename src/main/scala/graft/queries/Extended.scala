@@ -1923,8 +1923,11 @@ object Extended {
 
     // q105: PII PSEUDONYMIZATION — the governance pass a training corpus
     // runs before anything else touches it: direct identifiers become
-    // deterministic pseudonyms (md5 over a salted channel — joinable
-    // across tables, irreversible without the salt registry), quasi-
+    // deterministic pseudonyms (md5 over a channel-tagged key — joinable
+    // across tables; NOTE this is deterministic tokenization, not
+    // irreversibility: 'cust|' is a public literal and c_custkey has a
+    // small enumerable keyspace, so a real deployment must inject a
+    // SECRET salt from a registry to resist brute-force re-mapping), quasi-
     // identifiers are GENERALIZED (name masked to its last 3 digits,
     // account balance coarsened to $500 bands — the k-anonymity move), and
     // non-identifying analytics columns pass through. Everything is
