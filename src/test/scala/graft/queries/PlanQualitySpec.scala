@@ -380,6 +380,50 @@ class PlanQualitySpec extends SparkSpec {
     assert(s.read.parquet(out).count() > 0)
   }
 
+  test("t18: trigram-LM model is broadcast — scoring join never sort-merges") {
+    val p = planOf("t18_trigram_lm")
+    // the 65536-bucket hashed-vocab model is bounded by construction, so it
+    // must reach the scoring join as a broadcast build side
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+    // exactly two hash exchanges: the model's bucket groupBy (≤2^16 rows
+    // after map-side combine) and the per-doc scoring aggregate
+    assert("Exchange hashpartitioning".r.findAllIn(p).size === 2, p)
+  }
+
+  test("t19: mixture rates broadcast — document admission is shuffle-free") {
+    val p = planOf("t19_mixture_sample")
+    // the |sources|-row rate table broadcasts; docs stream through the
+    // admission filter without ever hash-exchanging on doc identity
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+    assert(!p.contains("Exchange hashpartitioning(doc_id"), p)
+    // the only hash exchanges are the dim-scale per-source aggregates
+    "Exchange hashpartitioning\\(\\w+".r.findAllIn(p).foreach(e =>
+      assert(e.contains("(source"), p))
+    assert(!p.contains("Window"), p)
+  }
+
+  test("p07: training shuffle is ONE corpus exchange, no global sort") {
+    val p = planOf("p07_training_shuffle")
+    // the window's partition key IS the shuffle key: one corpus-scale hash
+    // exchange on shard, then an in-partition (non-global) sort
+    assert("Exchange hashpartitioning".r.findAllIn(p).size === 1, p)
+    assert(!p.contains("Exchange rangepartitioning"), p) // no global sort
+    // the shard-count aggregate is metadata-scale: a 1-row broadcast cross
+    assert(p.contains("BroadcastNestedLoopJoin"), p)
+    "BroadcastNestedLoopJoin.*".r.findAllIn(p).foreach(l =>
+      assert(l.contains("Cross"), p))
+    assert(p.contains("Window"), p)
+  }
+
+  test("q105: PII pseudonymization is scan→project — zero exchanges") {
+    val p = planOf("q105_pii_mask")
+    assert(!p.contains("Exchange"), p)
+    assert(!p.contains("Join"), p)
+    assert(p.contains("Scan parquet"), p)
+  }
+
   test("bucketed tables join without a shuffle exchange") {
     val s = spark
     val prevThreshold = s.conf.get("spark.sql.autoBroadcastJoinThreshold")
