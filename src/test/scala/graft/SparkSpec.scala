@@ -16,7 +16,10 @@ trait SparkSpec extends AnyFunSuite with BeforeAndAfterAll {
 object SparkSpec {
   lazy val session: SparkSession = {
     val s = SparkSession.builder()
-      .master("local[4]")
+      // local[4, 2]: 4 threads, maxFailures=2 — lets fault-injection specs
+      // kill a task attempt for real and observe the retry path (a spec
+      // with no injected failures behaves identically to local[4]).
+      .master("local[4, 2]")
       .appName("graft-test")
       .config("spark.sql.shuffle.partitions", 4)
       .config("spark.sql.session.timeZone", "UTC")

@@ -334,4 +334,113 @@ class WireTopicSourceSpec extends SparkSpec {
       .map(r => (r.getLong(0), r.getDouble(1))).sorted.toSeq
     assert(rows === Seq((1L, 10.0), (2L, 20.0), (3L, 30.0)))
   }
+
+  // ---- fault injection (two-phase commit under task failure) -------------
+
+  test("batch write survives a task killed mid-write — real retry, no loss") {
+    // Kill partition 1's FIRST attempt after 5 rows have already reached
+    // the DataWriter (staging file partially written). The session runs
+    // local[4, 2], so Spark aborts the attempt (staging deleted), retries,
+    // and the retry's file is the only one the driver commits.
+    val dir = Scratch.dir("graft_wire_chaos_retry")
+    val n = 100L
+    val chaotic = s.range(0, n, 1, 4).as[Long]
+      .mapPartitions { it =>
+        val tc = org.apache.spark.TaskContext.get()
+        if (tc.partitionId() == 1 && tc.attemptNumber() == 0) {
+          var seen = 0
+          it.map { v =>
+            seen += 1
+            if (seen == 6) throw new RuntimeException("chaos: task killed mid-write")
+            v
+          }
+        } else it
+      }
+      .toDF("id")
+      .select(col("id"), (col("id") * 0.5).as("qty"),
+        concat(lit("t"), col("id")).as("tag"))
+    chaotic.write.format("graft-wire").mode("append").save(dir)
+    val files = new java.io.File(dir).listFiles().map(_.getName)
+    assert(!files.exists(_.startsWith("_tmp_")),
+      s"aborted attempt left staging files: ${files.mkString(",")}")
+    val back = s.read.format("graft-wire").schema(schema).load(dir)
+      .collect().map(_.getLong(0)).sorted.toSeq
+    assert(back === (0L until n).toSeq) // no lost rows, no duplicates
+  }
+
+  test("speculative duplicate: loser's abort leaves exactly one copy") {
+    // Two attempts of the SAME partition both finish a full staging file
+    // (the speculative-execution race); the commit coordinator lets one
+    // task commit and calls abort() on the other. Exactly one copy of the
+    // partition's rows may become visible.
+    val dir = Scratch.dir("graft_wire_chaos_spec")
+    val factory = new graft.sources.v2.WireWriterFactory(
+      schema.toDDL, dir, ",", None)
+    def stage(taskId: Long) = {
+      val w = factory.createWriter(0, taskId)
+      w.write(org.apache.spark.sql.catalyst.InternalRow(7L, 7.5,
+        org.apache.spark.unsafe.types.UTF8String.fromString("x")))
+      w
+    }
+    val winner = stage(1L)
+    val loser = stage(2L)
+    val msg = winner.commit()
+    loser.abort()
+    new graft.sources.v2.WireBatchWrite(schema, dir, ",", false, None)
+      .commit(Array(msg))
+    val files = new java.io.File(dir).listFiles().map(_.getName)
+    assert(files.count(_.startsWith("part-")) === 1, files.mkString(","))
+    assert(!files.exists(_.startsWith("_tmp_")), files.mkString(","))
+    val back = s.read.format("graft-wire").schema(schema).load(dir).collect()
+    assert(back.length === 1 && back.head.getLong(0) === 7L)
+  }
+
+  test("driver abort after task commits leaves the topic unchanged") {
+    // All tasks committed their staging files, but the job fails before
+    // driver commit (e.g. another stage died): BatchWrite.abort must sweep
+    // the staged set and the previously-visible topic must be untouched.
+    val dir = Scratch.dir("graft_wire_chaos_abort")
+    Seq((1L, Some(1.0), "a")).toDF("id", "qty", "tag")
+      .write.format("graft-wire").mode("append").save(dir)
+    val factory = new graft.sources.v2.WireWriterFactory(
+      schema.toDDL, dir, ",", None)
+    val w = factory.createWriter(3, 9L)
+    w.write(org.apache.spark.sql.catalyst.InternalRow(666L, 6.0,
+      org.apache.spark.unsafe.types.UTF8String.fromString("ghost")))
+    val msg = w.commit()
+    new graft.sources.v2.WireBatchWrite(schema, dir, ",", false, None)
+      .abort(Array(msg))
+    val files = new java.io.File(dir).listFiles().map(_.getName)
+    assert(!files.exists(_.startsWith("_tmp_")), files.mkString(","))
+    val ids = s.read.format("graft-wire").schema(schema).load(dir)
+      .collect().map(_.getLong(0)).toSet
+    assert(ids === Set(1L))
+  }
+
+  test("replayed streaming epoch under repartitioning stays exactly-once") {
+    // An epoch replay that arrives with MORE partitions than the committed
+    // run (upstream repartitioned between failure and restart) must still
+    // converge to one copy per (epoch, partition) file — deterministic
+    // names make the first run's file replaceable, never duplicable.
+    val dir = Scratch.dir("graft_wire_chaos_epoch")
+    val sw = new graft.sources.v2.WireStreamingWrite(schema, dir, ",")
+    def epochWrite(parts: Seq[(Int, Seq[Long])]): Unit = {
+      val msgs = parts.map { case (pid, ids) =>
+        val w = graft.sources.v2.WireStreamingWriterFactory(
+          schema.toDDL, dir, ",").createWriter(pid, 100L + pid, 5L)
+        ids.foreach(id => w.write(org.apache.spark.sql.catalyst.InternalRow(
+          id, id * 1.0,
+          org.apache.spark.unsafe.types.UTF8String.fromString("e"))))
+        w.commit()
+      }
+      sw.commit(5L, msgs.toArray)
+    }
+    epochWrite(Seq(0 -> Seq(1L, 2L, 3L)))
+    epochWrite(Seq(0 -> Seq(1L, 2L), 1 -> Seq(3L))) // the replay
+    val files = new java.io.File(dir).listFiles().map(_.getName).sorted
+    assert(files.count(_.startsWith("part-e")) === 2, files.mkString(","))
+    val back = s.read.format("graft-wire").schema(schema).load(dir)
+      .collect().map(_.getLong(0)).sorted.toSeq
+    assert(back === Seq(1L, 2L, 3L))
+  }
 }
