@@ -442,20 +442,65 @@ object StreamingQ {
     }
   }
 
-  def transformWithStateRunningMax(s: SparkSession, d: String): DataFrame = {
+  // The transformWithState pipelines as standalone DataFrame transforms,
+  // shared by the catalog entries below and the restart-chaos spec (which
+  // drives them through its own kill-at-batch-k harness).
+  def twsRunningMaxXform(s: SparkSession)(src: DataFrame): DataFrame = {
+    import s.implicits._
+    src.select(col("event_id"), col("user_id"),
+        unix_micros(col("ts")).as("tsu"), col("value"))
+      .as[TwsEv]
+      .groupByKey(_.user_id)
+      .transformWithState(new RunningMaxProcessor,
+        TimeMode.None(), OutputMode.Append())
+      .toDF()
+  }
+
+  def timerSessionXform(s: SparkSession)(src: DataFrame): DataFrame = {
+    import s.implicits._
+    src.withWatermark("ts", "0 seconds")
+      .select(col("user_id"), unix_micros(col("ts")).as("tsu"))
+      .as[TimerEv]
+      .groupByKey(_.user_id)
+      .transformWithState(new TimerSessionizer,
+        TimeMode.EventTime(), OutputMode.Append())
+      .toDF()
+  }
+
+  def mapStateXform(s: SparkSession)(src: DataFrame): DataFrame = {
+    import s.implicits._
+    src.select(col("event_id"), col("user_id"), col("event_type"),
+        unix_micros(col("ts")).as("tsu"))
+      .as[MapEv]
+      .groupByKey(_.user_id)
+      .transformWithState(new TypeCountProcessor,
+        TimeMode.None(), OutputMode.Append())
+      .toDF()
+  }
+
+  def listStateXform(s: SparkSession)(src: DataFrame): DataFrame = {
+    import s.implicits._
+    src.select(col("event_id"), col("user_id"),
+        unix_micros(col("ts")).as("tsu"))
+      .as[ListEv]
+      .groupByKey(_.user_id)
+      .transformWithState(new RecentEventsProcessor,
+        TimeMode.None(), OutputMode.Append())
+      .toDF()
+  }
+
+  /** Scope the RocksDB state-store provider (the transformWithState
+    * requirement and the honest 100 TB backend) around `body`.
+    */
+  def withRocksDb[T](s: SparkSession)(body: => T): T = {
     s.conf.set("spark.sql.streaming.stateStore.providerClass",
       "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
-    try runEventsStream(s, d) { src =>
-      import s.implicits._
-      src.select(col("event_id"), col("user_id"),
-          unix_micros(col("ts")).as("tsu"), col("value"))
-        .as[TwsEv]
-        .groupByKey(_.user_id)
-        .transformWithState(new RunningMaxProcessor,
-          TimeMode.None(), OutputMode.Append())
-        .toDF()
-    } finally s.conf.unset("spark.sql.streaming.stateStore.providerClass")
+    try body
+    finally s.conf.unset("spark.sql.streaming.stateStore.providerClass")
   }
+
+  def transformWithStateRunningMax(s: SparkSession, d: String): DataFrame =
+    withRocksDb(s) { runEventsStream(s, d)(twsRunningMaxXform(s)) }
 
   val queries: Seq[Q] = Seq(
     Q("q20_stream_pipe",
@@ -992,20 +1037,7 @@ object StreamingQ {
     // the same emission boundary the timers enforce: a session emits iff
     // its end (last event + 30 min) is at or before the final watermark.
     Q("s16_stream_timers",
-      (s, d) => {
-        s.conf.set("spark.sql.streaming.stateStore.providerClass",
-          "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
-        try runEventsStream(s, d) { src =>
-          import s.implicits._
-          src.withWatermark("ts", "0 seconds")
-            .select(col("user_id"), unix_micros(col("ts")).as("tsu"))
-            .as[TimerEv]
-            .groupByKey(_.user_id)
-            .transformWithState(new TimerSessionizer,
-              TimeMode.EventTime(), OutputMode.Append())
-            .toDF()
-        } finally s.conf.unset("spark.sql.streaming.stateStore.providerClass")
-      },
+      (s, d) => withRocksDb(s) { runEventsStream(s, d)(timerSessionXform(s)) },
       Some("""WITH t AS (
                 SELECT user_id, ts,
                        CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id
@@ -1031,20 +1063,7 @@ object StreamingQ {
     // s17: MapState per-(user, event_type) running counts (see
     // TypeCountProcessor above); oracle = row_number per (user, type).
     Q("s17_stream_mapstate",
-      (s, d) => {
-        s.conf.set("spark.sql.streaming.stateStore.providerClass",
-          "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
-        try runEventsStream(s, d) { src =>
-          import s.implicits._
-          src.select(col("event_id"), col("user_id"), col("event_type"),
-              unix_micros(col("ts")).as("tsu"))
-            .as[MapEv]
-            .groupByKey(_.user_id)
-            .transformWithState(new TypeCountProcessor,
-              TimeMode.None(), OutputMode.Append())
-            .toDF()
-        } finally s.conf.unset("spark.sql.streaming.stateStore.providerClass")
-      },
+      (s, d) => withRocksDb(s) { runEventsStream(s, d)(mapStateXform(s)) },
       Some("""SELECT event_id, user_id, event_type,
                      CAST(ROW_NUMBER() OVER (PARTITION BY user_id, event_type
                                              ORDER BY ts, event_id) AS BIGINT)
@@ -1054,20 +1073,7 @@ object StreamingQ {
     // s18: ListState bounded look-back (see RecentEventsProcessor above);
     // oracle = lag(1..3) with -1 defaults per user.
     Q("s18_stream_liststate",
-      (s, d) => {
-        s.conf.set("spark.sql.streaming.stateStore.providerClass",
-          "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
-        try runEventsStream(s, d) { src =>
-          import s.implicits._
-          src.select(col("event_id"), col("user_id"),
-              unix_micros(col("ts")).as("tsu"))
-            .as[ListEv]
-            .groupByKey(_.user_id)
-            .transformWithState(new RecentEventsProcessor,
-              TimeMode.None(), OutputMode.Append())
-            .toDF()
-        } finally s.conf.unset("spark.sql.streaming.stateStore.providerClass")
-      },
+      (s, d) => withRocksDb(s) { runEventsStream(s, d)(listStateXform(s)) },
       Some("""SELECT event_id, user_id,
                      coalesce(lag(event_id, 1) OVER w, -1) AS prev1,
                      coalesce(lag(event_id, 2) OVER w, -1) AS prev2,

@@ -1,0 +1,236 @@
+package graft.queries
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{StreamingQueryException, Trigger}
+import org.apache.spark.sql.types.StructType
+
+import graft.SparkSpec
+import graft.sources.Tables
+import graft.util.Scratch
+
+/** Crash-mid-stream gate: an armed task-side counter makes every gated row
+  * throw while armed. The session runs local[4, 2], so a few armed rows
+  * exhaust task retries and terminate the QUERY with an uncommitted
+  * micro-batch — the real crash the checkpoint protocol must absorb.
+  * Static object state is task-visible because tests run in-process.
+  */
+object ChaosGate {
+  private val armed = new java.util.concurrent.atomic.AtomicInteger(0)
+  def arm(n: Int): Unit = armed.set(n)
+  def disarm(): Unit = armed.set(0)
+  def hit(): Unit =
+    if (armed.getAndUpdate(n => if (n > 0) n - 1 else 0) > 0)
+      throw new RuntimeException("chaos: injected crash")
+}
+
+/** Restart-at-batch-k chaos tests: each stateful streaming pipeline is run
+  * once cleanly and once with an injected CRASH after micro-batch k commits
+  * (query dies with an uncommitted batch in flight), then restarted from
+  * its checkpoint. The two runs must produce identical final output — the
+  * exactly-once contract across checkpoint recovery for the
+  * transformWithState family (ValueState / timers / MapState / ListState on
+  * RocksDB) and the DSv2 wire connector's source offsets and epoch sink.
+  */
+class StreamingChaosSpec extends SparkSpec {
+  private val sf = "/root/testdata/sf0.001"
+  private lazy val s: SparkSession = spark
+  import s.implicits._
+
+  private val nFiles = 8
+
+  /** events.parquet split into `nFiles` EVENT-TIME-ORDERED files with
+    * strictly increasing mtimes, so every run (clean, chaos, restart)
+    * slices the same maxFilesPerTrigger=1 micro-batches in the same order —
+    * the s12/s17/s18 cross-batch ordering contract, and the determinism the
+    * output comparison relies on.
+    */
+  private lazy val eventsSplit: (String, StructType) = {
+    val raw = s.read.parquet(s"$sf/events.parquet")
+    val dir = Scratch.dir("graft_chaos_src")
+    val w = org.apache.spark.sql.expressions.Window.orderBy(col("ts"))
+    val sliced = raw.withColumn("__b", ntile(nFiles).over(w)).cache()
+    (1 to nFiles).foreach { i =>
+      val tmp = Scratch.dir(s"graft_chaos_tmp$i")
+      sliced.filter(col("__b") === i).drop("__b")
+        .coalesce(1).write.mode("overwrite").parquet(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .find(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet"))
+        .getOrElse(fail(s"no part file in $tmp"))
+      val dst = new java.io.File(dir, f"events_$i%02d.parquet")
+      Files.move(part.toPath, dst.toPath)
+      assert(dst.setLastModified(1700000000000L + i * 60000L))
+    }
+    sliced.unpersist()
+    (dir, raw.schema)
+  }
+
+  private def gate(df: DataFrame): DataFrame = {
+    val boom = udf((id: Long) => { ChaosGate.hit(); true })
+    df.filter(boom(col("event_id")))
+  }
+
+  /** Run the pipeline over the split source three ways — clean, crashed at
+    * batch k, restarted — and require the crashed+restarted output to equal
+    * the clean run's. AvailableNow + maxFilesPerTrigger=1 → one micro-batch
+    * per source file, so batch boundaries are identical across runs.
+    */
+  private def chaosCompare(label: String, rocks: Boolean = true)(
+      xform: DataFrame => DataFrame): Unit = {
+    val (srcDir, rawSchema) = eventsSplit
+    def run(out: String, ckpt: String, kill: Option[Int]): Boolean = {
+      def body: Boolean = {
+        StreamingQ.withStateParts(s) {
+          val src = Tables.normalizeEvents(
+            s.readStream.schema(rawSchema)
+              .option("maxFilesPerTrigger", 1).parquet(srcDir))
+          val q = xform(if (kill.isDefined) gate(src) else src)
+            .writeStream.format("parquet").outputMode("append")
+            .option("checkpointLocation", ckpt).option("path", out)
+            .trigger(Trigger.AvailableNow()).start()
+          kill match {
+            case Some(k) =>
+              val deadline = System.nanoTime() + 180L * 1000 * 1000 * 1000
+              while (q.isActive &&
+                     Option(q.lastProgress).forall(_.batchId < k) &&
+                     System.nanoTime() < deadline) Thread.sleep(5)
+              ChaosGate.arm(64)
+              val crashed =
+                try { q.awaitTermination(); false }
+                catch { case _: StreamingQueryException => true }
+              ChaosGate.disarm()
+              crashed
+            case None =>
+              q.awaitTermination(); false
+          }
+        }
+      }
+      if (rocks) StreamingQ.withRocksDb(s)(body) else body
+    }
+
+    val cleanOut = Scratch.dir(s"graft_chaos_${label}_clean_out")
+    run(cleanOut, Scratch.dir(s"graft_chaos_${label}_clean_ck"), None)
+
+    val out = Scratch.dir(s"graft_chaos_${label}_out")
+    val ckpt = Scratch.dir(s"graft_chaos_${label}_ck")
+    val crashed = run(out, ckpt, Some(1))
+    assert(crashed, s"$label: injected crash did not terminate the query")
+    val resumedCrash = run(out, ckpt, None) // restart from checkpoint
+    assert(!resumedCrash)
+
+    def rows(p: String): Seq[String] =
+      s.read.parquet(p).collect().map(_.toString).sorted.toSeq
+    assert(rows(out) === rows(cleanOut),
+      s"$label: restarted output differs from uninterrupted run")
+  }
+
+  test("s12 ValueState survives a crash at batch k (restart = clean run)") {
+    chaosCompare("s12")(StreamingQ.twsRunningMaxXform(s))
+  }
+
+  test("s16 event-time timers survive a crash at batch k") {
+    chaosCompare("s16")(StreamingQ.timerSessionXform(s))
+  }
+
+  test("s17 MapState survives a crash at batch k") {
+    chaosCompare("s17")(StreamingQ.mapStateXform(s))
+  }
+
+  test("s18 ListState survives a crash at batch k") {
+    chaosCompare("s18")(StreamingQ.listStateXform(s))
+  }
+
+  test("s13 wire streaming source: crash mid-topic, restart is exactly-once") {
+    val sel = Tables.events(s, sf).select(col("event_id"), col("user_id"),
+      col("event_type"), col("value"), unix_micros(col("ts")).as("tsu"))
+    val topic = Scratch.dir("graft_chaos_s13_topic")
+    graft.pipeline.CsvWire.encode(sel, sel.schema)
+      .repartition(6).write.mode("overwrite").text(topic)
+
+    def drain(out: String, ckpt: String, kill: Option[Int]): Boolean =
+      StreamingQ.withStateParts(s) {
+        val src = s.readStream.format("graft-wire").schema(sel.schema)
+          .option("maxFilesPerTrigger", 1).load(topic)
+        val piped = (if (kill.isDefined) gate(src) else src)
+          .filter(col("value") > 10.0)
+          .select("event_id", "event_type", "value")
+        val q = piped.writeStream.format("parquet").outputMode("append")
+          .option("checkpointLocation", ckpt).option("path", out)
+          .trigger(Trigger.AvailableNow()).start()
+        kill match {
+          case Some(k) =>
+            val deadline = System.nanoTime() + 180L * 1000 * 1000 * 1000
+            while (q.isActive &&
+                   Option(q.lastProgress).forall(_.batchId < k) &&
+                   System.nanoTime() < deadline) Thread.sleep(5)
+            ChaosGate.arm(64)
+            val crashed =
+              try { q.awaitTermination(); false }
+              catch { case _: StreamingQueryException => true }
+            ChaosGate.disarm()
+            crashed
+          case None => q.awaitTermination(); false
+        }
+      }
+
+    val cleanOut = Scratch.dir("graft_chaos_s13_clean_out")
+    drain(cleanOut, Scratch.dir("graft_chaos_s13_clean_ck"), None)
+    val out = Scratch.dir("graft_chaos_s13_out")
+    val ckpt = Scratch.dir("graft_chaos_s13_ck")
+    assert(drain(out, ckpt, Some(1)), "s13: injected crash did not trigger")
+    drain(out, ckpt, None)
+    def rows(p: String) =
+      s.read.parquet(p).collect().map(_.toString).sorted.toSeq
+    assert(rows(out) === rows(cleanOut))
+  }
+
+  test("s14 wire streaming sink: crash mid-epoch, replay replaces not appends") {
+    val (srcDir, rawSchema) = eventsSplit
+
+    def drain(topic: String, ckpt: String, kill: Option[Int]): Boolean =
+      StreamingQ.withStateParts(s) {
+        val src = Tables.normalizeEvents(
+          s.readStream.schema(rawSchema)
+            .option("maxFilesPerTrigger", 1).parquet(srcDir))
+          .select(col("event_id"), col("user_id"), col("event_type"),
+            col("value"))
+        val q = (if (kill.isDefined) gate(src) else src)
+          .writeStream.format("graft-wire")
+          .option("path", topic).option("checkpointLocation", ckpt)
+          .trigger(Trigger.AvailableNow()).start()
+        kill match {
+          case Some(k) =>
+            val deadline = System.nanoTime() + 180L * 1000 * 1000 * 1000
+            while (q.isActive &&
+                   Option(q.lastProgress).forall(_.batchId < k) &&
+                   System.nanoTime() < deadline) Thread.sleep(5)
+            ChaosGate.arm(64)
+            val crashed =
+              try { q.awaitTermination(); false }
+              catch { case _: StreamingQueryException => true }
+            ChaosGate.disarm()
+            crashed
+          case None => q.awaitTermination(); false
+        }
+      }
+
+    val wireSchema = StructType(rawSchema.fields.filter(f =>
+      Set("event_id", "user_id", "event_type", "value").contains(f.name)))
+    def topicRows(topic: String) =
+      s.read.format("graft-wire").schema(wireSchema).load(topic)
+        .collect().map(_.toString).sorted.toSeq
+
+    val cleanTopic = Scratch.dir("graft_chaos_s14_clean_topic")
+    drain(cleanTopic, Scratch.dir("graft_chaos_s14_clean_ck"), None)
+    val topic = Scratch.dir("graft_chaos_s14_topic")
+    val ckpt = Scratch.dir("graft_chaos_s14_ck")
+    assert(drain(topic, ckpt, Some(1)), "s14: injected crash did not trigger")
+    drain(topic, ckpt, None)
+    val files = new java.io.File(topic).listFiles().map(_.getName)
+    assert(!files.exists(_.startsWith("_tmp_")),
+      s"crashed epoch left staging files: ${files.mkString(",")}")
+    assert(topicRows(topic) === topicRows(cleanTopic))
+  }
+}
