@@ -56,7 +56,6 @@ object Bench {
     }
     val calibStart = calibrate()
     val loadStart = loadAvg()
-    val contended = loadStart > loadMax
     sys.env.get("GRAFT_STATE_PARTS")
       .foreach(v => spark.conf.set("graft.stream.stateParts", v))
     // Warm-up (BASELINE.md measures "min of 2 full-materialization runs
@@ -85,7 +84,12 @@ object Bench {
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
+    // An errored query reports -1.0; summing that sentinel would silently
+    // UNDERSTATE the total (round-6 artifact: 23 × -1 shaved 23 s off the
+    // headline). Totals cover successful queries only, and failures are
+    // first-class fields — a bench with errors is loudly partial.
+    val failed = results.collect { case (k, v) if v < 0 => k }.toSeq.sorted
+    val total = results.values.filter(_ >= 0).sum
     // Stop Spark BEFORE printing: any executor/state-store shutdown warnings
     // land ahead of the JSON, keeping it the final stdout line (the harness
     // parses the last line; sbt's own "[success]" banner is suppressed via
@@ -93,10 +97,20 @@ object Bench {
     spark.stop()
     val loadEnd = loadAvg()
     val calibEnd = calibrate()
+    // calib_ratio: end-probe time over start-probe time. ~1.0 on a box whose
+    // background load held steady; >1 means the run got slower mid-flight
+    // (round-6: 1.78× — neighbors, not regressions). Contention is judged
+    // from BOTH load samples and the probe drift, not start load alone.
+    val calibRatio =
+      math.round(calibEnd / math.max(calibStart, 1e-9) * 1000.0) / 1000.0
+    val contended =
+      math.max(loadStart, loadEnd) > loadMax || calibRatio > 1.25
+    val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
     val prov = s""""runs_per_query":2,"load_avg_start":$loadStart,""" +
       s""""load_avg_end":$loadEnd,"calib_sec_start":$calibStart,""" +
-      s""""calib_sec_end":$calibEnd,"contended":$contended,""" +
-      s""""waited_sec":$waitedSec"""
+      s""""calib_sec_end":$calibEnd,"calib_ratio":$calibRatio,""" +
+      s""""contended":$contended,"waited_sec":$waitedSec,""" +
+      s""""n_failed":${failed.size},"failed":$failedJson"""
     val fullLine =
       s"""{"metric":"total","value":$total,"unit":"sec",$prov,"queries":$qs,"sf":"$sfDir"}"""
     // The harness records only the last ~2000 chars of stdout; a 180+-query
@@ -115,7 +129,8 @@ object Bench {
       else String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
     val suites = results.toSeq.groupBy(_._1.takeWhile(!_.isDigit))
       .toSeq.sortBy(_._1)
-      .map { case (p, kv) => s"\"suite_$p\":${r3(kv.map(_._2).sum)}" }
+      .map { case (p, kv) =>
+        s"\"suite_$p\":${r3(kv.map(_._2).filter(_ >= 0).sum)}" }
     val slowest = results.toSeq.sortBy(-_._2).take(30)
       .map { case (k, v) => s"\"$k\":${r3(v)}" }
     val compactQs = (suites ++ slowest).mkString("{", ",", "}")

@@ -24,8 +24,10 @@ object Verify {
       .master(master)
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
-      // events.parquet is written as TIMESTAMP(NANOS); Spark only reads it
-      // as LongType nanos with this flag (Tables.normalizeEvents converts).
+      // events.ts's physical type drifts with testdata regenerations
+      // (TIMESTAMP(NANOS) in r1-r5, timestamp[us] NTZ since r6). This flag
+      // keeps a NANOS file readable (as LongType); Tables.normalizeEvents
+      // converts every observed form to TimestampType.
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
     val builder = sys.env.get("SPARK_GRAFT_JARS").fold(builder0) { jars =>

@@ -334,6 +334,44 @@ object TextOps {
                                       i -> ascii(substr(text, i, 1)))),
                      (acc, c) -> (acc * 31 + c) % 1000000007) AS BIGINT) AS fp
        FROM documents"""
+
+  /** Largest bucket-table the trigram LM will broadcast. A 2^16-bucket model
+    * is ~1 MB and always broadcastable; a caller configuring a much finer
+    * hash grid (2^24+ buckets for sharper familiarity resolution) would push
+    * the broadcast past executor memory, so past this threshold the score
+    * join degrades to a plain shuffle join on `b` — near-uniform hash
+    * buckets, so no skew — instead of OOMing the driver.
+    */
+  val lmBroadcastMaxBuckets: Long = 1L << 20
+
+  /** Two-pass char-trigram LM familiarity (t18 core, parameterized): pass 1
+    * folds trigrams into `buckets` poly-hash buckets and counts; pass 2
+    * scores each doc by the corpus frequency of its own trigram buckets.
+    */
+  def trigramFamiliarity(docs: DataFrame, buckets: Long): DataFrame = {
+    graft.functions.GraftFunctions.register(docs.sparkSession)
+    def tris(df: DataFrame) = df
+      .filter(length(col("text")) >= 3)
+      .select(col("doc_id"), expr("graft_char_grams(text, 3)"))
+      .select(col("doc_id"),
+        pmod(expr("graft_poly_hash(g)"), lit(buckets)).as("b"))
+    val model = tris(docs).groupBy("b").agg(count(lit(1)).as("c"))
+    // Over-threshold models hint shuffle_hash explicitly (not just "no
+    // broadcast hint"): the planner's size ESTIMATE for an aggregate can
+    // stay under autoBroadcastJoinThreshold even when the true bucket table
+    // is huge, so the absence of a hint would still auto-broadcast. Hash
+    // buckets are near-uniform, so a shuffled hash join has no skew risk
+    // and beats sort-merge (no sort on 2^20+ buckets).
+    val sized =
+      if (buckets <= lmBroadcastMaxBuckets) broadcast(model)
+      else model.hint("shuffle_hash")
+    tris(docs).join(sized, "b")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_tris"), sum("c").as("familiarity"))
+      .select(col("doc_id"), col("n_tris"), col("familiarity"),
+        (col("familiarity").cast("double") / col("n_tris"))
+          .as("mean_freq"))
+  }
 }
 
 object TextQueries {
@@ -715,24 +753,13 @@ object TextQueries {
     // table always is (the hash-kernel LM move). Scoring is then a
     // map-side broadcast join + one per-doc map-side-combined aggregate;
     // no float log-probs (a real LM's Σ log p(g) hash-diverges on libm;
-    // Σ count(bucket) carries the same ordering signal exactly).
+    // Σ count(bucket) carries the same ordering signal exactly). Bucket
+    // counts past TextOps.lmBroadcastMaxBuckets score via a shuffle join
+    // instead (the fallback path, spec-pinned in TextOpsSpec).
     Q("t18_trigram_lm",
-      (s, d) => {
-        graft.functions.GraftFunctions.register(s)
-        def tris(df: DataFrame) = df
-          .filter(length(col("text")) >= 3)
-          .select(col("doc_id"), expr("graft_char_grams(text, 3)"))
-          .select(col("doc_id"),
-            pmod(expr("graft_poly_hash(g)"), lit(65536L)).as("b"))
-        val docs = Tables.spread(Tables.documents(s, d))
-        val model = tris(docs).groupBy("b").agg(count(lit(1)).as("c"))
-        tris(docs).join(broadcast(model), "b")
-          .groupBy("doc_id")
-          .agg(count(lit(1)).as("n_tris"), sum("c").as("familiarity"))
-          .select(col("doc_id"), col("n_tris"), col("familiarity"),
-            (col("familiarity").cast("double") / col("n_tris"))
-              .as("mean_freq"))
-      },
+      (s, d) =>
+        TextOps.trigramFamiliarity(
+          Tables.spread(Tables.documents(s, d)), 65536L),
       // NOTE: the trigram must be materialized as a plain column BEFORE
       // duckPoly is applied — duckPoly expands to a list_transform lambda
       // whose bound variable `i` would shadow the position `i` inside an

@@ -1,8 +1,9 @@
 package graft.sources
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.LongType
+import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
 
 /** Loaders for the benchmark tables (TESTDATA.md).
   *
@@ -31,19 +32,23 @@ object Tables {
   def documents(s: SparkSession, d: String): DataFrame = load(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = load(s, d, "embeddings")
 
-  /** `events.ts` is written as parquet TIMESTAMP(NANOS), which Spark only
-    * reads with `spark.sql.legacy.parquet.nanosAsLong=true` (as LongType
-    * nanos). Normalize to a microsecond TimestampType column so every
-    * downstream operator sees a plain timestamp.
+  /** `events.ts` arrives in whatever physical form the data generator last
+    * chose — observed so far: parquet TIMESTAMP(NANOS) (readable only as
+    * LongType nanos under `spark.sql.legacy.parquet.nanosAsLong=true`) and
+    * parquet timestamp[us] with isAdjustedToUTC=false (read as
+    * TIMESTAMP_NTZ). Normalize every form to a microsecond TimestampType
+    * column so downstream `unix_micros`/watermark consumers see one type.
     */
   def events(s: SparkSession, d: String): DataFrame =
     normalizeEvents(load(s, d, "events"))
 
   /** Shared by the batch loader and the streaming file source (which must
-    * read with the raw on-disk schema first).
+    * read with the raw on-disk schema first). NTZ→LTZ is value-preserving
+    * here because every entrypoint pins the session to UTC.
     */
   def normalizeEvents(df: DataFrame): DataFrame = df.schema("ts").dataType match {
     case LongType => df.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    case TimestampNTZType => df.withColumn("ts", col("ts").cast(TimestampType))
     case _        => df
   }
 
@@ -58,7 +63,19 @@ object Tables {
     * sf0.1: 6× on the generate stage (1 task → 32).
     */
   def spread(df: DataFrame): DataFrame = {
-    val slots = df.sparkSession.sparkContext.defaultParallelism
-    if (df.rdd.getNumPartitions < slots) df.repartition(slots) else df
+    val spark = df.sparkSession
+    val slots = spark.sparkContext.defaultParallelism
+    // Estimate the scan's split count from the file index (no job, no RDD
+    // materialization — safe even if a caller ever passes a post-shuffle
+    // plan under AQE). Non-file plans estimate 0 and are left untouched.
+    val maxSplit = spark.sessionState.conf.filesMaxPartitionBytes
+    val estSplits = df.queryExecution.optimizedPlan.collect {
+      case l: LogicalRelation => l.relation match {
+        case fs: HadoopFsRelation =>
+          math.max(1L, (fs.location.sizeInBytes + maxSplit - 1) / maxSplit)
+        case _ => 0L
+      }
+    }.sum
+    if (estSplits > 0 && estSplits < slots) df.repartition(slots) else df
   }
 }
