@@ -100,11 +100,13 @@ object Bench {
     // calib_ratio: end-probe time over start-probe time. ~1.0 on a box whose
     // background load held steady; >1 means the run got slower mid-flight
     // (round-6: 1.78× — neighbors, not regressions). Contention is judged
-    // from BOTH load samples and the probe drift, not start load alone.
+    // from the START load plus the probe drift — NOT load_avg_end, which
+    // still carries the bench's own 32-thread work in the 1-min average
+    // and would flag every healthy run (measured: idle box, ratio 0.95,
+    // end load 3.5 from the bench itself).
     val calibRatio =
       math.round(calibEnd / math.max(calibStart, 1e-9) * 1000.0) / 1000.0
-    val contended =
-      math.max(loadStart, loadEnd) > loadMax || calibRatio > 1.25
+    val contended = loadStart > loadMax || calibRatio > 1.25
     val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
     val prov = s""""runs_per_query":2,"load_avg_start":$loadStart,""" +
       s""""load_avg_end":$loadEnd,"calib_sec_start":$calibStart,""" +

@@ -36,6 +36,51 @@ class TablesSchemaSpec extends SparkSpec {
     ev.withWatermark("ts", "1 minute")
   }
 
+  test("catalog-assumed columns exist with compatible type families") {
+    assume(available)
+    // Family-level assertions only (integral / fractional / string / array /
+    // timestamp-like): strict physical types drift benignly between
+    // regenerations, but a column the query surface depends on vanishing or
+    // changing family should fail HERE, not in 50 scattered query specs.
+    def family(dt: DataType): String = dt match {
+      case _: ByteType | _: ShortType | _: IntegerType | _: LongType => "int"
+      case _: FloatType | _: DoubleType | _: DecimalType => "frac"
+      case _: StringType => "str"
+      case _: TimestampType | _: TimestampNTZType | _: DateType => "time"
+      case ArrayType(e, _) => "arr:" + family(e)
+      case other => other.simpleString
+    }
+    val assumed: Seq[(String, String, String)] = Seq(
+      ("documents", "doc_id", "int"), ("documents", "text", "str"),
+      ("documents", "lang", "str"), ("documents", "source", "str"),
+      ("documents", "n_chars", "int"),
+      ("embeddings", "vec_id", "int"), ("embeddings", "embedding", "arr:frac"),
+      ("embeddings", "label", "int"),
+      ("events", "event_id", "int"), ("events", "user_id", "int"),
+      ("events", "event_type", "str"), ("events", "value", "frac"),
+      ("events", "props", "str"),
+      ("lineitem", "l_orderkey", "int"), ("lineitem", "l_quantity", "frac"),
+      ("lineitem", "l_extendedprice", "frac"),
+      ("lineitem", "l_discount", "frac"),
+      ("lineitem", "l_returnflag", "str"), ("lineitem", "l_shipdate", "time"),
+      ("orders", "o_orderkey", "int"), ("orders", "o_custkey", "int"),
+      ("orders", "o_totalprice", "frac"), ("orders", "o_orderdate", "time"),
+      ("orders", "o_orderpriority", "str"),
+      ("customer", "c_custkey", "int"), ("customer", "c_nationkey", "int"),
+      ("nation", "n_nationkey", "int"), ("nation", "n_regionkey", "int"),
+      ("region", "r_regionkey", "int"),
+      ("supplier", "s_suppkey", "int"), ("part", "p_partkey", "int"))
+    val schemas = assumed.map(_._1).distinct
+      .map(t => t -> Tables.load(spark, sf, t).schema).toMap
+    assumed.foreach { case (t, c, fam) =>
+      val f = schemas(t).fields.find(_.name == c)
+      assert(f.isDefined, s"$t.$c: column missing after regeneration")
+      assert(family(f.get.dataType) == fam,
+        s"$t.$c: family ${family(f.get.dataType)} != assumed $fam " +
+          s"(physical ${f.get.dataType.simpleString})")
+    }
+  }
+
   test("normalizeEvents accepts nanos-long, micros-NTZ and micros-LTZ") {
     import spark.implicits._
     val microsUtc = 1700000000000000L // 2023-11-14T22:13:20Z
