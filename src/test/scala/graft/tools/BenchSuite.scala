@@ -32,7 +32,10 @@ object BenchSuite {
       println(f"BENCHSUITE $name min=$m%.3f")
       name -> m
     }
-    println(f"BENCHSUITE_TOTAL ${results.map(_._2).sum}%.2f over ${results.size} queries")
+    val failed = results.collect { case (n, v) if v < 0 => n }
+    println(f"BENCHSUITE_TOTAL ${results.map(_._2).filter(_ >= 0).sum}%.2f " +
+      s"over ${results.size - failed.size}/${results.size} queries" +
+      (if (failed.nonEmpty) s" FAILED=${failed.mkString(",")}" else ""))
     spark.stop()
     graft.util.Scratch.cleanup()
     Runtime.getRuntime.halt(0)
