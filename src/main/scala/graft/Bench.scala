@@ -72,10 +72,20 @@ object Bench {
     // projected columns and under-measures projection-heavy queries).
     // Min of 2 runs per query strips scheduler noise and one-time plan
     // compilation; the DuckDB baseline is measured the same way.
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    // Dev/dry-run knobs: GRAFT_BENCH_ONLY=q01,q02 limits the surface;
+    // GRAFT_BENCH_INJECT_FAIL=q02 forces named queries to error — the
+    // harness for proving the error-accounting path (totals must exclude
+    // the failure and the JSON must name it) without a real regression.
+    val only = sys.env.get("GRAFT_BENCH_ONLY").map(_.split(",").toSet)
+    val injectFail = sys.env.get("GRAFT_BENCH_INJECT_FAIL")
+      .map(_.split(",").toSet).getOrElse(Set.empty[String])
+    val results = SparkEntry.queries
+      .filter { case (name, _) => only.forall(_.contains(name)) }
+      .map { case (name, fn) =>
       val times = (1 to 2).map { _ =>
         val t0 = System.nanoTime()
         try {
+          if (injectFail(name)) throw new RuntimeException("injected failure")
           fn(spark, sfDir).write.format("noop").mode("overwrite").save()
           (System.nanoTime() - t0) / 1e9
         } catch { case _: Throwable => -1.0 }
