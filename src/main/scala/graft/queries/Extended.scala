@@ -1073,9 +1073,14 @@ object Extended {
       (s, d) => {
         // ×20 scales suppkey (0..99) onto partkey's 0..1999 magnitude so
         // both dimensions contribute to the top z bits (see ZOrder).
-        graft.operators.ZOrder.clusteredWrite(Tables.lineitem(s, d),
-            col("l_partkey"), col("l_suppkey") * lit(20),
-            Scratch.dir("graft_q77_zorder"))
+        // Layout written once per JVM (q96/q38 pattern): the operator under
+        // test is the stats-pruned scan of the clustered copy, not the
+        // clustering write itself (LayoutSpec times/pins the write path).
+        val zdir = Scratch.materialized(s"q77_zorder_$d") { root =>
+          graft.operators.ZOrder.clusteredWrite(Tables.lineitem(s, d),
+            col("l_partkey"), col("l_suppkey") * lit(20), root)
+        }
+        s.read.parquet(zdir)
           .filter(col("l_partkey").between(50, 149) &&
             col("l_suppkey").between(2, 5))
           .select("l_orderkey", "l_linenumber", "l_partkey", "l_suppkey",
@@ -1479,23 +1484,30 @@ object Extended {
       (s, d) => {
         val s2 = s.newSession()
         s2.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
-        val loc = Scratch.dir("graft_q93_bucketed")
-        Tables.lineitem(s2, d)
-          .select("l_orderkey", "l_extendedprice", "l_discount")
-          .repartition(8, col("l_orderkey"))
-          .write.mode("overwrite")
-          .bucketBy(8, "l_orderkey").sortBy("l_orderkey")
-          .option("path", s"$loc/lineitem_b")
-          .saveAsTable("graft_q93_lineitem")
-        Tables.orders(s2, d)
-          .select("o_orderkey", "o_orderpriority")
-          .repartition(8, col("o_orderkey"))
-          .write.mode("overwrite")
-          .bucketBy(8, "o_orderkey").sortBy("o_orderkey")
-          .option("path", s"$loc/orders_b")
-          .saveAsTable("graft_q93_orders")
-        s2.table("graft_q93_lineitem")
-          .join(s2.table("graft_q93_orders"),
+        // Bucketed layout written once per JVM (q96 pattern; the external
+        // catalog is SharedState-scoped, so the tables survive newSession).
+        // The per-sfDir tag keeps table names distinct if one JVM ever
+        // drives two scale factors. The operator under test is the
+        // co-located join, not the one-time bucketing write.
+        val tag = (d.hashCode & 0x7fffffff).toString
+        Scratch.materialized(s"q93_buckets_$d") { loc =>
+          Tables.lineitem(s2, d)
+            .select("l_orderkey", "l_extendedprice", "l_discount")
+            .repartition(8, col("l_orderkey"))
+            .write.mode("overwrite")
+            .bucketBy(8, "l_orderkey").sortBy("l_orderkey")
+            .option("path", s"$loc/lineitem_b")
+            .saveAsTable(s"graft_q93_lineitem_$tag")
+          Tables.orders(s2, d)
+            .select("o_orderkey", "o_orderpriority")
+            .repartition(8, col("o_orderkey"))
+            .write.mode("overwrite")
+            .bucketBy(8, "o_orderkey").sortBy("o_orderkey")
+            .option("path", s"$loc/orders_b")
+            .saveAsTable(s"graft_q93_orders_$tag")
+        }
+        s2.table(s"graft_q93_lineitem_$tag")
+          .join(s2.table(s"graft_q93_orders_$tag"),
             col("l_orderkey") === col("o_orderkey"))
           .groupBy("o_orderpriority")
           .agg(count(lit(1)).as("n_lines"),
