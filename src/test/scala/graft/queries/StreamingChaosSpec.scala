@@ -77,8 +77,25 @@ class StreamingChaosSpec extends SparkSpec {
     * the clean run's. AvailableNow + maxFilesPerTrigger=1 → one micro-batch
     * per source file, so batch boundaries are identical across runs.
     */
-  private def chaosCompare(label: String, rocks: Boolean = true)(
-      xform: DataFrame => DataFrame): Unit = {
+  /** Scope RocksDB CHANGELOG checkpointing around `body`: commits upload a
+    * per-batch changelog instead of a full snapshot, and recovery REPLAYS
+    * changelogs on top of the last uploaded snapshot — a different
+    * restore path than snapshot-load, and the production configuration for
+    * large state at 100 TB (per-commit upload cost proportional to the
+    * batch's delta, not the store size).
+    */
+  private def withChangelog[T](on: Boolean)(body: => T): T =
+    if (!on) body
+    else {
+      val k = "spark.sql.streaming.stateStore.rocksdb." +
+        "changelogCheckpointing.enabled"
+      s.conf.set(k, "true")
+      try body finally s.conf.unset(k)
+    }
+
+  private def chaosCompare(label: String, rocks: Boolean = true,
+      changelog: Boolean = false)(
+      xform: DataFrame => DataFrame): Unit = withChangelog(changelog) {
     val (srcDir, rawSchema) = eventsSplit
     def run(out: String, ckpt: String, kill: Option[Int]): Boolean = {
       def body: Boolean = {
@@ -136,6 +153,14 @@ class StreamingChaosSpec extends SparkSpec {
 
   test("s17 MapState survives a crash at batch k") {
     chaosCompare("s17")(StreamingQ.mapStateXform(s))
+  }
+
+  test("s12 ValueState: crash recovery under changelog checkpointing") {
+    chaosCompare("s12cc", changelog = true)(StreamingQ.twsRunningMaxXform(s))
+  }
+
+  test("s17 MapState: crash recovery under changelog checkpointing") {
+    chaosCompare("s17cc", changelog = true)(StreamingQ.mapStateXform(s))
   }
 
   test("s18 ListState survives a crash at batch k") {
