@@ -128,10 +128,11 @@ object Dedup {
     * accumulating copies, and d05 reuses d03's signatures for free.
     */
   /** Signature rows exploded to (doc_id, band, h1, h2) — the ONE place the
-    * LSH banding layout is encoded (d03/d05/d09/d10 pair generation and
-    * d11's incremental probe all join on these columns).
+    * LSH banding layout is encoded (d03/d05/d09/d10 pair generation, d11's
+    * incremental probe, and s28's streaming bucket state all key on these
+    * columns).
     */
-  private def bandedSignatures(sig: DataFrame): DataFrame = {
+  private[graft] def bandedSignatures(sig: DataFrame): DataFrame = {
     val bandStructs = bands.zipWithIndex.map { case ((x, y), i) =>
       struct(lit(i).as("band"), col(s"mh$x").as("h1"), col(s"mh$y").as("h2"))
     }

@@ -44,26 +44,28 @@ object StreamingQ {
     finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
   }
 
-  /** Run a file-source events stream through `xform` into a checkpointed
-    * parquet sink; return the sunk rows. `copies` symlinks the source
-    * parquet N times (duplicate delivery simulation for dedup ops).
+  /** Run a file-source stream over one on-disk parquet table through
+    * `xform` into a checkpointed parquet sink; return the sunk rows.
+    * `copies` symlinks the source parquet N times (duplicate delivery
+    * simulation for dedup ops); `normalize` adapts the raw on-disk schema
+    * (the events table's drifting timestamp forms).
     */
-  def runEventsStream(s: SparkSession, d: String, copies: Int = 1)(
+  def runFileStream(s: SparkSession, path: String, copies: Int = 1,
+      normalize: DataFrame => DataFrame = identity)(
       xform: DataFrame => DataFrame): DataFrame = {
-    val path = s"$d/events.parquet"
     val rawSchema = s.read.parquet(path).schema
     val srcDir = Paths.get(graft.util.Scratch.dir("graft_stream_src"))
     // Absolutize the link target: a relative sfDir would otherwise resolve
     // against the scratch dir and produce broken links → an empty stream.
     val target = Paths.get(path).toAbsolutePath.normalize()
     (1 to copies).foreach { i =>
-      Files.createSymbolicLink(srcDir.resolve(s"events_$i.parquet"), target)
+      Files.createSymbolicLink(srcDir.resolve(s"src_$i.parquet"), target)
     }
     val out  = graft.util.Scratch.dir("graft_stream_out")
     val ckpt = graft.util.Scratch.dir("graft_stream_ckpt")
 
     val q = withStateParts(s) {
-      val src = Tables.normalizeEvents(
+      val src = normalize(
         s.readStream.schema(rawSchema).parquet(srcDir.toString))
       val q0 = xform(src).writeStream
         .format("parquet")
@@ -82,6 +84,15 @@ object StreamingQ {
             s" state(rows=${so.numRowsTotal}, ms=${so.allUpdatesTimeMs}/${so.allRemovalsTimeMs}/${so.commitTimeMs})").mkString))
     s.read.parquet(out)
   }
+
+  def runEventsStream(s: SparkSession, d: String, copies: Int = 1)(
+      xform: DataFrame => DataFrame): DataFrame =
+    runFileStream(s, s"$d/events.parquet", copies,
+      Tables.normalizeEvents)(xform)
+
+  def runDocsStream(s: SparkSession, d: String)(
+      xform: DataFrame => DataFrame): DataFrame =
+    runFileStream(s, s"$d/documents.parquet")(xform)
 
   /** Q20: wire-format roundtrip pipeline (reference streaming-job shape —
     * source → CSV-wire parse → CASE enrichment → parquet sink,
@@ -485,6 +496,61 @@ object StreamingQ {
       .as[ListEv]
       .groupByKey(_.user_id)
       .transformWithState(new RecentEventsProcessor,
+        TimeMode.None(), OutputMode.Append())
+      .toDF()
+  }
+
+  /** Typed rows for the streaming near-dup admitter (s28). */
+  final case class BandRow(doc_id: Long, band: Int, h1: Long, h2: Long)
+  final case class BandVerdict(doc_id: Long, band_dup: Boolean)
+
+  /** s28's per-bucket state: the minimum doc_id ever seen in this LSH band
+    * bucket. A document is a near-duplicate BY THIS BUCKET iff some doc
+    * with a smaller id shares the bucket — either from an earlier batch
+    * (the ValueState min) or from this batch (the batch minimum). Both
+    * tests are order-free within a batch and the state is one long per
+    * bucket, so the verdict stream is deterministic under any arrival
+    * order inside a micro-batch and O(buckets) in state forever.
+    */
+  final class BucketMinProcessor
+      extends StatefulProcessor[(Int, Long, Long), BandRow, BandVerdict] {
+    @transient private var minSeen: org.apache.spark.sql.streaming.ValueState[Long] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      minSeen = getHandle.getValueState[Long]("minSeen",
+        org.apache.spark.sql.Encoders.scalaLong, TTLConfig.NONE)
+
+    override def handleInputRows(key: (Int, Long, Long),
+        rows: Iterator[BandRow], tv: TimerValues): Iterator[BandVerdict] = {
+      val ids = rows.map(_.doc_id).toSeq
+      val batchMin = ids.min
+      val prev = if (minSeen.exists()) Some(minSeen.get()) else None
+      val out = ids.map(id =>
+        BandVerdict(id, prev.exists(_ < id) || batchMin < id))
+      minSeen.update(math.min(prev.getOrElse(Long.MaxValue), batchMin))
+      out.iterator
+    }
+  }
+
+  /** s28: STREAMING near-duplicate admission — the online form of d03's
+    * MinHash/LSH blocking, the crawl-ingest shape: every arriving document
+    * is checked against ALL previously admitted documents without ever
+    * joining against the history. The d03 banding layout (4 bands × 2 rows
+    * from the shared codegen'd signature kernel) becomes the STATE KEY:
+    * each band bucket keeps only its min doc_id, so "have I seen a
+    * near-dup of this?" is a state lookup, not a join — at 100 TB the
+    * history never re-shuffles and per-batch cost is proportional to the
+    * batch, not the corpus. Verdict = duplicate iff ANY of the doc's 4
+    * buckets already held a smaller id (the d03 candidate-pair relation
+    * restricted to earlier docs), aggregated per doc AFTER the drain; the
+    * oracle is the same EXISTS over the shared signature SQL.
+    */
+  def nearDupXform(s: SparkSession)(src: DataFrame): DataFrame = {
+    import s.implicits._
+    graft.ext.Dedup.bandedSignatures(graft.ext.Dedup.minhash(src))
+      .as[BandRow]
+      .groupByKey(r => (r.band, r.h1, r.h2))
+      .transformWithState(new BucketMinProcessor,
         TimeMode.None(), OutputMode.Append())
       .toDF()
   }
@@ -1248,6 +1314,29 @@ object StreamingQ {
       (s, d) => runEventsStream(s, d)(firstSeenXform(s)),
       Some("""SELECT user_id, CAST(min(ts) AS DATE) AS cohort_day
               FROM events GROUP BY 1""")),
+
+    // s28: streaming near-dup admission over documents (see nearDupXform).
+    // The per-doc verdict is bool_or over the 4 per-bucket flags, folded
+    // batch-side AFTER the drain (an unwindowed per-doc aggregate cannot
+    // run in append mode above a stateful op; the per-bucket verdict rows
+    // ARE the stream's output contract). Oracle: a doc is a near-dup iff
+    // an EARLIER doc shares any band — the d03 pair relation restricted to
+    // doc_a < doc_b, built from the SAME shared signature SQL.
+    Q("s28_stream_neardup",
+      (s, d) => withRocksDb(s) {
+        runDocsStream(s, d)(nearDupXform(s))
+          .groupBy("doc_id")
+          .agg(bool_or(col("band_dup")).as("is_dup"))
+      },
+      Some {
+        val arms = graft.ext.Dedup.bands.map { case (x, y) =>
+          s"(e.mh$x = s.mh$x AND e.mh$y = s.mh$y)" }.mkString(" OR ")
+        s"""WITH sig AS (${graft.ext.Dedup.minhashSql})
+            SELECT s.doc_id,
+                   EXISTS (SELECT 1 FROM sig e
+                           WHERE e.doc_id < s.doc_id AND ($arms)) AS is_dup
+            FROM sig s"""
+      }),
 
     // s25: stream-stream FULL OUTER interval join — s10's outer-emission
     // semantics on BOTH sides, completing the join-type family (inner

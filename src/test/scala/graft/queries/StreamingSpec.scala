@@ -518,6 +518,63 @@ class StreamingSpec extends SparkSpec {
     assert(got === Map(7L -> "2024-01-01", 8L -> "2024-01-04"))
   }
 
+  test("streaming near-dup verdicts match the batch pair relation across " +
+      "micro-batch boundaries (s28)") {
+    val s = spark
+    import s.implicits._
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "the quick brown fox jumps over the lazy dog"), // exact dup of 1
+      (3L, "the quick brown fox jumps over a sleepy dog"), // near dup of 1
+      (4L, "entirely different content about database engines"),
+      (5L, "one"))                                         // below sig floor
+      .toDF("doc_id", "text")
+    // Expected verdict from the BATCH relation this op is the online form
+    // of: dup iff the doc appears as doc_b in d03's candidate pairs.
+    val dupIds = graft.ext.Dedup.lshPairs(docs).collect()
+      .map(_.getLong(1)).toSet
+    val sigIds = graft.ext.Dedup.minhash(docs)
+      .select("doc_id").as[Long].collect().toSet
+    val expected = sigIds.map(id => id -> dupIds.contains(id)).toMap
+
+    val srcDir = Files.createTempDirectory("graft_s28_src").toString
+    val out    = Files.createTempDirectory("graft_s28_out").toString
+    val ckpt   = Files.createTempDirectory("graft_s28_ckpt").toString
+    def addFile(name: String, mtime: Long, ids: Seq[Long]): Unit = {
+      val stage = Files.createTempDirectory(s"graft_s28_$name").toString
+      docs.filter(col("doc_id").isin(ids: _*))
+        .coalesce(1).write.mode("overwrite").parquet(stage)
+      val part = new File(stage).listFiles()
+        .find(_.getName.endsWith(".parquet")).get
+      val dst = Paths.get(srcDir, s"$name.parquet")
+      Files.move(part.toPath, dst)
+      dst.toFile.setLastModified(mtime)
+    }
+    // id-ordered slicing (the declared source-layout discipline): doc 2
+    // must be flagged by batch-a STATE (doc 1's bucket mins), not an
+    // in-batch comparison — the cross-batch path under test.
+    addFile("a", 1700000000000L, Seq(1L, 4L))
+    addFile("b", 1700000060000L, Seq(2L, 3L, 5L))
+
+    val got = StreamingQ.withRocksDb(s) {
+      StreamingQ.withStateParts(s) {
+        val q = StreamingQ.nearDupXform(s)(
+          s.readStream.schema(docs.schema)
+            .option("maxFilesPerTrigger", 1).parquet(srcDir))
+          .writeStream.format("parquet").outputMode("append")
+          .option("checkpointLocation", ckpt).option("path", out)
+          .trigger(Trigger.AvailableNow()).start()
+        q.awaitTermination()
+      }
+      s.read.parquet(out)
+        .groupBy("doc_id").agg(bool_or(col("band_dup")).as("is_dup"))
+        .collect().map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    }
+    assert(got === expected)
+    assert(got(2L), "exact dup must be flagged from cross-batch state")
+    assert(!got(1L) && !got(4L), "first arrivals are admitted")
+  }
+
   test("running z-score flags are identical under any micro-batch slicing") {
     val s = spark
     import s.implicits._
