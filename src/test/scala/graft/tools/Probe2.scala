@@ -20,9 +20,18 @@ object Probe2 {
     val df = graft.queries.Catalog.byName(args(0)).run(spark, d)
     println(f"build=${(System.nanoTime()-tb)/1e9}%.2f s")
     if (args.contains("--explain")) df.explain("formatted")
+    // Time through the noop sink, same as Bench: every column of every row
+    // materializes, so projection-heavy queries aren't under-measured by
+    // count()'s column pruning. rows= comes from an observe() metric on the
+    // SAME materializing pass — no second job.
+    val obs = org.apache.spark.sql.Observation("probe")
+    val counted = df.observe(obs, org.apache.spark.sql.functions
+      .count(org.apache.spark.sql.functions.lit(1)).as("n"))
     val t0 = System.nanoTime()
-    println("rows=" + df.count())
-    println(f"time=${(System.nanoTime()-t0)/1e9}%.2f s")
+    counted.write.format("noop").mode("overwrite").save()
+    val dt = (System.nanoTime() - t0) / 1e9
+    println("rows=" + obs.get("n"))
+    println(f"time=$dt%.2f s")
     spark.stop()
   }
 }
