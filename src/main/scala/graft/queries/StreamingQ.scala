@@ -555,6 +555,74 @@ object StreamingQ {
       .toDF()
   }
 
+  /** Typed rows for the streaming kNN maintainer (s29). */
+  final case class KnnCand(q_id: Long, vec_id: Long, label: Int,
+      cos_sim: Double)
+  final case class TopKState(entries: Seq[KnnCand])
+
+  /** s29's per-query state: the current top-k candidates, best-first by
+    * (cos desc, vec_id asc). A candidate is ADMITTED (emitted) iff the
+    * state holds fewer than k entries or it beats the current k-th; the
+    * sink therefore accumulates an admission LOG, and the final top-k is a
+    * batch rank over it after the drain. The final relation is provably
+    * independent of micro-batch slicing: a true top-k member beats every
+    * possible k-th at any arrival time (fewer than k corpus vectors beat
+    * it at all), so it is always admitted; spurious admissions are
+    * displaced by the post-drain rank. Within a batch, candidates process
+    * in (cos desc, vec_id) order, so the log itself is deterministic too.
+    */
+  final class TopKAdmitProcessor(k: Int)
+      extends StatefulProcessor[Long, KnnCand, KnnCand] {
+    @transient private var st: org.apache.spark.sql.streaming.ValueState[TopKState] = _
+
+    private def beats(a: KnnCand, b: KnnCand): Boolean =
+      a.cos_sim > b.cos_sim ||
+        (a.cos_sim == b.cos_sim && a.vec_id < b.vec_id)
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      st = getHandle.getValueState[TopKState]("topk",
+        org.apache.spark.sql.Encoders.product[TopKState], TTLConfig.NONE)
+
+    override def handleInputRows(key: Long, rows: Iterator[KnnCand],
+        tv: TimerValues): Iterator[KnnCand] = {
+      var entries = if (st.exists()) st.get().entries else Seq.empty[KnnCand]
+      val admitted = scala.collection.mutable.ArrayBuffer[KnnCand]()
+      for (c <- rows.toSeq.sortBy(r => (-r.cos_sim, r.vec_id))) {
+        if (entries.size < k || beats(c, entries.last)) {
+          admitted += c
+          entries = (entries :+ c)
+            .sortBy(e => (-e.cos_sim, e.vec_id)).take(k)
+        }
+      }
+      st.update(TopKState(entries))
+      admitted.iterator
+    }
+  }
+
+  /** s29: STREAMING kNN maintenance — the x-family's online form (as s28
+    * is d03's): k nearest corpus vectors per query kept CURRENT as the
+    * vector stream arrives, without ever re-scanning history. The static
+    * query set broadcasts into a stream-static cross score (x07's map-side
+    * shape), and per-query state is the running top-k — O(|queries|·k)
+    * state forever, per-batch cost proportional to the batch. At 100 TB
+    * this is the continuous-retrieval-index shape: each arriving shard
+    * scores against the query set and only top-k admissions flow on.
+    */
+  def knnAdmitXform(s: SparkSession, queries: DataFrame)(
+      src: DataFrame): DataFrame = {
+    import s.implicits._
+    graft.functions.GraftFunctions.register(s)
+    src.crossJoin(broadcast(queries))
+      .filter(col("vec_id") =!= col("q_id"))
+      .withColumn("cos_sim", expr("graft_cos(embedding, qe)"))
+      .select(col("q_id"), col("vec_id"), col("label"), col("cos_sim"))
+      .as[KnnCand]
+      .groupByKey(_.q_id)
+      .transformWithState(new TopKAdmitProcessor(5),
+        TimeMode.None(), OutputMode.Append())
+      .toDF()
+  }
+
   /** Scope the RocksDB state-store provider (the transformWithState
     * requirement and the honest 100 TB backend) around `body`.
     */
@@ -1337,6 +1405,34 @@ object StreamingQ {
                            WHERE e.doc_id < s.doc_id AND ($arms)) AS is_dup
             FROM sig s"""
       }),
+
+    // s29: streaming kNN maintenance (see knnAdmitXform). The sink holds
+    // the admission log; the final top-5 per query is the post-drain rank
+    // over it — the same relation x07 computes in one batch pass, so the
+    // oracle is x07's SQL verbatim.
+    Q("s29_stream_knn",
+      (s, d) => withRocksDb(s) {
+        graft.functions.GraftFunctions.register(s)
+        val q = Tables.embeddings(s, d).orderBy("vec_id").limit(8)
+          .select(col("vec_id").as("q_id"), col("embedding").as("qe"))
+        val admitted = runFileStream(s, s"$d/embeddings.parquet")(
+          knnAdmitXform(s, q))
+        import org.apache.spark.sql.expressions.Window
+        admitted.withColumn("rn", row_number().over(
+            Window.partitionBy("q_id")
+              .orderBy(col("cos_sim").desc, col("vec_id"))))
+          .filter(col("rn") <= 5).drop("rn")
+      },
+      Some(s"""WITH q AS (SELECT vec_id AS q_id, embedding AS qe
+                          FROM embeddings ORDER BY vec_id LIMIT 8),
+                    scored AS (SELECT q.q_id, e.vec_id, e.label,
+                                      ${graft.ext.Similarity.duckCos(
+                                        "e.embedding", "q.qe")} AS cos_sim
+                               FROM embeddings e, q WHERE e.vec_id <> q.q_id)
+               SELECT q_id, vec_id, label, cos_sim FROM (
+                 SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id
+                             ORDER BY cos_sim DESC, vec_id) AS rn
+                 FROM scored) WHERE rn <= 5""")),
 
     // s25: stream-stream FULL OUTER interval join — s10's outer-emission
     // semantics on BOTH sides, completing the join-type family (inner

@@ -575,6 +575,67 @@ class StreamingSpec extends SparkSpec {
     assert(!got(1L) && !got(4L), "first arrivals are admitted")
   }
 
+  test("streaming kNN final top-k equals the batch rank across micro-batch " +
+      "boundaries (s29)") {
+    val s = spark
+    import s.implicits._
+    // 1 query (id 0, unit-x) + 6 candidates at known cosines to it. The
+    // BEST candidate (id 6) arrives in batch b: it must displace batch-a
+    // admissions through cross-batch state, and the final top-3 must equal
+    // the batch rank regardless of the slicing.
+    def v(x: Double, y: Double): Seq[Float] =
+      Seq(x.toFloat, y.toFloat, 0f, 0f)
+    val vecs = Seq(
+      (0L, v(1, 0), 0),                    // the query
+      (1L, v(0.9, 0.1), 1), (2L, v(0.5, 0.5), 1), (3L, v(0.1, 0.9), 1),
+      (4L, v(0.8, 0.2), 1), (5L, v(-1, 0), 1),
+      (6L, v(1, 0.001), 1))                // best cosine, arrives last
+      .toDF("vec_id", "embedding", "label")
+    graft.functions.GraftFunctions.register(s)
+    val q = vecs.orderBy("vec_id").limit(1)
+      .select(col("vec_id").as("q_id"), col("embedding").as("qe"))
+    val expected = vecs.crossJoin(broadcast(q))
+      .filter(col("vec_id") =!= col("q_id"))
+      .withColumn("cos_sim", expr("graft_cos(embedding, qe)"))
+      .orderBy(col("cos_sim").desc, col("vec_id")).limit(3)
+      .select("vec_id").as[Long].collect().toSeq
+
+    val srcDir = Files.createTempDirectory("graft_s29_src").toString
+    val out    = Files.createTempDirectory("graft_s29_out").toString
+    val ckpt   = Files.createTempDirectory("graft_s29_ckpt").toString
+    def addFile(name: String, mtime: Long, ids: Seq[Long]): Unit = {
+      val stage = Files.createTempDirectory(s"graft_s29_$name").toString
+      vecs.filter(col("vec_id").isin(ids: _*))
+        .coalesce(1).write.mode("overwrite").parquet(stage)
+      val part = new File(stage).listFiles()
+        .find(_.getName.endsWith(".parquet")).get
+      Files.move(part.toPath, Paths.get(srcDir, s"$name.parquet"))
+      Paths.get(srcDir, s"$name.parquet").toFile.setLastModified(mtime)
+    }
+    addFile("a", 1700000000000L, Seq(0L, 1L, 2L, 3L, 4L, 5L))
+    addFile("b", 1700000060000L, Seq(6L))
+
+    val got = StreamingQ.withRocksDb(s) {
+      StreamingQ.withStateParts(s) {
+        val strq = StreamingQ.knnAdmitXform(s, q)(
+          s.readStream.schema(vecs.schema)
+            .option("maxFilesPerTrigger", 1).parquet(srcDir))
+          .writeStream.format("parquet").outputMode("append")
+          .option("checkpointLocation", ckpt).option("path", out)
+          .trigger(Trigger.AvailableNow()).start()
+        strq.awaitTermination()
+      }
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("q_id").orderBy(col("cos_sim").desc, col("vec_id"))
+      s.read.parquet(out)
+        .withColumn("rn", row_number().over(w)).filter(col("rn") <= 3)
+        .orderBy("rn").select("vec_id").as[Long].collect().toSeq
+    }
+    assert(got === expected)
+    assert(got.head === 6L,
+      "the batch-b arrival must displace batch-a admissions via state")
+  }
+
   test("running z-score flags are identical under any micro-batch slicing") {
     val s = spark
     import s.implicits._
