@@ -507,10 +507,18 @@ object StreamingQ {
   /** s28's per-bucket state: the minimum doc_id ever seen in this LSH band
     * bucket. A document is a near-duplicate BY THIS BUCKET iff some doc
     * with a smaller id shares the bucket — either from an earlier batch
-    * (the ValueState min) or from this batch (the batch minimum). Both
-    * tests are order-free within a batch and the state is one long per
-    * bucket, so the verdict stream is deterministic under any arrival
-    * order inside a micro-batch and O(buckets) in state forever.
+    * (the ValueState min) or from this batch (the batch minimum).
+    *
+    * The verdict LOG (folded per doc by bool_or after the drain) is
+    * order-free under ANY micro-batch slicing, not just within a batch:
+    * at arrival a doc is flagged unless it is the running bucket minimum,
+    * and when a later batch brings a smaller id the displaced min-holder —
+    * the one doc this bucket ever left unflagged — gets a retroactive
+    * correction row. Inductively only the bucket's global min ends
+    * unflagged, which is exactly the batch EXISTS-earlier oracle, so a
+    * multi-file source or a maxFilesPerTrigger option cannot diverge
+    * (spec-pinned with an out-of-id-order slicing in StreamingSpec).
+    * State stays one long per bucket — O(buckets) forever.
     */
   final class BucketMinProcessor
       extends StatefulProcessor[(Int, Long, Long), BandRow, BandVerdict] {
@@ -527,8 +535,12 @@ object StreamingQ {
       val prev = if (minSeen.exists()) Some(minSeen.get()) else None
       val out = ids.map(id =>
         BandVerdict(id, prev.exists(_ < id) || batchMin < id))
+      // Retroactive correction: the stored min-holder was admitted
+      // unflagged at its arrival; a smaller id arriving now proves it a
+      // near-dup after all. One extra log row; bool_or absorbs it.
+      val correction = prev.filter(_ > batchMin).map(BandVerdict(_, true))
       minSeen.update(math.min(prev.getOrElse(Long.MaxValue), batchMin))
-      out.iterator
+      (out.iterator ++ correction.iterator)
     }
   }
 
@@ -565,11 +577,19 @@ object StreamingQ {
     * state holds fewer than k entries or it beats the current k-th; the
     * sink therefore accumulates an admission LOG, and the final top-k is a
     * batch rank over it after the drain. The final relation is provably
-    * independent of micro-batch slicing: a true top-k member beats every
-    * possible k-th at any arrival time (fewer than k corpus vectors beat
-    * it at all), so it is always admitted; spurious admissions are
-    * displaced by the post-drain rank. Within a batch, candidates process
-    * in (cos desc, vec_id) order, so the log itself is deterministic too.
+    * independent of micro-batch slicing AND of in-batch processing order:
+    * a true top-k member beats every possible k-th at any arrival time
+    * (fewer than k corpus vectors beat it at all), so it is always
+    * admitted; spurious admissions are displaced by the post-drain rank.
+    *
+    * The input iterator is consumed STREAMING — because knnAdmitXform
+    * fans every stream row out to all query keys, each key sees the whole
+    * micro-batch, and buffering it per key (an earlier rows.toSeq
+    * pre-sort) would be O(batch) memory per key at 100 TB. Held memory is
+    * now the k-entry state plus the admitted rows themselves; the log's
+    * row SET varies with arrival order (admissions are a monotone
+    * threshold process) but the post-drain rank — the operator's declared
+    * output — does not, which is what the oracle gate hashes.
     */
   final class TopKAdmitProcessor(k: Int)
       extends StatefulProcessor[Long, KnnCand, KnnCand] {
@@ -587,7 +607,7 @@ object StreamingQ {
         tv: TimerValues): Iterator[KnnCand] = {
       var entries = if (st.exists()) st.get().entries else Seq.empty[KnnCand]
       val admitted = scala.collection.mutable.ArrayBuffer[KnnCand]()
-      for (c <- rows.toSeq.sortBy(r => (-r.cos_sim, r.vec_id))) {
+      for (c <- rows) {
         if (entries.size < k || beats(c, entries.last)) {
           admitted += c
           entries = (entries :+ c)

@@ -67,14 +67,27 @@ object Tables {
     val slots = spark.sparkContext.defaultParallelism
     // Estimate the scan's split count from the file index (no job, no RDD
     // materialization — safe even if a caller ever passes a post-shuffle
-    // plan under AQE). Non-file plans estimate 0 and are left untouched.
+    // plan under AQE). Both reader generations are matched so a v1→v2
+    // migration of any loader keeps the estimate alive: v1
+    // LogicalRelation/HadoopFsRelation and DSv2 FileScan (parquet/csv/orc
+    // under spark.sql.sources.useV1SourceList changes). Plans with no file
+    // relation at all (pure in-memory frames, non-file DSv2 sources)
+    // estimate 0 and are left untouched — for those there is no "small
+    // scan" to widen and an unconditional repartition would add a shuffle.
     val maxSplit = spark.sessionState.conf.filesMaxPartitionBytes
+    def splitsOf(bytes: Long): Long =
+      math.max(1L, (bytes + maxSplit - 1) / maxSplit)
     val estSplits = df.queryExecution.optimizedPlan.collect {
       case l: LogicalRelation => l.relation match {
-        case fs: HadoopFsRelation =>
-          math.max(1L, (fs.location.sizeInBytes + maxSplit - 1) / maxSplit)
+        case fs: HadoopFsRelation => splitsOf(fs.location.sizeInBytes)
         case _ => 0L
       }
+      case v2: org.apache.spark.sql.execution.datasources.v2.DataSourceV2ScanRelation =>
+        v2.scan match {
+          case f: org.apache.spark.sql.execution.datasources.v2.FileScan =>
+            splitsOf(f.fileIndex.sizeInBytes)
+          case _ => 0L
+        }
     }.sum
     if (estSplits > 0 && estSplits < slots) df.repartition(slots) else df
   }

@@ -575,6 +575,63 @@ class StreamingSpec extends SparkSpec {
     assert(!got(1L) && !got(4L), "first arrivals are admitted")
   }
 
+  test("s28 verdicts match the batch oracle under OUT-OF-ID-ORDER slicing " +
+      "(retroactive correction of a displaced bucket min)") {
+    val s = spark
+    import s.implicits._
+    // Doc 2 (a near-dup pair member with the SMALLER partner 1 arriving in
+    // a LATER batch) is the divergence case: at arrival 2 is its buckets'
+    // running min and is admitted unflagged; without the correction row
+    // neither 1 nor 2 is ever flagged while the batch EXISTS-earlier
+    // oracle flags 2. The correction emitted when 1 displaces 2 as bucket
+    // min is what reconciles the log with the oracle.
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "the quick brown fox jumps over the lazy dog"), // exact dup of 1
+      (3L, "the quick brown fox jumps over a sleepy dog"), // near dup
+      (4L, "entirely different content about database engines"))
+      .toDF("doc_id", "text")
+    val dupIds = graft.ext.Dedup.lshPairs(docs).collect()
+      .map(_.getLong(1)).toSet
+    val expected = graft.ext.Dedup.minhash(docs)
+      .select("doc_id").as[Long].collect().toSet
+      .map((id: Long) => id -> dupIds.contains(id)).toMap
+
+    val srcDir = Files.createTempDirectory("graft_s28o_src").toString
+    val out    = Files.createTempDirectory("graft_s28o_out").toString
+    val ckpt   = Files.createTempDirectory("graft_s28o_ckpt").toString
+    def addFile(name: String, mtime: Long, ids: Seq[Long]): Unit = {
+      val stage = Files.createTempDirectory(s"graft_s28o_$name").toString
+      docs.filter(col("doc_id").isin(ids: _*))
+        .coalesce(1).write.mode("overwrite").parquet(stage)
+      val part = new File(stage).listFiles()
+        .find(_.getName.endsWith(".parquet")).get
+      val dst = Paths.get(srcDir, s"$name.parquet")
+      Files.move(part.toPath, dst)
+      dst.toFile.setLastModified(mtime)
+    }
+    addFile("a", 1700000000000L, Seq(2L, 4L)) // larger pair member first
+    addFile("b", 1700000060000L, Seq(1L, 3L)) // smaller partner later
+
+    val got = StreamingQ.withRocksDb(s) {
+      StreamingQ.withStateParts(s) {
+        val q = StreamingQ.nearDupXform(s)(
+          s.readStream.schema(docs.schema)
+            .option("maxFilesPerTrigger", 1).parquet(srcDir))
+          .writeStream.format("parquet").outputMode("append")
+          .option("checkpointLocation", ckpt).option("path", out)
+          .trigger(Trigger.AvailableNow()).start()
+        q.awaitTermination()
+      }
+      s.read.parquet(out)
+        .groupBy("doc_id").agg(bool_or(col("band_dup")).as("is_dup"))
+        .collect().map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    }
+    assert(got === expected)
+    assert(got(2L), "displaced bucket min must be flagged retroactively")
+    assert(!got(1L), "the bucket's global min stays admitted")
+  }
+
   test("streaming kNN final top-k equals the batch rank across micro-batch " +
       "boundaries (s29)") {
     val s = spark
