@@ -1421,13 +1421,16 @@ object Extended {
     // is SQL-standard percentile_disc (an actual data value — no
     // interpolation, so it hash-matches across engines bit-for-bit) computed
     // once and BROADCAST; the corpus side stays a scan + filter + partial
-    // agg with no extra shuffle. At 100 TB the cutoff agg is the only
-    // global step, and percentile_disc's sort can be swapped for the q80
-    // histogram sketch without touching the gate's shape.
+    // agg with no extra shuffle. This query is the RETAINED single-reducer
+    // hazard (kept as the built-in-function form of the cut): the cutoff
+    // agg funnels the value column through one reducer, so it is gated by
+    // ScaleGuard — above spark.graft.percentile.maxBytes it fails fast
+    // with a pointer to the scale-safe twins q80 (histogram sketch) and
+    // q101 (two-level exact cut) instead of melting at 100 TB.
     Q("q90_percentile_cut",
       (s, d) => {
         val li = Tables.lineitem(s, d)
-        val cut = li.agg(expr(
+        val cut = graft.util.ScaleGuard.singleReducerPercentile(li).agg(expr(
           "percentile_disc(0.9) WITHIN GROUP (ORDER BY l_extendedprice)")
           .as("cut"))
         li.crossJoin(broadcast(cut))

@@ -92,6 +92,27 @@ class TopKPerKeySpec extends SparkSpec {
     } finally spark.conf.unset("spark.graft.topk.maxKeysPerTask")
   }
 
+  test("large k with few keys under a 1-key heap cap takes the final-stage " +
+      "spillable sort (k=10^4 retained rows per key)") {
+    // The adversarial axis orthogonal to the 1M-keys test above: few keys
+    // but k·rows-per-key large, so the FINAL stage's fallback sorts row
+    // sets far bigger than any heap the cap admits. maxKeysPerTask=1
+    // forces a breach in every task that sees a second distinct key
+    // (64 keys into ≤32 reduce partitions — pigeonhole guarantees some),
+    // pinning the GraftSorterBridge path with 10^4-per-key emission.
+    spark.conf.set("spark.graft.topk.maxKeysPerTask", "1")
+    try {
+      val big = spark.range(0, 1280000L).select(
+        (col("id") % 64L).as("grp"), col("id").as("score"))
+      val topk = TopKPerKey(big, Seq("grp"), Seq(("score", true)), 10000)
+      // ascending top-10^4 per key = ids g + 64j, j < 10^4 → all < 640000
+      assert(topk.count() === 640000L)
+      assert(topk.filter(col("score") >= 640000L).count() === 0)
+      assert(topk.select(sum(col("score"))).as[Long].head() ===
+        (0L until 640000L).sum)
+    } finally spark.conf.unset("spark.graft.topk.maxKeysPerTask")
+  }
+
   test("double group keys normalize: -0.0/0.0 one group, NaNs one group") {
     // byte-compared group keys must match SQL groupBy semantics
     val df = Seq((0.0, 1L), (-0.0, 2L), (Double.NaN, 3L), (Double.NaN, 4L))
