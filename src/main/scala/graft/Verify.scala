@@ -73,6 +73,7 @@ object Verify {
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    graft.util.Caches.releaseAll() // owner-side release of library persists
     spark.stop()
   }
 }

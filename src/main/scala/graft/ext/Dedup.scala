@@ -122,10 +122,14 @@ object Dedup {
     * shuffle equi-join on the band key instead of 4 separate joins — shuffle
     * on near-uniform hash values, never a cartesian.
     *
-    * The persisted relation is deliberately left cached (no unpersist): the
+    * The persisted relation is deliberately left cached across queries: the
     * CacheManager dedups by canonicalized plan, so repeated calls over the
     * same input reuse one compact cache entry (9 longs/doc) rather than
-    * accumulating copies, and d05 reuses d03's signatures for free.
+    * accumulating copies, and d05 reuses d03's signatures for free. The
+    * lifetime is OWNED via [[graft.util.Caches.retain]]: a long-lived
+    * session evicts every library cache (this one and jaccardPairs'
+    * corpus-sized token cache) with `Caches.releaseAll()` — Bench/Verify
+    * call it at shutdown.
     */
   /** Signature rows exploded to (doc_id, band, h1, h2) — the ONE place the
     * LSH banding layout is encoded (d03/d05/d09/d10 pair generation, d11's
@@ -142,7 +146,7 @@ object Dedup {
   }
 
   def lshPairs(docs: DataFrame): DataFrame = {
-    val sig = minhash(docs).persist()
+    val sig = graft.util.Caches.retain(minhash(docs))
     val banded = bandedSignatures(sig)
     val a = banded.toDF("doc_a", "band_a", "h1a", "h2a")
     // shuffle_hash hint: at 100 TB the signature relation is TB-scale, so
@@ -203,8 +207,8 @@ object Dedup {
     * Runs only on the candidate pairs — the quadratic space is never built.
     */
   def jaccardPairs(docs: DataFrame): DataFrame = {
-    val toks = docs.select(col("doc_id"),
-      array_distinct(split(col("text"), " ")).as("toks")).persist()
+    val toks = graft.util.Caches.retain(docs.select(col("doc_id"),
+      array_distinct(split(col("text"), " ")).as("toks")))
     lshPairs(docs)
       .join(toks.select(col("doc_id").as("doc_a"), col("toks").as("ta")), "doc_a")
       .join(toks.select(col("doc_id").as("doc_b"), col("toks").as("tb")), "doc_b")
@@ -373,7 +377,7 @@ object Dedup {
     * ids — no pair materialization, no O(old × new) anything.
     */
   def incrementalKeep(docs: DataFrame): DataFrame = {
-    val sig = minhash(docs).persist()
+    val sig = graft.util.Caches.retain(minhash(docs))
     val banded = bandedSignatures(sig)
     val oldB = banded.filter(col("doc_id") % 10 < 8)
       .select(col("band").as("band_o"), col("h1").as("h1o"),
@@ -682,8 +686,8 @@ object DedupQueries {
     Q("d16_containment",
       (s, d) => {
         val docs = Tables.documents(s, d)
-        val toks = docs.select(col("doc_id"),
-          array_distinct(split(col("text"), " ")).as("toks")).persist()
+        val toks = graft.util.Caches.retain(docs.select(col("doc_id"),
+          array_distinct(split(col("text"), " ")).as("toks")))
         Dedup.lshPairs(docs)
           .join(toks.select(col("doc_id").as("doc_a"),
             col("toks").as("ta")), "doc_a")

@@ -35,11 +35,13 @@ object LinkRank {
   def rank(edges0: DataFrame, iters: Int): DataFrame = {
     // persist the edge relation: ranks_i's lineage nests ranks_{i-1}, so
     // without it every iteration re-derives the edges from source —
-    // events would be re-scanned ~2^iters times (d03's persist rationale;
-    // deliberately left cached, the next action re-reads it immediately)
-    val edges = edges0.persist()
-    val nodes = edges.select(col("src").as("node"))
-      .union(edges.select(col("dst").as("node"))).distinct().persist()
+    // events would be re-scanned ~2^iters times (d03's persist rationale).
+    // Retained via Caches: the cache must outlive this lazy return, and
+    // Caches.releaseAll() is the session's eviction hook.
+    val edges = graft.util.Caches.retain(edges0)
+    val nodes = graft.util.Caches.retain(
+      edges.select(col("src").as("node"))
+        .union(edges.select(col("dst").as("node"))).distinct())
     val deg = edges.groupBy("src").agg(count(lit(1)).as("deg"))
     val withDeg = edges.join(broadcast(deg), "src")
     var ranks = nodes.withColumn("rank", lit(InitRank))

@@ -1762,7 +1762,7 @@ object Extended {
           .groupBy(expr("cents DIV 10000").as("b"), col("l_returnflag"))
           .agg(count(lit(1)).as("c"),
             sum(col("l_extendedprice").cast(DecimalType(18, 2))).as("s"))
-          .persist() // ~1k buckets × flags; read by pick AND the final gate
+          .transform(graft.util.Caches.retain) // ~1k buckets × flags; read by pick AND the final gate
         val coarse = grouped.groupBy("b").agg(sum("c").as("cb"))
         val wb = Window.orderBy("b")
         val pick = coarse
@@ -1785,7 +1785,7 @@ object Extended {
           .groupBy("cents", "l_returnflag", "offset", "target")
           .agg(count(lit(1)).as("c"),
             sum(col("l_extendedprice").cast(DecimalType(18, 2))).as("s"))
-          .persist() // ≤ 10⁴ distinct cents × flags; read by cut AND finePart
+          .transform(graft.util.Caches.retain) // ≤ 10⁴ distinct cents × flags; read by cut AND finePart
         val cut = fine
           .groupBy("cents", "offset", "target").agg(sum("c").as("cc"))
           .withColumn("cumw",
