@@ -167,6 +167,160 @@ class StreamingChaosSpec extends SparkSpec {
     chaosCompare("s18")(StreamingQ.listStateXform(s))
   }
 
+  /** documents.parquet split into nFiles doc_id-ordered files (same
+    * discipline as eventsSplit) for the s28 chaos run.
+    */
+  private lazy val docsSplit: (String, StructType) = {
+    val raw = s.read.parquet(s"$sf/documents.parquet")
+    val dir = Scratch.dir("graft_chaos_docs_src")
+    val w = org.apache.spark.sql.expressions.Window.orderBy(col("doc_id"))
+    val sliced = raw.withColumn("__b", ntile(nFiles).over(w)).cache()
+    (1 to nFiles).foreach { i =>
+      val tmp = Scratch.dir(s"graft_chaos_dtmp$i")
+      sliced.filter(col("__b") === i).drop("__b")
+        .coalesce(1).write.mode("overwrite").parquet(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .find(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet"))
+        .getOrElse(fail(s"no part file in $tmp"))
+      val dst = new java.io.File(dir, f"docs_$i%02d.parquet")
+      Files.move(part.toPath, dst.toPath)
+      assert(dst.setLastModified(1700000000000L + i * 60000L))
+    }
+    sliced.unpersist()
+    (dir, raw.schema)
+  }
+
+  /** Generic crash/restart driver over an arbitrary pre-split source dir;
+    * returns whether the injected crash fired. `gateCol` is the column the
+    * chaos UDF rides on.
+    */
+  private def runSplit(srcDir: String, schema: StructType, gateCol: String,
+      xform: DataFrame => DataFrame, out: String, ckpt: String,
+      kill: Option[Int]): Boolean =
+    StreamingQ.withRocksDb(s) {
+      StreamingQ.withStateParts(s) {
+        val boom = udf((id: Long) => { ChaosGate.hit(); true })
+        val src0 = s.readStream.schema(schema)
+          .option("maxFilesPerTrigger", 1).parquet(srcDir)
+        val src = if (kill.isDefined) src0.filter(boom(col(gateCol))) else src0
+        val q = xform(src).writeStream.format("parquet")
+          .outputMode("append")
+          .option("checkpointLocation", ckpt).option("path", out)
+          .trigger(Trigger.AvailableNow()).start()
+        kill match {
+          case Some(k) =>
+            val deadline = System.nanoTime() + 180L * 1000 * 1000 * 1000
+            while (q.isActive &&
+                   Option(q.lastProgress).forall(_.batchId < k) &&
+                   System.nanoTime() < deadline) Thread.sleep(5)
+            ChaosGate.arm(64)
+            val crashed =
+              try { q.awaitTermination(); false }
+              catch { case _: StreamingQueryException => true }
+            ChaosGate.disarm()
+            crashed
+          case None => q.awaitTermination(); false
+        }
+      }
+    }
+
+  test("s28 bucket-min state survives a crash at batch k " +
+      "(near-dup fold = clean run = batch oracle)") {
+    val (srcDir, schema) = docsSplit
+
+    def fold(p: String): Map[Long, Boolean] =
+      s.read.parquet(p)
+        .groupBy("doc_id").agg(bool_or(col("band_dup")).as("is_dup"))
+        .collect().map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+
+    val cleanOut = Scratch.dir("graft_chaos_s28_clean_out")
+    runSplit(srcDir, schema, "doc_id", StreamingQ.nearDupXform(s),
+      cleanOut, Scratch.dir("graft_chaos_s28_clean_ck"), None)
+
+    val out = Scratch.dir("graft_chaos_s28_out")
+    val ckpt = Scratch.dir("graft_chaos_s28_ck")
+    assert(runSplit(srcDir, schema, "doc_id", StreamingQ.nearDupXform(s),
+      out, ckpt, Some(2)), "s28: injected crash did not terminate the query")
+    runSplit(srcDir, schema, "doc_id", StreamingQ.nearDupXform(s),
+      out, ckpt, None) // restart from checkpoint
+
+    val restarted = fold(out)
+    assert(restarted === fold(cleanOut),
+      "s28: restarted near-dup fold differs from uninterrupted run")
+    // and both equal the batch pair relation the op is the online form of
+    val docs = s.read.parquet(s"$sf/documents.parquet")
+    val dupIds = graft.ext.Dedup.lshPairs(docs).collect()
+      .map(_.getLong(1)).toSet
+    restarted.foreach { case (id, flagged) =>
+      assert(flagged === dupIds.contains(id),
+        s"s28: doc $id verdict $flagged diverges from batch oracle")
+    }
+  }
+
+  test("s29 per-query top-k state survives a crash at batch k " +
+      "(post-drain rank = clean run = batch rank)") {
+    // embeddings split by vec_id; the static query set reads from the
+    // unsplit table exactly as the s29 catalog query does.
+    val raw = s.read.parquet(s"$sf/embeddings.parquet")
+    val dir = Scratch.dir("graft_chaos_emb_src")
+    val w = org.apache.spark.sql.expressions.Window.orderBy(col("vec_id"))
+    val sliced = raw.withColumn("__b", ntile(nFiles).over(w)).cache()
+    (1 to nFiles).foreach { i =>
+      val tmp = Scratch.dir(s"graft_chaos_etmp$i")
+      sliced.filter(col("__b") === i).drop("__b")
+        .coalesce(1).write.mode("overwrite").parquet(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .find(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet"))
+        .getOrElse(fail(s"no part file in $tmp"))
+      val dst = new java.io.File(dir, f"emb_$i%02d.parquet")
+      Files.move(part.toPath, dst.toPath)
+      assert(dst.setLastModified(1700000000000L + i * 60000L))
+    }
+    sliced.unpersist()
+
+    graft.functions.GraftFunctions.register(s)
+    val q = raw.orderBy("vec_id").limit(8)
+      .select(col("vec_id").as("q_id"), col("embedding").as("qe"))
+    val xform = StreamingQ.knnAdmitXform(s, q)(_)
+
+    // The admission LOG is order-sensitive (a monotone threshold process);
+    // the operator's declared output is the post-drain rank, which is
+    // slicing- and order-independent — that is what must survive.
+    def rank(p: String): Seq[String] = {
+      val win = org.apache.spark.sql.expressions.Window
+        .partitionBy("q_id").orderBy(col("cos_sim").desc, col("vec_id"))
+      s.read.parquet(p)
+        .withColumn("rn", row_number().over(win)).filter(col("rn") <= 5)
+        .drop("rn").collect().map(_.toString).sorted.toSeq
+    }
+
+    val cleanOut = Scratch.dir("graft_chaos_s29_clean_out")
+    runSplit(dir, raw.schema, "vec_id", xform,
+      cleanOut, Scratch.dir("graft_chaos_s29_clean_ck"), None)
+
+    val out = Scratch.dir("graft_chaos_s29_out")
+    val ckpt = Scratch.dir("graft_chaos_s29_ck")
+    assert(runSplit(dir, raw.schema, "vec_id", xform, out, ckpt, Some(2)),
+      "s29: injected crash did not terminate the query")
+    runSplit(dir, raw.schema, "vec_id", xform, out, ckpt, None)
+
+    val restarted = rank(out)
+    assert(restarted === rank(cleanOut),
+      "s29: restarted top-k rank differs from uninterrupted run")
+    // and both equal the batch kNN rank (x07's relation)
+    val expected = raw.crossJoin(broadcast(q))
+      .filter(col("vec_id") =!= col("q_id"))
+      .withColumn("cos_sim", expr("graft_cos(embedding, qe)"))
+      .select(col("q_id"), col("vec_id"), col("label"), col("cos_sim"))
+    val win = org.apache.spark.sql.expressions.Window
+      .partitionBy("q_id").orderBy(col("cos_sim").desc, col("vec_id"))
+    val expRows = expected.withColumn("rn", row_number().over(win))
+      .filter(col("rn") <= 5).drop("rn")
+      .collect().map(_.toString).sorted.toSeq
+    assert(restarted === expRows,
+      "s29: restarted rank diverges from the batch kNN relation")
+  }
+
   test("s13 wire streaming source: crash mid-topic, restart is exactly-once") {
     val sel = Tables.events(s, sf).select(col("event_id"), col("user_id"),
       col("event_type"), col("value"), unix_micros(col("ts")).as("tsu"))
