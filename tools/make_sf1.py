@@ -15,8 +15,18 @@ quadratically — not what a 10x corpus looks like). So:
 - embeddings: copy k rotates the vector dimensions by k (np.roll). Norms
   and all within-copy pairwise cosines are preserved exactly; cross-copy
   cosines decorrelate. vec_id offset k*N.
+- events (round-8: the s-suite's 10x point): copy k offsets event_id by
+  k*N (uniqueness — s03's dedup key and every (ts, event_id) tie-break
+  stay well-defined) and adds k MICROseconds to ts (rows distinct on
+  (user_id, ts) without moving any window/session/watermark boundary).
+  user_id is deliberately UNCHANGED: the streaming state designs are
+  O(users) / O(buckets) / O(|q|*k), and "same user base, 10x traffic" is
+  the scaling that PROVES state stays flat while input grows — it also
+  keeps stream-static joins matching the sf0.1 dims so downstream volume
+  is honestly 10x. The concatenation is re-sorted by ts to keep the
+  driver's time-ordered file discipline.
 
-The remaining 8 tables are symlinked from sf0.1 (the d/x suites don't read
+The remaining 7 tables are symlinked from sf0.1 (these suites don't read
 them; the oracle harness just needs the views to exist).
 
 Usage: python3 tools/make_sf1.py [outDir]   (default benchdata/sf1)
@@ -75,8 +85,29 @@ for k in range(COPIES):
 pq.write_table(pa.concat_tables(echunks), f"{OUT}/embeddings.parquet")
 print(f"embeddings: {n_vec} -> {n_vec * COPIES}")
 
+ev = pq.read_table(f"{SRC}/events.parquet")
+n_ev = ev.num_rows
+ev_id = ev.column("event_id").to_numpy()
+ev_ts = ev.column("ts").cast(pa.int64()).to_numpy()  # epoch micros
+vchunks = []
+for k in range(COPIES):
+    vchunks.append(pa.table({
+        "event_id": pa.array(ev_id + k * n_ev, pa.int64()),
+        "ts": pa.array(ev_ts + k, pa.int64()).cast(ev.schema.field("ts").type),
+        "user_id": ev.column("user_id"),
+        "event_type": ev.column("event_type"),
+        "value": ev.column("value"),
+        "props": ev.column("props"),
+    }))
+big_ev = pa.concat_tables(vchunks).sort_by("ts")
+dst = f"{OUT}/events.parquet"
+if os.path.islink(dst):
+    os.unlink(dst)  # replace the pre-round-8 symlink with the scaled table
+pq.write_table(big_ev, dst)
+print(f"events: {n_ev} -> {big_ev.num_rows}")
+
 for t in ["region", "nation", "customer", "supplier", "part", "orders",
-          "lineitem", "events"]:
+          "lineitem"]:
     dst = f"{OUT}/{t}.parquet"
     if not os.path.exists(dst):
         os.symlink(f"{SRC}/{t}.parquet", dst)
