@@ -209,12 +209,21 @@ object Dedup {
   def jaccardPairs(docs: DataFrame): DataFrame = {
     val toks = graft.util.Caches.retain(docs.select(col("doc_id"),
       array_distinct(split(col("text"), " ")).as("toks")))
+    // |A∪B| = |A|+|B|-|A∩B| over the already-distinct token sets, so the
+    // union ARRAY (an ~|A|+|B| string allocation per candidate pair, the
+    // most expensive per-pair op) is never built — only the intersect
+    // runs, and codegen CSE evaluates it once for both uses. Bit-identical
+    // to the size(array_union) form; the oracle keeps computing the union
+    // length its own way, the VALUES agree.
     lshPairs(docs)
-      .join(toks.select(col("doc_id").as("doc_a"), col("toks").as("ta")), "doc_a")
-      .join(toks.select(col("doc_id").as("doc_b"), col("toks").as("tb")), "doc_b")
+      .join(toks.select(col("doc_id").as("doc_a"), col("toks").as("ta"),
+        size(col("toks")).as("na")), "doc_a")
+      .join(toks.select(col("doc_id").as("doc_b"), col("toks").as("tb"),
+        size(col("toks")).as("nb")), "doc_b")
+      .withColumn("inter", size(array_intersect(col("ta"), col("tb"))))
       .select(col("doc_a"), col("doc_b"),
-        (size(array_intersect(col("ta"), col("tb"))).cast("double") /
-          size(array_union(col("ta"), col("tb")))).as("jaccard"))
+        (col("inter").cast("double") /
+          (col("na") + col("nb") - col("inter"))).as("jaccard"))
   }
 
   def jaccardPairsSql: String =
@@ -693,11 +702,12 @@ object DedupQueries {
             col("toks").as("ta")), "doc_a")
           .join(toks.select(col("doc_id").as("doc_b"),
             col("toks").as("tb")), "doc_b")
+          // one intersect per pair (codegen CSE), not one per direction
+          .withColumn("inter",
+            size(array_intersect(col("ta"), col("tb"))).cast("double"))
           .select(col("doc_a"), col("doc_b"),
-            (size(array_intersect(col("ta"), col("tb"))).cast("double")
-              / size(col("ta"))).as("cont_a"),
-            (size(array_intersect(col("ta"), col("tb"))).cast("double")
-              / size(col("tb"))).as("cont_b"))
+            (col("inter") / size(col("ta"))).as("cont_a"),
+            (col("inter") / size(col("tb"))).as("cont_b"))
           .filter(greatest(col("cont_a"), col("cont_b")) >= 0.8)
       },
       Some(s"""WITH pairs AS (${Dedup.lshPairsSql}),
