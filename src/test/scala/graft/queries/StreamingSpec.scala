@@ -632,6 +632,50 @@ class StreamingSpec extends SparkSpec {
     assert(!got(1L), "the bucket's global min stays admitted")
   }
 
+  test("s28 under FULLY REVERSED slicing: a correction chain re-flags " +
+      "every displaced min (ids arrive largest-first, one per batch)") {
+    val s = spark
+    import s.implicits._
+    // Four near-identical docs, one per micro-batch, LARGEST id first:
+    // every batch displaces the stored bucket min, so each of 4,3,2 must
+    // be flagged by a retroactive correction from the batch AFTER its own
+    // (no in-batch or state-at-arrival test can flag them); only global
+    // min 1 ends admitted. This is the maximal correction chain.
+    val base = "the quick brown fox jumps over the lazy dog tonight"
+    val docs = (1L to 4L).map(i => (i, base)).toDF("doc_id", "text")
+    val expected = Map(1L -> false, 2L -> true, 3L -> true, 4L -> true)
+
+    val srcDir = Files.createTempDirectory("graft_s28r_src").toString
+    val out    = Files.createTempDirectory("graft_s28r_out").toString
+    val ckpt   = Files.createTempDirectory("graft_s28r_ckpt").toString
+    Seq(4L, 3L, 2L, 1L).zipWithIndex.foreach { case (id, i) =>
+      val stage = Files.createTempDirectory(s"graft_s28r_$i").toString
+      docs.filter(col("doc_id") === id)
+        .coalesce(1).write.mode("overwrite").parquet(stage)
+      val part = new File(stage).listFiles()
+        .find(_.getName.endsWith(".parquet")).get
+      val dst = Paths.get(srcDir, f"f$i%02d.parquet")
+      Files.move(part.toPath, dst)
+      dst.toFile.setLastModified(1700000000000L + i * 60000L)
+    }
+
+    val got = StreamingQ.withRocksDb(s) {
+      StreamingQ.withStateParts(s) {
+        val q = StreamingQ.nearDupXform(s)(
+          s.readStream.schema(docs.schema)
+            .option("maxFilesPerTrigger", 1).parquet(srcDir))
+          .writeStream.format("parquet").outputMode("append")
+          .option("checkpointLocation", ckpt).option("path", out)
+          .trigger(Trigger.AvailableNow()).start()
+        q.awaitTermination()
+      }
+      s.read.parquet(out)
+        .groupBy("doc_id").agg(bool_or(col("band_dup")).as("is_dup"))
+        .collect().map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    }
+    assert(got === expected)
+  }
+
   test("streaming kNN final top-k equals the batch rank across micro-batch " +
       "boundaries (s29)") {
     val s = spark
