@@ -145,9 +145,42 @@ object Dedup {
       .select(col("doc_id"), col("b.band"), col("b.h1"), col("b.h2"))
   }
 
+  /** Conf key: bucket-size cap for PAIRWISE candidate generation. Pairwise
+    * output is inherently |B|·(|B|−1)/2 rows per band bucket — the one part
+    * of the LSH layout whose cost is quadratic in bucket size, and at
+    * 100 TB a mass-duplicated boilerplate page (one text × 10⁶ copies)
+    * lands 10⁶ docs in ONE bucket → 5·10¹¹ candidate rows from a single
+    * key. When the cap is set (≥ 0), buckets larger than it are excluded
+    * from pair generation: their members are exact-or-near mass duplicates
+    * whose resolution belongs to the linear paths anyway (d01's hash
+    * dedup, d09's clustering — which keys on buckets, never builds pairs,
+    * and is NOT affected by this cap). Default −1 (off) keeps the declared
+    * d03/d05/d14/d16 contracts bit-identical to their oracles; the
+    * excluded-bucket list is observable via [[hotBuckets]].
+    */
+  val MaxBucketSizeKey = "spark.graft.dedup.maxBucketSize"
+
+  /** Band buckets whose member count exceeds `cap` — the mass-duplication
+    * telemetry a capped run should log/persist. Small by construction:
+    * at most |corpus|/cap buckets can exceed cap, so broadcasting it for
+    * the anti-join in [[lshPairs]] is safe at any scale.
+    */
+  def hotBuckets(banded: DataFrame, cap: Long): DataFrame =
+    banded.groupBy("band", "h1", "h2")
+      .agg(count(lit(1)).as("n_members"))
+      .filter(col("n_members") > cap)
+
   def lshPairs(docs: DataFrame): DataFrame = {
     val sig = graft.util.Caches.retain(minhash(docs))
-    val banded = bandedSignatures(sig)
+    val all = bandedSignatures(sig)
+    val cap = docs.sparkSession.conf.get(MaxBucketSizeKey, "-1").toLong
+    val banded =
+      if (cap < 0) all
+      else all.join(broadcast(hotBuckets(all, cap).drop("n_members")),
+        Seq("band", "h1", "h2"), "left_anti")
+        // using-columns joins emit the keys FIRST — restore the banded
+        // layout before the positional toDF renames below
+        .select("doc_id", "band", "h1", "h2")
     val a = banded.toDF("doc_a", "band_a", "h1a", "h2a")
     // shuffle_hash hint: at 100 TB the signature relation is TB-scale, so
     // AQE's broadcast choice (valid only at toy SF) is the wrong plan shape
@@ -263,9 +296,31 @@ object Dedup {
     * so convergence is 2–3 rounds.
     */
   def duplicateClusters(docs: DataFrame): DataFrame = {
-    val pairs = lshPairs(docs)
-    val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
-      .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+    // Edge construction: per-bucket STAR, not the d03 pairwise clique.
+    // Connectivity is identical — every clique edge (a,b) means a and b
+    // share a bucket, so both have a star edge to that bucket's min member
+    // (itself in the bucket), giving the path a—min—b; star edges connect
+    // only same-bucket docs, so no new connections appear. Components (and
+    // hence every cluster_id = min reachable) are therefore EQUAL to the
+    // pairwise graph's, which is what the recursive-CTE oracle closes over.
+    // Cost is the difference: |B|−1 edges per bucket instead of
+    // |B|·(|B|−1)/2, so a mass-duplicated boilerplate bucket (the 100 TB
+    // hazard — one text × 10⁶ copies in ONE bucket) costs 10⁶ edge rows,
+    // not 5·10¹¹. The bucket-min comes from a map-side-combining groupBy
+    // (a hot bucket never piles onto one task) and joins back on the
+    // near-uniform bucket key (1 root row per key — AQE skew-split
+    // friendly), shuffle-hash pinned on the compact roots side for the
+    // same reason as lshPairs.
+    val sig = graft.util.Caches.retain(minhash(docs))
+    val banded = bandedSignatures(sig)
+    val roots = banded.groupBy("band", "h1", "h2")
+      .agg(min("doc_id").as("root")).hint("shuffle_hash")
+    val star = banded.join(roots, Seq("band", "h1", "h2"))
+      .filter(col("doc_id") =!= col("root"))
+      .select(col("doc_id").as("src"), col("root").as("dst"))
+      .distinct()
+    val edges = star
+      .union(star.select(col("dst").as("src"), col("src").as("dst")))
       .localCheckpoint(true)
     // Fused round 0: every edge node starts at min(self, direct neighbors) —
     // one aggregation over the (already symmetrized) edge list replaces the

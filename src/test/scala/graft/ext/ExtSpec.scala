@@ -113,6 +113,41 @@ class ExtSpec extends SparkSpec {
     assert(best(cl(1L))._1 === 1L)
   }
 
+  test("bucket cap prunes mass-duplicate pairs; clusters and cap-off unaffected") {
+    // 30 copies of one boilerplate text (one band bucket of 30 → 435 pairs
+    // uncapped) plus one genuine near-dup pair that must survive the cap.
+    val boiler = (100L until 130L)
+      .map(i => (i, "identical boilerplate disclaimer text repeated everywhere"))
+    val corpus = (boiler ++ Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "the quick brown fox jumps over the lazy dog"),
+      (3L, "entirely different content about database engines")))
+      .toDF("doc_id", "text")
+    val uncapped = Dedup.lshPairs(corpus).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(uncapped.contains((1L, 2L)))
+    assert(uncapped.count(p => p._1 >= 100L) === 30 * 29 / 2)
+    try {
+      spark.conf.set(Dedup.MaxBucketSizeKey, "10")
+      val capped = Dedup.lshPairs(corpus).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      // the quadratic bucket is pruned; sub-cap candidates survive intact
+      assert(capped.contains((1L, 2L)))
+      assert(!capped.exists(p => p._1 >= 100L))
+      assert(capped === uncapped.filterNot(p => p._1 >= 100L))
+      // the excluded buckets are observable telemetry
+      val hot = Dedup.hotBuckets(
+        Dedup.bandedSignatures(Dedup.minhash(corpus)), 10L).collect()
+      assert(hot.nonEmpty && hot.forall(_.getAs[Long]("n_members") === 30L))
+      // the cluster path never builds pairs: the boilerplate docs still
+      // resolve to ONE cluster under the cap (star edges key on buckets)
+      val cl = Dedup.duplicateClusters(corpus).collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert((100L until 130L).forall(i => cl(i) === 100L))
+      assert(cl(1L) === 1L && cl(2L) === 1L && cl(3L) === 3L)
+    } finally spark.conf.unset(Dedup.MaxBucketSizeKey)
+  }
+
   test("incremental dedup admits exactly the new docs with no old band-collision") {
     // old = doc_id % 10 < 8 (docs 1, 2); new = the rest (18, 19, 28).
     // 18 duplicates old doc 1 and 28 duplicates old doc 2 → both dropped;
