@@ -156,9 +156,30 @@ object Dedup {
     * dedup, d09's clustering — which keys on buckets, never builds pairs,
     * and is NOT affected by this cap). Default −1 (off) keeps the declared
     * d03/d05/d14/d16 contracts bit-identical to their oracles; the
-    * excluded-bucket list is observable via [[hotBuckets]].
+    * excluded-bucket list is observable via [[hotBuckets]]. The cap covers
+    * BOTH pairwise blocking schemes — the MinHash band buckets (d03 and
+    * everything downstream of [[lshPairs]]) and d15's SimHash pigeonhole
+    * block-pair keys, which mass duplication floods identically.
     */
   val MaxBucketSizeKey = "spark.graft.dedup.maxBucketSize"
+
+  /** Apply [[MaxBucketSizeKey]] to a pairwise blocking relation: drop every
+    * row whose blocking key (`keyCols`) holds more than the configured
+    * member count, preserving the input column order (using-column joins
+    * would otherwise reorder keys first). No-op when the cap is unset.
+    */
+  private[graft] def applyBucketCap(rel: DataFrame,
+      keyCols: Seq[String]): DataFrame = {
+    val cap = rel.sparkSession.conf.get(MaxBucketSizeKey, "-1").toLong
+    if (cap < 0) rel
+    else {
+      val hot = rel.groupBy(keyCols.map(col): _*)
+        .agg(count(lit(1)).as("n_members"))
+        .filter(col("n_members") > cap).drop("n_members")
+      rel.join(broadcast(hot), keyCols, "left_anti")
+        .select(rel.columns.map(col).toSeq: _*)
+    }
+  }
 
   /** Band buckets whose member count exceeds `cap` — the mass-duplication
     * telemetry a capped run should log/persist. Small by construction:
@@ -172,15 +193,7 @@ object Dedup {
 
   def lshPairs(docs: DataFrame): DataFrame = {
     val sig = graft.util.Caches.retain(minhash(docs))
-    val all = bandedSignatures(sig)
-    val cap = docs.sparkSession.conf.get(MaxBucketSizeKey, "-1").toLong
-    val banded =
-      if (cap < 0) all
-      else all.join(broadcast(hotBuckets(all, cap).drop("n_members")),
-        Seq("band", "h1", "h2"), "left_anti")
-        // using-columns joins emit the keys FIRST — restore the banded
-        // layout before the positional toDF renames below
-        .select("doc_id", "band", "h1", "h2")
+    val banded = applyBucketCap(bandedSignatures(sig), Seq("band", "h1", "h2"))
     val a = banded.toDF("doc_a", "band_a", "h1a", "h2a")
     // shuffle_hash hint: at 100 TB the signature relation is TB-scale, so
     // AQE's broadcast choice (valid only at toy SF) is the wrong plan shape
@@ -268,6 +281,37 @@ object Dedup {
                  / len(list_distinct(list_concat(a.t, b.t))) AS jaccard
         FROM pairs JOIN toks a ON doc_a = a.doc_id
                    JOIN toks b ON doc_b = b.doc_id"""
+
+  /** d15's engine body: SimHash near-dup pairing via the pigeonhole
+    * block join (see the catalog entry's rationale). Identical docs share
+    * every block-pair key, so the optional [[MaxBucketSizeKey]] cap
+    * applies to the (bp, b1, b2) blocking keys exactly as it does to the
+    * MinHash band buckets in [[lshPairs]].
+    */
+  def simhashPairs(docs: DataFrame): DataFrame = {
+    val sim = simhash(docs)
+    val blockPairs = Seq((0, 1), (0, 2), (0, 3), (1, 2), (1, 3), (2, 3))
+    val bw = simhashBlockBits
+    val mask = (1L << bw) - 1
+    val keyed = sim.select(col("doc_id"), col("simhash"),
+      explode(array(blockPairs.zipWithIndex.map { case ((i, j), idx) =>
+        struct(lit(idx).as("bp"),
+          expr(s"(simhash >> ${bw * i}) & $mask").as("b1"),
+          expr(s"(simhash >> ${bw * j}) & $mask").as("b2"))
+      }: _*)).as("k"))
+      .select(col("doc_id"), col("simhash"),
+        col("k.bp"), col("k.b1"), col("k.b2"))
+    val capped = applyBucketCap(keyed, Seq("bp", "b1", "b2"))
+    val a = capped.toDF("doc_a", "sh_a", "bp", "b1", "b2")
+    val b = capped.toDF("doc_b", "sh_b", "bp_b", "b1b", "b2b")
+      .hint("shuffle_hash") // signature relation: same rationale as d03
+    a.join(b, col("bp") === col("bp_b") && col("b1") === col("b1b") &&
+        col("b2") === col("b2b") && col("doc_a") < col("doc_b"))
+      .select("doc_a", "doc_b", "sh_a", "sh_b").distinct()
+      .select(col("doc_a"), col("doc_b"),
+        expr("CAST(bit_count(sh_a ^ sh_b) AS INT)").as("hamming"))
+      .filter(col("hamming") <= 2)
+  }
 
   /** d09: duplicate-CLUSTER resolution — connected components over the LSH
     * candidate graph, the step that turns pairwise candidates (d03) into the
@@ -709,29 +753,7 @@ object DedupQueries {
     // near-linear on clustered corpora (the earlier 16-bit demo hash went
     // 38× on 10× data at sf1; this shape measured linear).
     Q("d15_simhash_pairs",
-      (s, d) => {
-        val sim = Dedup.simhash(Tables.documents(s, d))
-        val blockPairs = Seq((0, 1), (0, 2), (0, 3), (1, 2), (1, 3), (2, 3))
-        val bw = Dedup.simhashBlockBits
-        val mask = (1L << bw) - 1
-        val keyed = sim.select(col("doc_id"), col("simhash"),
-          explode(array(blockPairs.zipWithIndex.map { case ((i, j), idx) =>
-            struct(lit(idx).as("bp"),
-              expr(s"(simhash >> ${bw * i}) & $mask").as("b1"),
-              expr(s"(simhash >> ${bw * j}) & $mask").as("b2"))
-          }: _*)).as("k"))
-          .select(col("doc_id"), col("simhash"),
-            col("k.bp"), col("k.b1"), col("k.b2"))
-        val a = keyed.toDF("doc_a", "sh_a", "bp", "b1", "b2")
-        val b = keyed.toDF("doc_b", "sh_b", "bp_b", "b1b", "b2b")
-          .hint("shuffle_hash") // signature relation: same rationale as d03
-        a.join(b, col("bp") === col("bp_b") && col("b1") === col("b1b") &&
-            col("b2") === col("b2b") && col("doc_a") < col("doc_b"))
-          .select("doc_a", "doc_b", "sh_a", "sh_b").distinct()
-          .select(col("doc_a"), col("doc_b"),
-            expr("CAST(bit_count(sh_a ^ sh_b) AS INT)").as("hamming"))
-          .filter(col("hamming") <= 2)
-      },
+      (s, d) => Dedup.simhashPairs(Tables.documents(s, d)),
       Some(s"""WITH sh AS (${Dedup.simhashSql})
                SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
                       CAST(bit_count(xor(a.simhash, b.simhash)) AS INT)

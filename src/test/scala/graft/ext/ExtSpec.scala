@@ -145,7 +145,19 @@ class ExtSpec extends SparkSpec {
         .map(r => r.getLong(0) -> r.getLong(1)).toMap
       assert((100L until 130L).forall(i => cl(i) === 100L))
       assert(cl(1L) === 1L && cl(2L) === 1L && cl(3L) === 3L)
+      // d15's simhash block-pair keys flood identically under mass
+      // duplication — the same cap prunes them: the 30 identical texts
+      // (hamming 0, every block-pair bucket at 30 members) vanish while
+      // the identical pair (1,2) survives its 2-member buckets
+      val shCapped = Dedup.simhashPairs(corpus).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(shCapped.contains((1L, 2L)))
+      assert(!shCapped.exists(p => p._1 >= 100L))
     } finally spark.conf.unset(Dedup.MaxBucketSizeKey)
+    // cap off again: the boilerplate clique reappears through d15 too
+    val shFull = Dedup.simhashPairs(corpus).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(shFull.count(p => p._1 >= 100L) === 30 * 29 / 2)
   }
 
   test("incremental dedup admits exactly the new docs with no old band-collision") {
