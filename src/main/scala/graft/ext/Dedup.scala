@@ -551,8 +551,13 @@ object Dedup {
     */
   def embedNearDupLsh(embeddings: DataFrame): DataFrame = {
     graft.functions.GraftFunctions.register(embeddings.sparkSession)
-    val e = embeddings
-      .withColumn("bucket", expr("graft_lsh_bucket(embedding)"))
+    // Same pairwise-blocking posture as lshPairs/simhashPairs: a
+    // mass-duplicated embedding floods one hyperplane cell, and the
+    // optional MaxBucketSizeKey cap excludes over-cap cells from pair
+    // generation (default off — oracle hashes unchanged).
+    val e = applyBucketCap(embeddings
+      .withColumn("bucket", expr("graft_lsh_bucket(embedding)")),
+      Seq("bucket"))
     val a = e.select(col("vec_id").as("vec_a"), col("bucket"),
       col("embedding").as("ea"))
     val b = e.select(col("vec_id").as("vec_b"), col("bucket").as("bucket_b"),

@@ -160,6 +160,29 @@ class ExtSpec extends SparkSpec {
     assert(shFull.count(p => p._1 >= 100L) === 30 * 29 / 2)
   }
 
+  test("bucket cap prunes mass-duplicated embedding cells on the d07 path") {
+    // 30 copies of one vector flood a single hyperplane cell; a 2-member
+    // near-identical pair in a different cell must survive the cap.
+    val massVec = Array.tabulate(64)(i => ((i % 7) + 1).toFloat / 7f)
+    val pairVec = Array.tabulate(64)(i => -((i % 5) + 1).toFloat / 5f)
+    val pairVec2 = pairVec.clone(); pairVec2(0) *= 1.001f
+    val rows = (100L until 130L).map(i => (i, massVec.toSeq, 0)) ++
+      Seq((4L, pairVec.toSeq, 0), (8L, pairVec2.toSeq, 0))
+    val emb = rows.toDF("vec_id", "embedding", "label")
+      .withColumn("embedding", col("embedding").cast("array<float>"))
+    val full = Dedup.embedNearDupLsh(emb).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(full.contains((4L, 8L)))
+    assert(full.count(p => p._1 >= 100L) === 30 * 29 / 2)
+    try {
+      spark.conf.set(Dedup.MaxBucketSizeKey, "10")
+      val capped = Dedup.embedNearDupLsh(emb).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(capped.contains((4L, 8L)))
+      assert(!capped.exists(p => p._1 >= 100L))
+    } finally spark.conf.unset(Dedup.MaxBucketSizeKey)
+  }
+
   test("incremental dedup admits exactly the new docs with no old band-collision") {
     // old = doc_id % 10 < 8 (docs 1, 2); new = the rest (18, 19, 28).
     // 18 duplicates old doc 1 and 28 duplicates old doc 2 → both dropped;
