@@ -1,6 +1,25 @@
 package graft
 import org.apache.spark.sql.SparkSession
 object Bench {
+  /** Batch queries whose plan CONSTRUCTION materializes a one-time scratch
+    * fixture (`Scratch.materialized`: q38's CSV dataset, q70's wire files,
+    * q77's z-clustered copies, q93's bucketed table, q96's partitioned
+    * layout, m06's one-file-per-doc tree). min-of-2 already keeps each
+    * build out of its OWN query's number; what it cannot prevent is the
+    * build heating the box inside a timed suite — the round-8 sf1 run
+    * showed the m-suite at per-suite calib ~1.49 while m06's 1,000-dir
+    * fixture flushed, inflating its NEIGHBORS. Pre-building fixtures in
+    * warm-up moves that one-time cost before the first probe.
+    * BenchFixtureSpec pins that each listed query builds at construction;
+    * a NEW fixture query left off this list degrades soft — back to the
+    * min-of-2-only behavior, visible as a per-suite calib blip.
+    * Streaming queries never use `materialized` (their scratch is
+    * per-run checkpoint dirs via `Scratch.dir`).
+    */
+  val FixtureQueries: Seq[String] = Seq(
+    "q38_csv_roundtrip", "q70_dsv2_wire_scan", "q77_zorder_scan",
+    "q93_bucketed_join", "q96_dsv2_spj", "m06_binaryfile_scan")
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -88,6 +107,13 @@ object Bench {
       "*** GRAFT BENCH DEV KNOBS ACTIVE -- NOT A CANONICAL ARTIFACT ***" +
         s" only=${only.map(_.mkString(",")).getOrElse("")}" +
         s" inject_fail=${injectFail.mkString(",")}")
+    // Fixture prewarm (see FixtureQueries): constructing the plan triggers
+    // the one-time Scratch build; the noop write is NOT run here, so no
+    // timed work is warmed beyond what min-of-2 warms anyway.
+    FixtureQueries.filter(n => only.forall(_.contains(n))).foreach { n =>
+      SparkEntry.queries.get(n).foreach(fn =>
+        try { fn(spark, sfDir); () } catch { case _: Throwable => () })
+    }
     // Suite-ordered execution with a calibration probe BETWEEN suites
     // (round-7 verdict item 2): the start/end probes bound the whole run,
     // but a load spike confined to one suite was previously unattributable.

@@ -52,4 +52,10 @@ object Scratch {
       build(p)
       p
     })
+
+  /** Number of distinct fixtures materialized so far in this JVM (spec
+    * hook for Bench's fixture prewarm — lets a test observe whether a
+    * query's plan CONSTRUCTION triggered a build).
+    */
+  def materializedCount: Int = cached.size
 }
