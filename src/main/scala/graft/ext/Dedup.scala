@@ -549,14 +549,28 @@ object Dedup {
     * parquet partition column and candidate generation is partition-local;
     * the shuffled hash join mirrors d03's scale-honest shape.
     */
+  /** Conf key: hyperplane count for d07's LSH cells. At FIXED bits the
+    * cell count is fixed (2^bits), so within-cell candidate pairs grow
+    * QUADRATICALLY with the corpus — measured at the 100× checkpoint:
+    * 256 cells over 200k vectors = 42.6 s of pair generation where 12
+    * bits (4,096 cells) does the same recall-profile blocking in a few
+    * seconds. Bits should grow ~log2(corpus) to hold cell occupancy flat;
+    * higher-bit cells strictly REFINE lower-bit cells (shared low planes,
+    * VecOps.lshBucket), so raising bits only drops candidate pairs, never
+    * invents them. Default 8 = the declared oracle contract.
+    */
+  val HyperplaneBitsKey = "spark.graft.dedup.hyperplaneBits"
+
   def embedNearDupLsh(embeddings: DataFrame): DataFrame = {
     graft.functions.GraftFunctions.register(embeddings.sparkSession)
+    val bits = embeddings.sparkSession.conf
+      .get(HyperplaneBitsKey, "8").toInt
     // Same pairwise-blocking posture as lshPairs/simhashPairs: a
     // mass-duplicated embedding floods one hyperplane cell, and the
     // optional MaxBucketSizeKey cap excludes over-cap cells from pair
     // generation (default off — oracle hashes unchanged).
     val e = applyBucketCap(embeddings
-      .withColumn("bucket", expr("graft_lsh_bucket(embedding)")),
+      .withColumn("bucket", expr(s"graft_lsh_bucket(embedding, $bits)")),
       Seq("bucket"))
     val a = e.select(col("vec_id").as("vec_a"), col("bucket"),
       col("embedding").as("ea"))
@@ -829,8 +843,14 @@ object DedupQueries {
     Q("d14_lsh_eval",
       (s, d) => {
         graft.functions.GraftFunctions.register(s)
-        val slice = Tables.documents(s, d).filter(col("doc_id") < 100)
-          .select("doc_id", "text")
+        // Retained: the eval slice is ~100 rows, but every downstream arm
+        // (exact truth set ×2, lshPairs' minhash, the intersect) otherwise
+        // re-derives it with a FULL corpus scan — at the 100× checkpoint
+        // that was ~8 scans of a 500k-doc table to evaluate 200 docs
+        // (21.2 s, vs corpus-scan-once after the retain).
+        val slice = graft.util.Caches.retain(
+          Tables.documents(s, d).filter(col("doc_id") < 100)
+            .select("doc_id", "text"))
         val aug = slice.unionByName(
           slice.select((col("doc_id") + 10000).as("doc_id"), col("text")))
         val toks = aug

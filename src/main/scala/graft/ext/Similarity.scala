@@ -42,19 +42,24 @@ object Similarity {
   def duckCos(a: String, b: String): String =
     s"(${duckDot(a, b)}) / (sqrt(${duckDot(a, a)}) * sqrt(${duckDot(b, b)}))"
 
-  /** Deterministic "random" hyperplane j (0..7), component i (1-based):
-    * ((j*31 + (i-1)*17) % 7) - 3 ∈ [-3, 3]. Same integers in both engines —
-    * no RNG, no stored model.
+  /** Deterministic "random" hyperplane j, component i (1-based):
+    * ((i · (2j+3) · 2654435761) >> 16) % 7 − 3 ∈ [-3, 3]. Same integers in
+    * all engines (VecOps.planeCoef is the native mirror; see its scaladoc
+    * for why the stride scales with j — the original % 7 family repeated
+    * with period 7 in j, collapsing plane 7 onto plane 0). No RNG, no
+    * stored model; integer division keeps the shift portable SQL.
     */
   val nPlanes = 8
+  private def coefSql(iExpr: String, j: Int): String =
+    s"((($iExpr * ${2 * j + 3} * 2654435761) / 65536) % 7) - 3"
   def sparkPlaneDot(v: String, j: Int): String =
     s"aggregate(sequence(1, size($v)), CAST(0 AS DOUBLE), " +
       s"(acc, i) -> acc + CAST(element_at($v, i) AS DOUBLE) * " +
-      s"(((${j * 31} + (i - 1) * 17) % 7) - 3))"
+      s"(${coefSql("CAST(i AS BIGINT)", j).replace(" / ", " DIV ")}))"
   def duckPlaneDot(v: String, j: Int): String =
     s"list_reduce(list_prepend(CAST(0 AS DOUBLE), " +
       s"list_transform(range(1, len($v) + 1), " +
-      s"i -> CAST($v[i] AS DOUBLE) * (((${j * 31} + (i - 1) * 17) % 7) - 3))), " +
+      s"i -> CAST($v[i] AS DOUBLE) * (${coefSql("i", j).replace(" / ", " // ")}))), " +
       s"(acc, v2) -> acc + v2)"
 
   /** Σ 2^j · [dot(v, plane_j) > 0] — the 8-bit LSH bucket id. */

@@ -267,18 +267,24 @@ case class CosFExpr(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
-case class LshBucketExpr(child: Expression)
+/** `bits` is a plan-time constant (like the generator literals below), not
+  * a child expression: plane count shapes the physical candidate volume,
+  * and a per-row-varying width has no meaning for a blocking key. Higher
+  * bits refine lower (VecOps.lshBucket doc), which is what lets callers
+  * raise it with corpus size.
+  */
+case class LshBucketExpr(child: Expression, bits: Int = 8)
     extends UnaryExpression with VecExpr {
   override protected def vecChildren: Seq[Expression] = Seq(child)
   override def dataType: DataType = IntegerType
   override def prettyName: String = "graft_lsh_bucket"
   protected override def nullSafeEval(v: Any): Any = {
     val x = v.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
-    if (isFloatVec) VecOps.lshBucket(x) else VecOps.lshBucketD(x)
+    if (isFloatVec) VecOps.lshBucket(x, bits) else VecOps.lshBucketD(x, bits)
   }
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
     val fn = if (isFloatVec) "lshBucket" else "lshBucketD"
-    defineCodeGen(ctx, ev, c => s"graft.functions.VecOps.$fn($c)")
+    defineCodeGen(ctx, ev, c => s"graft.functions.VecOps.$fn($c, $bits)")
   }
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
@@ -631,7 +637,8 @@ object GraftFunctions {
     "graft_hex_tiles"    -> (cs => HexTilesExpr(cs(0), cs(1))),
     "graft_block_scrub"  -> (cs => BlockScrubExpr(cs.head)),
     "graft_quality_stats" -> (cs => QualityStatsExpr(cs.head)),
-    "graft_lsh_bucket"   -> (cs => LshBucketExpr(cs.head)),
+    "graft_lsh_bucket"   -> (cs => LshBucketExpr(cs.head,
+      if (cs.length > 1) cs(1).eval(null).asInstanceOf[Int] else 8)),
     // mergeable KMV distinct sketch (analyzer wraps the raw AggregateFunction)
     "graft_kmv"          -> (cs => KmvSketchAgg(cs.head, 64)),
     "graft_kmv_union_est" -> (cs => KmvUnionEstExpr(cs(0), cs(1), 64)),

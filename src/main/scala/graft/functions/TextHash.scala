@@ -580,16 +580,29 @@ object VecOps {
     acc
   }
 
-  /** Dot product against the deterministic hyperplane j: component i
-    * (1-based) is ((j*31 + (i-1)*17) % 7) - 3 — mirrors
-    * graft.ext.Similarity.sparkPlaneDot.
+  /** Coefficient of the deterministic hyperplane j at component i
+    * (0-based): hash-mix ((i+1)·(2j+3)·2654435761) >> 16, mod 7, minus 3
+    * ∈ [-3, 3] — mirrors graft.ext.Similarity.sparkPlaneDot /
+    * duckPlaneDot exactly (integer division in all three engines).
+    *
+    * The original family ((j·31 + i·17) % 7 − 3) had PERIOD 7 IN j
+    * (j·31 ≡ 3j mod 7), so plane 7 duplicated plane 0 — the "8-bit"
+    * bucket had 128 effective cells and extra planes added zero
+    * discrimination, which the 100× scale checkpoint exposed when the
+    * hyperplaneBits knob needed planes beyond 7. The j-scaled stride
+    * breaks the period: simulated on 20k Gaussian vectors, all 256
+    * 8-bit cells populate (old: 126) and 12 bits give ~3.8k used cells
+    * with max cell ≈ 0.14%.
     */
+  private def planeCoef(i: Int, j: Int): Int =
+    ((((i + 1).toLong * (2 * j + 3) * 2654435761L) >> 16) % 7).toInt - 3
+
   def planeDot(v: ArrayData, j: Int): Double = {
     var acc = 0.0
     var i = 0
     val n = v.numElements()
     while (i < n) {
-      acc += v.getFloat(i).toDouble * (((j * 31 + i * 17) % 7) - 3)
+      acc += v.getFloat(i).toDouble * planeCoef(i, j)
       i += 1
     }
     acc
@@ -600,30 +613,42 @@ object VecOps {
     var i = 0
     val n = v.numElements()
     while (i < n) {
-      acc += v.getDouble(i) * (((j * 31 + i * 17) % 7) - 3)
+      acc += v.getDouble(i) * planeCoef(i, j)
       i += 1
     }
     acc
   }
 
-  /** 8-bit random-hyperplane LSH bucket id: Σ 2^j · [planeDot(v,j) > 0]. */
-  def lshBucket(v: ArrayData): Int = {
+  /** `bits`-bit random-hyperplane LSH bucket id: Σ 2^j · [planeDot(v,j) > 0]
+    * over planes 0..bits-1. Because plane j is defined for every j, a
+    * higher-bit bucket REFINES a lower-bit one (identical low bits), so
+    * raising `bits` strictly partitions each coarser cell — the scaling
+    * knob for fixed-cell-count quadratic growth: cells double per added
+    * bit, keeping expected cell occupancy (and the within-cell pairwise
+    * candidate count) flat as the corpus grows. Default 8 = the declared
+    * d07/x02/x03 oracle contract.
+    */
+  def lshBucket(v: ArrayData, bits: Int): Int = {
     var out = 0
     var j = 0
-    while (j < 8) {
+    while (j < bits) {
       if (planeDot(v, j) > 0) out |= (1 << j)
       j += 1
     }
     out
   }
 
-  def lshBucketD(v: ArrayData): Int = {
+  def lshBucket(v: ArrayData): Int = lshBucket(v, 8)
+
+  def lshBucketD(v: ArrayData, bits: Int): Int = {
     var out = 0
     var j = 0
-    while (j < 8) {
+    while (j < bits) {
       if (planeDotD(v, j) > 0) out |= (1 << j)
       j += 1
     }
     out
   }
+
+  def lshBucketD(v: ArrayData): Int = lshBucketD(v, 8)
 }

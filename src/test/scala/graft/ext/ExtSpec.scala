@@ -183,6 +183,41 @@ class ExtSpec extends SparkSpec {
     } finally spark.conf.unset(Dedup.MaxBucketSizeKey)
   }
 
+  test("hyperplaneBits refines d07 cells: default unchanged, higher bits only drop pairs") {
+    // Seeded-random vectors (all DISTINCT — identical twins share every
+    // cell at any bit width and could never be split, hiding the
+    // refinement): enough spread that both 8- and 12-bit bucketings
+    // produce pairs, few enough that the pair sets are cheap to collect.
+    val rnd = new scala.util.Random(807)
+    val rows = (0L until 200L).map { i =>
+      (i, Array.fill(64)(rnd.nextGaussian().toFloat).toSeq, 0)
+    }
+    val emb = rows.toDF("vec_id", "embedding", "label")
+      .withColumn("embedding", col("embedding").cast("array<float>"))
+    def pairs() = Dedup.embedNearDupLsh(emb).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val p8 = pairs()
+    assert(p8.nonEmpty)
+    try {
+      spark.conf.set(Dedup.HyperplaneBitsKey, "8")
+      assert(pairs() === p8, "explicit bits=8 must equal the default")
+      spark.conf.set(Dedup.HyperplaneBitsKey, "12")
+      val p12 = pairs()
+      assert(p12.subsetOf(p8),
+        "12-bit cells refine 8-bit cells, so pairs may only be dropped")
+      assert(p12.size < p8.size,
+        "refinement must actually split some populated cell here")
+      // the refinement law itself: low 8 bits of the 12-bit bucket = the
+      // 8-bit bucket, per vector
+      graft.functions.GraftFunctions.register(spark)
+      val bad = emb.select(
+        expr("graft_lsh_bucket(embedding, 12)").as("b12"),
+        expr("graft_lsh_bucket(embedding, 8)").as("b8"))
+        .filter(expr("(b12 % 256) != b8")).count()
+      assert(bad === 0L)
+    } finally spark.conf.unset(Dedup.HyperplaneBitsKey)
+  }
+
   test("incremental dedup admits exactly the new docs with no old band-collision") {
     // old = doc_id % 10 < 8 (docs 1, 2); new = the rest (18, 19, 28).
     // 18 duplicates old doc 1 and 28 duplicates old doc 2 → both dropped;

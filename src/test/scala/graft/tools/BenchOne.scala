@@ -17,6 +17,12 @@ object BenchOne {
       .foreach(v => spark.conf.set("graft.stream.stateParts", v))
     sys.env.get("GRAFT_STATE_PROVIDER").foreach(v => spark.conf.set(
       "spark.sql.streaming.stateStore.providerClass", v))
+    // Arbitrary session confs, "k=v;k=v" (e.g. the dedup scale knobs:
+    // spark.graft.dedup.hyperplaneBits / maxBucketSize sweeps).
+    sys.env.get("GRAFT_CONF").foreach(_.split(";").filter(_.contains("="))
+      .foreach { kv =>
+        val Array(k, v) = kv.split("=", 2); spark.conf.set(k, v)
+      })
     spark.read.parquet(args(1) + "/lineitem.parquet").groupBy("l_returnflag").count().collect()
     val fn = SparkEntry.queries(args(0))
     val times = (1 to 2).map { _ =>

@@ -29,7 +29,15 @@ quadratically — not what a 10x corpus looks like). So:
 The remaining 7 tables are symlinked from sf0.1 (these suites don't read
 them; the oracle harness just needs the views to exist).
 
-Usage: python3 tools/make_sf1.py [outDir]   (default benchdata/sf1)
+Usage: python3 tools/make_sf1.py [outDir [copies]]   (default benchdata/sf1 10)
+
+copies > embedding dim (64) would make np.roll wrap to IDENTICAL vectors
+(copy k and k+64 coincide — manufactured exact dups, the thing this script
+exists to avoid). Beyond the dim each copy therefore also gets a
+deterministic ±1 sign-flip pattern (index k // dim): flipping a fixed dim
+subset preserves every norm and every within-copy cosine exactly (the flip
+cancels in the dot product) while cross-copy cosines decorrelate. Identity
+for k < dim, so sf1 (copies=10) output is byte-identical to before.
 """
 import os
 import sys
@@ -40,7 +48,7 @@ import pyarrow.parquet as pq
 
 SRC = "/root/testdata/sf0.1"
 OUT = sys.argv[1] if len(sys.argv) > 1 else "benchdata/sf1"
-COPIES = 10
+COPIES = int(sys.argv[2]) if len(sys.argv) > 2 else 10
 
 os.makedirs(OUT, exist_ok=True)
 
@@ -74,12 +82,17 @@ vec_id = emb.column("vec_id").to_numpy()
 vecs = np.array(emb.column("embedding").to_pylist(), dtype=np.float32)
 label = emb.column("label")
 
+dim = vecs.shape[1]
+rng = np.random.default_rng(8)  # deterministic flip patterns
+flips = [np.ones(dim, dtype=np.float32)] + [
+    rng.choice(np.array([-1.0, 1.0], dtype=np.float32), size=dim)
+    for _ in range((COPIES - 1) // dim)]
 echunks = []
 for k in range(COPIES):
+    v_k = np.roll(vecs, k % dim, axis=1) * flips[k // dim]
     echunks.append(pa.table({
         "vec_id": pa.array(vec_id + k * n_vec, pa.int64()),
-        "embedding": pa.array(np.roll(vecs, k, axis=1).tolist(),
-                              pa.list_(pa.float32())),
+        "embedding": pa.array(v_k.tolist(), pa.list_(pa.float32())),
         "label": label,
     }))
 pq.write_table(pa.concat_tables(echunks), f"{OUT}/embeddings.parquet")
