@@ -167,29 +167,41 @@ object Dedup {
     * row whose blocking key (`keyCols`) holds more than the configured
     * member count, preserving the input column order (using-column joins
     * would otherwise reorder keys first). No-op when the cap is unset.
+    *
+    * The anti-join is deliberately NOT broadcast-hinted: |hot| is bounded
+    * by |rel|/cap, which is only "small" when the cap is large relative to
+    * the corpus — a tight cap on a 10¹⁰-row relation could make the hot
+    * set itself huge, and a forced broadcast would collect it to the
+    * driver. AQE broadcasts it when it is actually small and falls back to
+    * a shuffled anti-join when it is not; both plans are scale-safe.
     */
   private[graft] def applyBucketCap(rel: DataFrame,
       keyCols: Seq[String]): DataFrame = {
     val cap = rel.sparkSession.conf.get(MaxBucketSizeKey, "-1").toLong
     if (cap < 0) rel
     else {
-      val hot = rel.groupBy(keyCols.map(col): _*)
-        .agg(count(lit(1)).as("n_members"))
-        .filter(col("n_members") > cap).drop("n_members")
-      rel.join(broadcast(hot), keyCols, "left_anti")
+      val hot = hotBuckets(rel, keyCols, cap).drop("n_members")
+      rel.join(hot, keyCols, "left_anti")
         .select(rel.columns.map(col).toSeq: _*)
     }
   }
 
-  /** Band buckets whose member count exceeds `cap` — the mass-duplication
-    * telemetry a capped run should log/persist. Small by construction:
-    * at most |corpus|/cap buckets can exceed cap, so broadcasting it for
-    * the anti-join in [[lshPairs]] is safe at any scale.
+  /** Blocking keys whose member count exceeds `cap` — the mass-duplication
+    * telemetry a capped run should log/persist, over the SAME aggregation
+    * [[applyBucketCap]] excludes with (so the audit can never drift from
+    * the exclusion). Works for any blocking scheme: the MinHash band keys
+    * (band, h1, h2), d15's SimHash block-pair keys (bp, b1, b2), d07's
+    * hyperplane cells (bucket).
     */
-  def hotBuckets(banded: DataFrame, cap: Long): DataFrame =
-    banded.groupBy("band", "h1", "h2")
+  def hotBuckets(rel: DataFrame, keyCols: Seq[String],
+      cap: Long): DataFrame =
+    rel.groupBy(keyCols.map(col): _*)
       .agg(count(lit(1)).as("n_members"))
       .filter(col("n_members") > cap)
+
+  /** Legacy shape: the MinHash band-bucket audit. */
+  def hotBuckets(banded: DataFrame, cap: Long): DataFrame =
+    hotBuckets(banded, Seq("band", "h1", "h2"), cap)
 
   def lshPairs(docs: DataFrame): DataFrame = {
     val sig = graft.util.Caches.retain(minhash(docs))
@@ -565,12 +577,23 @@ object Dedup {
     graft.functions.GraftFunctions.register(embeddings.sparkSession)
     val bits = embeddings.sparkSession.conf
       .get(HyperplaneBitsKey, "8").toInt
+    // Fail fast on a nonsense width instead of degrading silently:
+    // bits <= 0 puts EVERY vector in cell 0 (the self-join degenerates to
+    // the full n² cartesian this operator exists to avoid), and bits > 30
+    // overflows the Int bucket (1 << 31 flips the sign; 1 << 32 wraps to
+    // bit 0, breaking the refinement law the spec pins).
+    require(bits >= 1 && bits <= 30,
+      s"$HyperplaneBitsKey=$bits out of range [1, 30]; cells = 2^bits " +
+        "must fit a positive Int, and 0 cells is the quadratic hazard")
     // Same pairwise-blocking posture as lshPairs/simhashPairs: a
     // mass-duplicated embedding floods one hyperplane cell, and the
     // optional MaxBucketSizeKey cap excludes over-cap cells from pair
-    // generation (default off — oracle hashes unchanged).
-    val e = applyBucketCap(embeddings
-      .withColumn("bucket", expr(s"graft_lsh_bucket(embedding, $bits)")),
+    // generation (default off — oracle hashes unchanged). Retained like
+    // lshPairs' sig: the self-join reads it twice (plus the hot-bucket
+    // aggregation when the cap is on), and the bucket projection is a
+    // full-corpus hyperplane pass worth computing once.
+    val e = applyBucketCap(graft.util.Caches.retain(embeddings
+      .withColumn("bucket", expr(s"graft_lsh_bucket(embedding, $bits)"))),
       Seq("bucket"))
     val a = e.select(col("vec_id").as("vec_a"), col("bucket"),
       col("embedding").as("ea"))

@@ -275,6 +275,11 @@ case class CosFExpr(left: Expression, right: Expression)
   */
 case class LshBucketExpr(child: Expression, bits: Int = 8)
     extends UnaryExpression with VecExpr {
+  // 0 planes = every vector in one cell (quadratic blocking); > 30 planes
+  // overflow the Int bucket (1 << 32 wraps to bit 0 and silently breaks
+  // the higher-bits-refine-lower law).
+  require(bits >= 1 && bits <= 30,
+    s"graft_lsh_bucket bits=$bits out of range [1, 30]")
   override protected def vecChildren: Seq[Expression] = Seq(child)
   override def dataType: DataType = IntegerType
   override def prettyName: String = "graft_lsh_bucket"

@@ -506,19 +506,20 @@ object StreamingQ {
 
   /** s28's per-bucket state: the minimum doc_id ever seen in this LSH band
     * bucket. A document is a near-duplicate BY THIS BUCKET iff some doc
-    * with a smaller id shares the bucket — either from an earlier batch
-    * (the ValueState min) or from this batch (the batch minimum).
+    * with a smaller id shares the bucket.
     *
     * The verdict LOG (folded per doc by bool_or after the drain) is
-    * order-free under ANY micro-batch slicing, not just within a batch:
-    * at arrival a doc is flagged unless it is the running bucket minimum,
-    * and when a later batch brings a smaller id the displaced min-holder —
-    * the one doc this bucket ever left unflagged — gets a retroactive
-    * correction row. Inductively only the bucket's global min ends
-    * unflagged, which is exactly the batch EXISTS-earlier oracle, so a
-    * multi-file source or a maxFilesPerTrigger option cannot diverge
-    * (spec-pinned with an out-of-id-order slicing in StreamingSpec).
-    * State stays one long per bucket — O(buckets) forever.
+    * order-free under ANY micro-batch slicing AND any in-batch arrival
+    * order: at arrival a doc is flagged unless it is the running bucket
+    * minimum, and when a smaller id arrives later — same batch or a later
+    * one — the displaced min-holder (the one doc this bucket ever left
+    * unflagged) gets a retroactive correction row. Inductively only the
+    * bucket's global min ends unflagged, which is exactly the batch
+    * EXISTS-earlier oracle, so a multi-file source or a maxFilesPerTrigger
+    * option cannot diverge (spec-pinned with an out-of-id-order slicing in
+    * StreamingSpec). State stays one long per bucket — O(buckets) forever —
+    * and per-batch memory is O(1) per bucket: the input iterator is folded
+    * without buffering (see handleInputRows).
     */
   final class BucketMinProcessor
       extends StatefulProcessor[(Int, Long, Long), BandRow, BandVerdict] {
@@ -530,17 +531,30 @@ object StreamingQ {
 
     override def handleInputRows(key: (Int, Long, Long),
         rows: Iterator[BandRow], tv: TimerValues): Iterator[BandVerdict] = {
-      val ids = rows.map(_.doc_id).toSeq
-      val batchMin = ids.min
-      val prev = if (minSeen.exists()) Some(minSeen.get()) else None
-      val out = ids.map(id =>
-        BandVerdict(id, prev.exists(_ < id) || batchMin < id))
-      // Retroactive correction: the stored min-holder was admitted
-      // unflagged at its arrival; a smaller id arriving now proves it a
-      // near-dup after all. One extra log row; bool_or absorbs it.
-      val correction = prev.filter(_ > batchMin).map(BandVerdict(_, true))
-      minSeen.update(math.min(prev.getOrElse(Long.MaxValue), batchMin))
-      (out.iterator ++ correction.iterator)
+      // One-pass STREAMING fold — the input iterator is never buffered: a
+      // mass-duplicated boilerplate page can land 10⁶ rows of one batch in
+      // a single bucket (the same hazard the batch family's bucket cap
+      // exists for), and an earlier rows.toSeq here held them all in one
+      // task's heap. Each arrival is judged against the running minimum
+      // (state ∪ batch-prefix); displacing the running min emits the same
+      // retroactive correction row the cross-batch path uses, now also
+      // in-batch. The log's row multiset depends on arrival order, but its
+      // bool_or fold does not: only the global min ends unflagged (the
+      // cross-batch induction applies verbatim with batches of size 1).
+      // State writes are per-descent (expected O(log batch) of them), so
+      // state stays correct even under a partially-drained output.
+      var curMin = if (minSeen.exists()) minSeen.get() else Long.MaxValue
+      rows.flatMap { r =>
+        val id = r.doc_id
+        if (id < curMin) {
+          val displaced =
+            if (curMin != Long.MaxValue) Seq(BandVerdict(curMin, true))
+            else Seq.empty
+          curMin = id
+          minSeen.update(id)
+          displaced :+ BandVerdict(id, band_dup = false)
+        } else Seq(BandVerdict(id, curMin < id))
+      }
     }
   }
 

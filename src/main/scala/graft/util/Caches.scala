@@ -26,11 +26,28 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   */
 object Caches {
   private val retained = ArrayBuffer.empty[DataFrame]
+  private val seen =
+    scala.collection.mutable.HashSet.empty[
+      org.apache.spark.sql.catalyst.plans.logical.LogicalPlan]
 
-  /** Persist `df` (default MEMORY_AND_DISK) and register it for release. */
+  /** Persist `df` (default MEMORY_AND_DISK) and register it for release.
+    *
+    * Dedup'd by CANONICALIZED plan: a long-lived session constructs the
+    * same library query many times (every lshPairs call re-derives the
+    * same signature relation), and Spark's CacheManager already treats
+    * those as one cache — registering each Dataset object would grow this
+    * buffer (each holding a full QueryExecution) without bound between
+    * releaseAll calls, and re-persisting would log an "already cached"
+    * warn per call. First construction persists and registers; identical
+    * later plans return untouched.
+    */
   def retain(df: DataFrame): DataFrame = synchronized {
-    df.persist()
-    retained += df
+    val key = df.queryExecution.analyzed.canonicalized
+    if (!seen.contains(key)) {
+      df.persist()
+      retained += df
+      seen += key
+    }
     df
   }
 
@@ -41,6 +58,7 @@ object Caches {
     retained.foreach(df => try df.unpersist(blocking = false)
       catch { case _: Throwable => () }) // session may already be stopped
     retained.clear()
+    seen.clear()
   }
 
   def retainedCount: Int = synchronized(retained.size)

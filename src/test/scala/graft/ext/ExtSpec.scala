@@ -215,6 +215,14 @@ class ExtSpec extends SparkSpec {
         expr("graft_lsh_bucket(embedding, 8)").as("b8"))
         .filter(expr("(b12 % 256) != b8")).count()
       assert(bad === 0L)
+      // Out-of-range widths fail fast: 0 bits = one cell (the quadratic
+      // hazard), > 30 overflows the Int bucket and breaks refinement.
+      for (badBits <- Seq("0", "31", "-4")) {
+        spark.conf.set(Dedup.HyperplaneBitsKey, badBits)
+        assertThrows[IllegalArgumentException] {
+          Dedup.embedNearDupLsh(emb).collect()
+        }
+      }
     } finally spark.conf.unset(Dedup.HyperplaneBitsKey)
   }
 
