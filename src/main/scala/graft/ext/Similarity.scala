@@ -42,6 +42,20 @@ object Similarity {
   def duckCos(a: String, b: String): String =
     s"(${duckDot(a, b)}) / (sqrt(${duckDot(a, a)}) * sqrt(${duckDot(b, b)}))"
 
+  /** Squared-L2 distance as the same sequential left fold in both engines
+    * (inputs must already be double arrays so the per-element subtraction is
+    * exact and identical). Lambda variable names are chosen to never collide
+    * with an enclosing `aggregate` lambda (x11 nests this inside an argmin
+    * fold whose own variables are `acc`/`ct`).
+    */
+  def sparkD2(a: String, b: String): String =
+    s"aggregate(zip_with($a, $b, (zx, zy) -> (zx - zy) * (zx - zy)), " +
+      s"CAST(0 AS DOUBLE), (a2, v2) -> a2 + v2)"
+  def duckD2(a: String, b: String): String =
+    s"list_reduce(list_prepend(CAST(0 AS DOUBLE), " +
+      s"list_transform(range(1, len($a) + 1), " +
+      s"i -> ($a[i] - $b[i]) * ($a[i] - $b[i]))), (a2, v2) -> a2 + v2)"
+
   /** Deterministic "random" hyperplane j, component i (1-based):
     * ((i · (2j+3) · 2654435761) >> 16) % 7 − 3 ∈ [-3, 3]. Same integers in
     * all engines (VecOps.planeCoef is the native mirror; see its scaladoc
@@ -206,6 +220,111 @@ object Similarity {
         FROM embeddings e, probe
         WHERE e.label = best_label AND e.vec_id <> q_id
         ORDER BY cos_sim DESC, e.vec_id LIMIT $kTop"""
+  }
+
+  /** x11: distributed k-means (Lloyd's algorithm), the operator that TRAINS
+    * the coarse quantizer x04 only consumes (x04's cells are the `label`
+    * column stand-in; this builds real cells from the vectors). `iters`
+    * Lloyd rounds from the deterministic seed assignment `vec_id % k`,
+    * returning per-cluster sizes and the quantized inertia (sum of squared
+    * distances to the assigned centroid).
+    *
+    * Scale design — the textbook distributed Lloyd shape:
+    *   - ASSIGNMENT is map-side only: the k×dim centroid table is collected
+    *     into ONE broadcast row (`cents`, an array of (cluster, cvec)
+    *     structs — bounded by k·dim, never by data) and the argmin is a
+    *     per-row SQL fold over it. No shuffle of the corpus, ever.
+    *   - CENTROID RECOMPUTE is one partial-agg'd exchange per round:
+    *     posexplode → groupBy(cluster, pos) sums are map-side combined, so
+    *     the shuffle carries ≤ k·dim rows per input partition (NOT n·dim).
+    *   - DETERMINISM uses the x04 discipline end-to-end: centroid means are
+    *     floor-quantized BIGINT sums (order-free, partition-stable, no
+    *     per-group arrays), distances are the sparkD2/duckD2 sequential
+    *     fold (bit-identical doubles in both engines), argmin tie-breaks on
+    *     the lowest cluster id (the fold scans `cents` in cluster order and
+    *     replaces only on strict `<`), and the final inertia sum is again a
+    *     quantized BIGINT sum. The whole 2-round pipeline is hash-stable
+    *     under any partitioning at any scale.
+    */
+  def kmeansSummary(emb: DataFrame, k: Int = 8, iters: Int = 2): DataFrame = {
+    graft.functions.GraftFunctions.register(emb.sparkSession)
+    val e0 = emb.select(col("vec_id"),
+      expr("transform(embedding, ex -> CAST(ex AS DOUBLE))").as("e"))
+
+    // (cluster, e) rows → a single broadcast row holding the sorted
+    // array<struct<cluster,cvec>> centroid table.
+    def centroidRow(assigned: DataFrame): DataFrame = {
+      val pe = assigned.select(col("cluster"),
+        posexplode(col("e")).as(Seq("pos", "val")))
+      val cent = pe.groupBy("cluster", "pos")
+        .agg(sum(expr("CAST(floor(val * 1048576.0) AS BIGINT)")).as("sq"),
+          count(lit(1)).as("n"))
+        .withColumn("c",
+          expr("CAST(sq AS DOUBLE) / 1048576.0 / CAST(n AS DOUBLE)"))
+      // Bounded by dim per cluster (the x04 carr argument), then by k
+      // overall — both independent of row count.
+      cent.groupBy("cluster")
+        .agg(expr("transform(sort_array(collect_list(struct(pos, c))), x -> x.c)")
+          .as("cvec"))
+        .agg(expr("sort_array(collect_list(struct(cluster, cvec)))").as("cents"))
+    }
+
+    def assign(cents: DataFrame): DataFrame = {
+      // array_min over (dd, cluster) structs IS the argmin with the
+      // lowest-cluster tie-break (struct ordering is lexicographic); each
+      // distance is ONE compiled graft_l2 call — the interpreted
+      // aggregate()-fold argmin evaluated two sparkD2 folds per candidate
+      // and measured ~4× slower on this path.
+      val best =
+        """array_min(transform(cents,
+             ct -> named_struct('dd', graft_l2(e, ct.cvec), 'c', ct.cluster)))"""
+      e0.crossJoin(broadcast(cents))
+        .withColumn("best", expr(best))
+        .select(col("vec_id"), col("e"),
+          col("best.c").as("cluster"), col("best.dd").as("dd"))
+    }
+
+    val a0 = e0.withColumn("cluster", pmod(col("vec_id"), lit(k)).cast("int"))
+    val aN = (1 to iters).foldLeft(a0: DataFrame)((a, _) => assign(centroidRow(a)))
+    aN.groupBy("cluster")
+      .agg(count(lit(1)).as("n_vecs"),
+        (sum(expr("CAST(floor(dd * 67108864.0) AS BIGINT)")).cast("double")
+          / 67108864.0).as("inertia"))
+  }
+
+  /** Oracle twin of [[kmeansSummary]]: the same `iters` Lloyd rounds
+    * unrolled as CTE chains (assignment via ROW_NUMBER argmin with the same
+    * (dd, cluster) tie-break the fold applies).
+    */
+  def kmeansSummarySql(k: Int = 8, iters: Int = 2): String = {
+    def round(i: Int, prev: String): String =
+      s"""pe$i AS (SELECT cluster, i - 1 AS pos, e[i] AS val
+                   FROM $prev, UNNEST(range(1, len(e) + 1)) AS t(i)),
+          c$i AS (SELECT cluster, pos,
+                         CAST(SUM(CAST(floor(val * 1048576.0) AS BIGINT))
+                              AS DOUBLE) / 1048576.0 / COUNT(*) AS c
+                  FROM pe$i GROUP BY 1, 2),
+          cv$i AS (SELECT cluster, list(c ORDER BY pos) AS cvec
+                   FROM c$i GROUP BY 1),
+          d$i AS (SELECT vec_id, e, cv$i.cluster AS cl,
+                         ${duckD2("e", "cvec")} AS dd
+                  FROM e0, cv$i),
+          a$i AS (SELECT vec_id, e, cl AS cluster, dd
+                  FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+                               ORDER BY dd, cl) AS rn
+                        FROM d$i) WHERE rn = 1)"""
+    val rounds = (1 to iters).map(i => round(i, s"a${i - 1}")).mkString(",\n")
+    s"""WITH e0 AS (SELECT vec_id,
+                           list_transform(embedding, ex -> CAST(ex AS DOUBLE))
+                             AS e
+                    FROM embeddings),
+             a0 AS (SELECT vec_id, e, CAST(vec_id % $k AS INT) AS cluster
+                    FROM e0),
+             $rounds
+        SELECT cluster, CAST(COUNT(*) AS BIGINT) AS n_vecs,
+               CAST(SUM(CAST(floor(dd * 67108864.0) AS BIGINT)) AS DOUBLE)
+                 / 67108864.0 AS inertia
+        FROM a$iters GROUP BY cluster"""
   }
 
   /** x06: ANN quality evaluation — recall@k of the LSH-pruned search (x02)
@@ -522,6 +641,14 @@ object SimilarityQueries {
                SELECT vec_id, label,
                       ${Similarity.duckCos("embedding", "qe")} AS cos_sim
                FROM shortlist
-               ORDER BY cos_sim DESC, vec_id LIMIT 10"""))
+               ORDER BY cos_sim DESC, vec_id LIMIT 10""")),
+
+    // x11: k-means TRAINING (2 Lloyd rounds, k=8) — see
+    // Similarity.kmeansSummary for the broadcast-assignment /
+    // partial-agg-recompute scale design and the quantized determinism
+    // discipline that makes an iterative float algorithm hash-gateable.
+    Q("x11_kmeans",
+      (s, d) => Similarity.kmeansSummary(Tables.embeddings(s, d)),
+      Some(Similarity.kmeansSummarySql()))
   )
 }

@@ -101,11 +101,12 @@ object TextOps {
     * single source of truth for the oracle side of [[quality]] (t02 runs it
     * over `documents`; p03 over its deduped+sampled CTE).
     */
-  def qualitySqlFrom(rel: String): String =
-    s"""SELECT doc_id, n_chars_m, n_tokens, avg_tok_len, punct_ratio, stop_ratio,
+  def qualitySqlFrom(rel: String, keep: Seq[String] = Nil): String = {
+    val k = keep.map(c => s"$c, ").mkString
+    s"""SELECT doc_id, ${k}n_chars_m, n_tokens, avg_tok_len, punct_ratio, stop_ratio,
               avg_tok_len * 0.25 - punct_ratio * 2.0 + stop_ratio * 1.0
                 AS quality_score
-       FROM (SELECT doc_id,
+       FROM (SELECT doc_id, $k
                     CAST(length(text) AS INT) AS n_chars_m,
                     CAST(length(text) - length(replace(text, ' ', '')) + 1
                          AS BIGINT) AS n_tokens,
@@ -123,6 +124,7 @@ object TextOps {
                       / (length(text) - length(replace(text, ' ', '')) + 1)
                       AS stop_ratio
              FROM $rel)"""
+  }
 
   val qualitySql: String = qualitySqlFrom("documents")
 
@@ -828,5 +830,54 @@ object TextQueries {
                FROM documents JOIN rates USING (source)
                WHERE ${PortableHash.duckPoly("('mix|' || text)")} % 10000
                        < rate_bp"""))
+  ,
+
+    // t20: QUALITY-BUDGET curation — the per-source "top-p by token mass"
+    // selection a mixture pass runs after scoring (t02) and before packing
+    // (p05): within each source, rank documents by quality (ties broken by
+    // doc_id) and admit them best-first until HALF the source's token mass
+    // is spent; the document that crosses the boundary is admitted (so the
+    // kept mass is always >= the budget). The admission predicate
+    // `2*(cum - n_tokens) < tot` is pure BIGINT arithmetic — no float
+    // thresholds to diverge between engines; the only doubles in the row
+    // hash are the t02-parity quality scores.
+    //
+    // Scale: one shuffle, partitioned by source; both running sums ride the
+    // single per-source sort. A pathological mega-source would make that
+    // sort one task's problem — at that point the cut moves to the
+    // two-level exact-threshold shape q101 ships (per-partition histograms
+    // → global boundary → map-side filter), which needs no total order.
+    Q("t20_quality_budget",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val scored = TextOps.quality(Tables.documents(s, d),
+            keep = Seq("source"))
+          .select(col("doc_id"), col("source"), col("n_tokens"),
+            col("quality_score"))
+        val w = Window.partitionBy("source")
+          .orderBy(col("quality_score").desc, col("doc_id"))
+        scored
+          .withColumn("rn", row_number().over(w))
+          .withColumn("cum", sum("n_tokens").over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+          .withColumn("tot",
+            sum("n_tokens").over(Window.partitionBy("source")))
+          .filter((col("cum") - col("n_tokens")) * 2 < col("tot"))
+          .select("source", "doc_id", "rn", "n_tokens", "quality_score")
+      },
+      Some(s"""WITH scored AS (
+                 SELECT source, doc_id, n_tokens, quality_score
+                 FROM (${TextOps.qualitySqlFrom("documents", Seq("source"))})),
+               ranked AS (
+                 SELECT *,
+                        ROW_NUMBER() OVER (PARTITION BY source
+                          ORDER BY quality_score DESC, doc_id) AS rn,
+                        SUM(n_tokens) OVER (PARTITION BY source
+                          ORDER BY quality_score DESC, doc_id
+                          ROWS UNBOUNDED PRECEDING) AS cum,
+                        SUM(n_tokens) OVER (PARTITION BY source) AS tot
+                 FROM scored)
+               SELECT source, doc_id, rn, n_tokens, quality_score
+               FROM ranked WHERE (cum - n_tokens) * 2 < tot"""))
   )
 }

@@ -267,6 +267,36 @@ case class CosFExpr(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** Squared-L2 distance (VecOps.d2F/d2D): the x11 k-means assignment kernel —
+  * one compiled call per (row, centroid) instead of two interpreted
+  * `aggregate(zip_with(...))` folds. Same sequential fold as the SQL form,
+  * so results stay bit-identical to the DuckDB oracle twin.
+  */
+case class D2Expr(left: Expression, right: Expression)
+    extends BinaryExpression with VecExpr {
+  override protected def vecChildren: Seq[Expression] = Seq(left, right)
+  override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true // null on length mismatch
+  override def prettyName: String = "graft_l2"
+  protected override def nullSafeEval(a: Any, b: Any): Any = {
+    val (x, y) = (a.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData],
+      b.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData])
+    if (isFloatVec) VecOps.d2F(x, y) else VecOps.d2D(x, y)
+  }
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val fn = if (isFloatVec) "d2F" else "d2D"
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val r = ctx.freshName("d2Res")
+      s"""java.lang.Double $r = graft.functions.VecOps.$fn($a, $b);
+         if ($r == null) { ${ev.isNull} = true; }
+         else { ${ev.value} = $r.doubleValue(); }"""
+    })
+  }
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
 /** `bits` is a plan-time constant (like the generator literals below), not
   * a child expression: plane count shapes the physical candidate volume,
   * and a per-row-varying width has no meaning for a blocking key. Higher
@@ -636,6 +666,7 @@ object GraftFunctions {
     "graft_edge_ngrams"  -> (cs => EdgeNgramsExpr(cs.head)),
     "graft_dot"          -> (cs => DotFExpr(cs(0), cs(1))),
     "graft_cos"          -> (cs => CosFExpr(cs(0), cs(1))),
+    "graft_l2"           -> (cs => D2Expr(cs(0), cs(1))),
     "graft_q127"         -> (cs => Q127Expr(cs.head)),
     "graft_doti"         -> (cs => DotIExpr(cs(0), cs(1))),
     "graft_thumb"        -> (cs => ThumbHexExpr(cs(0), cs(1))),

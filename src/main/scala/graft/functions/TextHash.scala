@@ -523,6 +523,38 @@ object VecOps {
     if (denom == 0.0) null else d.doubleValue() / denom
   }
 
+  /** Squared-L2 distance, same sequential-fold discipline (per-element
+    * subtract → square → accumulate, in array order — the exact IEEE op
+    * sequence of `aggregate(zip_with(a, b, (x,y) -> (x-y)*(x-y)), ...)` and
+    * its DuckDB `list_reduce` twin); null on length mismatch. The x11
+    * k-means assignment hot path.
+    */
+  def d2F(a: ArrayData, b: ArrayData): java.lang.Double = {
+    val n = a.numElements()
+    if (n != b.numElements()) return null
+    var acc = 0.0
+    var i = 0
+    while (i < n) {
+      val d = a.getFloat(i).toDouble - b.getFloat(i).toDouble
+      acc += d * d
+      i += 1
+    }
+    acc
+  }
+
+  def d2D(a: ArrayData, b: ArrayData): java.lang.Double = {
+    val n = a.numElements()
+    if (n != b.numElements()) return null
+    var acc = 0.0
+    var i = 0
+    while (i < n) {
+      val d = a.getDouble(i) - b.getDouble(i)
+      acc += d * d
+      i += 1
+    }
+    acc
+  }
+
   /** INT8 symmetric scalar quantization (x09/x10 hot path): code_i =
     * floor(x_i / max|x| × 127 + 0.5), every step in doubles — bit-identical
     * to the SQL `transform(...)` / DuckDB `list_transform` form it

@@ -1972,6 +1972,122 @@ object Extended {
                      CAST(floor(c_acctbal / 500) * 500 AS BIGINT)
                        AS acctbal_band,
                      c_mktsegment, c_nationkey
-              FROM customer"""))
+              FROM customer""")),
+
+    // q106: INCREMENTAL AGGREGATE MAINTENANCE — the materialized-view
+    // refresh pattern a 100 TB rollup depends on: the historical partition
+    // range (here: every day before the latest) is held as PARTIAL
+    // aggregate states (count / decimal sum / min / max — all distributive
+    // or algebraic, so states merge associatively), and a new delta (the
+    // latest day) is aggregated alone and MERGED into the snapshot with
+    // sum-of-counts / sum-of-sums / min-of-mins / max-of-maxes — the
+    // history is never rescanned. The oracle is the full recompute, which
+    // is exactly the semantic contract of the merge. Decimal partial sums
+    // make merge order irrelevant (the Q34 discipline); the final cast to
+    // DOUBLE happens once, after the exact merge.
+    //
+    // Scale: both sides partial-agg before their shuffle, the merged
+    // groupBy carries |users|·|types| state rows, and at a real deployment
+    // the snapshot side is a parquet read of the persisted state table —
+    // cost ∝ delta + state, independent of history length.
+    Q("q106_incremental_agg",
+      (s, d) => {
+        val ev = Tables.events(s, d).select(
+          col("user_id"), col("event_type"),
+          to_date(col("ts")).as("day"), col("value"))
+        val mx = Tables.events(s, d)
+          .agg(max(to_date(col("ts"))).as("md"))
+        def partial(df: org.apache.spark.sql.DataFrame) =
+          df.groupBy("user_id", "event_type").agg(
+            count(lit(1)).as("cnt"),
+            sum(col("value").cast(DecimalType(12, 2))).as("sv"),
+            min("value").as("mn"),
+            max("value").as("mx"))
+        val staged = ev.join(broadcast(mx))
+        val snapshot = partial(staged.filter(col("day") < col("md")))
+        val delta    = partial(staged.filter(col("day") >= col("md")))
+        snapshot.unionByName(delta)
+          .groupBy("user_id", "event_type")
+          .agg(sum("cnt").as("n_events"),
+            sum("sv").cast("double").as("sum_value"),
+            min("mn").as("min_value"),
+            max("mx").as("max_value"))
+      },
+      Some("""SELECT user_id, event_type, count(*) AS n_events,
+                     CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE)
+                       AS sum_value,
+                     min(value) AS min_value, max(value) AS max_value
+              FROM events GROUP BY 1, 2""")),
+
+    // q107: ONE-PASS TABLE PROFILING — the ANALYZE-style governance scan a
+    // corpus gets before anything plans against it: per-column non-null
+    // count, EXACT distinct count, and min/max (stringified for a uniform
+    // profile schema; the timestamp column is profiled at DATE grain so the
+    // string form is format-stable across engines), plus the table row
+    // count, all from ONE scan. Multiple exact COUNT(DISTINCT)s compile to
+    // Spark's single-scan Expand plan (one pass over the data, shuffle
+    // widened ×(n_cols+1)) — at 100 TB, where that width bites, the
+    // distinct column swaps to the mergeable graft_kmv sketch (q59) or
+    // approx_count_distinct (q11) per-column with the same one-row-out
+    // shape; the exact form here is the oracle-checkable contract. The
+    // wide one-row aggregate is unpivoted to the (column, stats) profile
+    // rows with stack() — driver-side cost: 4 rows.
+    Q("q107_table_profile",
+      (s, d) => {
+        val li = Tables.lineitem(s, d)
+          .withColumn("l_shipday", to_date(col("l_shipdate")))
+        li.agg(
+            count(lit(1)).as("n_rows"),
+            count(col("l_orderkey")).as("c1"),
+            countDistinct(col("l_orderkey")).as("d1"),
+            min(col("l_orderkey")).cast("string").as("mn1"),
+            max(col("l_orderkey")).cast("string").as("mx1"),
+            count(col("l_returnflag")).as("c2"),
+            countDistinct(col("l_returnflag")).as("d2"),
+            min(col("l_returnflag")).as("mn2"),
+            max(col("l_returnflag")).as("mx2"),
+            count(col("l_linestatus")).as("c3"),
+            countDistinct(col("l_linestatus")).as("d3"),
+            min(col("l_linestatus")).as("mn3"),
+            max(col("l_linestatus")).as("mx3"),
+            count(col("l_shipday")).as("c4"),
+            countDistinct(col("l_shipday")).as("d4"),
+            min(col("l_shipday")).cast("string").as("mn4"),
+            max(col("l_shipday")).cast("string").as("mx4"))
+          .select(expr("""stack(4,
+              'l_orderkey',   c1, d1, mn1, mx1,
+              'l_returnflag', c2, d2, mn2, mx2,
+              'l_linestatus', c3, d3, mn3, mx3,
+              'l_shipday',    c4, d4, mn4, mx4)
+              AS (col_name, n_nonnull, n_distinct, min_str, max_str)"""),
+            col("n_rows"))
+      },
+      Some("""WITH b AS (SELECT l_orderkey, l_returnflag, l_linestatus,
+                                CAST(l_shipdate AS DATE) AS l_shipday,
+                                COUNT(*) OVER () AS n_rows
+                         FROM lineitem)
+              SELECT 'l_orderkey' AS col_name,
+                     count(l_orderkey) AS n_nonnull,
+                     count(DISTINCT l_orderkey) AS n_distinct,
+                     CAST(min(l_orderkey) AS VARCHAR) AS min_str,
+                     CAST(max(l_orderkey) AS VARCHAR) AS max_str,
+                     max(n_rows) AS n_rows
+              FROM b
+              UNION ALL
+              SELECT 'l_returnflag', count(l_returnflag),
+                     count(DISTINCT l_returnflag),
+                     min(l_returnflag), max(l_returnflag), max(n_rows)
+              FROM b
+              UNION ALL
+              SELECT 'l_linestatus', count(l_linestatus),
+                     count(DISTINCT l_linestatus),
+                     min(l_linestatus), max(l_linestatus), max(n_rows)
+              FROM b
+              UNION ALL
+              SELECT 'l_shipday', count(l_shipday),
+                     count(DISTINCT l_shipday),
+                     CAST(min(l_shipday) AS VARCHAR),
+                     CAST(max(l_shipday) AS VARCHAR), max(n_rows)
+              FROM b"""))
   )
 }

@@ -1,0 +1,48 @@
+package graft.ext
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+import graft.sources.Tables
+
+/** Semantic pins for x11's distributed Lloyd k-means (the oracle gate
+  * proves value equality against the unrolled SQL twin; these pin the
+  * algorithmic contracts that SQL equality alone wouldn't catch).
+  */
+class KmeansSpec extends SparkSpec {
+  private val sf = "/root/testdata/sf0.001"
+
+  private def totals(iters: Int): (Long, Double) = {
+    val rows = Similarity
+      .kmeansSummary(Tables.embeddings(spark, sf), k = 8, iters = iters)
+      .collect()
+    (rows.map(_.getLong(1)).sum, rows.map(_.getDouble(2)).sum)
+  }
+
+  test("cluster sizes always sum to the corpus size, with <= k clusters") {
+    val n = Tables.embeddings(spark, sf).count()
+    val rows = Similarity.kmeansSummary(Tables.embeddings(spark, sf)).collect()
+    assert(rows.length <= 8)
+    assert(rows.map(_.getLong(1)).sum === n)
+    assert(rows.map(_.getInt(0)).toSet.subsetOf((0 until 8).toSet))
+  }
+
+  test("Lloyd objective is non-increasing across rounds") {
+    val (n1, inertia1) = totals(1)
+    val (n2, inertia2) = totals(2)
+    assert(n1 === n2)
+    // Centroid quantization (2^-20 per component) perturbs the objective by
+    // strictly less than the tolerance here.
+    assert(inertia2 <= inertia1 * (1 + 1e-6) + 1e-6,
+      s"inertia rose across a Lloyd round: $inertia1 -> $inertia2")
+  }
+
+  test("summary is partition-stable (quantized sums are order-free)") {
+    val base = Similarity.kmeansSummary(Tables.embeddings(spark, sf))
+      .collect().map(_.toString).sorted.toSeq
+    val shuffled = Similarity
+      .kmeansSummary(Tables.embeddings(spark, sf).repartition(7))
+      .collect().map(_.toString).sorted.toSeq
+    assert(base === shuffled)
+  }
+}

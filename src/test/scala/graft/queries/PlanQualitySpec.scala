@@ -424,6 +424,43 @@ class PlanQualitySpec extends SparkSpec {
     assert(p.contains("Scan parquet"), p)
   }
 
+  test("x11: corpus never hash-exchanges — every exchange carries centroid keys") {
+    val p = planOf("x11_kmeans")
+    // assignment = broadcast centroid row per Lloyd round (2 rounds)
+    assert("BroadcastNestedLoopJoin".r.findAllIn(p).size === 2, p)
+    // distance is the compiled kernel, not an interpreted zip_with fold
+    assert(p.contains("graft_l2"), p)
+    assert(!p.contains("zip_with"), p)
+    // the only hash exchanges are centroid-scale (cluster / cluster,pos) —
+    // the n-row corpus side flows map-side through every round
+    "Exchange hashpartitioning\\(\\w+".r.findAllIn(p).foreach(e =>
+      assert(e.contains("(cluster"), p))
+  }
+
+  test("q106: merge is partial-agg'd everywhere, keyed on the state key") {
+    val p = planOf("q106_incremental_agg")
+    assert(p.contains("partial_sum"), p)
+    // the day cutoff is a 1-row broadcast cross, not a shuffle
+    assert(p.contains("BroadcastNestedLoopJoin"), p)
+    "Exchange hashpartitioning\\(\\w+".r.findAllIn(p).foreach(e =>
+      assert(e.contains("(user_id"), p))
+  }
+
+  test("q107: profile is ONE scan through the multi-distinct Expand") {
+    val p = planOf("q107_table_profile")
+    assert(p.contains("Expand"), p)
+    assert("Scan parquet".r.findAllIn(p).size === 1, p)
+  }
+
+  test("t20: budget cut is ONE source exchange — scoring rides the scan") {
+    val p = planOf("t20_quality_budget")
+    assert(p.contains("graft_quality_stats"), p)
+    assert(p.contains("Window"), p)
+    assert(!p.contains("Join"), p)
+    assert("Exchange hashpartitioning".r.findAllIn(p).size === 1, p)
+    assert(p.contains("Exchange hashpartitioning(source"), p)
+  }
+
   test("bucketed tables join without a shuffle exchange") {
     val s = spark
     val prevThreshold = s.conf.get("spark.sql.autoBroadcastJoinThreshold")
