@@ -2019,41 +2019,46 @@ object Extended {
                      min(value) AS min_value, max(value) AS max_value
               FROM events GROUP BY 1, 2""")),
 
-    // q107: ONE-PASS TABLE PROFILING — the ANALYZE-style governance scan a
-    // corpus gets before anything plans against it: per-column non-null
-    // count, EXACT distinct count, and min/max (stringified for a uniform
-    // profile schema; the timestamp column is profiled at DATE grain so the
-    // string form is format-stable across engines), plus the table row
-    // count, all from ONE scan. Multiple exact COUNT(DISTINCT)s compile to
-    // Spark's single-scan Expand plan (one pass over the data, shuffle
-    // widened ×(n_cols+1)) — at 100 TB, where that width bites, the
-    // distinct column swaps to the mergeable graft_kmv sketch (q59) or
-    // approx_count_distinct (q11) per-column with the same one-row-out
-    // shape; the exact form here is the oracle-checkable contract. The
-    // wide one-row aggregate is unpivoted to the (column, stats) profile
-    // rows with stack() — driver-side cost: 4 rows.
+    // q107: TABLE PROFILING — the ANALYZE-style governance scan a corpus
+    // gets before anything plans against it: per-column non-null count,
+    // EXACT distinct count, and min/max (stringified for a uniform profile
+    // schema; the timestamp column is profiled at DATE grain so the string
+    // form is format-stable across engines), plus the table row count.
+    // Shape: the 13 plain stats ride ONE narrow aggregate pass; each exact
+    // distinct is its OWN partial-dedup aggregate (map-side distinct →
+    // shuffle of per-partition distinct VALUES, not rows) and the 1-row
+    // results crossJoin-broadcast together. The multi-COUNT(DISTINCT)
+    // single-scan Expand form was tried first and dragged all 17 agg
+    // buffers across rows×(cols+1) expanded rows — 20× slower at sf0.1;
+    // per-column scans are column-pruned, and the shuffled volume here is
+    // Σ per-column cardinalities, which is the best an exact profile can
+    // do. At 100 TB the distinct columns swap to the mergeable graft_kmv
+    // sketch (q59) or approx_count_distinct (q11) to fold everything back
+    // into the single stats pass; the exact form is the oracle-checkable
+    // contract. The wide one-row aggregate is unpivoted to the
+    // (column, stats) profile rows with stack() — driver-side cost: 4 rows.
     Q("q107_table_profile",
       (s, d) => {
         val li = Tables.lineitem(s, d)
           .withColumn("l_shipday", to_date(col("l_shipdate")))
-        li.agg(
-            count(lit(1)).as("n_rows"),
-            count(col("l_orderkey")).as("c1"),
-            countDistinct(col("l_orderkey")).as("d1"),
-            min(col("l_orderkey")).cast("string").as("mn1"),
-            max(col("l_orderkey")).cast("string").as("mx1"),
-            count(col("l_returnflag")).as("c2"),
-            countDistinct(col("l_returnflag")).as("d2"),
-            min(col("l_returnflag")).as("mn2"),
-            max(col("l_returnflag")).as("mx2"),
-            count(col("l_linestatus")).as("c3"),
-            countDistinct(col("l_linestatus")).as("d3"),
-            min(col("l_linestatus")).as("mn3"),
-            max(col("l_linestatus")).as("mx3"),
-            count(col("l_shipday")).as("c4"),
-            countDistinct(col("l_shipday")).as("d4"),
-            min(col("l_shipday")).cast("string").as("mn4"),
-            max(col("l_shipday")).cast("string").as("mx4"))
+        val base = li.agg(
+          count(lit(1)).as("n_rows"),
+          count(col("l_orderkey")).as("c1"),
+          min(col("l_orderkey")).cast("string").as("mn1"),
+          max(col("l_orderkey")).cast("string").as("mx1"),
+          count(col("l_returnflag")).as("c2"),
+          min(col("l_returnflag")).as("mn2"),
+          max(col("l_returnflag")).as("mx2"),
+          count(col("l_linestatus")).as("c3"),
+          min(col("l_linestatus")).as("mn3"),
+          max(col("l_linestatus")).as("mx3"),
+          count(col("l_shipday")).as("c4"),
+          min(col("l_shipday")).cast("string").as("mn4"),
+          max(col("l_shipday")).cast("string").as("mx4"))
+        val dists = Seq("l_orderkey" -> "d1", "l_returnflag" -> "d2",
+            "l_linestatus" -> "d3", "l_shipday" -> "d4")
+          .map { case (c, a) => li.agg(countDistinct(col(c)).as(a)) }
+        dists.foldLeft(base)((acc, df) => acc.crossJoin(broadcast(df)))
           .select(expr("""stack(4,
               'l_orderkey',   c1, d1, mn1, mx1,
               'l_returnflag', c2, d2, mn2, mx2,

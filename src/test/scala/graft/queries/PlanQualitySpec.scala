@@ -446,10 +446,18 @@ class PlanQualitySpec extends SparkSpec {
       assert(e.contains("(user_id"), p))
   }
 
-  test("q107: profile is ONE scan through the multi-distinct Expand") {
+  test("q107: profile never Expands — distincts are partial-dedup branches") {
     val p = planOf("q107_table_profile")
-    assert(p.contains("Expand"), p)
-    assert("Scan parquet".r.findAllIn(p).size === 1, p)
+    // the multi-COUNT(DISTINCT) Expand form dragged every agg buffer across
+    // rows×(cols+1) expanded rows (20× slower); the pinned shape is one
+    // narrow stats pass + per-column map-side-distinct aggregates whose
+    // 1-row results broadcast together
+    assert(!p.contains("Expand"), p)
+    assert("Scan parquet".r.findAllIn(p).size === 5, p)
+    assert("BroadcastNestedLoopJoin".r.findAllIn(p).size === 4, p)
+    // each distinct branch dedups map-side before its exchange: the partial
+    // aggregate keyed on the column itself must sit below every shuffle
+    assert(p.contains("partial_count"), p)
   }
 
   test("t20: budget cut is ONE source exchange — scoring rides the scan") {
