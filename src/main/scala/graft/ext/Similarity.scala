@@ -252,22 +252,14 @@ object Similarity {
       expr("transform(embedding, ex -> CAST(ex AS DOUBLE))").as("e"))
 
     // (cluster, e) rows → a single broadcast row holding the sorted
-    // array<struct<cluster,cvec>> centroid table.
-    def centroidRow(assigned: DataFrame): DataFrame = {
-      val pe = assigned.select(col("cluster"),
-        posexplode(col("e")).as(Seq("pos", "val")))
-      val cent = pe.groupBy("cluster", "pos")
-        .agg(sum(expr("CAST(floor(val * 1048576.0) AS BIGINT)")).as("sq"),
-          count(lit(1)).as("n"))
-        .withColumn("c",
-          expr("CAST(sq AS DOUBLE) / 1048576.0 / CAST(n AS DOUBLE)"))
-      // Bounded by dim per cluster (the x04 carr argument), then by k
-      // overall — both independent of row count.
-      cent.groupBy("cluster")
-        .agg(expr("transform(sort_array(collect_list(struct(pos, c))), x -> x.c)")
-          .as("cvec"))
-        .agg(expr("sort_array(collect_list(struct(cluster, cvec)))").as("cents"))
-    }
+    // array<struct<cluster,cvec>> centroid table, via the mergeable
+    // graft_centroids accumulator (functions/CentroidSum.scala): one
+    // bounded k·dim-long buffer per partition, merged at a single reducer —
+    // ONE stage where the posexplode → groupBy(cluster,pos) →
+    // groupBy(cluster) → collect chain was three, with the same quantized
+    // BIGINT sums (order-free, bit-identical to the SQL twin).
+    def centroidRow(assigned: DataFrame): DataFrame =
+      assigned.agg(expr(s"graft_centroids(cluster, e, $k)").as("cents"))
 
     def assign(cents: DataFrame): DataFrame = {
       // array_min over (dd, cluster) structs IS the argmin with the

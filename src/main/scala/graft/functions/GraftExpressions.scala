@@ -677,6 +677,9 @@ object GraftFunctions {
       if (cs.length > 1) cs(1).eval(null).asInstanceOf[Int] else 8)),
     // mergeable KMV distinct sketch (analyzer wraps the raw AggregateFunction)
     "graft_kmv"          -> (cs => KmvSketchAgg(cs.head, 64)),
+    // mergeable k-means centroid accumulator; trailing k is an int literal
+    "graft_centroids"    -> (cs => CentroidSumAgg(cs(0), cs(1),
+      cs(2).eval(null).asInstanceOf[Int])),
     "graft_kmv_union_est" -> (cs => KmvUnionEstExpr(cs(0), cs(1), 64)),
     // generators (table functions): trailing args must be int literals
     "graft_token_windows" -> (cs => TokenWindowsExpr(cs(0),

@@ -431,8 +431,12 @@ class PlanQualitySpec extends SparkSpec {
     // distance is the compiled kernel, not an interpreted zip_with fold
     assert(p.contains("graft_l2"), p)
     assert(!p.contains("zip_with"), p)
-    // the only hash exchanges are centroid-scale (cluster / cluster,pos) —
-    // the n-row corpus side flows map-side through every round
+    // centroid recompute is the mergeable accumulator (one bounded buffer
+    // per partition), not the exploded (cluster,pos) row chain
+    assert(p.contains("partial_graft_centroids"), p)
+    assert(!p.contains("Generate posexplode"), p)
+    // the only hash exchange is the final per-cluster summary — the n-row
+    // corpus side flows map-side through every round
     "Exchange hashpartitioning\\(\\w+".r.findAllIn(p).foreach(e =>
       assert(e.contains("(cluster"), p))
   }
