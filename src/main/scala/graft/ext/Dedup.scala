@@ -618,6 +618,60 @@ object Dedup {
           ON a.bucket = b.bucket AND a.vec_id < b.vec_id
         WHERE ($dot) / (sqrt($na) * sqrt($nb)) > 0.3"""
   }
+
+  /** d17: SEMANTIC dedup (the SemDeDup shape): block by LEARNED k-means
+    * cells (x11's 2-round Lloyd assignment) instead of d07's
+    * data-independent hyperplane cells, then admit one representative per
+    * within-cell near-dup neighborhood — each pruned vector points at its
+    * lowest-id close neighbor (`rep_id`; kept vectors point at themselves).
+    * One-hop admission by design: transitive-closure resolution is d09's
+    * job; this is the per-cell greedy pass the SemDeDup recipe runs.
+    *
+    * τ = 0.3 matches d07's declared contract on this corpus (synthetic
+    * near-orthogonal embeddings top out at cos ≈ 0.48; a real corpus runs
+    * τ ≈ 0.95) — the threshold and k are the operator's knobs.
+    *
+    * Scale: the assignment relation reuses x11's broadcast-centroid
+    * map-side shape (corpus never hash-exchanges to get its cell); the
+    * pairwise stage inherits the d03/d07 posture — shuffled-hash self-join
+    * on the cell key, optional MaxBucketSizeKey cap against hot cells, and
+    * k must grow ~n/target_occupancy (the graft_centroids buffer is k·dim
+    * longs, so k scales to millions of cells before the broadcast is even
+    * megabytes).
+    */
+  def semanticDedup(embeddings: DataFrame, k: Int = 8, iters: Int = 2,
+      tau: Double = 0.3): DataFrame = {
+    val assigned = graft.util.Caches.retain(
+      Similarity.kmeansAssign(embeddings, k, iters)
+        .select(col("vec_id"), col("e"), col("cluster")))
+    val capped = applyBucketCap(assigned, Seq("cluster"))
+    val a = capped.select(col("vec_id").as("vec_a"), col("cluster"),
+      col("e").as("ea"))
+    val b = capped.select(col("vec_id").as("vec_b"),
+      col("cluster").as("cluster_b"), col("e").as("eb")).hint("shuffle_hash")
+    val pruned = a.join(b,
+        col("cluster") === col("cluster_b") && col("vec_a") < col("vec_b"))
+      .withColumn("cos_sim", expr("graft_cos(ea, eb)"))
+      .filter(col("cos_sim") > tau)
+      .groupBy(col("vec_b").as("vec_id")).agg(min("vec_a").as("dup_of"))
+    capped.select("vec_id", "cluster")
+      .join(pruned, Seq("vec_id"), "left_outer")
+      .select(col("vec_id"), col("cluster"),
+        coalesce(col("dup_of"), col("vec_id")).as("rep_id"),
+        col("dup_of").isNotNull.cast("int").as("is_pruned"))
+  }
+
+  def semanticDedupSql(k: Int = 8, iters: Int = 2, tau: Double = 0.3): String =
+    s"""WITH ${Similarity.kmeansAssignCtes(k, iters)},
+             pr AS (SELECT b.vec_id, min(a.vec_id) AS dup_of
+                    FROM a$iters a JOIN a$iters b
+                      ON a.cluster = b.cluster AND a.vec_id < b.vec_id
+                    WHERE ${Similarity.duckCos("a.e", "b.e")} > $tau
+                    GROUP BY b.vec_id)
+        SELECT z.vec_id, z.cluster,
+               coalesce(pr.dup_of, z.vec_id) AS rep_id,
+               CAST(pr.vec_id IS NOT NULL AS INT) AS is_pruned
+        FROM a$iters z LEFT JOIN pr ON z.vec_id = pr.vec_id"""
 }
 
 object DedupQueries {
@@ -936,6 +990,13 @@ object DedupQueries {
                    CASE WHEN (SELECT count(*) FROM exact) > 0
                         THEN CAST((SELECT count(*) FROM hit) AS DOUBLE)
                              / (SELECT count(*) FROM exact) END AS recall"""
-      })
+      }),
+
+    // d17: SemDeDup-style semantic dedup over LEARNED k-means cells — see
+    // Dedup.semanticDedup for the blocking/admission design and how it
+    // composes x11's assignment with the d03/d07 pairwise posture.
+    Q("d17_semantic_dedup",
+      (s, d) => Dedup.semanticDedup(Tables.embeddings(s, d)),
+      Some(Dedup.semanticDedupSql()))
   )
 }

@@ -246,7 +246,18 @@ object Similarity {
     *     quantized BIGINT sum. The whole 2-round pipeline is hash-stable
     *     under any partitioning at any scale.
     */
-  def kmeansSummary(emb: DataFrame, k: Int = 8, iters: Int = 2): DataFrame = {
+  def kmeansSummary(emb: DataFrame, k: Int = 8, iters: Int = 2): DataFrame =
+    kmeansAssign(emb, k, iters).groupBy("cluster")
+      .agg(count(lit(1)).as("n_vecs"),
+        (sum(expr("CAST(floor(dd * 67108864.0) AS BIGINT)")).cast("double")
+          / 67108864.0).as("inertia"))
+
+  /** The per-vector assignment after `iters` Lloyd rounds:
+    * (vec_id, e double-array, cluster, dd squared-L2 to the assigned
+    * centroid). kmeansSummary's per-cluster rollup and d17's semantic-dedup
+    * blocking both consume this.
+    */
+  def kmeansAssign(emb: DataFrame, k: Int = 8, iters: Int = 2): DataFrame = {
     graft.functions.GraftFunctions.register(emb.sparkSession)
     val e0 = emb.select(col("vec_id"),
       expr("transform(embedding, ex -> CAST(ex AS DOUBLE))").as("e"))
@@ -277,18 +288,15 @@ object Similarity {
     }
 
     val a0 = e0.withColumn("cluster", pmod(col("vec_id"), lit(k)).cast("int"))
-    val aN = (1 to iters).foldLeft(a0: DataFrame)((a, _) => assign(centroidRow(a)))
-    aN.groupBy("cluster")
-      .agg(count(lit(1)).as("n_vecs"),
-        (sum(expr("CAST(floor(dd * 67108864.0) AS BIGINT)")).cast("double")
-          / 67108864.0).as("inertia"))
+    (1 to iters).foldLeft(a0: DataFrame)((a, _) => assign(centroidRow(a)))
   }
 
-  /** Oracle twin of [[kmeansSummary]]: the same `iters` Lloyd rounds
-    * unrolled as CTE chains (assignment via ROW_NUMBER argmin with the same
-    * (dd, cluster) tie-break the fold applies).
+  /** CTE chain shared by the kmeans oracles: `iters` Lloyd rounds unrolled
+    * (assignment via ROW_NUMBER argmin with the same (dd, cluster)
+    * tie-break the engine's fold applies); `a$iters` is the final
+    * (vec_id, e, cluster, dd) assignment relation.
     */
-  def kmeansSummarySql(k: Int = 8, iters: Int = 2): String = {
+  def kmeansAssignCtes(k: Int = 8, iters: Int = 2): String = {
     def round(i: Int, prev: String): String =
       s"""pe$i AS (SELECT cluster, i - 1 AS pos, e[i] AS val
                    FROM $prev, UNNEST(range(1, len(e) + 1)) AS t(i)),
@@ -306,18 +314,22 @@ object Similarity {
                                ORDER BY dd, cl) AS rn
                         FROM d$i) WHERE rn = 1)"""
     val rounds = (1 to iters).map(i => round(i, s"a${i - 1}")).mkString(",\n")
-    s"""WITH e0 AS (SELECT vec_id,
-                           list_transform(embedding, ex -> CAST(ex AS DOUBLE))
-                             AS e
-                    FROM embeddings),
-             a0 AS (SELECT vec_id, e, CAST(vec_id % $k AS INT) AS cluster
-                    FROM e0),
-             $rounds
+    s"""e0 AS (SELECT vec_id,
+                      list_transform(embedding, ex -> CAST(ex AS DOUBLE))
+                        AS e
+               FROM embeddings),
+        a0 AS (SELECT vec_id, e, CAST(vec_id % $k AS INT) AS cluster
+               FROM e0),
+        $rounds"""
+  }
+
+  /** Oracle twin of [[kmeansSummary]]. */
+  def kmeansSummarySql(k: Int = 8, iters: Int = 2): String =
+    s"""WITH ${kmeansAssignCtes(k, iters)}
         SELECT cluster, CAST(COUNT(*) AS BIGINT) AS n_vecs,
                CAST(SUM(CAST(floor(dd * 67108864.0) AS BIGINT)) AS DOUBLE)
                  / 67108864.0 AS inertia
         FROM a$iters GROUP BY cluster"""
-  }
 
   /** x06: ANN quality evaluation — recall@k of the LSH-pruned search (x02)
     * against the exact brute-force ranking (x01), the metric that decides

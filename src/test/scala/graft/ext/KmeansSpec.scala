@@ -37,6 +37,21 @@ class KmeansSpec extends SparkSpec {
       s"inertia rose across a Lloyd round: $inertia1 -> $inertia2")
   }
 
+  test("d17 semantic dedup: total coverage, one-hop reps point down-id in-cell") {
+    val out = Dedup.semanticDedup(Tables.embeddings(spark, sf)).collect()
+    val n = Tables.embeddings(spark, sf).count()
+    assert(out.length === n, "every vector gets exactly one admission row")
+    assert(out.map(_.getLong(0)).distinct.length === n)
+    val cellOf = out.map(r => r.getLong(0) -> r.getInt(1)).toMap
+    out.foreach { r =>
+      val (id, rep, pruned) = (r.getLong(0), r.getLong(2), r.getInt(3))
+      if (pruned == 1) {
+        assert(rep < id, s"pruned $id must point at a lower id, got $rep")
+        assert(cellOf(rep) === cellOf(id), "rep must share the cell")
+      } else assert(rep === id)
+    }
+  }
+
   test("summary is partition-stable (quantized sums are order-free)") {
     val base = Similarity.kmeansSummary(Tables.embeddings(spark, sf))
       .collect().map(_.toString).sorted.toSeq

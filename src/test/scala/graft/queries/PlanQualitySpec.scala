@@ -441,6 +441,20 @@ class PlanQualitySpec extends SparkSpec {
       assert(e.contains("(cluster"), p))
   }
 
+  test("d17: cell-blocked pair stage is a shuffled hash join, never cartesian") {
+    val p = planOf("d17_semantic_dedup")
+    // the pairwise stage must join on the learned cell key (d03's
+    // scale-honest shape)
+    assert(p.contains("ShuffledHashJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    // the kmeans assignment is computed ONCE and cached — all three
+    // consumers (both pair sides + the admission left join) read the
+    // InMemoryTableScan (the printed plan inlines the cached subtree, so
+    // its broadcast rounds appear per consumer; runtime evaluates one)
+    assert(p.contains("InMemoryTableScan"), p)
+    assert(p.contains("partial_graft_centroids"), p)
+  }
+
   test("q106: merge is partial-agg'd everywhere, keyed on the state key") {
     val p = planOf("q106_incremental_agg")
     assert(p.contains("partial_sum"), p)
