@@ -639,8 +639,21 @@ object Dedup {
     * longs, so k scales to millions of cells before the broadcast is even
     * megabytes).
     */
-  def semanticDedup(embeddings: DataFrame, k: Int = 8, iters: Int = 2,
+  /** Conf key: k-means cell count for d17's blocking (default 8 = the
+    * declared oracle contract). Like d07's hyperplaneBits, this is the
+    * corpus-growth knob: in-cell candidate pairs grow quadratically at
+    * fixed k, so k should track n/target_occupancy. Unlike LSH bits,
+    * raising k re-TRAINS the cells rather than refining them — pair sets
+    * at different k are different blockings, not subsets (measured at the
+    * 100× checkpoint in BASELINE.md).
+    */
+  val KmeansCellsKey = "spark.graft.dedup.kmeansCells"
+
+  def semanticDedup(embeddings: DataFrame, kDefault: Int = 8, iters: Int = 2,
       tau: Double = 0.3): DataFrame = {
+    val k = embeddings.sparkSession.conf
+      .get(KmeansCellsKey, kDefault.toString).toInt
+    require(k >= 1 && k <= 65536, s"$KmeansCellsKey=$k out of range [1, 65536]")
     val assigned = graft.util.Caches.retain(
       Similarity.kmeansAssign(embeddings, k, iters)
         .select(col("vec_id"), col("e"), col("cluster")))

@@ -52,6 +52,18 @@ class KmeansSpec extends SparkSpec {
     }
   }
 
+  test("d17 cell-count knob re-blocks: more cells, same coverage invariants") {
+    val s = spark
+    try {
+      s.conf.set(Dedup.KmeansCellsKey, "16")
+      val out = Dedup.semanticDedup(Tables.embeddings(s, sf)).collect()
+      assert(out.length === Tables.embeddings(s, sf).count())
+      val cells = out.map(_.getInt(1)).distinct
+      assert(cells.length > 8, "knob must actually widen the cell space")
+      assert(cells.forall(c => c >= 0 && c < 16))
+    } finally s.conf.unset(Dedup.KmeansCellsKey)
+  }
+
   test("summary is partition-stable (quantized sums are order-free)") {
     val base = Similarity.kmeansSummary(Tables.embeddings(spark, sf))
       .collect().map(_.toString).sorted.toSeq
