@@ -667,7 +667,11 @@ object Dedup {
       .withColumn("cos_sim", expr("graft_cos(ea, eb)"))
       .filter(col("cos_sim") > tau)
       .groupBy(col("vec_b").as("vec_id")).agg(min("vec_a").as("dup_of"))
-    capped.select("vec_id", "cluster")
+    // Admission base is the FULL assignment, not the capped relation: the
+    // cap excludes over-cap cells from PAIR GENERATION only (their members
+    // come through unpruned, matching d07's cap contract) — every vector
+    // must get exactly one admission row regardless of cap setting.
+    assigned.select("vec_id", "cluster")
       .join(pruned, Seq("vec_id"), "left_outer")
       .select(col("vec_id"), col("cluster"),
         coalesce(col("dup_of"), col("vec_id")).as("rep_id"),

@@ -64,6 +64,20 @@ class KmeansSpec extends SparkSpec {
     } finally s.conf.unset(Dedup.KmeansCellsKey)
   }
 
+  test("d17 under a hot-cell cap: totality holds, over-cap cells just go unpruned") {
+    val s = spark
+    try {
+      // every 8-cell clustering of 200+ vectors is over a cap of 3, so
+      // ALL cells are excluded from pair generation
+      s.conf.set(Dedup.MaxBucketSizeKey, "3")
+      val out = Dedup.semanticDedup(Tables.embeddings(s, sf)).collect()
+      assert(out.length === Tables.embeddings(s, sf).count(),
+        "cap must not drop admission rows")
+      assert(out.forall(_.getInt(3) === 0),
+        "with all cells over cap, nothing can be pruned")
+    } finally s.conf.unset(Dedup.MaxBucketSizeKey)
+  }
+
   test("summary is partition-stable (quantized sums are order-free)") {
     val base = Similarity.kmeansSummary(Tables.embeddings(spark, sf))
       .collect().map(_.toString).sorted.toSeq
