@@ -42,15 +42,12 @@ object Similarity {
   def duckCos(a: String, b: String): String =
     s"(${duckDot(a, b)}) / (sqrt(${duckDot(a, a)}) * sqrt(${duckDot(b, b)}))"
 
-  /** Squared-L2 distance as the same sequential left fold in both engines
-    * (inputs must already be double arrays so the per-element subtraction is
-    * exact and identical). Lambda variable names are chosen to never collide
-    * with an enclosing `aggregate` lambda (x11 nests this inside an argmin
-    * fold whose own variables are `acc`/`ct`).
+  /** Squared-L2 distance as a sequential left fold over 1-based indices —
+    * the oracle-side twin of the compiled engine kernel (VecOps.d2D via
+    * `graft_l2`): identical per-element subtract → square → accumulate
+    * sequence in double precision, so both engines produce bit-identical
+    * distances. Inputs must already be double lists.
     */
-  def sparkD2(a: String, b: String): String =
-    s"aggregate(zip_with($a, $b, (zx, zy) -> (zx - zy) * (zx - zy)), " +
-      s"CAST(0 AS DOUBLE), (a2, v2) -> a2 + v2)"
   def duckD2(a: String, b: String): String =
     s"list_reduce(list_prepend(CAST(0 AS DOUBLE), " +
       s"list_transform(range(1, len($a) + 1), " +
@@ -239,7 +236,7 @@ object Similarity {
     *     the shuffle carries ≤ k·dim rows per input partition (NOT n·dim).
     *   - DETERMINISM uses the x04 discipline end-to-end: centroid means are
     *     floor-quantized BIGINT sums (order-free, partition-stable, no
-    *     per-group arrays), distances are the sparkD2/duckD2 sequential
+    *     per-group arrays), distances are the graft_l2/duckD2 sequential
     *     fold (bit-identical doubles in both engines), argmin tie-breaks on
     *     the lowest cluster id (the fold scans `cents` in cluster order and
     *     replaces only on strict `<`), and the final inertia sum is again a
@@ -276,7 +273,7 @@ object Similarity {
       // array_min over (dd, cluster) structs IS the argmin with the
       // lowest-cluster tie-break (struct ordering is lexicographic); each
       // distance is ONE compiled graft_l2 call — the interpreted
-      // aggregate()-fold argmin evaluated two sparkD2 folds per candidate
+      // aggregate()-fold argmin evaluated two interpreted SQL folds per candidate
       // and measured ~4× slower on this path.
       val best =
         """array_min(transform(cents,

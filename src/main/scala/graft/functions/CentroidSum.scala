@@ -29,6 +29,12 @@ final class CentroidBuffer(val k: Int) {
 
   def add(cluster: Int, e: ArrayData): Unit = {
     if (dim < 0) { dim = e.numElements(); sums = new Array[Long](k * dim) }
+    // A ragged vector must fail LOUDLY: an aggregate cannot return the
+    // per-row null the scalar kernels (VecOps.d2F/dotF) use for length
+    // mismatches, and silently truncating/overreading would corrupt every
+    // centroid that partition touches.
+    require(e.numElements() == dim,
+      s"graft_centroids: vector of dim ${e.numElements()} in a dim-$dim corpus")
     val base = cluster * dim
     var i = 0
     while (i < dim) {
@@ -41,6 +47,8 @@ final class CentroidBuffer(val k: Int) {
   def merge(other: CentroidBuffer): Unit = {
     if (other.dim < 0) return
     if (dim < 0) { dim = other.dim; sums = new Array[Long](k * dim) }
+    require(other.dim == dim,
+      s"graft_centroids: merging dim-${other.dim} buffer into dim-$dim")
     var i = 0
     while (i < sums.length) { sums(i) += other.sums(i); i += 1 }
     i = 0

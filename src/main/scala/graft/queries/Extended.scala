@@ -1986,19 +1986,22 @@ object Extended {
     // make merge order irrelevant (the Q34 discipline); the final cast to
     // DOUBLE happens once, after the exact merge.
     //
-    // Scale: the snapshot is a PERSISTED parquet state table (materialized
-    // once per JVM, like a nightly refresh would leave behind) — the
-    // refresh genuinely reads state + delta, never the history rows. Both
-    // delta and (at build time) history partial-agg before their shuffle;
-    // the merged groupBy carries |users|·|types| state rows. Cost of the
-    // measured query ∝ delta + state, independent of history length.
+    // Scale: the fixture is what a real deployment leaves behind — the
+    // PERSISTED partial-agg state table, the DAY-PARTITIONED event layout,
+    // and the cutoff watermark — so the measured refresh reads state +
+    // cutoff + a PARTITION-PRUNED delta scan (PartitionFilters on day,
+    // plan-pinned): history rows are genuinely never touched and the
+    // refresh cost ∝ delta + state, independent of history length. The
+    // cutoff is a 1-row metadata read at plan construction (the watermark
+    // lookup every IVM refresh starts with); rows with a NULL event time
+    // can never be proven "already in state", so they ride the delta
+    // (day IS NULL lands in the null partition, unioned by the pruning
+    // predicate) — the merge still equals the full recompute.
     Q("q106_incremental_agg",
       (s, d) => {
         def ev = Tables.events(s, d).select(
           col("user_id"), col("event_type"),
           to_date(col("ts")).as("day"), col("value"))
-        def mx = Tables.events(s, d)
-          .agg(max(to_date(col("ts"))).as("md"))
         def partial(df: org.apache.spark.sql.DataFrame) =
           df.groupBy("user_id", "event_type").agg(
             count(lit(1)).as("cnt"),
@@ -2006,12 +2009,18 @@ object Extended {
             min("value").as("mn"),
             max("value").as("mx"))
         val stateDir = Scratch.materialized(s"q106_state_$d") { loc =>
+          val mx = Tables.events(s, d)
+            .agg(max(to_date(col("ts"))).as("md"))
           partial(ev.join(broadcast(mx)).filter(col("day") < col("md")))
             .write.mode("overwrite").parquet(s"$loc/state")
+          mx.write.mode("overwrite").parquet(s"$loc/cutoff")
+          ev.write.mode("overwrite").partitionBy("day")
+            .parquet(s"$loc/events_by_day")
         }
+        val md = s.read.parquet(s"$stateDir/cutoff").head().getDate(0)
         val snapshot = s.read.parquet(s"$stateDir/state")
-        val delta = partial(ev.join(broadcast(mx))
-          .filter(col("day") >= col("md")))
+        val delta = partial(s.read.parquet(s"$stateDir/events_by_day")
+          .filter(col("day") >= lit(md) || col("day").isNull))
         snapshot.unionByName(delta)
           .groupBy("user_id", "event_type")
           .agg(sum("cnt").as("n_events"),

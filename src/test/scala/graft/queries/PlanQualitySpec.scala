@@ -455,11 +455,15 @@ class PlanQualitySpec extends SparkSpec {
     assert(p.contains("partial_graft_centroids"), p)
   }
 
-  test("q106: merge is partial-agg'd everywhere, keyed on the state key") {
+  test("q106: refresh reads state + pruned delta — history rows untouched") {
     val p = planOf("q106_incremental_agg")
     assert(p.contains("partial_sum"), p)
-    // the day cutoff is a 1-row broadcast cross, not a shuffle
-    assert(p.contains("BroadcastNestedLoopJoin"), p)
+    // the delta scan must partition-prune on the persisted day layout
+    // (the cutoff is a plan-time literal from the watermark read)
+    assert(p.contains("PartitionFilters: [((day"), p)
+    // no scan of the raw events table — only the state table and the
+    // day-partitioned layout appear
+    assert(!p.contains("events.parquet"), p)
     "Exchange hashpartitioning\\(\\w+".r.findAllIn(p).foreach(e =>
       assert(e.contains("(user_id"), p))
   }
