@@ -288,6 +288,42 @@ object Similarity {
     (1 to iters).foldLeft(a0: DataFrame)((a, _) => assign(centroidRow(a)))
   }
 
+  /** x12: IVF ANN over the LEARNED quantizer — the serving-side completion
+    * of the x11 → x12 lifecycle (x04 is the same probe shape over the
+    * `label` stand-in cells; this one trains its cells). The query's own
+    * Lloyd assignment IS its nearest coarse cell, so the probe needs no
+    * extra centroid pass: rank exact cosine inside that one cell
+    * (nprobe=1, the x04 recall trade). The assignment relation is the SAME
+    * retained cache d17 blocks on (identical canonical plan → Spark's
+    * CacheManager dedups them), so an index-maintenance pipeline that
+    * dedups and serves pays for training once. At 100 TB `cluster` becomes
+    * a parquet partition column and the probe is partition pruning at the
+    * source — the real IVF serving shape.
+    */
+  def knnIvfLearned(emb: DataFrame, k: Int = 8, iters: Int = 2,
+      kTop: Int = 10): DataFrame = {
+    val assigned = graft.util.Caches.retain(
+      kmeansAssign(emb, k, iters)
+        .select(col("vec_id"), col("e"), col("cluster")))
+    val q = assigned.orderBy("vec_id").limit(1)
+      .select(col("vec_id").as("q_id"), col("e").as("qe"),
+        col("cluster").as("q_cell"))
+    assigned.join(broadcast(q),
+        col("cluster") === col("q_cell") && col("vec_id") =!= col("q_id"))
+      .withColumn("cos_sim", expr("graft_cos(e, qe)"))
+      .select("vec_id", "cluster", "cos_sim")
+      .orderBy(col("cos_sim").desc, col("vec_id"))
+      .limit(kTop)
+  }
+
+  def knnIvfLearnedSql(k: Int = 8, iters: Int = 2, kTop: Int = 10): String =
+    s"""WITH ${kmeansAssignCtes(k, iters)},
+             q AS (SELECT vec_id AS q_id, e AS qe, cluster AS q_cell
+                   FROM a$iters ORDER BY vec_id LIMIT 1)
+        SELECT z.vec_id, z.cluster, ${duckCos("z.e", "qe")} AS cos_sim
+        FROM a$iters z, q WHERE z.cluster = q_cell AND z.vec_id <> q_id
+        ORDER BY cos_sim DESC, z.vec_id LIMIT $kTop"""
+
   /** CTE chain shared by the kmeans oracles: `iters` Lloyd rounds unrolled
     * (assignment via ROW_NUMBER argmin with the same (dd, cluster)
     * tie-break the engine's fold applies); `a$iters` is the final
@@ -650,6 +686,12 @@ object SimilarityQueries {
     // discipline that makes an iterative float algorithm hash-gateable.
     Q("x11_kmeans",
       (s, d) => Similarity.kmeansSummary(Tables.embeddings(s, d)),
-      Some(Similarity.kmeansSummarySql()))
+      Some(Similarity.kmeansSummarySql())),
+
+    // x12: IVF search over x11's trained cells (nprobe=1), sharing d17's
+    // cached assignment relation — see Similarity.knnIvfLearned.
+    Q("x12_knn_ivf_learned",
+      (s, d) => Similarity.knnIvfLearned(Tables.embeddings(s, d)),
+      Some(Similarity.knnIvfLearnedSql()))
   )
 }

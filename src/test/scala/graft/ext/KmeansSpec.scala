@@ -78,6 +78,19 @@ class KmeansSpec extends SparkSpec {
     } finally s.conf.unset(Dedup.MaxBucketSizeKey)
   }
 
+  test("x12: probe ranks only the query's learned cell, descending") {
+    val assigned = Similarity.kmeansAssign(Tables.embeddings(spark, sf))
+      .select("vec_id", "cluster").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val qCell = assigned(assigned.keys.min)
+    val out = Similarity.knnIvfLearned(Tables.embeddings(spark, sf)).collect()
+    assert(out.nonEmpty && out.length <= 10)
+    assert(out.forall(_.getInt(1) === qCell), "hits must share the probe cell")
+    val sims = out.map(_.getDouble(2)).toSeq
+    assert(sims === sims.sorted.reverse, "ranking must be descending")
+    assert(sims.forall(s => s >= -1.0 - 1e-9 && s <= 1.0 + 1e-9))
+  }
+
   test("summary is partition-stable (quantized sums are order-free)") {
     val base = Similarity.kmeansSummary(Tables.embeddings(spark, sf))
       .collect().map(_.toString).sorted.toSeq
