@@ -300,8 +300,14 @@ object Similarity {
     * a parquet partition column and the probe is partition pruning at the
     * source — the real IVF serving shape.
     */
-  def knnIvfLearned(emb: DataFrame, k: Int = 8, iters: Int = 2,
+  def knnIvfLearned(emb: DataFrame, kDefault: Int = 8, iters: Int = 2,
       kTop: Int = 10): DataFrame = {
+    // Honor the SAME cell-count knob d17 reads (graft.ext.Dedup
+    // .KmeansCellsKey) — with a mismatched k the two operators would each
+    // train and retain their own full-corpus assignment, silently breaking
+    // the train-once contract documented above.
+    val k = emb.sparkSession.conf
+      .get(graft.ext.Dedup.KmeansCellsKey, kDefault.toString).toInt
     val assigned = graft.util.Caches.retain(
       kmeansAssign(emb, k, iters)
         .select(col("vec_id"), col("e"), col("cluster")))

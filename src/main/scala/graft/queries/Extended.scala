@@ -2014,7 +2014,17 @@ object Extended {
           partial(ev.join(broadcast(mx)).filter(col("day") < col("md")))
             .write.mode("overwrite").parquet(s"$loc/state")
           mx.write.mode("overwrite").parquet(s"$loc/cutoff")
-          ev.write.mode("overwrite").partitionBy("day")
+          // The raw-log layout keeps only a RETENTION TAIL (the last 7
+          // days + the null-time partition) — everything older is already
+          // compacted into the state table, so a full-history copy would
+          // double the dataset footprint for partitions the refresh never
+          // reads. The tail still exercises real partition pruning (the
+          // delta filter selects 1-of-8 directories).
+          ev.join(broadcast(mx))
+            .filter(col("day") >= date_sub(col("md"), 6) ||
+              col("day").isNull)
+            .drop("md")
+            .write.mode("overwrite").partitionBy("day")
             .parquet(s"$loc/events_by_day")
         }
         val md = s.read.parquet(s"$stateDir/cutoff").head().getDate(0)

@@ -91,6 +91,16 @@ class KmeansSpec extends SparkSpec {
     assert(sims.forall(s => s >= -1.0 - 1e-9 && s <= 1.0 + 1e-9))
   }
 
+  test("x12 honors the d17 cell knob — one shared assignment per corpus") {
+    val s = spark
+    try {
+      s.conf.set(Dedup.KmeansCellsKey, "16")
+      val out = Similarity.knnIvfLearned(Tables.embeddings(s, sf)).collect()
+      assert(out.nonEmpty)
+      assert(out.forall(r => r.getInt(1) >= 0 && r.getInt(1) < 16))
+    } finally s.conf.unset(Dedup.KmeansCellsKey)
+  }
+
   test("summary is partition-stable (quantized sums are order-free)") {
     val base = Similarity.kmeansSummary(Tables.embeddings(spark, sf))
       .collect().map(_.toString).sorted.toSeq
