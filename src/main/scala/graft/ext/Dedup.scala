@@ -575,16 +575,12 @@ object Dedup {
 
   def embedNearDupLsh(embeddings: DataFrame): DataFrame = {
     graft.functions.GraftFunctions.register(embeddings.sparkSession)
-    val bits = embeddings.sparkSession.conf
-      .get(HyperplaneBitsKey, "8").toInt
-    // Fail fast on a nonsense width instead of degrading silently:
-    // bits <= 0 puts EVERY vector in cell 0 (the self-join degenerates to
-    // the full n² cartesian this operator exists to avoid), and bits > 30
-    // overflows the Int bucket (1 << 31 flips the sign; 1 << 32 wraps to
-    // bit 0, breaking the refinement law the spec pins).
-    require(bits >= 1 && bits <= 30,
-      s"$HyperplaneBitsKey=$bits out of range [1, 30]; cells = 2^bits " +
-        "must fit a positive Int, and 0 cells is the quadratic hazard")
+    // resolveBits fails fast on a nonsense width instead of degrading
+    // silently: bits <= 0 puts EVERY vector in cell 0 (the self-join
+    // degenerates to the full n² cartesian this operator exists to avoid),
+    // and bits > 30 overflows the Int bucket (1 << 31 flips the sign;
+    // 1 << 32 wraps to bit 0, breaking the refinement law the spec pins).
+    val bits = resolveBits(embeddings, 8)
     // Same pairwise-blocking posture as lshPairs/simhashPairs: a
     // mass-duplicated embedding floods one hyperplane cell, and the
     // optional MaxBucketSizeKey cap excludes over-cap cells from pair
@@ -635,9 +631,11 @@ object Dedup {
     * map-side shape (corpus never hash-exchanges to get its cell); the
     * pairwise stage inherits the d03/d07 posture — shuffled-hash self-join
     * on the cell key, optional MaxBucketSizeKey cap against hot cells, and
-    * k must grow ~n/target_occupancy (the graft_centroids buffer is k·dim
-    * longs, so k scales to millions of cells before the broadcast is even
-    * megabytes).
+    * k must grow ~n/target_occupancy within the enforced [1, 65536] range
+    * (the graft_centroids buffer is k·dim·8 bytes — 32 MiB at the k cap
+    * with dim 64, half a GiB at dim 1024, which is why the cap exists:
+    * past it the one-row broadcast itself becomes the bottleneck and the
+    * quantizer belongs in a partitioned two-level index instead).
     */
   /** Conf key: k-means cell count for d17's blocking (default 8 = the
     * declared oracle contract). Like d07's hyperplaneBits, this is the
@@ -649,11 +647,92 @@ object Dedup {
     */
   val KmeansCellsKey = "spark.graft.dedup.kmeansCells"
 
+  /** The knob value the ORACLE-SQL generators must agree with: the active
+    * session's conf (the gate runs inside Verify's session, after the
+    * session exists) falling back to the declared default. Without this the
+    * engine read the conf at plan-build while the SQL was generated with a
+    * frozen default — running the gate with the knob set silently diverged
+    * engine vs oracle (round-9 advice). `auto` (see [[autoCells]]) is a
+    * production-only mode: it needs the corpus count, which a standalone
+    * SQL string cannot see, so the generators keep the declared default and
+    * the gate must not run with `auto` set.
+    */
+  private[graft] def confInt(key: String, default: Int): Int =
+    org.apache.spark.sql.SparkSession.getActiveSession
+      .flatMap(_.conf.getOption(key))
+      .filter(_ != "auto")
+      .map(_.toInt).getOrElse(default)
+
+  /** Auto-sizing targets for the two blocking knobs. Both knobs accept the
+    * literal `auto`: one cheap corpus count derives the value that holds
+    * cell occupancy (and hence in-cell pairwise cost) flat as the corpus
+    * grows — the round-9 "manual knob" footgun, retired. The count is a
+    * deliberate plan-build-time action (a parquet row count is a metadata
+    * sum, not a scan) and the derived value is logged for provenance.
+    *
+    *   - k-means cells: k = ceil(n / 256) clamped to [1, 65536]. 256
+    *     members/cell ≈ 32k candidate pairs per cell — comfortably inside
+    *     one task at any scale.
+    *   - hyperplane bits: bits = ceil(log2(n / 16)) clamped to [1, 30] —
+    *     at the 100× checkpoint (n = 200k) this derives 14 bits, the value
+    *     BASELINE.md measured as the flat-occupancy point (42.6 s → 2.3 s
+    *     vs the fixed 8-bit default).
+    *
+    * `auto` is a PRODUCTION mode: the declared oracle contracts stay at
+    * the fixed defaults (a standalone oracle SQL string cannot count the
+    * corpus), so the correctness gate must run with the knobs unset or
+    * explicitly numeric.
+    */
+  val CellOccupancyTarget = 256L
+  val HyperplaneOccupancyTarget = 16L
+
+  /** Overflow-proof ceil(n / d) for non-negative n (n + d - 1 wraps at
+    * Long.MaxValue and would derive k = 1 for the largest corpora).
+    */
+  private def ceilDiv(n: Long, d: Long): Long =
+    n / d + (if (n % d > 0) 1L else 0L)
+
+  private[graft] def autoCells(n: Long): Int =
+    math.min(65536L, math.max(1L, ceilDiv(n, CellOccupancyTarget))).toInt
+
+  private[graft] def autoBits(n: Long): Int = {
+    val cells = math.max(1L, ceilDiv(n, HyperplaneOccupancyTarget))
+    // ceil(log2(cells)), clamped to the Int-bucket-safe range d07 requires
+    math.min(30, math.max(1, 64 - java.lang.Long.numberOfLeadingZeros(cells - 1)))
+  }
+
+  private def logDerived(key: String, n: Long, v: Int): Unit =
+    System.err.println(s"[graft] $key=auto derived $v from corpus count $n")
+
+  /** k-means cell count for `df`: numeric conf wins, `auto` derives from a
+    * corpus count, unset keeps the declared default (the oracle contract).
+    */
+  private[graft] def resolveCells(df: DataFrame, default: Int): Int = {
+    val conf = df.sparkSession.conf.get(KmeansCellsKey, default.toString)
+    val k =
+      if (conf == "auto") {
+        val n = df.count(); val v = autoCells(n); logDerived(KmeansCellsKey, n, v); v
+      } else conf.toInt
+    require(k >= 1 && k <= 65536, s"$KmeansCellsKey=$k out of range [1, 65536]")
+    k
+  }
+
+  /** Hyperplane count for d07's LSH cells: same resolution contract. */
+  private[graft] def resolveBits(df: DataFrame, default: Int): Int = {
+    val conf = df.sparkSession.conf.get(HyperplaneBitsKey, default.toString)
+    val bits =
+      if (conf == "auto") {
+        val n = df.count(); val v = autoBits(n); logDerived(HyperplaneBitsKey, n, v); v
+      } else conf.toInt
+    require(bits >= 1 && bits <= 30,
+      s"$HyperplaneBitsKey=$bits out of range [1, 30]; cells = 2^bits " +
+        "must fit a positive Int, and 0 cells is the quadratic hazard")
+    bits
+  }
+
   def semanticDedup(embeddings: DataFrame, kDefault: Int = 8, iters: Int = 2,
       tau: Double = 0.3): DataFrame = {
-    val k = embeddings.sparkSession.conf
-      .get(KmeansCellsKey, kDefault.toString).toInt
-    require(k >= 1 && k <= 65536, s"$KmeansCellsKey=$k out of range [1, 65536]")
+    val k = resolveCells(embeddings, kDefault)
     val assigned = graft.util.Caches.retain(
       Similarity.kmeansAssign(embeddings, k, iters)
         .select(col("vec_id"), col("e"), col("cluster")))
@@ -678,7 +757,12 @@ object Dedup {
         col("dup_of").isNotNull.cast("int").as("is_pruned"))
   }
 
-  def semanticDedupSql(k: Int = 8, iters: Int = 2, tau: Double = 0.3): String =
+  /** Oracle twin of [[semanticDedup]]. The default k is resolved from the
+    * SAME conf knob the engine reads, at generation time (see [[confInt]]),
+    * so a numeric [[KmeansCellsKey]] keeps engine and oracle in lockstep.
+    */
+  def semanticDedupSql(k: Int = confInt(KmeansCellsKey, 8), iters: Int = 2,
+      tau: Double = 0.3): String =
     s"""WITH ${Similarity.kmeansAssignCtes(k, iters)},
              pr AS (SELECT b.vec_id, min(a.vec_id) AS dup_of
                     FROM a$iters a JOIN a$iters b
@@ -692,7 +776,11 @@ object Dedup {
 }
 
 object DedupQueries {
-  val queries: Seq[Q] = Seq(
+  // `def`, not `val`: the d17 oracle string resolves the kmeansCells conf
+  // knob at GENERATION time (Dedup.confInt), so the catalogue must rebuild
+  // per access — freezing it at object init would re-open the engine-reads-
+  // conf-at-plan-build vs oracle-frozen-at-init drift this closes.
+  def queries: Seq[Q] = Seq(
     // Exact dedup: digest + groupBy — the canonical 100 TB exact-dedup plan
     // (shuffle carries 16-byte hashes, not documents).
     Q("d01_dedup_exact",

@@ -243,11 +243,17 @@ object Similarity {
     *     quantized BIGINT sum. The whole 2-round pipeline is hash-stable
     *     under any partitioning at any scale.
     */
-  def kmeansSummary(emb: DataFrame, k: Int = 8, iters: Int = 2): DataFrame =
+  def kmeansSummary(emb: DataFrame, kDefault: Int = 8,
+      iters: Int = 2): DataFrame = {
+    // Same cell-count resolution as d17/x12 (numeric conf wins, `auto`
+    // derives from a corpus count): x11 trains the quantizer the other two
+    // consume, so a knob the trainer ignored would silently fork the cells.
+    val k = graft.ext.Dedup.resolveCells(emb, kDefault)
     kmeansAssign(emb, k, iters).groupBy("cluster")
       .agg(count(lit(1)).as("n_vecs"),
         (sum(expr("CAST(floor(dd * 67108864.0) AS BIGINT)")).cast("double")
           / 67108864.0).as("inertia"))
+  }
 
   /** The per-vector assignment after `iters` Lloyd rounds:
     * (vec_id, e double-array, cluster, dd squared-L2 to the assigned
@@ -303,11 +309,11 @@ object Similarity {
   def knnIvfLearned(emb: DataFrame, kDefault: Int = 8, iters: Int = 2,
       kTop: Int = 10): DataFrame = {
     // Honor the SAME cell-count knob d17 reads (graft.ext.Dedup
-    // .KmeansCellsKey) — with a mismatched k the two operators would each
-    // train and retain their own full-corpus assignment, silently breaking
-    // the train-once contract documented above.
-    val k = emb.sparkSession.conf
-      .get(graft.ext.Dedup.KmeansCellsKey, kDefault.toString).toInt
+    // .KmeansCellsKey, incl. its `auto` derivation) — with a mismatched k
+    // the two operators would each train and retain their own full-corpus
+    // assignment, silently breaking the train-once contract documented
+    // above.
+    val k = graft.ext.Dedup.resolveCells(emb, kDefault)
     val assigned = graft.util.Caches.retain(
       kmeansAssign(emb, k, iters)
         .select(col("vec_id"), col("e"), col("cluster")))
@@ -322,7 +328,9 @@ object Similarity {
       .limit(kTop)
   }
 
-  def knnIvfLearnedSql(k: Int = 8, iters: Int = 2, kTop: Int = 10): String =
+  def knnIvfLearnedSql(k: Int = graft.ext.Dedup.confInt(
+        graft.ext.Dedup.KmeansCellsKey, 8),
+      iters: Int = 2, kTop: Int = 10): String =
     s"""WITH ${kmeansAssignCtes(k, iters)},
              q AS (SELECT vec_id AS q_id, e AS qe, cluster AS q_cell
                    FROM a$iters ORDER BY vec_id LIMIT 1)
@@ -362,8 +370,12 @@ object Similarity {
         $rounds"""
   }
 
-  /** Oracle twin of [[kmeansSummary]]. */
-  def kmeansSummarySql(k: Int = 8, iters: Int = 2): String =
+  /** Oracle twin of [[kmeansSummary]] — k resolves from the same conf knob
+    * the engine reads, at generation time (Dedup.confInt).
+    */
+  def kmeansSummarySql(k: Int = graft.ext.Dedup.confInt(
+        graft.ext.Dedup.KmeansCellsKey, 8),
+      iters: Int = 2): String =
     s"""WITH ${kmeansAssignCtes(k, iters)}
         SELECT cluster, CAST(COUNT(*) AS BIGINT) AS n_vecs,
                CAST(SUM(CAST(floor(dd * 67108864.0) AS BIGINT)) AS DOUBLE)
@@ -480,7 +492,9 @@ object TsSimilarity {
 }
 
 object SimilarityQueries {
-  val queries: Seq[Q] = Seq(
+  // `def` for the same reason as DedupQueries: the x11/x12 oracle strings
+  // resolve the kmeansCells conf at generation time.
+  def queries: Seq[Q] = Seq(
     Q("x01_knn_brute",
       (s, d) => Similarity.knnBrute(Tables.embeddings(s, d)),
       Some(Similarity.knnBruteSql())),

@@ -38,7 +38,16 @@ final class CentroidBuffer(val k: Int) {
     val base = cluster * dim
     var i = 0
     while (i < dim) {
-      sums(base + i) += math.floor(e.getDouble(i) * 1048576.0).toLong
+      val q = math.floor(e.getDouble(i) * 1048576.0)
+      // `.toLong` on a double SATURATES at Long.MaxValue silently, while
+      // the DuckDB twin's CAST(floor(...) AS BIGINT) raises — a garbage
+      // component (|v| ≳ 8.8e12) would diverge the engines instead of
+      // failing both. Bound the quantized magnitude at 2^62 (headroom for
+      // the subsequent cross-row summing) so bad inputs fail loudly here.
+      require(math.abs(q) <= 4.611686018427388e18,
+        s"graft_centroids: component ${e.getDouble(i)} overflows the " +
+          "2^-20 quantization (|v| must stay below ~4.4e12)")
+      sums(base + i) += q.toLong
       i += 1
     }
     counts(cluster) += 1

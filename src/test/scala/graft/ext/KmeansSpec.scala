@@ -14,7 +14,7 @@ class KmeansSpec extends SparkSpec {
 
   private def totals(iters: Int): (Long, Double) = {
     val rows = Similarity
-      .kmeansSummary(Tables.embeddings(spark, sf), k = 8, iters = iters)
+      .kmeansSummary(Tables.embeddings(spark, sf), kDefault = 8, iters = iters)
       .collect()
     (rows.map(_.getLong(1)).sum, rows.map(_.getDouble(2)).sum)
   }
@@ -99,6 +99,60 @@ class KmeansSpec extends SparkSpec {
       assert(out.nonEmpty)
       assert(out.forall(r => r.getInt(1) >= 0 && r.getInt(1) < 16))
     } finally s.conf.unset(Dedup.KmeansCellsKey)
+  }
+
+  test("auto-sizing derives the pinned knob values at three corpus sizes") {
+    // The sizing rules are pure functions of the corpus count; pin the
+    // derived values so a target change is a deliberate, visible edit.
+    // kmeansCells: ceil(n / 256), clamped to [1, 65536].
+    assert(Dedup.autoCells(500L) === 2)     // sf0.01 embeddings
+    assert(Dedup.autoCells(2000L) === 8)    // sf0.1 — matches the default
+    assert(Dedup.autoCells(200000L) === 782) // the 100x checkpoint
+    assert(Dedup.autoCells(0L) === 1)
+    assert(Dedup.autoCells(Long.MaxValue) === 65536)
+    // hyperplaneBits: ceil(log2(n / 16)), clamped to [1, 30].
+    assert(Dedup.autoBits(500L) === 5)
+    assert(Dedup.autoBits(2000L) === 7)
+    assert(Dedup.autoBits(200000L) === 14)  // BASELINE.md's measured point
+    assert(Dedup.autoBits(0L) === 1)
+    assert(Dedup.autoBits(Long.MaxValue) === 30)
+  }
+
+  test("kmeansCells=auto re-blocks d17 with the derived k; invariants hold") {
+    val s = spark
+    try {
+      s.conf.set(Dedup.KmeansCellsKey, "auto")
+      // sf0.001 has 500 vectors -> derived k = 2
+      val out = Dedup.semanticDedup(Tables.embeddings(s, sf)).collect()
+      assert(out.length === Tables.embeddings(s, sf).count())
+      assert(out.map(_.getInt(1)).distinct.forall(c => c >= 0 && c < 2))
+    } finally s.conf.unset(Dedup.KmeansCellsKey)
+  }
+
+  test("hyperplaneBits=auto re-blocks d07 with the derived width") {
+    val s = spark
+    try {
+      s.conf.set(Dedup.HyperplaneBitsKey, "auto")
+      // 500 vectors -> 5 bits -> buckets in [0, 32)
+      val out = Dedup.embedNearDupLsh(Tables.embeddings(s, sf)).collect()
+      assert(out.forall(r => r.getInt(2) >= 0 && r.getInt(2) < 32))
+    } finally s.conf.unset(Dedup.HyperplaneBitsKey)
+  }
+
+  test("oracle SQL generators resolve a numeric cell knob at generation time") {
+    val s = spark
+    try {
+      s.conf.set(Dedup.KmeansCellsKey, "16")
+      // the seed assignment `vec_id % k` is the knob's fingerprint in the
+      // generated SQL; frozen-at-init generation was the round-9 advice gap
+      assert(Dedup.semanticDedupSql().contains("% 16"))
+      assert(Similarity.kmeansSummarySql().contains("% 16"))
+      assert(Similarity.knnIvfLearnedSql().contains("% 16"))
+      // the catalogue rebuilds per access, so the declared oracle follows
+      val d17 = DedupQueries.queries.find(_.name == "d17_semantic_dedup").get
+      assert(d17.oracle.get.contains("% 16"))
+    } finally s.conf.unset(Dedup.KmeansCellsKey)
+    assert(Dedup.semanticDedupSql().contains("% 8"), "unset -> default k=8")
   }
 
   test("summary is partition-stable (quantized sums are order-free)") {
