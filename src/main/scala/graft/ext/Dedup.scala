@@ -773,6 +773,80 @@ object Dedup {
                coalesce(pr.dup_of, z.vec_id) AS rep_id,
                CAST(pr.vec_id IS NOT NULL AS INT) AS is_pruned
         FROM a$iters z LEFT JOIN pr ON z.vec_id = pr.vec_id"""
+
+  /** d18's engine body: planted-duplicate PRECISION/RECALL for d17 (d14's
+    * protocol applied to the semantic-dedup blocking) — the shippability
+    * number for the learned quantizer's blocking: does a vector's true
+    * near-duplicate land in the same k-means cell?
+    *
+    * Protocol: a bounded eval slice (vec_id < 100) is augmented with an
+    * EXACT planted copy of every vector (vec_id + 10000 — cos 1.0 to its
+    * original, and identical inputs assign to identical cells, so a missed
+    * plant can only mean a blocking bug, while the organic τ-exceeding
+    * pairs probe real cell-split loss). Truth = all pairs in the slice
+    * with cos > τ (deliberately O(slice²) — the slice is the knob, d14's
+    * discipline); engine prediction = d17's is_pruned over the augmented
+    * slice. Precision is structurally 1.0 — d17 prunes only on a verified
+    * within-cell cos > τ pair, so every pruned vector IS truth — and the
+    * row proves it; recall < 1.0 measures exactly the pairs the cell
+    * blocking separates.
+    */
+  def semanticEval(embeddings: DataFrame, tau: Double = 0.3): DataFrame = {
+    graft.functions.GraftFunctions.register(embeddings.sparkSession)
+    val slice = graft.util.Caches.retain(embeddings
+      .filter(col("vec_id") < 100).select("vec_id", "embedding"))
+    val aug = slice.unionByName(slice.select(
+      (col("vec_id") + 10000).as("vec_id"), col("embedding")))
+    val a = aug.toDF("va", "ea")
+    val b = aug.toDF("vb", "eb")
+    val truth = a.join(b, col("va") < col("vb"))
+      .filter(expr("graft_cos(ea, eb)") > tau)
+      .select(col("vb").as("vec_id")).distinct()
+    val pruned = semanticDedup(aug, tau = tau)
+      .filter(col("is_pruned") === 1).select("vec_id")
+    val ct = truth.agg(count(lit(1)).as("n_truth"))
+    val cp = pruned.agg(count(lit(1)).as("n_pruned"))
+    val ch = pruned.join(truth, Seq("vec_id"), "left_semi")
+      .agg(count(lit(1)).as("n_hit"))
+    ct.crossJoin(cp).crossJoin(ch).select(
+      col("n_truth"), col("n_pruned"), col("n_hit"),
+      when(col("n_pruned") > 0,
+        col("n_hit").cast("double") / col("n_pruned")).as("precision"),
+      when(col("n_truth") > 0,
+        col("n_hit").cast("double") / col("n_truth")).as("recall"))
+  }
+
+  def semanticEvalSql(k: Int = confInt(KmeansCellsKey, 8), iters: Int = 2,
+      tau: Double = 0.3): String =
+    s"""WITH aug AS (SELECT vec_id, embedding FROM embeddings
+                     WHERE vec_id < 100
+                     UNION ALL
+                     SELECT vec_id + 10000 AS vec_id, embedding
+                     FROM embeddings WHERE vec_id < 100),
+             truth AS (SELECT DISTINCT b.vec_id
+                       FROM aug a JOIN aug b ON a.vec_id < b.vec_id
+                       WHERE ${Similarity.duckCos("a.embedding",
+                         "b.embedding")} > $tau),
+             ${Similarity.kmeansAssignCtes(k, iters, src = "aug")},
+             pr AS (SELECT b.vec_id
+                    FROM a$iters a JOIN a$iters b
+                      ON a.cluster = b.cluster AND a.vec_id < b.vec_id
+                    WHERE ${Similarity.duckCos("a.e", "b.e")} > $tau
+                    GROUP BY b.vec_id)
+        SELECT (SELECT CAST(count(*) AS BIGINT) FROM truth) AS n_truth,
+               (SELECT CAST(count(*) AS BIGINT) FROM pr) AS n_pruned,
+               (SELECT CAST(count(*) AS BIGINT) FROM pr
+                WHERE vec_id IN (SELECT vec_id FROM truth)) AS n_hit,
+               CASE WHEN (SELECT count(*) FROM pr) > 0
+                    THEN CAST((SELECT count(*) FROM pr
+                               WHERE vec_id IN (SELECT vec_id FROM truth))
+                              AS DOUBLE)
+                         / (SELECT count(*) FROM pr) END AS precision,
+               CASE WHEN (SELECT count(*) FROM truth) > 0
+                    THEN CAST((SELECT count(*) FROM pr
+                               WHERE vec_id IN (SELECT vec_id FROM truth))
+                              AS DOUBLE)
+                         / (SELECT count(*) FROM truth) END AS recall"""
 }
 
 object DedupQueries {
@@ -1102,6 +1176,13 @@ object DedupQueries {
     // composes x11's assignment with the d03/d07 pairwise posture.
     Q("d17_semantic_dedup",
       (s, d) => Dedup.semanticDedup(Tables.embeddings(s, d)),
-      Some(Dedup.semanticDedupSql()))
+      Some(Dedup.semanticDedupSql())),
+
+    // d18: planted-duplicate precision/recall for d17's learned-cell
+    // blocking — the d14 protocol for the semantic family (see
+    // Dedup.semanticEval).
+    Q("d18_semantic_eval",
+      (s, d) => Dedup.semanticEval(Tables.embeddings(s, d)),
+      Some(Dedup.semanticEvalSql()))
   )
 }

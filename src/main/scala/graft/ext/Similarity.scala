@@ -338,12 +338,140 @@ object Similarity {
         FROM a$iters z, q WHERE z.cluster = q_cell AND z.vec_id <> q_id
         ORDER BY cos_sim DESC, z.vec_id LIMIT $kTop"""
 
+  /** Serving-index centroid CTEs recomputed FROM the final assignment
+    * `a$iters` — what a real IVF index stores next to its cells; the
+    * probe ranking needs the centroid table, which [[kmeansAssignCtes]]'s
+    * last round consumed but did not keep. One more (pe, c, cv) round of
+    * the same quantized-BIGINT discipline, ending in
+    * `cvF(cluster, cvec)`.
+    */
+  def kmeansServeCentroidsCtes(iters: Int = 2): String =
+    s"""peF AS (SELECT cluster, i - 1 AS pos, e[i] AS val
+                FROM a$iters, UNNEST(range(1, len(e) + 1)) AS t(i)),
+        cF AS (SELECT cluster, pos,
+                      CAST(SUM(CAST(floor(val * 1048576.0) AS BIGINT))
+                           AS DOUBLE) / 1048576.0 / COUNT(*) AS c
+               FROM peF GROUP BY 1, 2),
+        cvF AS (SELECT cluster, list(c ORDER BY pos) AS cvec
+                FROM cF GROUP BY 1)"""
+
+  /** x14: IVF ANN with nprobe > 1 — the recall/latency knob every real IVF
+    * deployment turns (x12 is the nprobe=1 special case). The probe ranks
+    * ALL cell centroids against the query by squared-L2 and scans the
+    * `nprobe` nearest cells; the centroid table is recomputed from the
+    * final assignment via ONE mergeable graft_centroids pass (the
+    * serving-index artifact — k·dim bounded, broadcast-sized), so the
+    * corpus still never hash-exchanges. At 100 TB the probed cells are
+    * `nprobe` parquet partitions instead of one — cost grows linearly in
+    * nprobe, recall monotonically (probed cell sets are supersets), which
+    * is exactly the curve x13 measures.
+    *
+    * Determinism: centroid recompute is the quantized-BIGINT x11
+    * discipline; probe ranking uses the bit-identical graft_l2/duckD2 fold
+    * with (distance, cluster) tie-break; the in-cell ranking is x12's.
+    */
+  def knnIvfLearnedProbe(emb: DataFrame, kDefault: Int = 8, iters: Int = 2,
+      nprobe: Int = 2, kTop: Int = 10): DataFrame = {
+    graft.functions.GraftFunctions.register(emb.sparkSession)
+    val k = graft.ext.Dedup.resolveCells(emb, kDefault)
+    // Same retained relation as x12/d17 (identical canonical plan →
+    // CacheManager dedups): train once, serve at any nprobe.
+    val assigned = graft.util.Caches.retain(
+      kmeansAssign(emb, k, iters)
+        .select(col("vec_id"), col("e"), col("cluster")))
+    val crows = assigned
+      .agg(expr(s"graft_centroids(cluster, e, $k)").as("cents"))
+      .select(explode(col("cents")).as("ct"))
+      .select(col("ct.cluster").as("pcell"), col("ct.cvec").as("cvec"))
+    val q = assigned.orderBy("vec_id").limit(1)
+      .select(col("vec_id").as("q_id"), col("e").as("qe"))
+    val probed = crows.crossJoin(broadcast(q))
+      .withColumn("dq", expr("graft_l2(cvec, qe)"))
+      .orderBy(col("dq"), col("pcell")).limit(nprobe)
+      .select(col("pcell"), col("q_id"), col("qe"))
+    // nprobe rows broadcast; each corpus row matches at most one (cells
+    // are distinct), so the join fans nothing out.
+    assigned.join(broadcast(probed),
+        col("cluster") === col("pcell") && col("vec_id") =!= col("q_id"))
+      .withColumn("cos_sim", expr("graft_cos(e, qe)"))
+      .select("vec_id", "cluster", "cos_sim")
+      .orderBy(col("cos_sim").desc, col("vec_id"))
+      .limit(kTop)
+  }
+
+  def knnIvfLearnedProbeSql(k: Int = graft.ext.Dedup.confInt(
+        graft.ext.Dedup.KmeansCellsKey, 8),
+      iters: Int = 2, nprobe: Int = 2, kTop: Int = 10): String =
+    s"""WITH ${kmeansAssignCtes(k, iters)},
+             ${kmeansServeCentroidsCtes(iters)},
+             q AS (SELECT vec_id AS q_id, e AS qe
+                   FROM a$iters ORDER BY vec_id LIMIT 1),
+             probe AS (SELECT cluster AS pcell FROM cvF, q
+                       ORDER BY ${duckD2("cvec", "qe")}, cluster
+                       LIMIT $nprobe)
+        SELECT z.vec_id, z.cluster, ${duckCos("z.e", "qe")} AS cos_sim
+        FROM a$iters z, q
+        WHERE z.cluster IN (SELECT pcell FROM probe) AND z.vec_id <> q_id
+        ORDER BY cos_sim DESC, z.vec_id LIMIT $kTop"""
+
+  /** x13: the learned-cell family's RECALL GATE (x06's discipline applied
+    * to x12/x14) — recall@k of the IVF probe against x01's exact top-k, as
+    * a recall-vs-nprobe CURVE: one row per nprobe ∈ {1, 2}. This is the
+    * shippability number the round-9 quantizer lacked: it decides whether
+    * nprobe=1 serving is acceptable or the index needs more probes (or
+    * more cells). Evaluation adds only broadcast-sized semi-joins on the
+    * three tiny top-k relations.
+    */
+  def ivfRecallCurve(emb: DataFrame, kTop: Int = 10): DataFrame = {
+    val exact = knnBrute(emb, kTop).select(col("vec_id"))
+    def arm(nprobe: Int, approx: DataFrame): DataFrame =
+      exact.join(approx.select("vec_id"), Seq("vec_id"), "left_semi")
+        .agg(count(lit(1)).as("n_overlap"))
+        .select(lit(nprobe).as("nprobe"), lit(kTop).as("k"),
+          col("n_overlap"),
+          (col("n_overlap").cast("double") / kTop).as("recall_at_k"))
+    arm(1, knnIvfLearned(emb, kTop = kTop))
+      .unionByName(arm(2, knnIvfLearnedProbe(emb, nprobe = 2, kTop = kTop)))
+  }
+
+  def ivfRecallCurveSql(k: Int = graft.ext.Dedup.confInt(
+        graft.ext.Dedup.KmeansCellsKey, 8),
+      iters: Int = 2, kTop: Int = 10): String =
+    s"""WITH ${kmeansAssignCtes(k, iters)},
+             ${kmeansServeCentroidsCtes(iters)},
+             q AS (SELECT vec_id AS q_id, e AS qe, cluster AS q_cell
+                   FROM a$iters ORDER BY vec_id LIMIT 1),
+             exact AS (SELECT vec_id FROM (${knnBruteSql(kTop)})),
+             arm1 AS (SELECT z.vec_id
+                      FROM a$iters z, q
+                      WHERE z.cluster = q_cell AND z.vec_id <> q_id
+                      ORDER BY ${duckCos("z.e", "qe")} DESC, z.vec_id
+                      LIMIT $kTop),
+             probe AS (SELECT cluster AS pcell FROM cvF, q
+                       ORDER BY ${duckD2("cvec", "qe")}, cluster LIMIT 2),
+             arm2 AS (SELECT z.vec_id
+                      FROM a$iters z, q
+                      WHERE z.cluster IN (SELECT pcell FROM probe)
+                        AND z.vec_id <> q_id
+                      ORDER BY ${duckCos("z.e", "qe")} DESC, z.vec_id
+                      LIMIT $kTop)
+        SELECT 1 AS nprobe, $kTop AS k,
+               CAST(count(*) AS BIGINT) AS n_overlap,
+               CAST(count(*) AS DOUBLE) / $kTop AS recall_at_k
+        FROM exact WHERE vec_id IN (SELECT vec_id FROM arm1)
+        UNION ALL
+        SELECT 2 AS nprobe, $kTop AS k,
+               CAST(count(*) AS BIGINT) AS n_overlap,
+               CAST(count(*) AS DOUBLE) / $kTop AS recall_at_k
+        FROM exact WHERE vec_id IN (SELECT vec_id FROM arm2)"""
+
   /** CTE chain shared by the kmeans oracles: `iters` Lloyd rounds unrolled
     * (assignment via ROW_NUMBER argmin with the same (dd, cluster)
     * tie-break the engine's fold applies); `a$iters` is the final
     * (vec_id, e, cluster, dd) assignment relation.
     */
-  def kmeansAssignCtes(k: Int = 8, iters: Int = 2): String = {
+  def kmeansAssignCtes(k: Int = 8, iters: Int = 2,
+      src: String = "embeddings"): String = {
     def round(i: Int, prev: String): String =
       s"""pe$i AS (SELECT cluster, i - 1 AS pos, e[i] AS val
                    FROM $prev, UNNEST(range(1, len(e) + 1)) AS t(i)),
@@ -364,7 +492,7 @@ object Similarity {
     s"""e0 AS (SELECT vec_id,
                       list_transform(embedding, ex -> CAST(ex AS DOUBLE))
                         AS e
-               FROM embeddings),
+               FROM $src),
         a0 AS (SELECT vec_id, e, CAST(vec_id % $k AS INT) AS cluster
                FROM e0),
         $rounds"""
@@ -712,6 +840,19 @@ object SimilarityQueries {
     // cached assignment relation — see Similarity.knnIvfLearned.
     Q("x12_knn_ivf_learned",
       (s, d) => Similarity.knnIvfLearned(Tables.embeddings(s, d)),
-      Some(Similarity.knnIvfLearnedSql()))
+      Some(Similarity.knnIvfLearnedSql())),
+
+    // x13: recall@k of the learned-cell IVF probe vs x01's exact top-k,
+    // one row per nprobe — the shippability gate for the x11-trained
+    // quantizer (see Similarity.ivfRecallCurve).
+    Q("x13_ivf_recall",
+      (s, d) => Similarity.ivfRecallCurve(Tables.embeddings(s, d)),
+      Some(Similarity.ivfRecallCurveSql())),
+
+    // x14: nprobe=2 IVF search — the recall/latency knob itself (see
+    // Similarity.knnIvfLearnedProbe).
+    Q("x14_knn_ivf_nprobe",
+      (s, d) => Similarity.knnIvfLearnedProbe(Tables.embeddings(s, d)),
+      Some(Similarity.knnIvfLearnedProbeSql()))
   )
 }

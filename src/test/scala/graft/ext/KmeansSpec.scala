@@ -155,6 +155,43 @@ class KmeansSpec extends SparkSpec {
     assert(Dedup.semanticDedupSql().contains("% 8"), "unset -> default k=8")
   }
 
+  test("x14: nprobe=2 scans exactly the query cell plus one more") {
+    val out = Similarity
+      .knnIvfLearnedProbe(Tables.embeddings(spark, sf), nprobe = 2).collect()
+    assert(out.nonEmpty && out.length <= 10)
+    val cells = out.map(_.getInt(1)).distinct
+    assert(cells.length <= 2, s"nprobe=2 must rank at most 2 cells: $cells")
+    val assigned = Similarity.kmeansAssign(Tables.embeddings(spark, sf))
+      .select("vec_id", "cluster").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    // the query's own cell is its nearest centroid by construction, so it
+    // is always among the probed cells — x14's hits can only ADD to x12's
+    assert(cells.contains(assigned(assigned.keys.min)))
+    val sims = out.map(_.getDouble(2)).toSeq
+    assert(sims === sims.sorted.reverse)
+  }
+
+  test("x13: recall is monotone in nprobe (probed cell sets are supersets)") {
+    val rows = Similarity.ivfRecallCurve(Tables.embeddings(spark, sf))
+      .collect().sortBy(_.getInt(0))
+    assert(rows.map(_.getInt(0)).toSeq === Seq(1, 2))
+    val Seq(r1, r2) = rows.map(_.getDouble(3)).toSeq
+    assert(r1 >= 0.0 && r2 <= 1.0)
+    assert(r2 >= r1, s"nprobe=2 recall $r2 must not trail nprobe=1's $r1")
+  }
+
+  test("d18: precision is structurally 1.0 and every planted dup is caught") {
+    val r = Dedup.semanticEval(Tables.embeddings(spark, sf)).collect().head
+    val (nTruth, nPruned, nHit) = (r.getLong(0), r.getLong(1), r.getLong(2))
+    assert(nHit === nPruned, "d17 prunes only on verified in-cell pairs")
+    assert(r.getDouble(3) === 1.0)
+    // 100 planted exact copies: identical vectors share a cell, so all
+    // 100 are in truth AND pruned — recall loss can only come from
+    // ORGANIC tau-pairs split across cells.
+    assert(nHit >= 100, s"all 100 plants must be caught, hit=$nHit")
+    assert(nTruth >= 100 && r.getDouble(4) <= 1.0)
+  }
+
   test("summary is partition-stable (quantized sums are order-free)") {
     val base = Similarity.kmeansSummary(Tables.embeddings(spark, sf))
       .collect().map(_.toString).sorted.toSeq
