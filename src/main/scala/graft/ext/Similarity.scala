@@ -244,15 +244,34 @@ object Similarity {
     *     under any partitioning at any scale.
     */
   def kmeansSummary(emb: DataFrame, kDefault: Int = 8,
-      iters: Int = 2): DataFrame = {
+      iters: Int = 2): DataFrame =
+    summarize(emb, kDefault, iters, pp = false)
+
+  /** x15: the summary under the PRODUCTION initializer (farthest-point
+    * seeding, [[farthestPointSeeds]]) — x11's `vec_id % k` seed stays the
+    * declared baseline contract; this mode is what a real deployment runs.
+    */
+  def kmeansSummaryPP(emb: DataFrame, kDefault: Int = 8,
+      iters: Int = 2): DataFrame =
+    summarize(emb, kDefault, iters, pp = true)
+
+  private def summarize(emb: DataFrame, kDefault: Int, iters: Int,
+      pp: Boolean): DataFrame = {
     // Same cell-count resolution as d17/x12 (numeric conf wins, `auto`
     // derives from a corpus count): x11 trains the quantizer the other two
     // consume, so a knob the trainer ignored would silently fork the cells.
     val k = graft.ext.Dedup.resolveCells(emb, kDefault)
-    kmeansAssign(emb, k, iters).groupBy("cluster")
+    import org.apache.spark.sql.expressions.Window
+    kmeansAssignSeeded(emb, k, iters, pp).groupBy("cluster")
       .agg(count(lit(1)).as("n_vecs"),
         (sum(expr("CAST(floor(dd * 67108864.0) AS BIGINT)")).cast("double")
           / 67108864.0).as("inertia"))
+      // Empty cells were silently OMITTED (graft_centroids skips them and
+      // no row appears here) — round-9 advice: make them loud. The count
+      // rides every row as a constant column; the window is over the ≤ k
+      // summary rows, not the corpus.
+      .withColumn("n_empty_cells",
+        (lit(k) - count(lit(1)).over(Window.partitionBy())).cast("long"))
   }
 
   /** The per-vector assignment after `iters` Lloyd rounds:
@@ -260,7 +279,11 @@ object Similarity {
     * centroid). kmeansSummary's per-cluster rollup and d17's semantic-dedup
     * blocking both consume this.
     */
-  def kmeansAssign(emb: DataFrame, k: Int = 8, iters: Int = 2): DataFrame = {
+  def kmeansAssign(emb: DataFrame, k: Int = 8, iters: Int = 2): DataFrame =
+    kmeansAssignSeeded(emb, k, iters, pp = false)
+
+  def kmeansAssignSeeded(emb: DataFrame, k: Int, iters: Int,
+      pp: Boolean): DataFrame = {
     graft.functions.GraftFunctions.register(emb.sparkSession)
     val e0 = emb.select(col("vec_id"),
       expr("transform(embedding, ex -> CAST(ex AS DOUBLE))").as("e"))
@@ -290,8 +313,41 @@ object Similarity {
           col("best.c").as("cluster"), col("best.dd").as("dd"))
     }
 
-    val a0 = e0.withColumn("cluster", pmod(col("vec_id"), lit(k)).cast("int"))
+    val a0 =
+      if (pp) assign(farthestPointSeeds(e0, k))
+      else e0.withColumn("cluster", pmod(col("vec_id"), lit(k)).cast("int"))
     (1 to iters).foldLeft(a0: DataFrame)((a, _) => assign(centroidRow(a)))
+  }
+
+  /** Deterministic farthest-point seeding — the k-means++ shape with D²
+    * SAMPLING replaced by argmax (the classic k-center greedy, a provable
+    * 2-approximation and the standard derandomization): c0 = the lowest
+    * vec_id's vector; c_j = the vector farthest from its nearest chosen
+    * center (tie-break lowest vec_id). No RNG, no stored model — fully
+    * reproducible and oracle-expressible, unlike seeded sampling whose RNG
+    * stream no two engines share. Fixes the `vec_id % k` baseline's
+    * textbook-worst-case behavior on adversarial corpora (all seeds can
+    * land in one clump; farthest-point seeds by construction spread).
+    *
+    * Shape: k−1 corpus passes, each a broadcast of the ≤ k chosen vectors
+    * + a map-side min-distance + TakeOrdered(1) — no shuffle of the corpus
+    * ever; the passes read e0 (retained by callers at the corpus level).
+    * Returns the 1-row `cents` relation [[kmeansAssignSeeded]]'s assign()
+    * consumes.
+    */
+  private def farthestPointSeeds(e0: DataFrame, k: Int): DataFrame = {
+    val c0 = e0.orderBy("vec_id").limit(1).select(col("e").as("c0"))
+    val chosen = (1 until k).foldLeft(c0) { (prev, j) =>
+      val dists = (0 until j).map(i => expr(s"graft_l2(e, c$i)"))
+      val md = if (dists.size == 1) dists.head else least(dists: _*)
+      e0.crossJoin(broadcast(prev))
+        .withColumn("md", md)
+        .orderBy(col("md").desc, col("vec_id"))
+        .limit(1)
+        .select((0 until j).map(i => col(s"c$i")) :+ col("e").as(s"c$j"): _*)
+    }
+    chosen.select(array((0 until k).map(j =>
+      struct(lit(j).as("cluster"), col(s"c$j").as("cvec"))): _*).as("cents"))
   }
 
   /** x12: IVF ANN over the LEARNED quantizer — the serving-side completion
@@ -470,8 +526,41 @@ object Similarity {
     * tie-break the engine's fold applies); `a$iters` is the final
     * (vec_id, e, cluster, dd) assignment relation.
     */
+  /** Oracle twin of [[farthestPointSeeds]] + the seed assignment: chained
+    * 1-row CTEs k0..k{k-1} (each picks the argmax-min-distance vector via
+    * the same bit-portable L2 fold and (distance DESC, vec_id) tie-break),
+    * then `a0` = the argmin assignment against those centers — replacing
+    * the default modulo-seed `a0` in [[kmeansAssignCtes]].
+    */
+  def ppSeedCtes(k: Int): String = {
+    val ks = (0 until k).map { j =>
+      if (j == 0) "k0 AS (SELECT e AS ce FROM e0 ORDER BY vec_id LIMIT 1)"
+      else {
+        val dists = (0 until j).map(i => duckD2("e", s"k$i.ce"))
+        val md =
+          if (dists.size == 1) dists.head
+          else s"least(${dists.mkString(", ")})"
+        val froms = (0 until j).map(i => s"k$i").mkString(", ")
+        s"k$j AS (SELECT e AS ce FROM e0, $froms " +
+          s"ORDER BY $md DESC, vec_id LIMIT 1)"
+      }
+    }.mkString(",\n")
+    val cents = (0 until k)
+      .map(j => s"SELECT $j AS cluster, ce AS cvec FROM k$j")
+      .mkString(" UNION ALL ")
+    s"""$ks,
+        cents0 AS ($cents),
+        d0 AS (SELECT vec_id, e, cents0.cluster AS cl,
+                      ${duckD2("e", "cvec")} AS dd
+               FROM e0, cents0),
+        a0 AS (SELECT vec_id, e, cl AS cluster, dd
+               FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+                            ORDER BY dd, cl) AS rn
+                     FROM d0) WHERE rn = 1)"""
+  }
+
   def kmeansAssignCtes(k: Int = 8, iters: Int = 2,
-      src: String = "embeddings"): String = {
+      src: String = "embeddings", seed: Option[String] = None): String = {
     def round(i: Int, prev: String): String =
       s"""pe$i AS (SELECT cluster, i - 1 AS pos, e[i] AS val
                    FROM $prev, UNNEST(range(1, len(e) + 1)) AS t(i)),
@@ -489,12 +578,14 @@ object Similarity {
                                ORDER BY dd, cl) AS rn
                         FROM d$i) WHERE rn = 1)"""
     val rounds = (1 to iters).map(i => round(i, s"a${i - 1}")).mkString(",\n")
+    val a0 = seed.getOrElse(
+      s"""a0 AS (SELECT vec_id, e, CAST(vec_id % $k AS INT) AS cluster
+                 FROM e0)""")
     s"""e0 AS (SELECT vec_id,
                       list_transform(embedding, ex -> CAST(ex AS DOUBLE))
                         AS e
                FROM $src),
-        a0 AS (SELECT vec_id, e, CAST(vec_id % $k AS INT) AS cluster
-               FROM e0),
+        $a0,
         $rounds"""
   }
 
@@ -503,12 +594,21 @@ object Similarity {
     */
   def kmeansSummarySql(k: Int = graft.ext.Dedup.confInt(
         graft.ext.Dedup.KmeansCellsKey, 8),
-      iters: Int = 2): String =
-    s"""WITH ${kmeansAssignCtes(k, iters)}
+      iters: Int = 2, seed: Option[String] = None): String =
+    s"""WITH ${kmeansAssignCtes(k, iters, seed = seed)}
         SELECT cluster, CAST(COUNT(*) AS BIGINT) AS n_vecs,
                CAST(SUM(CAST(floor(dd * 67108864.0) AS BIGINT)) AS DOUBLE)
-                 / 67108864.0 AS inertia
+                 / 67108864.0 AS inertia,
+               CAST($k - COUNT(*) OVER () AS BIGINT) AS n_empty_cells
         FROM a$iters GROUP BY cluster"""
+
+  /** Oracle twin of [[kmeansSummaryPP]]: the same rollup over the
+    * farthest-point-seeded assignment chain.
+    */
+  def kmeansSummaryPPSql(k: Int = graft.ext.Dedup.confInt(
+        graft.ext.Dedup.KmeansCellsKey, 8),
+      iters: Int = 2): String =
+    kmeansSummarySql(k, iters, seed = Some(ppSeedCtes(k)))
 
   /** x06: ANN quality evaluation — recall@k of the LSH-pruned search (x02)
     * against the exact brute-force ranking (x01), the metric that decides
@@ -853,6 +953,14 @@ object SimilarityQueries {
     // Similarity.knnIvfLearnedProbe).
     Q("x14_knn_ivf_nprobe",
       (s, d) => Similarity.knnIvfLearnedProbe(Tables.embeddings(s, d)),
-      Some(Similarity.knnIvfLearnedProbeSql()))
+      Some(Similarity.knnIvfLearnedProbeSql())),
+
+    // x15: k-means under the PRODUCTION initializer — deterministic
+    // farthest-point seeding (the derandomized k-means++ shape; see
+    // Similarity.farthestPointSeeds). x11 keeps the modulo seed as the
+    // baseline contract; both report empty cells loudly.
+    Q("x15_kmeans_pp",
+      (s, d) => Similarity.kmeansSummaryPP(Tables.embeddings(s, d)),
+      Some(Similarity.kmeansSummaryPPSql()))
   )
 }

@@ -200,4 +200,31 @@ class KmeansSpec extends SparkSpec {
       .collect().map(_.toString).sorted.toSeq
     assert(base === shuffled)
   }
+
+  test("x15: farthest-point seeding — coverage, loud empties, stability") {
+    val n = Tables.embeddings(spark, sf).count()
+    val rows = Similarity.kmeansSummaryPP(Tables.embeddings(spark, sf))
+      .collect()
+    assert(rows.map(_.getLong(1)).sum === n)
+    // n_empty_cells is the k - |rows| identity on every row
+    rows.foreach(r => assert(r.getLong(3) === 8L - rows.length))
+    // argmax seeding + quantized Lloyd rounds are partitioning-independent
+    val shuffled = Similarity
+      .kmeansSummaryPP(Tables.embeddings(spark, sf).repartition(7))
+      .collect().map(_.toString).sorted.toSeq
+    assert(rows.map(_.toString).sorted.toSeq === shuffled)
+  }
+
+  test("x15 seeds spread: no two chosen centers coincide on this corpus") {
+    // The pathological modulo-seed failure is all-seeds-in-one-clump;
+    // farthest-point guarantees pairwise-distinct centers whenever the
+    // corpus has >= k distinct vectors. Pin via the assignment: every
+    // cell is seeded by an actual corpus vector, so with 500 distinct
+    // vectors all 8 cells must be non-empty at round 0... observable at
+    // the summary as zero empty cells after 2 rounds on this corpus.
+    val rows = Similarity.kmeansSummaryPP(Tables.embeddings(spark, sf))
+      .collect()
+    assert(rows.length === 8)
+    assert(rows.forall(_.getLong(3) === 0L))
+  }
 }
