@@ -2118,6 +2118,102 @@ object Extended {
                      count(DISTINCT l_shipday),
                      CAST(min(l_shipday) AS VARCHAR),
                      CAST(max(l_shipday) AS VARCHAR), max(n_rows)
-              FROM b"""))
+              FROM b""")),
+
+    // q108: SKETCH-MODE table profile — q107's 100 TB form, previously
+    // only documented in-place: the per-column exact-distinct scans (one
+    // partial-dedup exchange EACH) are replaced by mergeable graft_kmv
+    // sketches riding the SINGLE stats pass, so the whole profile is ONE
+    // scan + one 1-row aggregate regardless of column count, and the
+    // shuffle carries four 64-long sketch buffers per partition instead of
+    // per-column cardinalities. graft_kmv is oracle-exact (q59: the kept
+    // set is a pure function of the input set), so unlike q11's HLL this
+    // estimate hash-gates: the DuckDB twin folds the same md5+poly hashes
+    // and applies the same (k-1)·P/h_(k) estimator. The exact q107 stays
+    // the oracle-checkable governance contract; this is what actually
+    // runs at scale.
+    Q("q108_profile_sketch",
+      (s, d) => {
+        graft.functions.GraftFunctions.register(s)
+        val li = Tables.lineitem(s, d)
+          .withColumn("l_shipday", to_date(col("l_shipdate")))
+        li.agg(
+            count(lit(1)).as("n_rows"),
+            count(col("l_orderkey")).as("c1"),
+            min(col("l_orderkey")).cast("string").as("mn1"),
+            max(col("l_orderkey")).cast("string").as("mx1"),
+            expr("graft_kmv(CAST(l_orderkey AS STRING))").as("k1"),
+            count(col("l_returnflag")).as("c2"),
+            min(col("l_returnflag")).as("mn2"),
+            max(col("l_returnflag")).as("mx2"),
+            expr("graft_kmv(l_returnflag)").as("k2"),
+            count(col("l_linestatus")).as("c3"),
+            min(col("l_linestatus")).as("mn3"),
+            max(col("l_linestatus")).as("mx3"),
+            expr("graft_kmv(l_linestatus)").as("k3"),
+            count(col("l_shipday")).as("c4"),
+            min(col("l_shipday")).cast("string").as("mn4"),
+            max(col("l_shipday")).cast("string").as("mx4"),
+            expr("graft_kmv(CAST(l_shipday AS STRING))").as("k4"))
+          .select(expr("""stack(4,
+              'l_orderkey',   c1, k1.est_distinct, mn1, mx1,
+              'l_returnflag', c2, k2.est_distinct, mn2, mx2,
+              'l_linestatus', c3, k3.est_distinct, mn3, mx3,
+              'l_shipday',    c4, k4.est_distinct, mn4, mx4)
+              AS (col_name, n_nonnull, n_distinct_est, min_str, max_str)"""),
+            col("n_rows"))
+      },
+      Some {
+        val poly = graft.ext.PortableHash.duckPoly _
+        def est(i: Int) =
+          s"""CASE WHEN len(ks$i) < 64 THEN CAST(len(ks$i) AS DOUBLE)
+                   ELSE 63.0 * 1000000007.0 / CAST(ks$i[64] AS DOUBLE)
+              END AS d$i"""
+        s"""WITH b AS (SELECT l_orderkey, l_returnflag, l_linestatus,
+                              CAST(l_shipdate AS DATE) AS l_shipday
+                       FROM lineitem),
+                 h AS (SELECT
+                         ${poly("md5(CAST(l_orderkey AS VARCHAR))")} AS h1,
+                         ${poly("md5(l_returnflag)")} AS h2,
+                         ${poly("md5(l_linestatus)")} AS h3,
+                         ${poly("md5(CAST(l_shipday AS VARCHAR))")} AS h4
+                       FROM b),
+                 g AS (SELECT
+                         list_slice(list_sort(list_distinct(list(h1))), 1, 64)
+                           AS ks1,
+                         list_slice(list_sort(list_distinct(list(h2))), 1, 64)
+                           AS ks2,
+                         list_slice(list_sort(list_distinct(list(h3))), 1, 64)
+                           AS ks3,
+                         list_slice(list_sort(list_distinct(list(h4))), 1, 64)
+                           AS ks4
+                       FROM h),
+                 est AS (SELECT ${est(1)}, ${est(2)}, ${est(3)}, ${est(4)}
+                         FROM g),
+                 st AS (SELECT CAST(count(*) AS BIGINT) AS n_rows,
+                               CAST(count(l_orderkey) AS BIGINT) AS c1,
+                               CAST(min(l_orderkey) AS VARCHAR) AS mn1,
+                               CAST(max(l_orderkey) AS VARCHAR) AS mx1,
+                               CAST(count(l_returnflag) AS BIGINT) AS c2,
+                               min(l_returnflag) AS mn2,
+                               max(l_returnflag) AS mx2,
+                               CAST(count(l_linestatus) AS BIGINT) AS c3,
+                               min(l_linestatus) AS mn3,
+                               max(l_linestatus) AS mx3,
+                               CAST(count(l_shipday) AS BIGINT) AS c4,
+                               CAST(min(l_shipday) AS VARCHAR) AS mn4,
+                               CAST(max(l_shipday) AS VARCHAR) AS mx4
+                        FROM b)
+            SELECT 'l_orderkey' AS col_name, c1 AS n_nonnull,
+                   d1 AS n_distinct_est, mn1 AS min_str, mx1 AS max_str,
+                   n_rows
+            FROM st, est
+            UNION ALL
+            SELECT 'l_returnflag', c2, d2, mn2, mx2, n_rows FROM st, est
+            UNION ALL
+            SELECT 'l_linestatus', c3, d3, mn3, mx3, n_rows FROM st, est
+            UNION ALL
+            SELECT 'l_shipday', c4, d4, mn4, mx4, n_rows FROM st, est"""
+      })
   )
 }
