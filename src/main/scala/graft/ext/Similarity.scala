@@ -304,11 +304,8 @@ object Similarity {
       // distance is ONE compiled graft_l2 call — the interpreted
       // aggregate()-fold argmin evaluated two interpreted SQL folds per candidate
       // and measured ~4× slower on this path.
-      val best =
-        """array_min(transform(cents,
-             ct -> named_struct('dd', graft_l2(e, ct.cvec), 'c', ct.cluster)))"""
       e0.crossJoin(broadcast(cents))
-        .withColumn("best", expr(best))
+        .withColumn("best", expr(bestCellExpr))
         .select(col("vec_id"), col("e"),
           col("best.c").as("cluster"), col("best.dd").as("dd"))
     }
@@ -318,6 +315,30 @@ object Similarity {
       else e0.withColumn("cluster", pmod(col("vec_id"), lit(k)).cast("int"))
     (1 to iters).foldLeft(a0: DataFrame)((a, _) => assign(centroidRow(a)))
   }
+
+  /** The trained quantizer as a shippable ARTIFACT: the 1-row centroid
+    * relation that PRODUCES kmeansAssign(emb, k, iters)'s assignment —
+    * i.e. recomputed from the round-(iters−1) assignment, exactly the
+    * table the final Lloyd round broadcast. This is what an offline
+    * trainer hands an online server (s30): assigning a new vector against
+    * it with the same argmin expression reproduces the batch cells
+    * bit-for-bit.
+    */
+  def kmeansTrainedCentroids(emb: DataFrame, kDefault: Int = 8,
+      iters: Int = 2): DataFrame = {
+    graft.functions.GraftFunctions.register(emb.sparkSession)
+    val k = graft.ext.Dedup.resolveCells(emb, kDefault)
+    kmeansAssign(emb, k, iters - 1)
+      .agg(expr(s"graft_centroids(cluster, e, $k)").as("cents"))
+  }
+
+  /** The argmin-cell SQL expression [[kmeansAssignSeeded]]'s assign step
+    * and s30's streaming assignment share — ONE definition so the offline
+    * and online cell of a vector can never drift.
+    */
+  val bestCellExpr: String =
+    """array_min(transform(cents,
+         ct -> named_struct('dd', graft_l2(e, ct.cvec), 'c', ct.cluster)))"""
 
   /** Deterministic farthest-point seeding — the k-means++ shape with D²
     * SAMPLING replaced by argmax (the classic k-center greedy, a provable

@@ -657,6 +657,103 @@ object StreamingQ {
       .toDF()
   }
 
+  /** Typed rows for the streaming semantic-dedup admitter (s30). */
+  final case class CellVec(cluster: Int, vec_id: Long, e: Array[Double])
+  final case class RepState(rep_id: Long, rep_e: Array[Double])
+  final case class CellVerdict(vec_id: Long, cluster: Int, rep_id: Long,
+      is_pruned: Int)
+
+  /** s30's per-cell state: the cell's REPRESENTATIVE — its minimum vec_id
+    * and that vector. An arriving vector is pruned iff its cosine to the
+    * representative exceeds τ (the per-cell min-id admission rule — the
+    * online greedy SemDeDup pass; d17's batch form additionally prunes
+    * against non-representative smaller ids, so the two are deliberately
+    * distinct declared contracts with distinct oracles).
+    *
+    * State is O(cells) FOREVER — one (long, dim-doubles) row per learned
+    * cell — which is the whole point: "have I admitted something
+    * semantically close?" is a state lookup against one vector, never a
+    * join against history. In-batch arrival order is shuffle-dependent, so
+    * each cell's batch slice is buffered and sorted by vec_id (memory =
+    * O(cell ∩ batch), bounded by the micro-batch; the hot-cell hazard is
+    * governed by the same auto-k posture as the batch family). Cross-batch
+    * the ordered-replay contract applies (s26/s27's discipline, pinned by
+    * the chaos spec's vec_id-ordered file slices): the earliest batch
+    * containing a cell holds its global min id, so the representative is
+    * set once and never displaced.
+    */
+  final class CellRepProcessor(tau: Double)
+      extends StatefulProcessor[Int, CellVec, CellVerdict] {
+    @transient private var rep: org.apache.spark.sql.streaming.ValueState[RepState] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      rep = getHandle.getValueState[RepState]("rep",
+        org.apache.spark.sql.Encoders.product[RepState], TTLConfig.NONE)
+
+    /** The graft_cos / VecOps.cosD fold, verbatim (sequential in-order
+      * accumulation in doubles), so the streaming verdict is bit-identical
+      * to the batch oracle's cosine.
+      */
+    private def cos(a: Array[Double], b: Array[Double]): Double = {
+      def dot(x: Array[Double], y: Array[Double]): Double = {
+        var acc = 0.0; var i = 0
+        while (i < x.length) { acc += x(i) * y(i); i += 1 }
+        acc
+      }
+      dot(a, b) / (math.sqrt(dot(a, a)) * math.sqrt(dot(b, b)))
+    }
+
+    override def handleInputRows(key: Int, rows: Iterator[CellVec],
+        tv: TimerValues): Iterator[CellVerdict] = {
+      val sorted = rows.toArray.sortBy(_.vec_id)
+      var cur: RepState = if (rep.exists()) rep.get() else null
+      val out = new scala.collection.mutable.ArrayBuffer[CellVerdict](
+        sorted.length)
+      sorted.foreach { r =>
+        if (cur == null) {
+          cur = RepState(r.vec_id, r.e)
+          rep.update(cur)
+          out += CellVerdict(r.vec_id, key, r.vec_id, 0)
+        } else if (r.vec_id == cur.rep_id) {
+          // duplicate delivery of the representative itself: re-emit its
+          // (unpruned) verdict rather than comparing it against itself
+          out += CellVerdict(r.vec_id, key, r.vec_id, 0)
+        } else if (cos(r.e, cur.rep_e) > tau) {
+          out += CellVerdict(r.vec_id, key, cur.rep_id, 1)
+        } else {
+          out += CellVerdict(r.vec_id, key, r.vec_id, 0)
+        }
+      }
+      out.iterator
+    }
+  }
+
+  /** s30: STREAMING semantic dedup — d17's online form (as s28 is d03's):
+    * the quantizer is TRAINED OFFLINE (x11's batch Lloyd rounds, shipped
+    * as the 1-row centroid artifact) and arriving vectors are assigned to
+    * their learned cell by the SAME argmin expression the batch assignment
+    * uses (stream-static broadcast cross join — the cells of a vector are
+    * bit-identical online and offline), then admitted per cell against the
+    * min-id representative held in state. At 100 TB: the centroid table is
+    * k·dim broadcast-sized, per-batch cost is proportional to the batch,
+    * and state never exceeds one vector per cell.
+    */
+  def semanticDedupXform(s: SparkSession, cents: DataFrame,
+      tau: Double = 0.3)(src: DataFrame): DataFrame = {
+    import s.implicits._
+    graft.functions.GraftFunctions.register(s)
+    src.select(col("vec_id"),
+        expr("transform(embedding, ex -> CAST(ex AS DOUBLE))").as("e"))
+      .crossJoin(broadcast(cents))
+      .withColumn("best", expr(graft.ext.Similarity.bestCellExpr))
+      .select(col("best.c").as("cluster"), col("vec_id"), col("e"))
+      .as[CellVec]
+      .groupByKey(_.cluster)
+      .transformWithState(new CellRepProcessor(tau),
+        TimeMode.None(), OutputMode.Append())
+      .toDF()
+  }
+
   /** Scope the RocksDB state-store provider (the transformWithState
     * requirement and the honest 100 TB backend) around `body`.
     */
@@ -1467,6 +1564,34 @@ object StreamingQ {
                  SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id
                              ORDER BY cos_sim DESC, vec_id) AS rn
                  FROM scored) WHERE rn <= 5""")),
+
+    // s30: streaming semantic dedup over the offline-trained quantizer
+    // (see semanticDedupXform / CellRepProcessor). The oracle assigns the
+    // same learned cells via the unrolled Lloyd CTEs, picks each cell's
+    // min-id representative, and applies the same cos > tau admission.
+    Q("s30_stream_semantic_dedup",
+      (s, d) => withRocksDb(s) {
+        val cents = graft.ext.Similarity.kmeansTrainedCentroids(
+          Tables.embeddings(s, d))
+        runFileStream(s, s"$d/embeddings.parquet")(
+          semanticDedupXform(s, cents))
+      },
+      Some {
+        val k = graft.ext.Dedup.confInt(graft.ext.Dedup.KmeansCellsKey, 8)
+        val cos = graft.ext.Similarity.duckCos("z.e", "re")
+        s"""WITH ${graft.ext.Similarity.kmeansAssignCtes(k, 2)},
+                 rep AS (SELECT cluster AS rc, vec_id AS rid, e AS re
+                         FROM (SELECT cluster, vec_id, e,
+                                      ROW_NUMBER() OVER (PARTITION BY cluster
+                                        ORDER BY vec_id) AS rn
+                               FROM a2) WHERE rn = 1)
+            SELECT z.vec_id, z.cluster,
+                   CASE WHEN z.vec_id <> rid AND $cos > 0.3
+                        THEN rid ELSE z.vec_id END AS rep_id,
+                   CAST(CASE WHEN z.vec_id <> rid AND $cos > 0.3
+                             THEN 1 ELSE 0 END AS INT) AS is_pruned
+            FROM a2 z JOIN rep ON z.cluster = rc"""
+      }),
 
     // s25: stream-stream FULL OUTER interval join — s10's outer-emission
     // semantics on BOTH sides, completing the join-type family (inner

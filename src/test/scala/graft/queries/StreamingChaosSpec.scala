@@ -321,6 +321,67 @@ class StreamingChaosSpec extends SparkSpec {
       "s29: restarted rank diverges from the batch kNN relation")
   }
 
+  test("s30 per-cell representative state survives a crash at batch k " +
+      "(verdicts = clean run = batch oracle)") {
+    // embeddings split into vec_id-ordered files (the ordered-replay
+    // contract s30 declares): the earliest batch containing a cell holds
+    // its global min id, so the representative is set once; the crash and
+    // restart must neither lose it nor re-elect a different one.
+    val raw = s.read.parquet(s"$sf/embeddings.parquet")
+    val dir = Scratch.dir("graft_chaos_emb30_src")
+    val w0 = org.apache.spark.sql.expressions.Window.orderBy(col("vec_id"))
+    val sliced = raw.withColumn("__b", ntile(nFiles).over(w0)).cache()
+    (1 to nFiles).foreach { i =>
+      val tmp = Scratch.dir(s"graft_chaos_e30tmp$i")
+      sliced.filter(col("__b") === i).drop("__b")
+        .coalesce(1).write.mode("overwrite").parquet(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .find(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet"))
+        .getOrElse(fail(s"no part file in $tmp"))
+      val dst = new java.io.File(dir, f"emb30_$i%02d.parquet")
+      Files.move(part.toPath, dst.toPath)
+      assert(dst.setLastModified(1700000000000L + i * 60000L))
+    }
+    sliced.unpersist()
+
+    graft.functions.GraftFunctions.register(s)
+    val cents = graft.ext.Similarity.kmeansTrainedCentroids(
+      Tables.embeddings(s, sf))
+    val xform = StreamingQ.semanticDedupXform(s, cents)(_)
+    def rows(p: String): Seq[String] =
+      s.read.parquet(p).collect().map(_.toString).sorted.toSeq
+
+    val cleanOut = Scratch.dir("graft_chaos_s30_clean_out")
+    runSplit(dir, raw.schema, "vec_id", xform,
+      cleanOut, Scratch.dir("graft_chaos_s30_clean_ck"), None)
+
+    val out = Scratch.dir("graft_chaos_s30_out")
+    val ckpt = Scratch.dir("graft_chaos_s30_ck")
+    assert(runSplit(dir, raw.schema, "vec_id", xform, out, ckpt, Some(2)),
+      "s30: injected crash did not terminate the query")
+    runSplit(dir, raw.schema, "vec_id", xform, out, ckpt, None)
+
+    val restarted = rows(out)
+    assert(restarted === rows(cleanOut),
+      "s30: restarted verdicts differ from uninterrupted run")
+    // and both equal the batch form: min-id rep per learned cell + the
+    // same cos > tau admission via the shared kernels
+    val a2 = graft.ext.Similarity.kmeansAssign(Tables.embeddings(s, sf))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("cluster").orderBy("vec_id")
+    val rep = a2.withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("cluster"), col("vec_id").as("rid"), col("e").as("re"))
+    val isDup = col("vec_id") =!= col("rid") && expr("graft_cos(e, re)") > 0.3
+    val exp = a2.join(rep, "cluster")
+      .select(col("vec_id"), col("cluster"),
+        when(isDup, col("rid")).otherwise(col("vec_id")).as("rep_id"),
+        when(isDup, 1).otherwise(0).as("is_pruned"))
+      .collect().map(_.toString).sorted.toSeq
+    assert(restarted === exp,
+      "s30: restarted verdicts diverge from the batch admission relation")
+  }
+
   test("s13 wire streaming source: crash mid-topic, restart is exactly-once") {
     val sel = Tables.events(s, sf).select(col("event_id"), col("user_id"),
       col("event_type"), col("value"), unix_micros(col("ts")).as("tsu"))
