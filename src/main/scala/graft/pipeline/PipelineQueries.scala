@@ -44,7 +44,9 @@ object PipelineQueries {
     }
   }
 
-  val queries: Seq[Q] = Seq(
+  // `def`: p08's oracle resolves the kmeansCells conf at generation time
+  // (the DedupQueries/SimilarityQueries discipline).
+  def queries: Seq[Q] = Seq(
     // The REAL stage-1 pipeline under the oracle gate: write the rooms CSV
     // fixture, run RoomReader's single-scan pivot plan (globbed read +
     // input_file_name recovery + pivot + dropna + sort + UTC ts
@@ -297,7 +299,60 @@ object PipelineQueries {
                       CAST(row_number() OVER (PARTITION BY shard
                                               ORDER BY ho, doc_id) AS BIGINT)
                         AS pos
-               FROM h"""))
+               FROM h""")),
+
+    // p08: the SEMANTIC-INDEX LIFECYCLE as one composed plan — train the
+    // quantizer (x11's Lloyd rounds), dedup the corpus over its cells
+    // (d17), then serve an x12-style probe against the KEPT vectors only.
+    // The index-maintenance capstone: the three stages share ONE retained
+    // assignment relation (identical canonical plans → Spark's
+    // CacheManager dedups them, pinned by PlanQualitySpec), so training
+    // executes once no matter how many stages consume it. Scale shape:
+    // train = x11's broadcast/partial-agg rounds; dedup = d17's
+    // cell-blocked pairs; serve = one cell's scan + TakeOrdered — the
+    // only NEW work over d17 is a semi-join on (vec_id) longs and the
+    // probe itself.
+    Q("p08_semantic_lifecycle",
+      (s, d) => {
+        graft.functions.GraftFunctions.register(s)
+        val emb = Tables.embeddings(s, d)
+        val admitted = graft.ext.Dedup.semanticDedup(emb)
+          .filter(col("is_pruned") === 0).select("vec_id")
+        val k = graft.ext.Dedup.resolveCells(emb, 8)
+        val assigned = graft.util.Caches.retain(
+          graft.ext.Similarity.kmeansAssign(emb, k, 2)
+            .select(col("vec_id"), col("e"), col("cluster")))
+        val kept = assigned.join(admitted, Seq("vec_id"), "left_semi")
+        val q = assigned.orderBy("vec_id").limit(1)
+          .select(col("vec_id").as("q_id"), col("e").as("qe"),
+            col("cluster").as("q_cell"))
+        kept.join(broadcast(q),
+            col("cluster") === col("q_cell") && col("vec_id") =!= col("q_id"))
+          .withColumn("cos_sim", expr("graft_cos(e, qe)"))
+          .select("vec_id", "cluster", "cos_sim")
+          .orderBy(col("cos_sim").desc, col("vec_id"))
+          .limit(10)
+      },
+      Some {
+        val k = graft.ext.Dedup.confInt(graft.ext.Dedup.KmeansCellsKey, 8)
+        val cos = graft.ext.Similarity.duckCos _
+        s"""WITH ${graft.ext.Similarity.kmeansAssignCtes(k, 2)},
+                 pr AS (SELECT b.vec_id
+                        FROM a2 a JOIN a2 b
+                          ON a.cluster = b.cluster AND a.vec_id < b.vec_id
+                        WHERE ${cos("a.e", "b.e")} > 0.3
+                        GROUP BY b.vec_id),
+                 kept AS (SELECT z.vec_id, z.e, z.cluster
+                          FROM a2 z LEFT JOIN pr ON z.vec_id = pr.vec_id
+                          WHERE pr.vec_id IS NULL),
+                 q AS (SELECT vec_id AS q_id, e AS qe, cluster AS q_cell
+                       FROM a2 ORDER BY vec_id LIMIT 1)
+            SELECT kept.vec_id, kept.cluster,
+                   ${cos("kept.e", "qe")} AS cos_sim
+            FROM kept, q
+            WHERE kept.cluster = q_cell AND kept.vec_id <> q_id
+            ORDER BY cos_sim DESC, kept.vec_id LIMIT 10"""
+      })
   )
 }
 

@@ -767,7 +767,8 @@ object StreamingQ {
   def transformWithStateRunningMax(s: SparkSession, d: String): DataFrame =
     withRocksDb(s) { runEventsStream(s, d)(twsRunningMaxXform(s)) }
 
-  val queries: Seq[Q] = Seq(
+  // `def`: s30's oracle resolves the kmeansCells conf at generation time.
+  def queries: Seq[Q] = Seq(
     Q("q20_stream_pipe",
       (s, d) => streamPipe(s, d),
       Some("""SELECT event_id, event_type, value AS value_d,

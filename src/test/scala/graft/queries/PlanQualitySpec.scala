@@ -455,6 +455,33 @@ class PlanQualitySpec extends SparkSpec {
     assert(p.contains("partial_graft_centroids"), p)
   }
 
+  test("p08 lifecycle: the quantizer trains ONCE — every stage reads the " +
+      "same cache entry") {
+    val df = Catalog.byName("p08_semantic_lifecycle").run(spark, sf)
+    // dedup-side pairs (2 consumers), admission base, serve-side kept scan
+    // and the query row all end at the retained assignment; the train-once
+    // contract is that they resolve to ONE CacheManager entry (identical
+    // canonical plans dedup to the same CachedRDDBuilder instance).
+    val builders = df.queryExecution.optimizedPlan.collect {
+      case r: org.apache.spark.sql.execution.columnar.InMemoryRelation
+          if r.cacheBuilder.cachedPlan.toString.contains("graft_centroids")
+        => r.cacheBuilder
+    }
+    assert(builders.size >= 3,
+      s"dedup + serve stages must all read the cached assignment, " +
+        s"saw ${builders.size}")
+    assert(builders.map(System.identityHashCode).distinct.size === 1,
+      "quantizer trained more than once: distinct cache entries found")
+  }
+
+  test("p08 lifecycle: serve stage is broadcast-probed, never a shuffle " +
+      "of the corpus for the query row") {
+    val p = planOf("p08_semantic_lifecycle")
+    assert(p.contains("TakeOrderedAndProject"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("InMemoryTableScan"), p)
+  }
+
   test("q106: refresh reads state + pruned delta — history rows untouched") {
     val p = planOf("q106_incremental_agg")
     assert(p.contains("partial_sum"), p)
