@@ -455,6 +455,34 @@ class PlanQualitySpec extends SparkSpec {
     assert(p.contains("partial_graft_centroids"), p)
   }
 
+  test("q108: sketch profile is ONE scan — every stat and every KMV ride " +
+      "a single aggregate pass") {
+    val p = planOf("q108_profile_sketch")
+    assert("Scan parquet".r.findAllIn(p).size === 1, p)
+    assert(p.contains("partial_graft_kmv"), p)
+    // no per-column distinct branches (q107's shape) and no Expand
+    assert(!p.contains("Expand"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    // partial -> SinglePartition exchange -> final: the only exchange
+    // carries the 17 aggregation buffers, never rows
+    assert("Exchange SinglePartition".r.findAllIn(p).size === 1, p)
+    assert(!p.contains("Exchange hashpartitioning"), p)
+  }
+
+  test("x14: nprobe probe broadcasts; corpus never hash-exchanges") {
+    val p = planOf("x14_knn_ivf_nprobe")
+    // serving centroids from the mergeable accumulator, cells ranked
+    // against the broadcast query, nprobe rows broadcast back
+    assert(p.contains("partial_graft_centroids"), p)
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(p.contains("TakeOrderedAndProject"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    // the cached assignment is the only corpus relation; no hash exchange
+    // of it appears anywhere in the probe plan
+    assert(p.contains("InMemoryTableScan"), p)
+    assert(!p.contains("Exchange hashpartitioning"), p)
+  }
+
   test("p08 lifecycle: the quantizer trains ONCE — every stage reads the " +
       "same cache entry") {
     val df = Catalog.byName("p08_semantic_lifecycle").run(spark, sf)
