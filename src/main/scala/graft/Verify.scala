@@ -13,7 +13,11 @@ object Verify {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     // SPARK_GRAFT_MASTER overrides the master (e.g. "local-cluster[2,8,4096]"
     // for real executor JVMs — the closure-serialization / broadcast /
-    // codegen-classloader falsification local[N] cannot provide). Under
+    // codegen-classloader falsification local[N] cannot provide). The
+    // launcher also needs SPARK_HOME=/opt/spark AND SPARK_SCALA_VERSION=2.13
+    // in the environment: without the latter the ExecutorRunner's command
+    // builder probes for source-tree build directories and dies with
+    // "Cannot find any build directories". Under
     // local-cluster the executor processes boot from /opt/spark/jars only,
     // so the packaged graft jar must be shipped via spark.jars
     // (SPARK_GRAFT_JARS); executors fetch it from the driver's file server
