@@ -287,6 +287,18 @@ object Similarity {
     graft.functions.GraftFunctions.register(emb.sparkSession)
     val e0 = emb.select(col("vec_id"),
       expr("transform(embedding, ex -> CAST(ex AS DOUBLE))").as("e"))
+    lloydOver(e0, k, iters, pp)
+  }
+
+  /** The Lloyd core over an arbitrary (vec_id, e: array<double>) relation —
+    * [[kmeansAssignSeeded]] feeds it the embedding table; x16's second
+    * level feeds it RESIDUALS. Same broadcast-assignment /
+    * mergeable-accumulator / quantized-determinism shape regardless of
+    * input.
+    */
+  private[graft] def lloydOver(e0: DataFrame, k: Int, iters: Int,
+      pp: Boolean): DataFrame = {
+    graft.functions.GraftFunctions.register(e0.sparkSession)
 
     // (cluster, e) rows → a single broadcast row holding the sorted
     // array<struct<cluster,cvec>> centroid table, via the mergeable
@@ -491,6 +503,77 @@ object Similarity {
         WHERE z.cluster IN (SELECT pcell FROM probe) AND z.vec_id <> q_id
         ORDER BY cos_sim DESC, z.vec_id LIMIT $kTop"""
 
+  /** x16: TWO-LEVEL residual quantizer (the IVF-with-residual-codebook
+    * shape) — the measured fix for the flat quantizer's crossover: at the
+    * sf10 checkpoint, k=782 flat cells cost 118 s because the argmin
+    * assignment is O(n·k·dim), dominating the pair/probe savings past
+    * k ≈ 256 (BASELINE.md round-10 sweep). Two levels give k1·k2
+    * effective cells for O(n·(k1+k2)·dim) assignment work: level 1 is
+    * x11's Lloyd over the corpus; level 2 re-runs the SAME Lloyd core
+    * over the RESIDUALS e − centroid1(cell), so fine cells refine where
+    * the coarse quantizer was wrong, exactly the classic residual-VQ
+    * recipe. A vector's cell is (c1, c2); search probes the query's own
+    * (c1, c2) — at 100 TB the pair becomes a two-level partition key and
+    * the probe prunes ~k1·k2× of the corpus for (k1+k2)-cost assignment.
+    *
+    * Determinism end-to-end: level-1 centroids are the quantized-BIGINT
+    * serving table (the x14 artifact); residual subtraction is exact IEEE
+    * per element (identical zip_with / list_transform op order in both
+    * engines); level 2 repeats the unrolled-CTE oracle chain under a name
+    * prefix. The level-1 assignment is the SAME retained cache
+    * d17/x12/x14 share — one training pass feeds the whole family.
+    */
+  def knnIvfTwoLevel(emb: DataFrame, k1Default: Int = 8, k2: Int = 8,
+      iters: Int = 2, kTop: Int = 10): DataFrame = {
+    graft.functions.GraftFunctions.register(emb.sparkSession)
+    val k1 = graft.ext.Dedup.resolveCells(emb, k1Default)
+    val a1 = graft.util.Caches.retain(
+      kmeansAssign(emb, k1, iters)
+        .select(col("vec_id"), col("e"), col("cluster")))
+    val c1rows = a1.agg(expr(s"graft_centroids(cluster, e, $k1)").as("cents"))
+      .select(explode(col("cents")).as("ct"))
+      .select(col("ct.cluster").as("rc"), col("ct.cvec").as("cv1"))
+    val resid = a1.join(broadcast(c1rows), col("cluster") === col("rc"))
+      .select(col("vec_id"), col("e"), col("cluster").as("c1"),
+        expr("zip_with(e, cv1, (x, y) -> x - y)").as("r"))
+    val fine = lloydOver(resid.select(col("vec_id"), col("r").as("e")),
+        k2, iters, pp = false)
+      .select(col("vec_id"), col("cluster").as("c2"))
+    val cells = graft.util.Caches.retain(
+      resid.select("vec_id", "e", "c1").join(fine, "vec_id"))
+    val q = cells.orderBy("vec_id").limit(1)
+      .select(col("vec_id").as("q_id"), col("e").as("qe"),
+        col("c1").as("qc1"), col("c2").as("qc2"))
+    cells.join(broadcast(q),
+        col("c1") === col("qc1") && col("c2") === col("qc2") &&
+          col("vec_id") =!= col("q_id"))
+      .withColumn("cos_sim", expr("graft_cos(e, qe)"))
+      .select("vec_id", "c1", "c2", "cos_sim")
+      .orderBy(col("cos_sim").desc, col("vec_id"))
+      .limit(kTop)
+  }
+
+  def knnIvfTwoLevelSql(k1: Int = graft.ext.Dedup.confInt(
+        graft.ext.Dedup.KmeansCellsKey, 8),
+      k2: Int = 8, iters: Int = 2, kTop: Int = 10): String =
+    s"""WITH ${kmeansAssignCtes(k1, iters)},
+             ${kmeansServeCentroidsCtes(iters)},
+             resid0 AS (SELECT z.vec_id, z.e, z.cluster AS c1,
+                               list_transform(range(1, len(z.e) + 1),
+                                              i -> z.e[i] - cvec[i]) AS r
+                        FROM a$iters z JOIN cvF ON z.cluster = cvF.cluster),
+             resid AS (SELECT vec_id, r AS embedding FROM resid0),
+             ${kmeansAssignCtes(k2, iters, src = "resid", prefix = "f")},
+             cells AS (SELECT r0.vec_id, r0.e, r0.c1, f.cluster AS c2
+                       FROM resid0 r0 JOIN fa$iters f
+                         ON r0.vec_id = f.vec_id),
+             q AS (SELECT vec_id AS q_id, e AS qe, c1 AS qc1, c2 AS qc2
+                   FROM cells ORDER BY vec_id LIMIT 1)
+        SELECT z.vec_id, z.c1, z.c2, ${duckCos("z.e", "qe")} AS cos_sim
+        FROM cells z, q
+        WHERE z.c1 = qc1 AND z.c2 = qc2 AND z.vec_id <> q_id
+        ORDER BY cos_sim DESC, z.vec_id LIMIT $kTop"""
+
   /** x13: the learned-cell family's RECALL GATE (x06's discipline applied
     * to x12/x14) — recall@k of the IVF probe against x01's exact top-k, as
     * a recall-vs-nprobe CURVE: one row per nprobe ∈ {1, 2}. This is the
@@ -580,29 +663,39 @@ object Similarity {
                      FROM d0) WHERE rn = 1)"""
   }
 
+  /** `prefix` renames every CTE in the chain (e0 → ${prefix}e0, …) so two
+    * chains can coexist in one WITH (x16 unrolls a second Lloyd chain over
+    * residuals). `seed` overrides the modulo-seed a0 and is only valid
+    * with the default (empty) prefix — [[ppSeedCtes]] references the
+    * unprefixed e0.
+    */
   def kmeansAssignCtes(k: Int = 8, iters: Int = 2,
-      src: String = "embeddings", seed: Option[String] = None): String = {
+      src: String = "embeddings", seed: Option[String] = None,
+      prefix: String = ""): String = {
+    require(seed.isEmpty || prefix.isEmpty,
+      "seed CTEs reference the unprefixed e0/a0 names")
+    val p = prefix
     def round(i: Int, prev: String): String =
-      s"""pe$i AS (SELECT cluster, i - 1 AS pos, e[i] AS val
+      s"""${p}pe$i AS (SELECT cluster, i - 1 AS pos, e[i] AS val
                    FROM $prev, UNNEST(range(1, len(e) + 1)) AS t(i)),
-          c$i AS (SELECT cluster, pos,
+          ${p}c$i AS (SELECT cluster, pos,
                          CAST(SUM(CAST(floor(val * 1048576.0) AS BIGINT))
                               AS DOUBLE) / 1048576.0 / COUNT(*) AS c
-                  FROM pe$i GROUP BY 1, 2),
-          cv$i AS (SELECT cluster, list(c ORDER BY pos) AS cvec
-                   FROM c$i GROUP BY 1),
-          d$i AS (SELECT vec_id, e, cv$i.cluster AS cl,
+                  FROM ${p}pe$i GROUP BY 1, 2),
+          ${p}cv$i AS (SELECT cluster, list(c ORDER BY pos) AS cvec
+                   FROM ${p}c$i GROUP BY 1),
+          ${p}d$i AS (SELECT vec_id, e, ${p}cv$i.cluster AS cl,
                          ${duckD2("e", "cvec")} AS dd
-                  FROM e0, cv$i),
-          a$i AS (SELECT vec_id, e, cl AS cluster, dd
+                  FROM ${p}e0, ${p}cv$i),
+          ${p}a$i AS (SELECT vec_id, e, cl AS cluster, dd
                   FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
                                ORDER BY dd, cl) AS rn
-                        FROM d$i) WHERE rn = 1)"""
-    val rounds = (1 to iters).map(i => round(i, s"a${i - 1}")).mkString(",\n")
+                        FROM ${p}d$i) WHERE rn = 1)"""
+    val rounds = (1 to iters).map(i => round(i, s"${p}a${i - 1}")).mkString(",\n")
     val a0 = seed.getOrElse(
-      s"""a0 AS (SELECT vec_id, e, CAST(vec_id % $k AS INT) AS cluster
-                 FROM e0)""")
-    s"""e0 AS (SELECT vec_id,
+      s"""${p}a0 AS (SELECT vec_id, e, CAST(vec_id % $k AS INT) AS cluster
+                 FROM ${p}e0)""")
+    s"""${p}e0 AS (SELECT vec_id,
                       list_transform(embedding, ex -> CAST(ex AS DOUBLE))
                         AS e
                FROM $src),
@@ -982,6 +1075,13 @@ object SimilarityQueries {
     // baseline contract; both report empty cells loudly.
     Q("x15_kmeans_pp",
       (s, d) => Similarity.kmeansSummaryPP(Tables.embeddings(s, d)),
-      Some(Similarity.kmeansSummaryPPSql()))
+      Some(Similarity.kmeansSummaryPPSql())),
+
+    // x16: two-level residual quantizer — k1·k2 effective cells for
+    // O(n·(k1+k2)·dim) assignment work, the measured crossover fix (see
+    // Similarity.knnIvfTwoLevel).
+    Q("x16_knn_ivf_two_level",
+      (s, d) => Similarity.knnIvfTwoLevel(Tables.embeddings(s, d)),
+      Some(Similarity.knnIvfTwoLevelSql()))
   )
 }

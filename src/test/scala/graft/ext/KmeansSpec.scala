@@ -215,6 +215,27 @@ class KmeansSpec extends SparkSpec {
     assert(rows.map(_.toString).sorted.toSeq === shuffled)
   }
 
+  test("x16: two-level probe scans ONE (c1, c2) cell, ranked descending") {
+    val out = Similarity.knnIvfTwoLevel(Tables.embeddings(spark, sf))
+      .collect()
+    assert(out.nonEmpty && out.length <= 10)
+    assert(out.map(r => (r.getInt(1), r.getInt(2))).distinct.length === 1,
+      "all hits must share the query's (c1, c2) cell")
+    assert(out.forall(r => r.getInt(1) >= 0 && r.getInt(1) < 8))
+    assert(out.forall(r => r.getInt(2) >= 0 && r.getInt(2) < 8))
+    val sims = out.map(_.getDouble(3)).toSeq
+    assert(sims === sims.sorted.reverse)
+  }
+
+  test("x16 is partition-stable (residuals + quantized rounds are order-free)") {
+    val base = Similarity.knnIvfTwoLevel(Tables.embeddings(spark, sf))
+      .collect().map(_.toString).toSeq
+    val shuffled = Similarity
+      .knnIvfTwoLevel(Tables.embeddings(spark, sf).repartition(7))
+      .collect().map(_.toString).toSeq
+    assert(base === shuffled)
+  }
+
   test("x15 seeds spread: no two chosen centers coincide on this corpus") {
     // The pathological modulo-seed failure is all-seeds-in-one-clump;
     // farthest-point guarantees pairwise-distinct centers whenever the

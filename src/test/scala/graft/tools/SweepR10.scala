@@ -20,10 +20,35 @@ object SweepR10 {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val d = args(0)
-    val ks = args(1).split(",").toSeq
     val emb = graft.sources.Tables.embeddings(spark, d)
     val n = emb.count()
     println(s"SWEEP dir=$d n=$n")
+    // Mode 2: the x16 crossover measurement — `x16 k1xk2[,k1xk2...]`
+    // times the two-level quantizer's full train+serve against the flat
+    // quantizer at the same effective cell count (x12 with k = k1·k2).
+    if (args(1) == "x16") {
+      args(2).split(",").foreach { spec =>
+        val Array(k1, k2) = spec.split("x").map(_.toInt)
+        graft.util.Caches.releaseAll()
+        spark.conf.set(graft.ext.Dedup.KmeansCellsKey, k1.toString)
+        val t0 = System.nanoTime()
+        val n2 = graft.ext.Similarity
+          .knnIvfTwoLevel(emb, k2 = k2).count()
+        val two = (System.nanoTime() - t0) / 1e9
+        graft.util.Caches.releaseAll()
+        spark.conf.set(graft.ext.Dedup.KmeansCellsKey, (k1 * k2).toString)
+        val t1 = System.nanoTime()
+        val nf = graft.ext.Similarity.knnIvfLearned(emb).count()
+        val flat = (System.nanoTime() - t1) / 1e9
+        println(f"SWEEP x16 k1=$k1 k2=$k2 two_level_sec=$two%.2f " +
+          f"(rows=$n2) flat_k=${k1 * k2} flat_sec=$flat%.2f (rows=$nf)")
+        spark.conf.unset(graft.ext.Dedup.KmeansCellsKey)
+      }
+      graft.util.Caches.releaseAll()
+      spark.stop()
+      return
+    }
+    val ks = args(1).split(",").toSeq
     ks.foreach { k =>
       graft.util.Caches.releaseAll()
       spark.conf.set(graft.ext.Dedup.KmeansCellsKey, k)
