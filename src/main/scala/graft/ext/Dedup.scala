@@ -774,6 +774,49 @@ object Dedup {
                CAST(pr.vec_id IS NOT NULL AS INT) AS is_pruned
         FROM a$iters z LEFT JOIN pr ON z.vec_id = pr.vec_id"""
 
+  /** d19: semantic dedup over the TWO-LEVEL cells — d17 with x16's
+    * (c1, c2) blocking key, completing the crossover fix for the dedup
+    * side (where the pain was measured: d17 at flat k=782 cost 118 s at
+    * the 100× point, dominated by the O(n·k·dim) assignment; the
+    * two-level assignment is O(n·(k1+k2)·dim) for the same k1·k2
+    * blocking granularity). Same one-hop min-id admission contract as
+    * d17; the hot-cell cap applies to the compound (c1, c2) key.
+    */
+  def semanticDedupTwoLevel(embeddings: DataFrame, k1Default: Int = 8,
+      k2: Int = 8, iters: Int = 2, tau: Double = 0.3): DataFrame = {
+    val cells = Similarity.twoLevelCells(embeddings, k1Default, k2, iters)
+    val capped = applyBucketCap(cells, Seq("c1", "c2"))
+    val a = capped.select(col("vec_id").as("vec_a"), col("c1"), col("c2"),
+      col("e").as("ea"))
+    val b = capped.select(col("vec_id").as("vec_b"), col("c1").as("c1b"),
+      col("c2").as("c2b"), col("e").as("eb")).hint("shuffle_hash")
+    val pruned = a.join(b,
+        col("c1") === col("c1b") && col("c2") === col("c2b") &&
+          col("vec_a") < col("vec_b"))
+      .withColumn("cos_sim", expr("graft_cos(ea, eb)"))
+      .filter(col("cos_sim") > tau)
+      .groupBy(col("vec_b").as("vec_id")).agg(min("vec_a").as("dup_of"))
+    cells.select("vec_id", "c1", "c2")
+      .join(pruned, Seq("vec_id"), "left_outer")
+      .select(col("vec_id"), col("c1"), col("c2"),
+        coalesce(col("dup_of"), col("vec_id")).as("rep_id"),
+        col("dup_of").isNotNull.cast("int").as("is_pruned"))
+  }
+
+  def semanticDedupTwoLevelSql(k1: Int = confInt(KmeansCellsKey, 8),
+      k2: Int = 8, iters: Int = 2, tau: Double = 0.3): String =
+    s"""WITH ${Similarity.twoLevelCellsCtes(k1, k2, iters)},
+             pr AS (SELECT b.vec_id, min(a.vec_id) AS dup_of
+                    FROM cells a JOIN cells b
+                      ON a.c1 = b.c1 AND a.c2 = b.c2
+                        AND a.vec_id < b.vec_id
+                    WHERE ${Similarity.duckCos("a.e", "b.e")} > $tau
+                    GROUP BY b.vec_id)
+        SELECT z.vec_id, z.c1, z.c2,
+               coalesce(pr.dup_of, z.vec_id) AS rep_id,
+               CAST(pr.vec_id IS NOT NULL AS INT) AS is_pruned
+        FROM cells z LEFT JOIN pr ON z.vec_id = pr.vec_id"""
+
   /** d18's engine body: planted-duplicate PRECISION/RECALL for d17 (d14's
     * protocol applied to the semantic-dedup blocking) — the shippability
     * number for the learned quantizer's blocking: does a vector's true
@@ -1183,6 +1226,12 @@ object DedupQueries {
     // Dedup.semanticEval).
     Q("d18_semantic_eval",
       (s, d) => Dedup.semanticEval(Tables.embeddings(s, d)),
-      Some(Dedup.semanticEvalSql()))
+      Some(Dedup.semanticEvalSql())),
+
+    // d19: semantic dedup over x16's two-level cells — the crossover fix
+    // applied to the dedup side (see Dedup.semanticDedupTwoLevel).
+    Q("d19_semantic_dedup_2level",
+      (s, d) => Dedup.semanticDedupTwoLevel(Tables.embeddings(s, d)),
+      Some(Dedup.semanticDedupTwoLevelSql()))
   )
 }

@@ -523,8 +523,14 @@ object Similarity {
     * prefix. The level-1 assignment is the SAME retained cache
     * d17/x12/x14 share — one training pass feeds the whole family.
     */
-  def knnIvfTwoLevel(emb: DataFrame, k1Default: Int = 8, k2: Int = 8,
-      iters: Int = 2, kTop: Int = 10): DataFrame = {
+  /** The two-level (vec_id, e, c1, c2) cell assignment x16's probe and
+    * d19's dedup both consume — retained, so an index-maintenance
+    * pipeline that dedups and serves over the two-level cells pays for
+    * BOTH trainings once (the level-1 relation is additionally the same
+    * cache d17/x12/x14 share).
+    */
+  def twoLevelCells(emb: DataFrame, k1Default: Int = 8, k2: Int = 8,
+      iters: Int = 2): DataFrame = {
     graft.functions.GraftFunctions.register(emb.sparkSession)
     val k1 = graft.ext.Dedup.resolveCells(emb, k1Default)
     val a1 = graft.util.Caches.retain(
@@ -539,8 +545,29 @@ object Similarity {
     val fine = lloydOver(resid.select(col("vec_id"), col("r").as("e")),
         k2, iters, pp = false)
       .select(col("vec_id"), col("cluster").as("c2"))
-    val cells = graft.util.Caches.retain(
+    graft.util.Caches.retain(
       resid.select("vec_id", "e", "c1").join(fine, "vec_id"))
+  }
+
+  /** Oracle CTE block ending in `cells(vec_id, e, c1, c2)` — the twin of
+    * [[twoLevelCells]], shared by x16 and d19.
+    */
+  def twoLevelCellsCtes(k1: Int, k2: Int, iters: Int): String =
+    s"""${kmeansAssignCtes(k1, iters)},
+        ${kmeansServeCentroidsCtes(iters)},
+        resid0 AS (SELECT z.vec_id, z.e, z.cluster AS c1,
+                          list_transform(range(1, len(z.e) + 1),
+                                         i -> z.e[i] - cvec[i]) AS r
+                   FROM a$iters z JOIN cvF ON z.cluster = cvF.cluster),
+        resid AS (SELECT vec_id, r AS embedding FROM resid0),
+        ${kmeansAssignCtes(k2, iters, src = "resid", prefix = "f")},
+        cells AS (SELECT r0.vec_id, r0.e, r0.c1, f.cluster AS c2
+                  FROM resid0 r0 JOIN fa$iters f
+                    ON r0.vec_id = f.vec_id)"""
+
+  def knnIvfTwoLevel(emb: DataFrame, k1Default: Int = 8, k2: Int = 8,
+      iters: Int = 2, kTop: Int = 10): DataFrame = {
+    val cells = twoLevelCells(emb, k1Default, k2, iters)
     val q = cells.orderBy("vec_id").limit(1)
       .select(col("vec_id").as("q_id"), col("e").as("qe"),
         col("c1").as("qc1"), col("c2").as("qc2"))
@@ -556,17 +583,7 @@ object Similarity {
   def knnIvfTwoLevelSql(k1: Int = graft.ext.Dedup.confInt(
         graft.ext.Dedup.KmeansCellsKey, 8),
       k2: Int = 8, iters: Int = 2, kTop: Int = 10): String =
-    s"""WITH ${kmeansAssignCtes(k1, iters)},
-             ${kmeansServeCentroidsCtes(iters)},
-             resid0 AS (SELECT z.vec_id, z.e, z.cluster AS c1,
-                               list_transform(range(1, len(z.e) + 1),
-                                              i -> z.e[i] - cvec[i]) AS r
-                        FROM a$iters z JOIN cvF ON z.cluster = cvF.cluster),
-             resid AS (SELECT vec_id, r AS embedding FROM resid0),
-             ${kmeansAssignCtes(k2, iters, src = "resid", prefix = "f")},
-             cells AS (SELECT r0.vec_id, r0.e, r0.c1, f.cluster AS c2
-                       FROM resid0 r0 JOIN fa$iters f
-                         ON r0.vec_id = f.vec_id),
+    s"""WITH ${twoLevelCellsCtes(k1, k2, iters)},
              q AS (SELECT vec_id AS q_id, e AS qe, c1 AS qc1, c2 AS qc2
                    FROM cells ORDER BY vec_id LIMIT 1)
         SELECT z.vec_id, z.c1, z.c2, ${duckCos("z.e", "qe")} AS cos_sim

@@ -236,6 +236,22 @@ class KmeansSpec extends SparkSpec {
     assert(base === shuffled)
   }
 
+  test("d19: total coverage, one-hop reps point down-id within (c1, c2)") {
+    val out = Dedup.semanticDedupTwoLevel(Tables.embeddings(spark, sf))
+      .collect()
+    val n = Tables.embeddings(spark, sf).count()
+    assert(out.length === n, "every vector gets exactly one admission row")
+    val cellOf = out.map(r =>
+      r.getLong(0) -> (r.getInt(1), r.getInt(2))).toMap
+    out.foreach { r =>
+      val (id, rep, pruned) = (r.getLong(0), r.getLong(3), r.getInt(4))
+      if (pruned == 1) {
+        assert(rep < id, s"pruned $id must point at a lower id, got $rep")
+        assert(cellOf(rep) === cellOf(id), "rep must share the (c1,c2) cell")
+      } else assert(rep === id)
+    }
+  }
+
   test("x15 seeds spread: no two chosen centers coincide on this corpus") {
     // The pathological modulo-seed failure is all-seeds-in-one-clump;
     // farthest-point guarantees pairwise-distinct centers whenever the

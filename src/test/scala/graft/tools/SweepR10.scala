@@ -42,6 +42,13 @@ object SweepR10 {
         val flat = (System.nanoTime() - t1) / 1e9
         println(f"SWEEP x16 k1=$k1 k2=$k2 two_level_sec=$two%.2f " +
           f"(rows=$n2) flat_k=${k1 * k2} flat_sec=$flat%.2f (rows=$nf)")
+        graft.util.Caches.releaseAll()
+        spark.conf.set(graft.ext.Dedup.KmeansCellsKey, k1.toString)
+        val t2 = System.nanoTime()
+        val pr = graft.ext.Dedup.semanticDedupTwoLevel(emb, k2 = k2)
+          .filter(col("is_pruned") === 1).count()
+        val d19 = (System.nanoTime() - t2) / 1e9
+        println(f"SWEEP d19 k1=$k1 k2=$k2 sec=$d19%.2f pruned=$pr")
         spark.conf.unset(graft.ext.Dedup.KmeansCellsKey)
       }
       graft.util.Caches.releaseAll()
