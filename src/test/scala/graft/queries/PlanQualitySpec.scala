@@ -510,6 +510,16 @@ class PlanQualitySpec extends SparkSpec {
     assert(p.contains("InMemoryTableScan"), p)
   }
 
+  test("d19: pair stage is a shuffled hash join on the compound cell key") {
+    val p = planOf("d19_semantic_dedup_2level")
+    assert(p.contains("ShuffledHashJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    // both Lloyd levels run through the mergeable accumulator and the
+    // shared cells relation is cached for the pair sides + admission base
+    assert(p.contains("partial_graft_centroids"), p)
+    assert(p.contains("InMemoryTableScan"), p)
+  }
+
   test("q106: refresh reads state + pruned delta — history rows untouched") {
     val p = planOf("q106_incremental_agg")
     assert(p.contains("partial_sum"), p)
