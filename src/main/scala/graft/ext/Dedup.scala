@@ -834,7 +834,29 @@ object Dedup {
     * row proves it; recall < 1.0 measures exactly the pairs the cell
     * blocking separates.
     */
-  def semanticEval(embeddings: DataFrame, tau: Double = 0.3): DataFrame = {
+  def semanticEval(embeddings: DataFrame, tau: Double = 0.3): DataFrame =
+    evalAgainstTruth(embeddings, tau)(aug =>
+      semanticDedup(aug, tau = tau)
+        .filter(col("is_pruned") === 1).select("vec_id"))
+
+  /** d20: the same planted-duplicate protocol for d19's TWO-LEVEL
+    * blocking — every blocking scheme ships with its gate (d14 for the
+    * MinHash bands, d18 for the flat cells, this for the (c1, c2)
+    * product cells). Product cells are a strictly finer partition than
+    * either level alone, so recall here lower-bounds what a production
+    * two-level dedup gives up vs the flat blocking at equal granularity.
+    */
+  def semanticEvalTwoLevel(embeddings: DataFrame, k2: Int = 8,
+      tau: Double = 0.3): DataFrame =
+    evalAgainstTruth(embeddings, tau)(aug =>
+      semanticDedupTwoLevel(aug, k2 = k2, tau = tau)
+        .filter(col("is_pruned") === 1).select("vec_id"))
+
+  /** Shared d18/d20 protocol body: bounded slice + planted exact copies,
+    * all-pairs cos > τ truth, P/R of `prunedOf(aug)` against it.
+    */
+  private def evalAgainstTruth(embeddings: DataFrame, tau: Double)(
+      prunedOf: DataFrame => DataFrame): DataFrame = {
     graft.functions.GraftFunctions.register(embeddings.sparkSession)
     val slice = graft.util.Caches.retain(embeddings
       .filter(col("vec_id") < 100).select("vec_id", "embedding"))
@@ -845,8 +867,7 @@ object Dedup {
     val truth = a.join(b, col("va") < col("vb"))
       .filter(expr("graft_cos(ea, eb)") > tau)
       .select(col("vb").as("vec_id")).distinct()
-    val pruned = semanticDedup(aug, tau = tau)
-      .filter(col("is_pruned") === 1).select("vec_id")
+    val pruned = prunedOf(aug)
     val ct = truth.agg(count(lit(1)).as("n_truth"))
     val cp = pruned.agg(count(lit(1)).as("n_pruned"))
     val ch = pruned.join(truth, Seq("vec_id"), "left_semi")
@@ -859,37 +880,58 @@ object Dedup {
         col("n_hit").cast("double") / col("n_truth")).as("recall"))
   }
 
+  /** Shared d18/d20 oracle fragments: the planted-slice + truth CTEs and
+    * the P/R counts select (referencing CTEs `truth` and `pr`).
+    */
+  private def evalAugTruthCtes(tau: Double): String =
+    s"""aug AS (SELECT vec_id, embedding FROM embeddings
+                WHERE vec_id < 100
+                UNION ALL
+                SELECT vec_id + 10000 AS vec_id, embedding
+                FROM embeddings WHERE vec_id < 100),
+        truth AS (SELECT DISTINCT b.vec_id
+                  FROM aug a JOIN aug b ON a.vec_id < b.vec_id
+                  WHERE ${Similarity.duckCos("a.embedding",
+                    "b.embedding")} > $tau)"""
+
+  private val evalCountsSelect: String =
+    """SELECT (SELECT CAST(count(*) AS BIGINT) FROM truth) AS n_truth,
+              (SELECT CAST(count(*) AS BIGINT) FROM pr) AS n_pruned,
+              (SELECT CAST(count(*) AS BIGINT) FROM pr
+               WHERE vec_id IN (SELECT vec_id FROM truth)) AS n_hit,
+              CASE WHEN (SELECT count(*) FROM pr) > 0
+                   THEN CAST((SELECT count(*) FROM pr
+                              WHERE vec_id IN (SELECT vec_id FROM truth))
+                             AS DOUBLE)
+                        / (SELECT count(*) FROM pr) END AS precision,
+              CASE WHEN (SELECT count(*) FROM truth) > 0
+                   THEN CAST((SELECT count(*) FROM pr
+                              WHERE vec_id IN (SELECT vec_id FROM truth))
+                             AS DOUBLE)
+                        / (SELECT count(*) FROM truth) END AS recall"""
+
   def semanticEvalSql(k: Int = confInt(KmeansCellsKey, 8), iters: Int = 2,
       tau: Double = 0.3): String =
-    s"""WITH aug AS (SELECT vec_id, embedding FROM embeddings
-                     WHERE vec_id < 100
-                     UNION ALL
-                     SELECT vec_id + 10000 AS vec_id, embedding
-                     FROM embeddings WHERE vec_id < 100),
-             truth AS (SELECT DISTINCT b.vec_id
-                       FROM aug a JOIN aug b ON a.vec_id < b.vec_id
-                       WHERE ${Similarity.duckCos("a.embedding",
-                         "b.embedding")} > $tau),
+    s"""WITH ${evalAugTruthCtes(tau)},
              ${Similarity.kmeansAssignCtes(k, iters, src = "aug")},
              pr AS (SELECT b.vec_id
                     FROM a$iters a JOIN a$iters b
                       ON a.cluster = b.cluster AND a.vec_id < b.vec_id
                     WHERE ${Similarity.duckCos("a.e", "b.e")} > $tau
                     GROUP BY b.vec_id)
-        SELECT (SELECT CAST(count(*) AS BIGINT) FROM truth) AS n_truth,
-               (SELECT CAST(count(*) AS BIGINT) FROM pr) AS n_pruned,
-               (SELECT CAST(count(*) AS BIGINT) FROM pr
-                WHERE vec_id IN (SELECT vec_id FROM truth)) AS n_hit,
-               CASE WHEN (SELECT count(*) FROM pr) > 0
-                    THEN CAST((SELECT count(*) FROM pr
-                               WHERE vec_id IN (SELECT vec_id FROM truth))
-                              AS DOUBLE)
-                         / (SELECT count(*) FROM pr) END AS precision,
-               CASE WHEN (SELECT count(*) FROM truth) > 0
-                    THEN CAST((SELECT count(*) FROM pr
-                               WHERE vec_id IN (SELECT vec_id FROM truth))
-                              AS DOUBLE)
-                         / (SELECT count(*) FROM truth) END AS recall"""
+        $evalCountsSelect"""
+
+  def semanticEvalTwoLevelSql(k1: Int = confInt(KmeansCellsKey, 8),
+      k2: Int = 8, iters: Int = 2, tau: Double = 0.3): String =
+    s"""WITH ${evalAugTruthCtes(tau)},
+             ${Similarity.twoLevelCellsCtes(k1, k2, iters, src = "aug")},
+             pr AS (SELECT b.vec_id
+                    FROM cells a JOIN cells b
+                      ON a.c1 = b.c1 AND a.c2 = b.c2
+                        AND a.vec_id < b.vec_id
+                    WHERE ${Similarity.duckCos("a.e", "b.e")} > $tau
+                    GROUP BY b.vec_id)
+        $evalCountsSelect"""
 }
 
 object DedupQueries {
@@ -1232,6 +1274,12 @@ object DedupQueries {
     // applied to the dedup side (see Dedup.semanticDedupTwoLevel).
     Q("d19_semantic_dedup_2level",
       (s, d) => Dedup.semanticDedupTwoLevel(Tables.embeddings(s, d)),
-      Some(Dedup.semanticDedupTwoLevelSql()))
+      Some(Dedup.semanticDedupTwoLevelSql())),
+
+    // d20: planted-dup precision/recall for d19's (c1, c2) blocking —
+    // every blocking scheme ships with its gate.
+    Q("d20_semantic_eval_2level",
+      (s, d) => Dedup.semanticEvalTwoLevel(Tables.embeddings(s, d)),
+      Some(Dedup.semanticEvalTwoLevelSql()))
   )
 }

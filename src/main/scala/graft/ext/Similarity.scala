@@ -434,15 +434,17 @@ object Similarity {
     * the same quantized-BIGINT discipline, ending in
     * `cvF(cluster, cvec)`.
     */
-  def kmeansServeCentroidsCtes(iters: Int = 2): String =
-    s"""peF AS (SELECT cluster, i - 1 AS pos, e[i] AS val
-                FROM a$iters, UNNEST(range(1, len(e) + 1)) AS t(i)),
-        cF AS (SELECT cluster, pos,
+  def kmeansServeCentroidsCtes(iters: Int = 2, prefix: String = ""): String = {
+    val p = prefix
+    s"""${p}peF AS (SELECT cluster, i - 1 AS pos, e[i] AS val
+                FROM ${p}a$iters, UNNEST(range(1, len(e) + 1)) AS t(i)),
+        ${p}cF AS (SELECT cluster, pos,
                       CAST(SUM(CAST(floor(val * 1048576.0) AS BIGINT))
                            AS DOUBLE) / 1048576.0 / COUNT(*) AS c
-               FROM peF GROUP BY 1, 2),
-        cvF AS (SELECT cluster, list(c ORDER BY pos) AS cvec
-                FROM cF GROUP BY 1)"""
+               FROM ${p}peF GROUP BY 1, 2),
+        ${p}cvF AS (SELECT cluster, list(c ORDER BY pos) AS cvec
+                FROM ${p}cF GROUP BY 1)"""
+  }
 
   /** x14: IVF ANN with nprobe > 1 — the recall/latency knob every real IVF
     * deployment turns (x12 is the nprobe=1 special case). The probe ranks
@@ -550,10 +552,12 @@ object Similarity {
   }
 
   /** Oracle CTE block ending in `cells(vec_id, e, c1, c2)` — the twin of
-    * [[twoLevelCells]], shared by x16 and d19.
+    * [[twoLevelCells]], shared by x16/x17/d19/d20. `src` must expose
+    * (vec_id, embedding), like [[kmeansAssignCtes]]'s.
     */
-  def twoLevelCellsCtes(k1: Int, k2: Int, iters: Int): String =
-    s"""${kmeansAssignCtes(k1, iters)},
+  def twoLevelCellsCtes(k1: Int, k2: Int, iters: Int,
+      src: String = "embeddings"): String =
+    s"""${kmeansAssignCtes(k1, iters, src = src)},
         ${kmeansServeCentroidsCtes(iters)},
         resid0 AS (SELECT z.vec_id, z.e, z.cluster AS c1,
                           list_transform(range(1, len(z.e) + 1),
@@ -590,6 +594,164 @@ object Similarity {
         FROM cells z, q
         WHERE z.c1 = qc1 AND z.c2 = qc2 AND z.vec_id <> q_id
         ORDER BY cos_sim DESC, z.vec_id LIMIT $kTop"""
+
+  /** x17: x16's recall gate — recall@k of the two-level single-(c1,c2)
+    * probe vs x01's exact top-k (the x13 discipline applied to the
+    * residual quantizer; with k1·k2 effective cells the probed fraction
+    * is ~1/(k1·k2), so this is the number that says how much nprobe — or
+    * how much coarser a quantizer — serving needs).
+    */
+  def twoLevelRecall(emb: DataFrame, kTop: Int = 10): DataFrame = {
+    val exact = knnBrute(emb, kTop).select(col("vec_id"))
+    exact.join(knnIvfTwoLevel(emb, kTop = kTop).select("vec_id"),
+        Seq("vec_id"), "left_semi")
+      .agg(count(lit(1)).as("n_overlap"))
+      .select(lit(kTop).as("k"), col("n_overlap"),
+        (col("n_overlap").cast("double") / kTop).as("recall_at_k"))
+  }
+
+  def twoLevelRecallSql(k1: Int = graft.ext.Dedup.confInt(
+        graft.ext.Dedup.KmeansCellsKey, 8),
+      k2: Int = 8, iters: Int = 2, kTop: Int = 10): String =
+    s"""WITH ${twoLevelCellsCtes(k1, k2, iters)},
+             q AS (SELECT vec_id AS q_id, e AS qe, c1 AS qc1, c2 AS qc2
+                   FROM cells ORDER BY vec_id LIMIT 1),
+             approx AS (SELECT z.vec_id FROM cells z, q
+                        WHERE z.c1 = qc1 AND z.c2 = qc2
+                          AND z.vec_id <> q_id
+                        ORDER BY ${duckCos("z.e", "qe")} DESC, z.vec_id
+                        LIMIT $kTop),
+             exact AS (SELECT vec_id FROM (${knnBruteSql(kTop)}))
+        SELECT $kTop AS k, CAST(count(*) AS BIGINT) AS n_overlap,
+               CAST(count(*) AS DOUBLE) / $kTop AS recall_at_k
+        FROM exact WHERE vec_id IN (SELECT vec_id FROM approx)"""
+
+  /** x18: PRODUCT QUANTIZATION retrieval (the PQ/ADC shape) — the
+    * memory-side lever the x-family lacked: x09's int8 scalar
+    * quantization is 4× compression; PQ at m=4 subspaces × 8 codewords
+    * stores ONE BYTE-SIZED CODE PER SUBSPACE — 4 small ints per vector
+    * vs 64 floats (64×), which is what makes a 100 TB corpus's index fit
+    * cache tiers. Train: each subspace (16 dims) gets its own codebook
+    * via the SAME Lloyd core over the subvector slices; the published
+    * codebook (serving centroids from the final assignment — the
+    * x14/x16 artifact pattern) is the shippable index. Encode + score:
+    * code_s(x) = argmin codeword for x's subvector; the query builds an
+    * m×k LUT of d2(q_s, codeword) and the asymmetric distance is
+    * ADC(x) = Σ_s LUT[s][code_s(x)] — here both run in ONE projection
+    * over the corpus with the m codebooks in a single broadcast row:
+    * zero shuffles, zero joins, one scan, then TakeOrdered(k). The
+    * in_exact_topk flag (x09's discipline) measures the ADC
+    * approximation against the exact L2 top-k inline.
+    *
+    * Determinism: codebooks are quantized-BIGINT serving centroids;
+    * slices/casts are element-wise exact; argmin ties break on the
+    * lowest codeword (array_min struct ordering = the oracle's
+    * ROW_NUMBER ORDER BY dd, c); the ADC sum is a fixed-order 4-term
+    * double add mirrored as ((dd0+dd1)+dd2)+dd3 in both engines.
+    */
+  def pqKnn(emb: DataFrame, m: Int = 4, subDim: Int = 16, kcode: Int = 8,
+      iters: Int = 2, kTop: Int = 10): DataFrame = {
+    graft.functions.GraftFunctions.register(emb.sparkSession)
+    val e0 = graft.util.Caches.retain(emb.select(col("vec_id"),
+      expr("transform(embedding, ex -> CAST(ex AS DOUBLE))").as("e")))
+    val q = e0.orderBy("vec_id").limit(1)
+      .select(col("vec_id").as("q_id"), col("e").as("qe"))
+    val cbAll = (0 until m).map { s =>
+      val off = s * subDim + 1
+      lloydOver(e0.select(col("vec_id"),
+          expr(s"slice(e, $off, $subDim)").as("e")), kcode, iters, pp = false)
+        .agg(expr(s"graft_centroids(cluster, e, $kcode)").as(s"cents$s"))
+    }.reduce(_.crossJoin(_))
+    def code(s: Int) = {
+      val off = s * subDim + 1
+      s"""array_min(transform(cents$s,
+           ct -> named_struct('dd', graft_l2(slice(e, $off, $subDim), ct.cvec),
+                              'c', ct.cluster))).c"""
+    }
+    // The m query-side LUTs are tiny DataFrames (kcode rows each) joined
+    // back by codeword id: broadcast hash joins stay inside whole-stage
+    // codegen, where the per-row filter()/element_at() lambda form was
+    // interpreted per row per subspace (measured ~4× slower at sf10).
+    val luts = (0 until m).map { s =>
+      val off = s * subDim + 1
+      cbAll.crossJoin(q)
+        .select(explode(col(s"cents$s")).as("ct"), col("qe"))
+        .select(col("ct.cluster").as(s"c$s"),
+          expr(s"graft_l2(slice(qe, $off, $subDim), ct.cvec)").as(s"dd$s"))
+    }
+    val withCodes = e0.crossJoin(broadcast(cbAll))
+      .crossJoin(broadcast(q.select(col("q_id"))))
+      .filter(col("vec_id") =!= col("q_id"))
+      .select(Seq(col("vec_id")) ++
+        (0 until m).map(s => expr(code(s)).as(s"code_$s")): _*)
+    val scored = luts.zipWithIndex.foldLeft(withCodes) {
+      case (acc, (l, s)) =>
+        acc.join(broadcast(l), col(s"code_$s") === col(s"c$s"))
+    }
+    val adc = (0 until m).map(s => col(s"dd$s")).reduce(_ + _)
+    val top = scored.withColumn("adc", adc)
+      .select("vec_id", "adc")
+      .orderBy(col("adc"), col("vec_id")).limit(kTop)
+    val exact = e0.crossJoin(broadcast(q))
+      .filter(col("vec_id") =!= col("q_id"))
+      .withColumn("d2", expr("graft_l2(e, qe)"))
+      .orderBy(col("d2"), col("vec_id")).limit(kTop)
+      .select(col("vec_id").as("evid"))
+    top.join(broadcast(exact), col("vec_id") === col("evid"), "left_outer")
+      .select(col("vec_id"), col("adc"),
+        col("evid").isNotNull.as("in_exact_topk"))
+  }
+
+  def pqKnnSql(m: Int = 4, subDim: Int = 16, kcode: Int = 8,
+      iters: Int = 2, kTop: Int = 10): String = {
+    val perSub = (0 until m).map { s =>
+      val off = s * subDim
+      s"""sub$s AS (SELECT vec_id,
+                           list_slice(embedding, ${off + 1}, ${off + subDim})
+                             AS embedding
+                    FROM embeddings),
+          ${kmeansAssignCtes(kcode, iters, src = s"sub$s", prefix = s"s$s")},
+          ${kmeansServeCentroidsCtes(iters, prefix = s"s$s")},
+          s${s}code AS (SELECT vec_id, cluster AS code_$s
+                        FROM (SELECT z.vec_id, c.cluster,
+                                     ROW_NUMBER() OVER (PARTITION BY z.vec_id
+                                       ORDER BY ${duckD2("z.e", "c.cvec")},
+                                                c.cluster) AS rn
+                              FROM s${s}e0 z, s${s}cvF c) WHERE rn = 1),
+          s${s}lut AS (SELECT cluster AS c$s,
+                              ${duckD2(
+                                s"list_slice(qe, ${off + 1}, ${off + subDim})",
+                                "cvec")} AS dd$s
+                       FROM s${s}cvF, qd)"""
+    }.mkString(",\n")
+    val codeJoin = (1 until m)
+      .map(s => s"JOIN s${s}code USING (vec_id)").mkString(" ")
+    val lutJoin = (0 until m)
+      .map(s => s"JOIN s${s}lut ON code_$s = c$s").mkString(" ")
+    val adc = (0 until m).map(s => s"dd$s").reduce((a, b) => s"($a + $b)")
+    s"""WITH qd AS (SELECT vec_id AS q_id,
+                           list_transform(embedding, x -> CAST(x AS DOUBLE))
+                             AS qe
+                    FROM embeddings ORDER BY vec_id LIMIT 1),
+            $perSub,
+            codes AS (SELECT * FROM s0code $codeJoin),
+            scored AS (SELECT codes.vec_id, $adc AS adc
+                       FROM codes $lutJoin),
+            exact AS (SELECT e2.vec_id
+                      FROM (SELECT vec_id,
+                                   list_transform(embedding,
+                                                  x -> CAST(x AS DOUBLE)) AS e
+                            FROM embeddings) e2, qd
+                      WHERE e2.vec_id <> q_id
+                      ORDER BY ${duckD2("e2.e", "qe")}, e2.vec_id
+                      LIMIT $kTop),
+            top AS (SELECT s.vec_id, s.adc FROM scored s, qd
+                    WHERE s.vec_id <> q_id
+                    ORDER BY s.adc, s.vec_id LIMIT $kTop)
+        SELECT t.vec_id, t.adc,
+               t.vec_id IN (SELECT vec_id FROM exact) AS in_exact_topk
+        FROM top t"""
+  }
 
   /** x13: the learned-cell family's RECALL GATE (x06's discipline applied
     * to x12/x14) — recall@k of the IVF probe against x01's exact top-k, as
@@ -1099,6 +1261,19 @@ object SimilarityQueries {
     // Similarity.knnIvfTwoLevel).
     Q("x16_knn_ivf_two_level",
       (s, d) => Similarity.knnIvfTwoLevel(Tables.embeddings(s, d)),
-      Some(Similarity.knnIvfTwoLevelSql()))
+      Some(Similarity.knnIvfTwoLevelSql())),
+
+    // x17: x16's recall gate vs the exact top-k (x13's discipline for
+    // the two-level probe).
+    Q("x17_two_level_recall",
+      (s, d) => Similarity.twoLevelRecall(Tables.embeddings(s, d)),
+      Some(Similarity.twoLevelRecallSql())),
+
+    // x18: product-quantization retrieval — m per-subspace codebooks,
+    // asymmetric-distance (LUT) scoring in one shuffle-free corpus scan,
+    // exact-L2 flag inline (see Similarity.pqKnn).
+    Q("x18_pq_knn",
+      (s, d) => Similarity.pqKnn(Tables.embeddings(s, d)),
+      Some(Similarity.pqKnnSql()))
   )
 }

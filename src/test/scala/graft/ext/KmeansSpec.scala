@@ -252,6 +252,18 @@ class KmeansSpec extends SparkSpec {
     }
   }
 
+  test("x18: PQ/ADC ranking ascends, is partition-stable, flags honestly") {
+    val out = Similarity.pqKnn(Tables.embeddings(spark, sf)).collect()
+    assert(out.nonEmpty && out.length <= 10)
+    val adcs = out.map(_.getDouble(1)).toSeq
+    assert(adcs === adcs.sorted, "ADC is a distance: ascending rank")
+    assert(adcs.forall(_ >= 0.0), "ADC is a sum of squared distances")
+    val shuffled = Similarity
+      .pqKnn(Tables.embeddings(spark, sf).repartition(7))
+      .collect().map(_.toString).toSeq
+    assert(out.map(_.toString).toSeq === shuffled)
+  }
+
   test("x15 seeds spread: no two chosen centers coincide on this corpus") {
     // The pathological modulo-seed failure is all-seeds-in-one-clump;
     // farthest-point guarantees pairwise-distinct centers whenever the
