@@ -198,8 +198,15 @@ object Bench {
     //   2. the full JSON line, for any full-stdout parser;
     //   3. a compact (<1.5 KB) FINAL line — total, per-suite subtotals,
     //      and the slowest 30 queries at 3 dp — that fits the tail whole.
+    // A GRAFT_BENCH_ONLY subset must NEVER clobber the committed
+    // full-surface artifact (a 1-query dev loop once overwrote the
+    // canonical 210-query map and the corruption was committed before
+    // being caught) — subsets land in BENCH_SUBSET.json.
+    val detailFile =
+      if (only.isDefined || injectFail.nonEmpty) "BENCH_SUBSET.json"
+      else "BENCH_FULL.json"
     try java.nio.file.Files.write(
-      java.nio.file.Paths.get("BENCH_FULL.json"),
+      java.nio.file.Paths.get(detailFile),
       (fullLine + "\n").getBytes("UTF-8"))
     catch { case _: Throwable => () }
     println(fullLine)
@@ -213,7 +220,7 @@ object Bench {
     val slowest = results.toSeq.sortBy(-_._2).take(30)
       .map { case (k, v) => s"\"$k\":${r3(v)}" }
     val compactQs = (suites ++ slowest).mkString("{", ",", "}")
-    println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","n_queries":${results.size},$prov,"queries":$compactQs,"detail":"BENCH_FULL.json","sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","n_queries":${results.size},$prov,"queries":$compactQs,"detail":"$detailFile","sf":"$sfDir"}""")
     System.out.flush()
     // halt() skips JVM shutdown hooks, so run Scratch's recursive-delete
     // explicitly — otherwise every bench invocation leaks its sink/roundtrip
