@@ -52,6 +52,14 @@ object Verify {
     }
     val spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // SPARK_GRAFT_CONF="k=v,k2=v2": session-conf injection, so the
+    // knob-threading contract (engine reads the conf at plan-build, oracle
+    // generators resolve the SAME conf at dump time) can be exercised
+    // END-TO-END through the real gate, not just via SQL-string specs.
+    sys.env.get("SPARK_GRAFT_CONF").foreach(_.split(",").filter(_.nonEmpty)
+      .foreach { kv =>
+        val Array(k, v) = kv.split("=", 2); spark.conf.set(k, v)
+      })
     new java.io.File(outDir).mkdirs()
     SparkEntry.queries
       .filter { case (name, _) => only.forall(_.contains(name)) }

@@ -601,12 +601,17 @@ object Dedup {
       .select("vec_a", "vec_b", "bucket", "cos_sim")
   }
 
+  /** Oracle twin of [[embedNearDupLsh]] — the bucket width resolves from
+    * the SAME conf knob the engine reads, at generation time (the
+    * kmeansCells precedent applied to hyperplaneBits).
+    */
   def embedNearDupLshSql: String = {
     val dot = Similarity.duckDot("a.embedding", "b.embedding")
     val na  = Similarity.duckDot("a.embedding", "a.embedding")
     val nb  = Similarity.duckDot("b.embedding", "b.embedding")
+    val bits = confInt(HyperplaneBitsKey, 8)
     s"""WITH e AS (SELECT vec_id, embedding,
-                          ${Similarity.duckBucket("embedding")} AS bucket
+                          ${Similarity.duckBucket("embedding", bits)} AS bucket
                    FROM embeddings)
         SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, a.bucket,
                ($dot) / (sqrt($na) * sqrt($nb)) AS cos_sim
@@ -662,6 +667,25 @@ object Dedup {
       .flatMap(_.conf.getOption(key))
       .filter(_ != "auto")
       .map(_.toInt).getOrElse(default)
+
+  private[graft] def confIsAuto(key: String): Boolean =
+    org.apache.spark.sql.SparkSession.getActiveSession
+      .flatMap(_.conf.getOption(key)).contains("auto")
+
+  /** Oracle-gate guard for the `auto` knob mode: `auto` derives its value
+    * from a corpus count the standalone SQL string cannot see, so a gate
+    * run with it set can only pass by coincidence (at sf0.1 the derived
+    * k happens to equal the default — the silent case the round-10
+    * review flagged). When any listed knob reads `auto`, the generated
+    * oracle is replaced by a DuckDB `error()` call that names the
+    * contract, so the affected queries fail LOUDLY and only they do.
+    */
+  private[graft] def guardAuto(keys: String*)(sql: => String): String =
+    keys.find(confIsAuto) match {
+      case Some(k) => s"SELECT error('$k=auto is a production mode: the " +
+        "oracle gate requires the knob unset or numeric')"
+      case None => sql
+    }
 
   /** Auto-sizing targets for the two blocking knobs. Both knobs accept the
     * literal `auto`: one cheap corpus count derives the value that holds
@@ -736,25 +760,40 @@ object Dedup {
     val assigned = graft.util.Caches.retain(
       Similarity.kmeansAssign(embeddings, k, iters)
         .select(col("vec_id"), col("e"), col("cluster")))
-    val capped = applyBucketCap(assigned, Seq("cluster"))
-    val a = capped.select(col("vec_id").as("vec_a"), col("cluster"),
-      col("e").as("ea"))
-    val b = capped.select(col("vec_id").as("vec_b"),
-      col("cluster").as("cluster_b"), col("e").as("eb")).hint("shuffle_hash")
-    val pruned = a.join(b,
-        col("cluster") === col("cluster_b") && col("vec_a") < col("vec_b"))
+    admitWithin(assigned, Seq("cluster"), tau)
+  }
+
+  /** The shared d17/d19 admission body: within-block pairwise cos > τ,
+    * one-hop lowest-id admission, over ANY (vec_id, e, blocking cols)
+    * relation — the blocking key list is the only difference between the
+    * flat-cell and two-level operators, so the cap posture / tie-break /
+    * admission-base contract live in exactly one place (the round-10
+    * review's duplication finding).
+    *
+    * Admission base is the FULL relation, not the capped one: the cap
+    * excludes over-cap blocks from PAIR GENERATION only (their members
+    * come through unpruned, matching d07's cap contract) — every vector
+    * gets exactly one admission row regardless of cap setting.
+    */
+  private[graft] def admitWithin(rel: DataFrame, keyCols: Seq[String],
+      tau: Double): DataFrame = {
+    val capped = applyBucketCap(rel, keyCols)
+    val a = capped.select(col("vec_id").as("vec_a") +:
+      keyCols.map(col) :+ col("e").as("ea"): _*)
+    val b = capped.select(col("vec_id").as("vec_b") +:
+      keyCols.map(c => col(c).as(s"${c}_b")) :+ col("e").as("eb"): _*)
+      .hint("shuffle_hash")
+    val cond = keyCols.map(c => col(c) === col(s"${c}_b"))
+      .reduce(_ && _) && col("vec_a") < col("vec_b")
+    val pruned = a.join(b, cond)
       .withColumn("cos_sim", expr("graft_cos(ea, eb)"))
       .filter(col("cos_sim") > tau)
       .groupBy(col("vec_b").as("vec_id")).agg(min("vec_a").as("dup_of"))
-    // Admission base is the FULL assignment, not the capped relation: the
-    // cap excludes over-cap cells from PAIR GENERATION only (their members
-    // come through unpruned, matching d07's cap contract) — every vector
-    // must get exactly one admission row regardless of cap setting.
-    assigned.select("vec_id", "cluster")
+    rel.select(col("vec_id") +: keyCols.map(col): _*)
       .join(pruned, Seq("vec_id"), "left_outer")
-      .select(col("vec_id"), col("cluster"),
-        coalesce(col("dup_of"), col("vec_id")).as("rep_id"),
-        col("dup_of").isNotNull.cast("int").as("is_pruned"))
+      .select(col("vec_id") +: keyCols.map(col) :+
+        coalesce(col("dup_of"), col("vec_id")).as("rep_id") :+
+        col("dup_of").isNotNull.cast("int").as("is_pruned"): _*)
   }
 
   /** Oracle twin of [[semanticDedup]]. The default k is resolved from the
@@ -783,25 +822,9 @@ object Dedup {
     * d17; the hot-cell cap applies to the compound (c1, c2) key.
     */
   def semanticDedupTwoLevel(embeddings: DataFrame, k1Default: Int = 8,
-      k2: Int = 8, iters: Int = 2, tau: Double = 0.3): DataFrame = {
-    val cells = Similarity.twoLevelCells(embeddings, k1Default, k2, iters)
-    val capped = applyBucketCap(cells, Seq("c1", "c2"))
-    val a = capped.select(col("vec_id").as("vec_a"), col("c1"), col("c2"),
-      col("e").as("ea"))
-    val b = capped.select(col("vec_id").as("vec_b"), col("c1").as("c1b"),
-      col("c2").as("c2b"), col("e").as("eb")).hint("shuffle_hash")
-    val pruned = a.join(b,
-        col("c1") === col("c1b") && col("c2") === col("c2b") &&
-          col("vec_a") < col("vec_b"))
-      .withColumn("cos_sim", expr("graft_cos(ea, eb)"))
-      .filter(col("cos_sim") > tau)
-      .groupBy(col("vec_b").as("vec_id")).agg(min("vec_a").as("dup_of"))
-    cells.select("vec_id", "c1", "c2")
-      .join(pruned, Seq("vec_id"), "left_outer")
-      .select(col("vec_id"), col("c1"), col("c2"),
-        coalesce(col("dup_of"), col("vec_id")).as("rep_id"),
-        col("dup_of").isNotNull.cast("int").as("is_pruned"))
-  }
+      k2: Int = 8, iters: Int = 2, tau: Double = 0.3): DataFrame =
+    admitWithin(Similarity.twoLevelCells(embeddings, k1Default, k2, iters),
+      Seq("c1", "c2"), tau)
 
   def semanticDedupTwoLevelSql(k1: Int = confInt(KmeansCellsKey, 8),
       k2: Int = 8, iters: Int = 2, tau: Double = 0.3): String =
@@ -972,7 +995,7 @@ object DedupQueries {
 
     Q("d07_dedup_embed_lsh",
       (s, d) => Dedup.embedNearDupLsh(Tables.embeddings(s, d)),
-      Some(Dedup.embedNearDupLshSql)),
+      Some(Dedup.guardAuto(Dedup.HyperplaneBitsKey)(Dedup.embedNearDupLshSql))),
 
     // Duplicate-cluster resolution: candidate pairs → connected components →
     // one representative per duplicate group (the actual dedup decision).
@@ -1261,25 +1284,25 @@ object DedupQueries {
     // composes x11's assignment with the d03/d07 pairwise posture.
     Q("d17_semantic_dedup",
       (s, d) => Dedup.semanticDedup(Tables.embeddings(s, d)),
-      Some(Dedup.semanticDedupSql())),
+      Some(Dedup.guardAuto(Dedup.KmeansCellsKey)(Dedup.semanticDedupSql()))),
 
     // d18: planted-duplicate precision/recall for d17's learned-cell
     // blocking — the d14 protocol for the semantic family (see
     // Dedup.semanticEval).
     Q("d18_semantic_eval",
       (s, d) => Dedup.semanticEval(Tables.embeddings(s, d)),
-      Some(Dedup.semanticEvalSql())),
+      Some(Dedup.guardAuto(Dedup.KmeansCellsKey)(Dedup.semanticEvalSql()))),
 
     // d19: semantic dedup over x16's two-level cells — the crossover fix
     // applied to the dedup side (see Dedup.semanticDedupTwoLevel).
     Q("d19_semantic_dedup_2level",
       (s, d) => Dedup.semanticDedupTwoLevel(Tables.embeddings(s, d)),
-      Some(Dedup.semanticDedupTwoLevelSql())),
+      Some(Dedup.guardAuto(Dedup.KmeansCellsKey)(Dedup.semanticDedupTwoLevelSql()))),
 
     // d20: planted-dup precision/recall for d19's (c1, c2) blocking —
     // every blocking scheme ships with its gate.
     Q("d20_semantic_eval_2level",
       (s, d) => Dedup.semanticEvalTwoLevel(Tables.embeddings(s, d)),
-      Some(Dedup.semanticEvalTwoLevelSql()))
+      Some(Dedup.guardAuto(Dedup.KmeansCellsKey)(Dedup.semanticEvalTwoLevelSql())))
   )
 }

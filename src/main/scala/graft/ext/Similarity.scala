@@ -73,13 +73,17 @@ object Similarity {
       s"i -> CAST($v[i] AS DOUBLE) * (${coefSql("i", j).replace(" / ", " // ")}))), " +
       s"(acc, v2) -> acc + v2)"
 
-  /** Σ 2^j · [dot(v, plane_j) > 0] — the 8-bit LSH bucket id. */
-  def sparkBucket(v: String): String =
-    (0 until nPlanes).map { j =>
+  /** Σ 2^j · [dot(v, plane_j) > 0] — the `bits`-wide LSH bucket id
+    * (default 8 = the x02/x03 declared contract; d07's oracle threads
+    * the conf-resolved width so a numeric hyperplaneBits knob keeps
+    * engine and oracle in lockstep — the round-10 review gap).
+    */
+  def sparkBucket(v: String, bits: Int = nPlanes): String =
+    (0 until bits).map { j =>
       s"(CASE WHEN (${sparkPlaneDot(v, j)}) > 0 THEN ${1 << j} ELSE 0 END)"
     }.mkString("CAST(", " + ", " AS INT)")
-  def duckBucket(v: String): String =
-    (0 until nPlanes).map { j =>
+  def duckBucket(v: String, bits: Int = nPlanes): String =
+    (0 until bits).map { j =>
       s"(CASE WHEN (${duckPlaneDot(v, j)}) > 0 THEN ${1 << j} ELSE 0 END)"
     }.mkString("CAST(", " + ", " AS INT)")
 
@@ -287,7 +291,13 @@ object Similarity {
     graft.functions.GraftFunctions.register(emb.sparkSession)
     val e0 = emb.select(col("vec_id"),
       expr("transform(embedding, ex -> CAST(ex AS DOUBLE))").as("e"))
-    lloydOver(e0, k, iters, pp)
+    // The farthest-point seeder issues k−1 extra corpus passes (one
+    // TakeOrdered per chosen center); without the retain each pass would
+    // re-scan parquet and re-cast — at the 100× checkpoint with auto-k
+    // that is hundreds of uncached scans. The modulo-seed path keeps e0
+    // unretained: its ~iters+1 reads don't justify a corpus-sized cache
+    // entry (the round-10 review's x15 finding).
+    lloydOver(if (pp) graft.util.Caches.retain(e0) else e0, k, iters, pp)
   }
 
   /** The Lloyd core over an arbitrary (vec_id, e: array<double>) relation —
@@ -1227,26 +1237,26 @@ object SimilarityQueries {
     // discipline that makes an iterative float algorithm hash-gateable.
     Q("x11_kmeans",
       (s, d) => Similarity.kmeansSummary(Tables.embeddings(s, d)),
-      Some(Similarity.kmeansSummarySql())),
+      Some(graft.ext.Dedup.guardAuto(graft.ext.Dedup.KmeansCellsKey)(Similarity.kmeansSummarySql()))),
 
     // x12: IVF search over x11's trained cells (nprobe=1), sharing d17's
     // cached assignment relation — see Similarity.knnIvfLearned.
     Q("x12_knn_ivf_learned",
       (s, d) => Similarity.knnIvfLearned(Tables.embeddings(s, d)),
-      Some(Similarity.knnIvfLearnedSql())),
+      Some(graft.ext.Dedup.guardAuto(graft.ext.Dedup.KmeansCellsKey)(Similarity.knnIvfLearnedSql()))),
 
     // x13: recall@k of the learned-cell IVF probe vs x01's exact top-k,
     // one row per nprobe — the shippability gate for the x11-trained
     // quantizer (see Similarity.ivfRecallCurve).
     Q("x13_ivf_recall",
       (s, d) => Similarity.ivfRecallCurve(Tables.embeddings(s, d)),
-      Some(Similarity.ivfRecallCurveSql())),
+      Some(graft.ext.Dedup.guardAuto(graft.ext.Dedup.KmeansCellsKey)(Similarity.ivfRecallCurveSql()))),
 
     // x14: nprobe=2 IVF search — the recall/latency knob itself (see
     // Similarity.knnIvfLearnedProbe).
     Q("x14_knn_ivf_nprobe",
       (s, d) => Similarity.knnIvfLearnedProbe(Tables.embeddings(s, d)),
-      Some(Similarity.knnIvfLearnedProbeSql())),
+      Some(graft.ext.Dedup.guardAuto(graft.ext.Dedup.KmeansCellsKey)(Similarity.knnIvfLearnedProbeSql()))),
 
     // x15: k-means under the PRODUCTION initializer — deterministic
     // farthest-point seeding (the derandomized k-means++ shape; see
@@ -1254,20 +1264,20 @@ object SimilarityQueries {
     // baseline contract; both report empty cells loudly.
     Q("x15_kmeans_pp",
       (s, d) => Similarity.kmeansSummaryPP(Tables.embeddings(s, d)),
-      Some(Similarity.kmeansSummaryPPSql())),
+      Some(graft.ext.Dedup.guardAuto(graft.ext.Dedup.KmeansCellsKey)(Similarity.kmeansSummaryPPSql()))),
 
     // x16: two-level residual quantizer — k1·k2 effective cells for
     // O(n·(k1+k2)·dim) assignment work, the measured crossover fix (see
     // Similarity.knnIvfTwoLevel).
     Q("x16_knn_ivf_two_level",
       (s, d) => Similarity.knnIvfTwoLevel(Tables.embeddings(s, d)),
-      Some(Similarity.knnIvfTwoLevelSql())),
+      Some(graft.ext.Dedup.guardAuto(graft.ext.Dedup.KmeansCellsKey)(Similarity.knnIvfTwoLevelSql()))),
 
     // x17: x16's recall gate vs the exact top-k (x13's discipline for
     // the two-level probe).
     Q("x17_two_level_recall",
       (s, d) => Similarity.twoLevelRecall(Tables.embeddings(s, d)),
-      Some(Similarity.twoLevelRecallSql())),
+      Some(graft.ext.Dedup.guardAuto(graft.ext.Dedup.KmeansCellsKey)(Similarity.twoLevelRecallSql()))),
 
     // x18: product-quantization retrieval — m per-subspace codebooks,
     // asymmetric-distance (LUT) scoring in one shuffle-free corpus scan,

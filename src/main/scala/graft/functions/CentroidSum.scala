@@ -47,7 +47,11 @@ final class CentroidBuffer(val k: Int) {
       require(math.abs(q) <= 4.611686018427388e18,
         s"graft_centroids: component ${e.getDouble(i)} overflows the " +
           "2^-20 quantization (|v| must stay below ~4.4e12)")
-      sums(base + i) += q.toLong
+      // addExact: the CROSS-ROW accumulation can still wrap even when
+      // every element passes the per-element bound (three ~4e12
+      // components in one cluster exceed 2^63); the DuckDB twin's
+      // SUM(BIGINT) raises there, so the engine must too.
+      sums(base + i) = Math.addExact(sums(base + i), q.toLong)
       i += 1
     }
     counts(cluster) += 1
@@ -59,7 +63,9 @@ final class CentroidBuffer(val k: Int) {
     require(other.dim == dim,
       s"graft_centroids: merging dim-${other.dim} buffer into dim-$dim")
     var i = 0
-    while (i < sums.length) { sums(i) += other.sums(i); i += 1 }
+    while (i < sums.length) {
+      sums(i) = Math.addExact(sums(i), other.sums(i)); i += 1
+    }
     i = 0
     while (i < k) { counts(i) += other.counts(i); i += 1 }
   }

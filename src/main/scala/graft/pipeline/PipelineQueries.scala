@@ -333,7 +333,7 @@ object PipelineQueries {
           .orderBy(col("cos_sim").desc, col("vec_id"))
           .limit(10)
       },
-      Some {
+      Some(graft.ext.Dedup.guardAuto(graft.ext.Dedup.KmeansCellsKey) {
         val k = graft.ext.Dedup.confInt(graft.ext.Dedup.KmeansCellsKey, 8)
         val cos = graft.ext.Similarity.duckCos _
         s"""WITH ${graft.ext.Similarity.kmeansAssignCtes(k, 2)},
@@ -352,7 +352,7 @@ object PipelineQueries {
             FROM kept, q
             WHERE kept.cluster = q_cell AND kept.vec_id <> q_id
             ORDER BY cos_sim DESC, kept.vec_id LIMIT 10"""
-      })
+      }))
   )
 }
 

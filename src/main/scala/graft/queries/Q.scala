@@ -34,5 +34,9 @@ object Catalog {
       graft.ext.DedupQueries.queries ++ graft.ext.SimilarityQueries.queries ++
       graft.ext.MultimodalQueries.queries
 
-  lazy val byName: Map[String, Q] = all.map(q => q.name -> q).toMap
+  // `def`, not lazy val: several catalogues resolve conf knobs into their
+  // oracle strings at GENERATION time; a memoized map would freeze those
+  // strings at first access — the engine-reads-conf vs oracle-frozen
+  // drift the per-catalogue defs exist to prevent.
+  def byName: Map[String, Q] = all.map(q => q.name -> q).toMap
 }

@@ -1577,7 +1577,7 @@ object StreamingQ {
         runFileStream(s, s"$d/embeddings.parquet")(
           semanticDedupXform(s, cents))
       },
-      Some {
+      Some(graft.ext.Dedup.guardAuto(graft.ext.Dedup.KmeansCellsKey) {
         val k = graft.ext.Dedup.confInt(graft.ext.Dedup.KmeansCellsKey, 8)
         val cos = graft.ext.Similarity.duckCos("z.e", "re")
         s"""WITH ${graft.ext.Similarity.kmeansAssignCtes(k, 2)},
@@ -1592,7 +1592,8 @@ object StreamingQ {
                    CAST(CASE WHEN z.vec_id <> rid AND $cos > 0.3
                              THEN 1 ELSE 0 END AS INT) AS is_pruned
             FROM a2 z JOIN rep ON z.cluster = rc"""
-      }),
+      })),
+
 
     // s25: stream-stream FULL OUTER interval join — s10's outer-emission
     // semantics on BOTH sides, completing the join-type family (inner

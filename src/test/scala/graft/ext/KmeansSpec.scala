@@ -155,6 +155,35 @@ class KmeansSpec extends SparkSpec {
     assert(Dedup.semanticDedupSql().contains("% 8"), "unset -> default k=8")
   }
 
+  test("d07's oracle threads a numeric hyperplaneBits knob at generation") {
+    val s = spark
+    try {
+      s.conf.set(Dedup.HyperplaneBitsKey, "12")
+      // 12 bits -> the top plane term contributes 2^11 = 2048
+      assert(Dedup.embedNearDupLshSql.contains("2048"))
+      val d07 = DedupQueries.queries.find(_.name == "d07_dedup_embed_lsh").get
+      assert(d07.oracle.get.contains("2048"))
+    } finally s.conf.unset(Dedup.HyperplaneBitsKey)
+    assert(!Dedup.embedNearDupLshSql.contains("2048"), "unset -> 8 bits")
+  }
+
+  test("auto knobs POISON the oracle gate loudly instead of passing by luck") {
+    val s = spark
+    try {
+      s.conf.set(Dedup.KmeansCellsKey, "auto")
+      val d17 = DedupQueries.queries.find(_.name == "d17_semantic_dedup").get
+      assert(d17.oracle.get.contains("error("),
+        "auto must generate a failing oracle, not the coincidental default")
+      val x11q = SimilarityQueries.queries.find(_.name == "x11_kmeans").get
+      assert(x11q.oracle.get.contains("error("))
+    } finally s.conf.unset(Dedup.KmeansCellsKey)
+    try {
+      s.conf.set(Dedup.HyperplaneBitsKey, "auto")
+      val d07 = DedupQueries.queries.find(_.name == "d07_dedup_embed_lsh").get
+      assert(d07.oracle.get.contains("error("))
+    } finally s.conf.unset(Dedup.HyperplaneBitsKey)
+  }
+
   test("x14: nprobe=2 scans exactly the query cell plus one more") {
     val out = Similarity
       .knnIvfLearnedProbe(Tables.embeddings(spark, sf), nprobe = 2).collect()
