@@ -275,9 +275,9 @@ object PipelineQueries {
         docs.crossJoin(broadcast(nsh))
           .select(col("doc_id"),
             pmod(expr(
-              "graft_poly_hash(concat('shard|', CAST(doc_id AS STRING)))"),
+              "graft_poly_hash(md5(concat('shard|', CAST(doc_id AS STRING))))"),
               col("n_shards")).as("shard"),
-            expr("graft_poly_hash(concat('ord|', CAST(doc_id AS STRING)))")
+            expr("graft_poly_hash(md5(concat('ord|', CAST(doc_id AS STRING))))")
               .as("ho"))
           .withColumn("pos", row_number().over(w).cast("long"))
           .select("doc_id", "shard", "pos")
@@ -290,10 +290,10 @@ object PipelineQueries {
                h AS (
                  SELECT doc_id,
                         ${graft.ext.PortableHash.duckPoly(
-                          "('shard|' || CAST(doc_id AS VARCHAR))")} % n_shards
+                          "md5('shard|' || CAST(doc_id AS VARCHAR))")} % n_shards
                           AS shard,
                         ${graft.ext.PortableHash.duckPoly(
-                          "('ord|' || CAST(doc_id AS VARCHAR))")} AS ho
+                          "md5('ord|' || CAST(doc_id AS VARCHAR))")} AS ho
                  FROM documents, nsh)
                SELECT doc_id, shard,
                       CAST(row_number() OVER (PARTITION BY shard
@@ -352,7 +352,93 @@ object PipelineQueries {
             FROM kept, q
             WHERE kept.cluster = q_cell AND kept.vec_id <> q_id
             ORDER BY cos_sim DESC, kept.vec_id LIMIT 10"""
-      }))
+      })),
+
+    // p09: TEMPERATURE-BASED source mixing — the multilingual/multi-source
+    // sampling rule every large-scale training mix uses: source weights
+    // ∝ mass^α (α = 0.5 here; α = 1 is proportional, α = 0 uniform), so
+    // low-resource sources are up-sampled relative to their share. Each
+    // source gets an admission RATE toward a target of 50% of the corpus
+    // mass (capped at 1 — a source cannot contribute more than it has),
+    // and admission is the p07/q68 deterministic content-hash rule — a
+    // pure function of doc_id, reproducible across runs, partitionings
+    // and engines, no RNG. Output is the per-source mixing report
+    // (requested rate + realized admission).
+    //
+    // Scale: one stats pass (map-side combined groupBy over ~|sources|
+    // rows), a broadcast of the tiny rates table, one admission pass with
+    // a map-side-combined report — two corpus scans total, no shuffle
+    // beyond the per-source aggregates. Determinism: masses are exact
+    // BIGINTs; the α-weight normalizer Σ√mass is an order-sensitive
+    // double sum, so it rides the quantized-BIGINT discipline
+    // (floor(√mass·2^20) summed exactly); every remaining op is a
+    // fixed-order IEEE expression mirrored verbatim in the oracle.
+    Q("p09_temperature_mix",
+      (s, d) => {
+        graft.functions.GraftFunctions.register(s)
+        val docs = Tables.documents(s, d)
+        val stats = docs.groupBy("source")
+          .agg(count(lit(1)).as("n_docs"), sum("n_chars").as("mass"))
+        val total = stats.agg(
+          (sum(expr(
+            "CAST(floor(sqrt(CAST(mass AS DOUBLE)) * 1048576.0) AS BIGINT)"))
+            .cast("double") / 1048576.0).as("z"),
+          sum("mass").as("tot"))
+        val rates = stats.crossJoin(broadcast(total))
+          .withColumn("rate", least(lit(1.0), expr(
+            "0.5 * CAST(tot AS DOUBLE) * (sqrt(CAST(mass AS DOUBLE)) / z)" +
+              " / CAST(mass AS DOUBLE)")))
+        val admitted = docs
+          .join(broadcast(rates.select(col("source"), col("rate"))), "source")
+          // poly-of-MD5, not the raw poly fold: a short 'mix|123' string
+          // never wraps mod P, so its low bits are STRUCTURED and the
+          // realized admission ran 16-100% against a 48% request
+          // (measured; the KmvBuffer scaladoc documents the same
+          // range-compression bias). MD5 provides the avalanche; the
+          // fold condenses it portably — the q59 discipline.
+          .filter(pmod(expr(
+            "graft_poly_hash(md5(concat('mix|', CAST(doc_id AS STRING))))"),
+            lit(1000000L)) <
+            expr("CAST(floor(rate * 1000000.0) AS BIGINT)"))
+          .groupBy("source")
+          .agg(count(lit(1)).as("n_admitted"),
+            sum("n_chars").as("admitted_mass"))
+        rates.select("source", "n_docs", "mass", "rate")
+          .join(admitted, Seq("source"), "left_outer")
+          .select(col("source"), col("n_docs"), col("mass"), col("rate"),
+            coalesce(col("n_admitted"), lit(0L)).as("n_admitted"),
+            coalesce(col("admitted_mass"), lit(0L)).as("admitted_mass"))
+      },
+      Some {
+        val hash = graft.ext.PortableHash.duckPoly(
+          "md5('mix|' || CAST(doc_id AS VARCHAR))")
+        s"""WITH stats AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+                                  CAST(sum(n_chars) AS BIGINT) AS mass
+                           FROM documents GROUP BY source),
+                 total AS (SELECT CAST(SUM(CAST(floor(sqrt(CAST(mass AS DOUBLE))
+                                     * 1048576.0) AS BIGINT)) AS DOUBLE)
+                                    / 1048576.0 AS z,
+                                  CAST(sum(mass) AS BIGINT) AS tot
+                           FROM stats),
+                 rates AS (SELECT source, n_docs, mass,
+                                  least(1.0, 0.5 * CAST(tot AS DOUBLE)
+                                    * (sqrt(CAST(mass AS DOUBLE)) / z)
+                                    / CAST(mass AS DOUBLE)) AS rate
+                           FROM stats, total),
+                 adm AS (SELECT d.source,
+                                CAST(count(*) AS BIGINT) AS n_admitted,
+                                CAST(sum(d.n_chars) AS BIGINT)
+                                  AS admitted_mass
+                         FROM documents d JOIN rates r ON d.source = r.source
+                         WHERE $hash % 1000000
+                               < CAST(floor(r.rate * 1000000.0) AS BIGINT)
+                         GROUP BY d.source)
+            SELECT r.source, r.n_docs, r.mass, r.rate,
+                   coalesce(a.n_admitted, CAST(0 AS BIGINT)) AS n_admitted,
+                   coalesce(a.admitted_mass, CAST(0 AS BIGINT))
+                     AS admitted_mass
+            FROM rates r LEFT JOIN adm a ON r.source = a.source"""
+      })
   )
 }
 
