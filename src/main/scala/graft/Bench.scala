@@ -178,6 +178,14 @@ object Bench {
     val calibRatio =
       math.round(calibEnd / math.max(calibStart, 1e-9) * 1000.0) / 1000.0
     val contended = loadStart > loadMax || calibRatio > 1.25
+    // drifted: the host ran detectably off its start speed at some point —
+    // end probe >10% over start, or any per-suite probe pair >5% off 1.0.
+    // Weaker than `contended` (which gates on load / 25% drift): the
+    // round-10 driver runs were ~10-18% uniformly slow, enough to misread
+    // a cross-run total band without being "contention". With this flag a
+    // driver-vs-builder delta is attributable from the artifact alone.
+    val drifted = calibRatio > 1.1 ||
+      suiteCalib.values.exists(v => math.abs(v - 1.0) > 0.05)
     val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
     val suiteCalibJson = suiteCalib
       .map { case (k, v) => s"\"$k\":$v" }.mkString("{", ",", "}")
@@ -188,7 +196,8 @@ object Bench {
       s""""calib_sec_end":$calibEnd,"calib_ratio":$calibRatio,""" +
       s""""calib_suite":$suiteCalibJson,""" +
       s""""subset":${only.isDefined},"injected":$injectedJson,""" +
-      s""""contended":$contended,"waited_sec":$waitedSec,""" +
+      s""""contended":$contended,"drifted":$drifted,""" +
+      s""""waited_sec":$waitedSec,""" +
       s""""n_failed":${failed.size},"failed":$failedJson"""
     val fullLine =
       s"""{"metric":"total","value":$total,"unit":"sec",$prov,"queries":$qs,"sf":"$sfDir"}"""

@@ -56,9 +56,18 @@ object Verify {
     // knob-threading contract (engine reads the conf at plan-build, oracle
     // generators resolve the SAME conf at dump time) can be exercised
     // END-TO-END through the real gate, not just via SQL-string specs.
+    // Each entry must be k=v; a malformed token fails NAMING the entry (a
+    // bare MatchError named nothing, and a typo'd injection would otherwise
+    // cost a round of debugging). Values cannot contain ',' by construction
+    // of the split — say so in the error rather than silently mis-splitting.
     sys.env.get("SPARK_GRAFT_CONF").foreach(_.split(",").filter(_.nonEmpty)
       .foreach { kv =>
-        val Array(k, v) = kv.split("=", 2); spark.conf.set(k, v)
+        kv.split("=", 2) match {
+          case Array(k, v) if k.nonEmpty => spark.conf.set(k, v)
+          case _ => sys.error(
+            s"bad SPARK_GRAFT_CONF entry '$kv': expected key=value " +
+              "(comma-separated; values must not contain commas)")
+        }
       })
     new java.io.File(outDir).mkdirs()
     SparkEntry.queries

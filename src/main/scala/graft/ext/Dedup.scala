@@ -662,14 +662,26 @@ object Dedup {
     * SQL string cannot see, so the generators keep the declared default and
     * the gate must not run with `auto` set.
     */
-  private[graft] def confInt(key: String, default: Int): Int =
+  /** The session the oracle generators read knobs from: the thread-local
+    * active session, falling back to the process-wide default session. The
+    * fallback matters for generation off the session's own thread (parallel
+    * test runners, background dispatch): getActiveSession alone is None
+    * there, which would silently freeze the declared default while the
+    * engine reads the knob from df.sparkSession — exactly the engine-vs-
+    * oracle drift the conf threading exists to prevent.
+    */
+  private def knobSession: Option[org.apache.spark.sql.SparkSession] =
     org.apache.spark.sql.SparkSession.getActiveSession
+      .orElse(org.apache.spark.sql.SparkSession.getDefaultSession)
+
+  private[graft] def confInt(key: String, default: Int): Int =
+    knobSession
       .flatMap(_.conf.getOption(key))
       .filter(_ != "auto")
       .map(_.toInt).getOrElse(default)
 
   private[graft] def confIsAuto(key: String): Boolean =
-    org.apache.spark.sql.SparkSession.getActiveSession
+    knobSession
       .flatMap(_.conf.getOption(key)).contains("auto")
 
   /** Oracle-gate guard for the `auto` knob mode: `auto` derives its value

@@ -384,10 +384,16 @@ object PipelineQueries {
             "CAST(floor(sqrt(CAST(mass AS DOUBLE)) * 1048576.0) AS BIGINT)"))
             .cast("double") / 1048576.0).as("z"),
           sum("mass").as("tot"))
+        // mass = 0 (a source of all-empty docs) makes the rate 0/0 = NaN,
+        // and Spark's non-ANSI CAST(floor(NaN*1e6) AS BIGINT) yields 0
+        // while the DuckDB twin's identical CAST raises — a degenerate
+        // corpus would diverge the engines instead of agreeing. A massless
+        // source gets rate 0 explicitly (nothing to admit), on BOTH sides.
         val rates = stats.crossJoin(broadcast(total))
-          .withColumn("rate", least(lit(1.0), expr(
-            "0.5 * CAST(tot AS DOUBLE) * (sqrt(CAST(mass AS DOUBLE)) / z)" +
-              " / CAST(mass AS DOUBLE)")))
+          .withColumn("rate", expr(
+            "CASE WHEN mass = 0 THEN 0.0 ELSE least(1.0, " +
+              "0.5 * CAST(tot AS DOUBLE) * (sqrt(CAST(mass AS DOUBLE)) / z)" +
+              " / CAST(mass AS DOUBLE)) END"))
         val admitted = docs
           .join(broadcast(rates.select(col("source"), col("rate"))), "source")
           // poly-of-MD5, not the raw poly fold: a short 'mix|123' string
@@ -421,9 +427,10 @@ object PipelineQueries {
                                   CAST(sum(mass) AS BIGINT) AS tot
                            FROM stats),
                  rates AS (SELECT source, n_docs, mass,
-                                  least(1.0, 0.5 * CAST(tot AS DOUBLE)
-                                    * (sqrt(CAST(mass AS DOUBLE)) / z)
-                                    / CAST(mass AS DOUBLE)) AS rate
+                                  CASE WHEN mass = 0 THEN 0.0
+                                       ELSE least(1.0, 0.5 * CAST(tot AS DOUBLE)
+                                         * (sqrt(CAST(mass AS DOUBLE)) / z)
+                                         / CAST(mass AS DOUBLE)) END AS rate
                            FROM stats, total),
                  adm AS (SELECT d.source,
                                 CAST(count(*) AS BIGINT) AS n_admitted,

@@ -82,6 +82,31 @@ object Extended {
 
   private def dec12(c: org.apache.spark.sql.Column) = c.cast(DecimalType(12, 2))
 
+  /** The RETIRED q90 form: global exact-percentile gate via the built-in
+    * percentile_disc — an actual data value, broadcast once, corpus side a
+    * scan + filter + partial agg. The cutoff agg funnels the value column
+    * through ONE reducer, so it is wrapped in ScaleGuard.
+    * singleReducerPercentile (fails fast above spark.graft.percentile.
+    * maxBytes, naming the scale-safe twins q80/q101). Round-10 verdict:
+    * a known scale-killer does not belong on the DECLARED surface while
+    * q101 computes the identical cut scale-safely — so this is spec-only
+    * now (ScaleGuardSpec pins the guard on this exact code path, and pins
+    * result equality against declared q101), not a catalogue entry.
+    */
+  def percentileCutBuiltin(s: org.apache.spark.sql.SparkSession,
+      d: String): org.apache.spark.sql.DataFrame = {
+    val li = Tables.lineitem(s, d)
+    val cut = graft.util.ScaleGuard.singleReducerPercentile(li).agg(expr(
+      "percentile_disc(0.9) WITHIN GROUP (ORDER BY l_extendedprice)")
+      .as("cut"))
+    li.crossJoin(broadcast(cut))
+      .filter(col("l_extendedprice") >= col("cut"))
+      .groupBy("l_returnflag")
+      .agg(count(lit(1)).as("n_top"),
+        sum(col("l_extendedprice").cast(DecimalType(18, 2)))
+          .cast(DecimalType(18, 2)).cast("double").as("rev_top"))
+  }
+
   val queries: Seq[Q] = Seq(
     // Left + full outer joins with null-producing sides (SURVEY §2.4 "absent
     // in reference" row). supplier counts per nation key, full-outer against
@@ -1415,40 +1440,6 @@ object Extended {
               FROM isl GROUP BY user_id, anchor
               HAVING count(*) >= 2""")),
 
-    // q90: global exact-percentile GATE — keep rows at/above the corpus P90
-    // and aggregate the survivors (the quality-threshold cut every
-    // training-data pipeline runs, e.g. "top decile by score"). The cutoff
-    // is SQL-standard percentile_disc (an actual data value — no
-    // interpolation, so it hash-matches across engines bit-for-bit) computed
-    // once and BROADCAST; the corpus side stays a scan + filter + partial
-    // agg with no extra shuffle. This query is the RETAINED single-reducer
-    // hazard (kept as the built-in-function form of the cut): the cutoff
-    // agg funnels the value column through one reducer, so it is gated by
-    // ScaleGuard — above spark.graft.percentile.maxBytes it fails fast
-    // with a pointer to the scale-safe twins q80 (histogram sketch) and
-    // q101 (two-level exact cut) instead of melting at 100 TB.
-    Q("q90_percentile_cut",
-      (s, d) => {
-        val li = Tables.lineitem(s, d)
-        val cut = graft.util.ScaleGuard.singleReducerPercentile(li).agg(expr(
-          "percentile_disc(0.9) WITHIN GROUP (ORDER BY l_extendedprice)")
-          .as("cut"))
-        li.crossJoin(broadcast(cut))
-          .filter(col("l_extendedprice") >= col("cut"))
-          .groupBy("l_returnflag")
-          .agg(count(lit(1)).as("n_top"),
-            sum(col("l_extendedprice").cast(DecimalType(18, 2)))
-              .cast(DecimalType(18, 2)).cast("double").as("rev_top"))
-      },
-      Some("""WITH cut AS (SELECT percentile_disc(0.9) WITHIN GROUP
-                                    (ORDER BY l_extendedprice) AS cut
-                           FROM lineitem)
-              SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n_top,
-                     CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)))
-                          AS DECIMAL(18,2)) AS DOUBLE) AS rev_top
-              FROM lineitem, cut WHERE l_extendedprice >= cut
-              GROUP BY l_returnflag""")),
-
     // q92: 2-D SKYLINE (pareto frontier) — parts not dominated by any other
     // (dominated = some part is strictly larger AND strictly cheaper). The
     // naive form is an O(n²) NOT EXISTS self-join (that's the oracle); the
@@ -1728,9 +1719,9 @@ object Extended {
                        AS v_filled
               FROM g""")),
 
-    // q101: the SCALE-SAFE exact percentile gate — q90's semantics
-    // (percentile_disc(0.9) cutoff, then gate + aggregate) without q90's
-    // single-reducer sort of raw rows. Prices are 2-decimal, so ×100 is
+    // q101: the SCALE-SAFE exact percentile gate — percentileCutBuiltin's
+    // semantics (percentile_disc(0.9) cutoff, then gate + aggregate)
+    // without its single-reducer sort of raw rows. Prices are 2-decimal, so ×100 is
     // an EXACT integer domain: the corpus collapses to a (cents, count)
     // histogram (one map-side-combined exchange), and the rank-
     // ceil(0.9·n) cutoff — pure integer arithmetic, (9n+9) DIV 10,
@@ -1744,8 +1735,9 @@ object Extended {
     // by construction regardless of corpus size; the gate stays
     // scan → broadcast-filter → partial agg. The oracle runs the SAME
     // integer-rank formula single-level (DuckDB's problem is smaller), so
-    // equality is by construction; q90 remains the built-in-function form
-    // of the identical cut.
+    // equality is by construction; Extended.percentileCutBuiltin remains
+    // the spec-pinned built-in-function form of the identical cut (retired
+    // from the declared surface — round-10 verdict item 5).
     Q("q101_percentile_gate_exact",
       (s, d) => {
         import org.apache.spark.sql.expressions.Window

@@ -718,6 +718,16 @@ object StreamingQ {
           // duplicate delivery of the representative itself: re-emit its
           // (unpruned) verdict rather than comparing it against itself
           out += CellVerdict(r.vec_id, key, r.vec_id, 0)
+        } else if (r.vec_id < cur.rep_id) {
+          // Ordered-replay contract breach: the stored representative is
+          // the cell's min id ONLY under vec_id-ordered delivery (the
+          // s26/s27 discipline the chaos spec pins). A smaller id arriving
+          // later means the source violated that order — fail loudly (the
+          // guardAuto / CentroidBuffer posture) instead of silently
+          // emitting verdicts against a non-minimal representative.
+          throw new IllegalStateException(
+            s"s30: vec_id ${r.vec_id} arrived after representative " +
+              s"${cur.rep_id} in cell $key — ordered-replay contract broken")
         } else if (cos(r.e, cur.rep_e) > tau) {
           out += CellVerdict(r.vec_id, key, cur.rep_id, 1)
         } else {

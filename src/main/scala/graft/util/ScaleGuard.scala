@@ -4,9 +4,11 @@ import org.apache.spark.sql.DataFrame
 
 /** Loud guard for deliberately-retained single-reducer constructs.
   *
-  * q90 keeps the SQL-standard global `percentile_disc` form as the
-  * documented hazard next to its scale-safe twins (q80's fixed-width
-  * histogram sketch, q101's two-level exact cut). A global exact
+  * Extended.percentileCutBuiltin keeps the SQL-standard global
+  * `percentile_disc` form as the documented hazard next to its scale-safe
+  * twins (q80's fixed-width histogram sketch, q101's two-level exact cut);
+  * since round 11 it is spec-only — the DECLARED surface carries q101, so
+  * no catalogue query embeds a known single-reducer. A global exact
   * percentile funnels the full value column through ONE reducer; at bench
   * scale that is a few MB, at 100 TB it is a driver-side OOM that fails
   * only after shuffling the corpus. This guard makes the construct fail

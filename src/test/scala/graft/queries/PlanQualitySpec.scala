@@ -218,12 +218,6 @@ class PlanQualitySpec extends SparkSpec {
     assert(p.contains("partial_min"))
   }
 
-  test("q90: percentile cutoff broadcasts — corpus side is scan+filter+agg") {
-    val p = planOf("q90_percentile_cut")
-    assert(p.contains("BroadcastNestedLoopJoin"))
-    assert(!p.contains("SortMergeJoin"))
-  }
-
   test("q89: streaks reuse ONE user partitioning across window and agg") {
     val p = planOf("q89_streaks")
     // distinct (user, day) + row_number + final agg: the row_number window
