@@ -107,11 +107,11 @@ object Similarity {
       .limit(kTop)
   }
 
-  def knnBruteSql(kTop: Int = 10): String =
+  def knnBruteSql(kTop: Int = 10, src: String = "embeddings"): String =
     s"""WITH q AS (SELECT vec_id AS q_id, embedding AS qe
-                   FROM embeddings ORDER BY vec_id LIMIT 1)
+                   FROM $src ORDER BY vec_id LIMIT 1)
         SELECT vec_id, label, ${duckCos("embedding", "qe")} AS cos_sim
-        FROM embeddings, q WHERE vec_id <> q_id
+        FROM $src, q WHERE vec_id <> q_id
         ORDER BY cos_sim DESC, vec_id LIMIT $kTop"""
 
   /** LSH-pruned ANN: restrict the exact ranking to the query's bucket. */
@@ -604,6 +604,162 @@ object Similarity {
         FROM cells z, q
         WHERE z.c1 = qc1 AND z.c2 = qc2 AND z.vec_id <> q_id
         ORDER BY cos_sim DESC, z.vec_id LIMIT $kTop"""
+
+  /** x19: MULTI-PROBE search over the two-level index — the serving story
+    * x16 lacked (its own gate x17 reads recall 0.0 at the single-(c1,c2)
+    * probe: with k1·k2 = 64 effective cells the probed fraction is ~1.6%,
+    * hopeless on a spread-out corpus). x14's nprobe pattern applied PER
+    * LEVEL: rank all k1 coarse serving centroids against the query, probe
+    * the p1 nearest; within EACH probed coarse cell, form the query's
+    * residual against THAT cell's centroid (multi-probe must re-residualize
+    * per cell — the residual the index stored is relative to the cell the
+    * vector landed in), rank the k2 shared fine centroids in residual
+    * space, probe the p2 nearest → p1·p2 (c1, c2) pairs scanned exactly.
+    *
+    * Scale: both centroid tables are broadcast-sized artifacts recomputed
+    * from the SAME retained cells relation x16/d19 train (one training pass
+    * serves the whole family); the probe set is p1·p2 rows broadcast; each
+    * corpus row matches at most one pair, so the join fans nothing out. At
+    * 100 TB (c1, c2) is a two-level partition key and the probe reads
+    * p1·p2 of k1·k2 partitions — cost linear in p1·p2, recall monotone
+    * (probed pair sets are supersets as p1/p2 grow), the x20 curve.
+    *
+    * Determinism: serving centroids are the quantized-BIGINT artifact;
+    * per-level ranking is the bit-portable graft_l2/duckD2 fold with
+    * (distance, cluster) tie-breaks; residuals are element-wise exact IEEE
+    * subtraction; the per-coarse-cell fine top-p2 is a ROW_NUMBER window
+    * over ≤ p1·k2 broadcast-sized rows in both engines.
+    */
+  def knnIvfTwoLevelProbe(emb: DataFrame, k1Default: Int = 8, k2: Int = 8,
+      iters: Int = 2, p1: Int = 2, p2: Int = 2, kTop: Int = 10): DataFrame = {
+    graft.functions.GraftFunctions.register(emb.sparkSession)
+    val k1 = graft.ext.Dedup.resolveCells(emb, k1Default)
+    val cells = twoLevelCells(emb, k1Default, k2, iters)
+    val q = cells.orderBy("vec_id").limit(1)
+      .select(col("vec_id").as("q_id"), col("e").as("qe"))
+    // Level-1 serving centroids from the cached cells relation — the same
+    // (c1, e) multiset the level-1 assignment holds, so this is the x14
+    // serving artifact without re-reading the corpus.
+    val cv1 = cells.agg(expr(s"graft_centroids(c1, e, $k1)").as("cents"))
+      .select(explode(col("cents")).as("ct"))
+      .select(col("ct.cluster").as("rc1"), col("ct.cvec").as("cv1"))
+    // Level-2 (residual-space) serving centroids: residuals recomputed
+    // against cv1 exactly as training did, then one mergeable pass.
+    val cv2 = cells.join(broadcast(cv1), col("c1") === col("rc1"))
+      .select(col("c2"), expr("zip_with(e, cv1, (x, y) -> x - y)").as("r"))
+      .agg(expr(s"graft_centroids(c2, r, $k2)").as("cents"))
+      .select(explode(col("cents")).as("ct"))
+      .select(col("ct.cluster").as("rc2"), col("ct.cvec").as("cv2"))
+    val coarse = cv1.crossJoin(broadcast(q))
+      .withColumn("dq1", expr("graft_l2(cv1, qe)"))
+      .orderBy(col("dq1"), col("rc1")).limit(p1)
+      .select(col("rc1").as("pc1"),
+        expr("zip_with(qe, cv1, (x, y) -> x - y)").as("rqe"))
+    // p1 × k2 rows — broadcast-scale; the per-coarse-cell top-p2 window
+    // runs over that tiny relation, never corpus data.
+    val fineRanked = coarse.crossJoin(broadcast(cv2))
+      .withColumn("dq2", expr("graft_l2(rqe, cv2)"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("pc1").orderBy(col("dq2"), col("rc2"))
+    val pairs = fineRanked
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= p2)
+      .select(col("pc1"), col("rc2").as("pc2"))
+    cells.join(broadcast(pairs),
+        col("c1") === col("pc1") && col("c2") === col("pc2"))
+      .crossJoin(broadcast(q))
+      .filter(col("vec_id") =!= col("q_id"))
+      .withColumn("cos_sim", expr("graft_cos(e, qe)"))
+      .select("vec_id", "c1", "c2", "cos_sim")
+      .orderBy(col("cos_sim").desc, col("vec_id"))
+      .limit(kTop)
+  }
+
+  /** Shared probe CTEs for the two-level multi-probe oracle: assumes
+    * `cells` + `cvF` + `fcvF` + `q(q_id, qe)` exist; ends in
+    * `${pfx}fp(pc1, pc2)` — the p1·p2 probed pairs.
+    */
+  private def twoLevelProbeCtes(p1: Int, p2: Int, pfx: String = ""): String =
+    s"""${pfx}cp AS (SELECT cluster AS pc1, cvec AS pcv1 FROM cvF, q
+                ORDER BY ${duckD2("cvec", "qe")}, cluster LIMIT $p1),
+        ${pfx}rq AS (SELECT pc1,
+                        list_transform(range(1, len(qe) + 1),
+                                       i -> qe[i] - pcv1[i]) AS rqe
+                 FROM ${pfx}cp, q),
+        ${pfx}fp AS (SELECT pc1, pc2 FROM (
+                  SELECT r.pc1, f.cluster AS pc2,
+                         ROW_NUMBER() OVER (PARTITION BY r.pc1
+                           ORDER BY ${duckD2("r.rqe", "f.cvec")}, f.cluster)
+                           AS rn
+                  FROM ${pfx}rq r, fcvF f) WHERE rn <= $p2)"""
+
+  def knnIvfTwoLevelProbeSql(k1: Int = graft.ext.Dedup.confInt(
+        graft.ext.Dedup.KmeansCellsKey, 8),
+      k2: Int = 8, iters: Int = 2, p1: Int = 2, p2: Int = 2,
+      kTop: Int = 10): String =
+    s"""WITH ${twoLevelCellsCtes(k1, k2, iters)},
+             ${kmeansServeCentroidsCtes(iters, prefix = "f")},
+             q AS (SELECT vec_id AS q_id, e AS qe
+                   FROM cells ORDER BY vec_id LIMIT 1),
+             ${twoLevelProbeCtes(p1, p2)}
+        SELECT z.vec_id, z.c1, z.c2, ${duckCos("z.e", "qe")} AS cos_sim
+        FROM cells z, q
+        WHERE EXISTS (SELECT 1 FROM fp
+                      WHERE fp.pc1 = z.c1 AND fp.pc2 = z.c2)
+          AND z.vec_id <> q_id
+        ORDER BY cos_sim DESC, z.vec_id LIMIT $kTop"""
+
+  /** x20: the two-level index's recall-vs-(p1,p2) CURVE — the x13
+    * discipline for the multi-probe path: one row per (p1, p2) arm,
+    * recall@k against x01's exact top-k. This is the number that sizes
+    * serving (how many of the k1·k2 cells a query must touch for usable
+    * recall) — the gate x17's single-cell probe reads 0.0 on, so the curve
+    * is what says the index HAS a serving story.
+    */
+  val TwoLevelCurveArms: Seq[(Int, Int)] = Seq((1, 1), (2, 2), (4, 4))
+
+  def twoLevelRecallCurve(emb: DataFrame, kTop: Int = 10): DataFrame = {
+    val exact = knnBrute(emb, kTop).select(col("vec_id"))
+    def arm(p1: Int, p2: Int): DataFrame =
+      exact.join(
+          knnIvfTwoLevelProbe(emb, p1 = p1, p2 = p2, kTop = kTop)
+            .select("vec_id"),
+          Seq("vec_id"), "left_semi")
+        .agg(count(lit(1)).as("n_overlap"))
+        .select(lit(p1).as("p1"), lit(p2).as("p2"), lit(kTop).as("k"),
+          col("n_overlap"),
+          (col("n_overlap").cast("double") / kTop).as("recall_at_k"))
+    TwoLevelCurveArms.map { case (a, b) => arm(a, b) }
+      .reduce(_.unionByName(_))
+  }
+
+  def twoLevelRecallCurveSql(k1: Int = graft.ext.Dedup.confInt(
+        graft.ext.Dedup.KmeansCellsKey, 8),
+      k2: Int = 8, iters: Int = 2, kTop: Int = 10,
+      src: String = "embeddings"): String = {
+    val armCtes = TwoLevelCurveArms.map { case (p1, p2) =>
+      s"""${twoLevelProbeCtes(p1, p2, pfx = s"a${p1}_${p2}_")},
+          arm${p1}_$p2 AS (SELECT z.vec_id FROM cells z, q
+                     WHERE EXISTS (SELECT 1 FROM a${p1}_${p2}_fp fp
+                                   WHERE fp.pc1 = z.c1 AND fp.pc2 = z.c2)
+                       AND z.vec_id <> q_id
+                     ORDER BY ${duckCos("z.e", "qe")} DESC, z.vec_id
+                     LIMIT $kTop)"""
+    }.mkString(",\n")
+    val armSelects = TwoLevelCurveArms.map { case (p1, p2) =>
+      s"""SELECT $p1 AS p1, $p2 AS p2, $kTop AS k,
+                 CAST(count(*) AS BIGINT) AS n_overlap,
+                 CAST(count(*) AS DOUBLE) / $kTop AS recall_at_k
+          FROM exact WHERE vec_id IN (SELECT vec_id FROM arm${p1}_$p2)"""
+    }.mkString("\nUNION ALL\n")
+    s"""WITH ${twoLevelCellsCtes(k1, k2, iters, src = src)},
+             ${kmeansServeCentroidsCtes(iters, prefix = "f")},
+             q AS (SELECT vec_id AS q_id, e AS qe
+                   FROM cells ORDER BY vec_id LIMIT 1),
+             exact AS (SELECT vec_id FROM (${knnBruteSql(kTop, src = src)})),
+             $armCtes
+        $armSelects"""
+  }
 
   /** x17: x16's recall gate — recall@k of the two-level single-(c1,c2)
     * probe vs x01's exact top-k (the x13 discipline applied to the
@@ -1284,6 +1440,23 @@ object SimilarityQueries {
     // exact-L2 flag inline (see Similarity.pqKnn).
     Q("x18_pq_knn",
       (s, d) => Similarity.pqKnn(Tables.embeddings(s, d)),
-      Some(Similarity.pqKnnSql()))
+      Some(Similarity.pqKnnSql())),
+
+    // x19: multi-probe serving over the two-level index — x14's nprobe
+    // pattern per level (p1 coarse cells, per-cell query residual, p2 fine
+    // cells each), the serving story x16's single-cell probe lacked (see
+    // Similarity.knnIvfTwoLevelProbe).
+    Q("x19_two_level_nprobe",
+      (s, d) => Similarity.knnIvfTwoLevelProbe(Tables.embeddings(s, d)),
+      Some(graft.ext.Dedup.guardAuto(graft.ext.Dedup.KmeansCellsKey)(
+        Similarity.knnIvfTwoLevelProbeSql()))),
+
+    // x20: the multi-probe recall-vs-(p1,p2) curve — the gate that says
+    // the two-level index HAS a usable retrieval path (x17's single-cell
+    // gate reads 0.0; see Similarity.twoLevelRecallCurve).
+    Q("x20_two_level_recall_curve",
+      (s, d) => Similarity.twoLevelRecallCurve(Tables.embeddings(s, d)),
+      Some(graft.ext.Dedup.guardAuto(graft.ext.Dedup.KmeansCellsKey)(
+        Similarity.twoLevelRecallCurveSql())))
   )
 }
