@@ -406,7 +406,7 @@ object Similarity {
     * source — the real IVF serving shape.
     */
   def knnIvfLearned(emb: DataFrame, kDefault: Int = 8, iters: Int = 2,
-      kTop: Int = 10): DataFrame = {
+      kTop: Int = 10, pp: Boolean = false): DataFrame = {
     // Honor the SAME cell-count knob d17 reads (graft.ext.Dedup
     // .KmeansCellsKey, incl. its `auto` derivation) — with a mismatched k
     // the two operators would each train and retain their own full-corpus
@@ -414,7 +414,7 @@ object Similarity {
     // above.
     val k = graft.ext.Dedup.resolveCells(emb, kDefault)
     val assigned = graft.util.Caches.retain(
-      kmeansAssign(emb, k, iters)
+      kmeansAssignSeeded(emb, k, iters, pp)
         .select(col("vec_id"), col("e"), col("cluster")))
     val q = assigned.orderBy("vec_id").limit(1)
       .select(col("vec_id").as("q_id"), col("e").as("qe"),
@@ -472,13 +472,13 @@ object Similarity {
     * with (distance, cluster) tie-break; the in-cell ranking is x12's.
     */
   def knnIvfLearnedProbe(emb: DataFrame, kDefault: Int = 8, iters: Int = 2,
-      nprobe: Int = 2, kTop: Int = 10): DataFrame = {
+      nprobe: Int = 2, kTop: Int = 10, pp: Boolean = false): DataFrame = {
     graft.functions.GraftFunctions.register(emb.sparkSession)
     val k = graft.ext.Dedup.resolveCells(emb, kDefault)
     // Same retained relation as x12/d17 (identical canonical plan →
     // CacheManager dedups): train once, serve at any nprobe.
     val assigned = graft.util.Caches.retain(
-      kmeansAssign(emb, k, iters)
+      kmeansAssignSeeded(emb, k, iters, pp)
         .select(col("vec_id"), col("e"), col("cluster")))
     val crows = assigned
       .agg(expr(s"graft_centroids(cluster, e, $k)").as("cents"))
@@ -736,7 +736,7 @@ object Similarity {
   def twoLevelRecallCurveSql(k1: Int = graft.ext.Dedup.confInt(
         graft.ext.Dedup.KmeansCellsKey, 8),
       k2: Int = 8, iters: Int = 2, kTop: Int = 10,
-      src: String = "embeddings"): String = {
+      src: String = "embeddings", pre: String = ""): String = {
     val armCtes = TwoLevelCurveArms.map { case (p1, p2) =>
       s"""${twoLevelProbeCtes(p1, p2, pfx = s"a${p1}_${p2}_")},
           arm${p1}_$p2 AS (SELECT z.vec_id FROM cells z, q
@@ -752,7 +752,8 @@ object Similarity {
                  CAST(count(*) AS DOUBLE) / $kTop AS recall_at_k
           FROM exact WHERE vec_id IN (SELECT vec_id FROM arm${p1}_$p2)"""
     }.mkString("\nUNION ALL\n")
-    s"""WITH ${twoLevelCellsCtes(k1, k2, iters, src = src)},
+    s"""WITH ${if (pre.nonEmpty) pre + "," else ""}
+             ${twoLevelCellsCtes(k1, k2, iters, src = src)},
              ${kmeansServeCentroidsCtes(iters, prefix = "f")},
              q AS (SELECT vec_id AS q_id, e AS qe
                    FROM cells ORDER BY vec_id LIMIT 1),
@@ -760,6 +761,53 @@ object Similarity {
              $armCtes
         $armSelects"""
   }
+
+  /** PLANTED-CLUSTER evaluation corpus (x21/x22) — the round-10 verdict's
+    * point: every recall gate so far was measured on near-orthogonal
+    * RANDOM embeddings, where true neighbors are spread across cells and
+    * the curves mostly read the corpus's geometry, not the quantizer. This
+    * corpus is derived DETERMINISTICALLY per row from vec_id (same
+    * integer-hash family as the LSH planes — no RNG, no stored fixture, no
+    * new files; both engines compute it bit-identically): 8 planted
+    * centers with ±3 integer coordinates (the (2c+3)-stride coefficient
+    * pattern), plus ±0.2-amplitude deterministic noise. Measured geometry:
+    * within-cluster cosine ≈ 0.995, between ≈ 0.07 — so a quantizer that
+    * recovers the planted cells scores recall ≈ 1 and one that collapses
+    * scores near the probed fraction; the gates finally measure the INDEX.
+    *
+    * The planted id hashes vec_id (Knuth multiplicative, >>16) so it is
+    * DELIBERATELY uncorrelated with the `vec_id % k` Lloyd seed — a seed
+    * that equals the planted clustering would trivialize training.
+    */
+  val ClusteredPlanted = 8
+
+  private val clusteredLabelExpr =
+    "((vec_id * 2654435761) DIV 65536) % 8"
+  private val clusteredLabelDuck =
+    "((vec_id * 2654435761) // 65536) % 8"
+
+  def clusteredCorpus(emb: DataFrame): DataFrame =
+    emb.select(col("vec_id"),
+      expr(s"CAST($clusteredLabelExpr AS INT)").as("label"),
+      expr(s"""transform(sequence(1, size(embedding)), i ->
+          CAST((((CAST(i AS BIGINT) * (2 * ($clusteredLabelExpr) + 3))
+                 * 2654435761) DIV 65536) % 7 - 3 AS DOUBLE)
+          + 0.1 * CAST(((((vec_id + 1) * (2 * CAST(i AS BIGINT) + 1))
+                 * 1099087573) DIV 65536) % 5 - 2 AS DOUBLE))""")
+        .as("embedding"))
+
+  /** The oracle twin as a CTE named `clustered`, for the `pre`/`src` slots
+    * of the recall-curve SQL builders.
+    */
+  val clusteredCteSql: String =
+    s"""clustered AS (SELECT vec_id,
+          CAST($clusteredLabelDuck AS INT) AS label,
+          list_transform(range(1, len(embedding) + 1), i ->
+            CAST((((i * (2 * ($clusteredLabelDuck) + 3))
+                   * 2654435761) // 65536) % 7 - 3 AS DOUBLE)
+            + 0.1 * CAST(((((vec_id + 1) * (2 * i + 1))
+                   * 1099087573) // 65536) % 5 - 2 AS DOUBLE)) AS embedding
+        FROM embeddings)"""
 
   /** x17: x16's recall gate — recall@k of the two-level single-(c1,c2)
     * probe vs x01's exact top-k (the x13 discipline applied to the
@@ -927,7 +975,8 @@ object Similarity {
     * more cells). Evaluation adds only broadcast-sized semi-joins on the
     * three tiny top-k relations.
     */
-  def ivfRecallCurve(emb: DataFrame, kTop: Int = 10): DataFrame = {
+  def ivfRecallCurve(emb: DataFrame, kTop: Int = 10,
+      pp: Boolean = false): DataFrame = {
     val exact = knnBrute(emb, kTop).select(col("vec_id"))
     def arm(nprobe: Int, approx: DataFrame): DataFrame =
       exact.join(approx.select("vec_id"), Seq("vec_id"), "left_semi")
@@ -935,18 +984,26 @@ object Similarity {
         .select(lit(nprobe).as("nprobe"), lit(kTop).as("k"),
           col("n_overlap"),
           (col("n_overlap").cast("double") / kTop).as("recall_at_k"))
-    arm(1, knnIvfLearned(emb, kTop = kTop))
-      .unionByName(arm(2, knnIvfLearnedProbe(emb, nprobe = 2, kTop = kTop)))
+    arm(1, knnIvfLearned(emb, kTop = kTop, pp = pp))
+      .unionByName(
+        arm(2, knnIvfLearnedProbe(emb, nprobe = 2, kTop = kTop, pp = pp)))
   }
 
+  /** `pre` prepends extra CTEs right after WITH (e.g. the clustered-corpus
+    * derivation, with `src` pointing at it); `pp` switches the oracle's
+    * seed to the farthest-point chain — both must mirror the engine call.
+    */
   def ivfRecallCurveSql(k: Int = graft.ext.Dedup.confInt(
         graft.ext.Dedup.KmeansCellsKey, 8),
-      iters: Int = 2, kTop: Int = 10): String =
-    s"""WITH ${kmeansAssignCtes(k, iters)},
+      iters: Int = 2, kTop: Int = 10, src: String = "embeddings",
+      pre: String = "", pp: Boolean = false): String =
+    s"""WITH ${if (pre.nonEmpty) pre + "," else ""}
+             ${kmeansAssignCtes(k, iters, src = src,
+               seed = if (pp) Some(ppSeedCtes(k)) else None)},
              ${kmeansServeCentroidsCtes(iters)},
              q AS (SELECT vec_id AS q_id, e AS qe, cluster AS q_cell
                    FROM a$iters ORDER BY vec_id LIMIT 1),
-             exact AS (SELECT vec_id FROM (${knnBruteSql(kTop)})),
+             exact AS (SELECT vec_id FROM (${knnBruteSql(kTop, src = src)})),
              arm1 AS (SELECT z.vec_id
                       FROM a$iters z, q
                       WHERE z.cluster = q_cell AND z.vec_id <> q_id
@@ -1457,6 +1514,30 @@ object SimilarityQueries {
     Q("x20_two_level_recall_curve",
       (s, d) => Similarity.twoLevelRecallCurve(Tables.embeddings(s, d)),
       Some(graft.ext.Dedup.guardAuto(graft.ext.Dedup.KmeansCellsKey)(
-        Similarity.twoLevelRecallCurveSql())))
+        Similarity.twoLevelRecallCurveSql()))),
+
+    // x21: x13's IVF recall curve re-run on the PLANTED-CLUSTER corpus
+    // (8 deterministic centers, within-cos ≈ 0.995 / between ≈ 0.07) under
+    // the production farthest-point seeding — the gate that measures the
+    // QUANTIZER, not the corpus's random geometry (the round-10 verdict's
+    // reading of every prior recall number). On this geometry a trainer
+    // that recovers the planted cells reads recall ≈ 1 at nprobe=1; one
+    // that collapses reads ≈ the probed fraction.
+    Q("x21_clustered_ivf_recall",
+      (s, d) => Similarity.ivfRecallCurve(
+        Similarity.clusteredCorpus(Tables.embeddings(s, d)), pp = true),
+      Some(graft.ext.Dedup.guardAuto(graft.ext.Dedup.KmeansCellsKey)(
+        Similarity.ivfRecallCurveSql(src = "clustered",
+          pre = Similarity.clusteredCteSql, pp = true)))),
+
+    // x22: x20's two-level multi-probe recall curve on the same planted
+    // corpus — the residual quantizer's curve measured where cluster
+    // structure EXISTS to recover (see Similarity.clusteredCorpus).
+    Q("x22_clustered_two_level_curve",
+      (s, d) => Similarity.twoLevelRecallCurve(
+        Similarity.clusteredCorpus(Tables.embeddings(s, d))),
+      Some(graft.ext.Dedup.guardAuto(graft.ext.Dedup.KmeansCellsKey)(
+        Similarity.twoLevelRecallCurveSql(src = "clustered",
+          pre = Similarity.clusteredCteSql))))
   )
 }

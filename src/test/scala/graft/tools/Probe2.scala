@@ -20,6 +20,7 @@ object Probe2 {
     val df = graft.queries.Catalog.byName(args(0)).run(spark, d)
     println(f"build=${(System.nanoTime()-tb)/1e9}%.2f s")
     if (args.contains("--explain")) df.explain("formatted")
+    if (args.contains("--show")) df.show(100, truncate = false)
     // Time through the noop sink, same as Bench: every column of every row
     // materializes, so projection-heavy queries aren't under-measured by
     // count()'s column pruning. rows= comes from an observe() metric on the
