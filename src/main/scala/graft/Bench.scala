@@ -179,12 +179,14 @@ object Bench {
       math.round(calibEnd / math.max(calibStart, 1e-9) * 1000.0) / 1000.0
     val contended = loadStart > loadMax || calibRatio > 1.25
     // drifted: the host ran detectably off its start speed at some point —
-    // end probe >10% over start, or any per-suite probe pair >5% off 1.0.
+    // end probe >10% off start IN EITHER DIRECTION (a host that started
+    // slow and recovered is just as "off its start speed" as one that
+    // degraded — round-11 advice), or any per-suite probe pair >5% off 1.0.
     // Weaker than `contended` (which gates on load / 25% drift): the
     // round-10 driver runs were ~10-18% uniformly slow, enough to misread
     // a cross-run total band without being "contention". With this flag a
     // driver-vs-builder delta is attributable from the artifact alone.
-    val drifted = calibRatio > 1.1 ||
+    val drifted = math.abs(calibRatio - 1.0) > 0.1 ||
       suiteCalib.values.exists(v => math.abs(v - 1.0) > 0.05)
     val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
     val suiteCalibJson = suiteCalib

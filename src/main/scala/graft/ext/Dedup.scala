@@ -662,27 +662,41 @@ object Dedup {
     * SQL string cannot see, so the generators keep the declared default and
     * the gate must not run with `auto` set.
     */
-  /** The session the oracle generators read knobs from: the thread-local
-    * active session, falling back to the process-wide default session. The
+  /** The knob value the oracle generators read: the thread-local active
+    * session's conf, falling back to the process-wide default session. The
     * fallback matters for generation off the session's own thread (parallel
     * test runners, background dispatch): getActiveSession alone is None
     * there, which would silently freeze the declared default while the
     * engine reads the knob from df.sparkSession — exactly the engine-vs-
     * oracle drift the conf threading exists to prevent.
+    *
+    * When BOTH sessions exist and DISAGREE on the key, generation fails
+    * loudly instead of picking one: with multiple sessions alive the
+    * generator cannot know which session the engine query will run under,
+    * and a silent choice is the narrowed-but-real drift window round-11
+    * advice flagged. (Engine-side readers never face this — resolveCells/
+    * resolveBits thread df.sparkSession directly.)
     */
-  private def knobSession: Option[org.apache.spark.sql.SparkSession] =
-    org.apache.spark.sql.SparkSession.getActiveSession
-      .orElse(org.apache.spark.sql.SparkSession.getDefaultSession)
+  private def knobValue(key: String): Option[String] = {
+    val a = org.apache.spark.sql.SparkSession.getActiveSession
+      .flatMap(_.conf.getOption(key))
+    val d = org.apache.spark.sql.SparkSession.getDefaultSession
+      .flatMap(_.conf.getOption(key))
+    if (a.isDefined && d.isDefined && a != d)
+      throw new IllegalStateException(
+        s"$key reads '${a.get}' on the active session but '${d.get}' on " +
+          "the default session: oracle generation cannot know which one " +
+          "the engine query runs under — set the knob on one session only")
+    a.orElse(d)
+  }
 
   private[graft] def confInt(key: String, default: Int): Int =
-    knobSession
-      .flatMap(_.conf.getOption(key))
+    knobValue(key)
       .filter(_ != "auto")
       .map(_.toInt).getOrElse(default)
 
   private[graft] def confIsAuto(key: String): Boolean =
-    knobSession
-      .flatMap(_.conf.getOption(key)).contains("auto")
+    knobValue(key).contains("auto")
 
   /** Oracle-gate guard for the `auto` knob mode: `auto` derives its value
     * from a corpus count the standalone SQL string cannot see, so a gate

@@ -781,10 +781,21 @@ object Similarity {
     */
   val ClusteredPlanted = 8
 
+  /** vec_id enters every hash below masked to 2^24: unmasked, the
+    * `vec_id * 2654435761` coefficient overflows BIGINT at vec_id ≳ 3.5e9
+    * (non-ANSI Spark wraps silently while DuckDB raises — the engines'
+    * bit-identity contract would break exactly at extreme corpus scale;
+    * round-11 advice). The mask is the identity for vec_id < 16,777,216 —
+    * every derived corpus through the sf10 checkpoint (500k vectors) is
+    * byte-unchanged — and beyond it the planted pattern repeats with
+    * period 2^24, keeping both engines in exact lockstep at any scale.
+    * The worst products are then 2^24·2654435761 ≈ 4.5e16 (label) and
+    * (2^24·129)·1099087573 ≈ 2.4e18 (noise), both inside Long.
+    */
   private val clusteredLabelExpr =
-    "((vec_id * 2654435761) DIV 65536) % 8"
+    "(((vec_id % 16777216) * 2654435761) DIV 65536) % 8"
   private val clusteredLabelDuck =
-    "((vec_id * 2654435761) // 65536) % 8"
+    "(((vec_id % 16777216) * 2654435761) // 65536) % 8"
 
   def clusteredCorpus(emb: DataFrame): DataFrame =
     emb.select(col("vec_id"),
@@ -792,7 +803,8 @@ object Similarity {
       expr(s"""transform(sequence(1, size(embedding)), i ->
           CAST((((CAST(i AS BIGINT) * (2 * ($clusteredLabelExpr) + 3))
                  * 2654435761) DIV 65536) % 7 - 3 AS DOUBLE)
-          + 0.1 * CAST(((((vec_id + 1) * (2 * CAST(i AS BIGINT) + 1))
+          + 0.1 * CAST((((((vec_id % 16777216) + 1)
+                 * (2 * CAST(i AS BIGINT) + 1))
                  * 1099087573) DIV 65536) % 5 - 2 AS DOUBLE))""")
         .as("embedding"))
 
@@ -805,7 +817,7 @@ object Similarity {
           list_transform(range(1, len(embedding) + 1), i ->
             CAST((((i * (2 * ($clusteredLabelDuck) + 3))
                    * 2654435761) // 65536) % 7 - 3 AS DOUBLE)
-            + 0.1 * CAST(((((vec_id + 1) * (2 * i + 1))
+            + 0.1 * CAST((((((vec_id % 16777216) + 1) * (2 * i + 1))
                    * 1099087573) // 65536) % 5 - 2 AS DOUBLE)) AS embedding
         FROM embeddings)"""
 

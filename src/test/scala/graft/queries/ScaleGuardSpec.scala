@@ -15,14 +15,24 @@ class ScaleGuardSpec extends SparkSpec {
   private val sf = "/root/testdata/sf0.001"
 
   test("under the cap the guard passes through and equals declared q101") {
-    val builtin = Extended.percentileCutBuiltin(spark, sf)
-      .orderBy("l_returnflag").collect()
-    assert(builtin.nonEmpty)
+    val bDf = Extended.percentileCutBuiltin(spark, sf)
+    val qDf = graft.SparkEntry.queries("q101_percentile_gate_exact")(spark, sf)
+    // schema compared explicitly — the old Row.toString compare rendered
+    // INT and BIGINT (and double formatting edge cases) identically,
+    // masking type drift between the twins (round-11 advice)
+    assert(bDf.schema.map(f => (f.name, f.dataType))
+      == qDf.schema.map(f => (f.name, f.dataType)))
     // identical cut by construction: the built-in percentile_disc form and
     // q101's two-level integer-rank form gate the same rows
-    val q101 = graft.SparkEntry.queries("q101_percentile_gate_exact")(spark, sf)
-      .orderBy("l_returnflag").collect()
-    assert(builtin.map(_.toString).toSeq == q101.map(_.toString).toSeq)
+    val builtin = bDf.orderBy("l_returnflag").collect()
+    val q101 = qDf.orderBy("l_returnflag").collect()
+    assert(builtin.nonEmpty && builtin.length == q101.length)
+    builtin.zip(q101).foreach { case (b, q) =>
+      (0 until b.length).foreach { i =>
+        assert(b.get(i) == q.get(i),
+          s"field $i: ${b.get(i)} (builtin) != ${q.get(i)} (q101)")
+      }
+    }
   }
 
   test("the retired form keeps the broadcast-cutoff plan (no SMJ)") {
