@@ -452,7 +452,7 @@ object Similarity {
                       CAST(SUM(CAST(floor(val * 1048576.0) AS BIGINT))
                            AS DOUBLE) / 1048576.0 / COUNT(*) AS c
                FROM ${p}peF GROUP BY 1, 2),
-        ${p}cvF AS (SELECT cluster, list(c ORDER BY pos) AS cvec
+        ${p}cvF AS MATERIALIZED (SELECT cluster, list(c ORDER BY pos) AS cvec
                 FROM ${p}cF GROUP BY 1)"""
   }
 
@@ -569,13 +569,13 @@ object Similarity {
       src: String = "embeddings"): String =
     s"""${kmeansAssignCtes(k1, iters, src = src)},
         ${kmeansServeCentroidsCtes(iters)},
-        resid0 AS (SELECT z.vec_id, z.e, z.cluster AS c1,
+        resid0 AS MATERIALIZED (SELECT z.vec_id, z.e, z.cluster AS c1,
                           list_transform(range(1, len(z.e) + 1),
                                          i -> z.e[i] - cvec[i]) AS r
                    FROM a$iters z JOIN cvF ON z.cluster = cvF.cluster),
         resid AS (SELECT vec_id, r AS embedding FROM resid0),
         ${kmeansAssignCtes(k2, iters, src = "resid", prefix = "f")},
-        cells AS (SELECT r0.vec_id, r0.e, r0.c1, f.cluster AS c2
+        cells AS MATERIALIZED (SELECT r0.vec_id, r0.e, r0.c1, f.cluster AS c2
                   FROM resid0 r0 JOIN fa$iters f
                     ON r0.vec_id = f.vec_id)"""
 
@@ -979,6 +979,383 @@ object Similarity {
         FROM top t"""
   }
 
+  /** x23: IVF-PQ — the COMPOSED production ANN index (x16's coarse cells ×
+    * x18's PQ codes): PQ codebooks are trained on LEVEL-1 RESIDUALS
+    * (e − coarse centroid), and ADC scoring runs ONLY inside the probed
+    * coarse cells — the two halves the round-10 verdict said existed
+    * separately (x16: cells, x18: codes) composed into the index a real
+    * deployment ships (the classic IVFADC recipe: coarse quantizer for the
+    * prune, residual product quantizer for the in-cell scan).
+    *
+    * Scale shape — why this is the 100 TB index:
+    *   - the coarse probe is x14's: rank k1 broadcast-sized serving
+    *     centroids, scan `nprobe` cells; at scale c1 is a partition key
+    *     and the probe is partition pruning at the source.
+    *   - the in-cell scan reads m byte-sized codes per vector (m·log2(k)
+    *     bits ≈ 12 bits here vs 64 floats — the compression that fits an
+    *     index in cache tiers) and scores each candidate with m LUT adds;
+    *     the LUTs are nprobe·m·kcode rows built from the query alone.
+    *   - training on residuals (not raw vectors) is what makes a SMALL
+    *     codebook usable: the coarse quantizer removes the between-cell
+    *     variance, so the PQ codewords only span the in-cell spread.
+    *   - here encode runs after the prune: in production `code_s` is a
+    *     stored index column and only probed partitions are read, so
+    *     serving never touches (or encodes) unprobed cells; this
+    *     projection stands in for reading that stored column. Codes are a
+    *     pure function of (vector, codebooks), so encode-before-store and
+    *     encode-after-prune are the same values.
+    *
+    * Determinism: level-1 centroids and all m codebooks are
+    * quantized-BIGINT serving artifacts; residuals are element-wise exact
+    * IEEE subtraction; code argmin ties break on the lowest codeword
+    * (array_min struct ordering = the oracle's ROW_NUMBER ORDER BY dd, c);
+    * the ADC sum is the fixed-order ((dd0+dd1)+dd2)+dd3 in both engines;
+    * the in_exact_topk flag (x09/x18 discipline) compares against the
+    * exact L2 top-k — ADC approximates L2, so the gate measures the
+    * quantizer against its own metric.
+    *
+    * The level-1 assignment is the SAME retained relation d17/x12/x14/x16
+    * share — one coarse training serves the whole family; the residual
+    * relation and the 1-row codebook table are retained too, so the x24
+    * recall-curve arms re-probe without retraining.
+    */
+  /** The shared IVF-PQ pipeline up to the ADC-scored candidate relation:
+    * (scored(vec_id, c1, adc, code_*…), a1, q, exactL2 top-k). [[ivfPqKnn]]
+    * takes scored's top-k directly (the raw-ADC index contract);
+    * [[ivfPqKnnRerank]] re-ranks an ADC shortlist exactly (the production
+    * serving path).
+    */
+  private def ivfPqCore(emb: DataFrame, k1Default: Int, m: Int, subDim: Int,
+      kcode: Int, iters: Int, nprobe: Int, kTop: Int, pp: Boolean)
+      : (DataFrame, DataFrame, DataFrame, DataFrame) = {
+    graft.functions.GraftFunctions.register(emb.sparkSession)
+    val k1 = graft.ext.Dedup.resolveCells(emb, k1Default)
+    val a1 = graft.util.Caches.retain(
+      kmeansAssignSeeded(emb, k1, iters, pp)
+        .select(col("vec_id"), col("e"), col("cluster")))
+    val cv1 = a1.agg(expr(s"graft_centroids(cluster, e, $k1)").as("cents"))
+      .select(explode(col("cents")).as("ct"))
+      .select(col("ct.cluster").as("rc1"), col("ct.cvec").as("cv1"))
+    val resid = graft.util.Caches.retain(
+      a1.join(broadcast(cv1), col("cluster") === col("rc1"))
+        .select(col("vec_id"), col("cluster").as("c1"),
+          expr("zip_with(e, cv1, (x, y) -> x - y)").as("r")))
+    val cbAll = graft.util.Caches.retain((0 until m).map { s =>
+      val off = s * subDim + 1
+      lloydOver(resid.select(col("vec_id"),
+          expr(s"slice(r, $off, $subDim)").as("e")), kcode, iters, pp = false)
+        .agg(expr(s"graft_centroids(cluster, e, $kcode)").as(s"cents$s"))
+    }.reduce(_.crossJoin(_)))
+    val q = a1.orderBy("vec_id").limit(1)
+      .select(col("vec_id").as("q_id"), col("e").as("qe"))
+    val probed = cv1.crossJoin(broadcast(q))
+      .withColumn("dq", expr("graft_l2(cv1, qe)"))
+      .orderBy(col("dq"), col("rc1")).limit(nprobe)
+      .select(col("rc1").as("pcell"), col("cv1").as("pcv"), col("qe"))
+    // Multi-probe must re-residualize the query per probed cell — the
+    // residual the index stores is relative to the cell the vector landed
+    // in (x19's lesson, applied to the PQ LUT).
+    val rq = probed.select(col("pcell"),
+      expr("zip_with(qe, pcv, (x, y) -> x - y)").as("rqe"))
+    // ADC LUTs keyed by (probed cell, codeword): nprobe·kcode rows per
+    // subspace, broadcast hash joins inside whole-stage codegen (x18's
+    // HOF-vs-join lesson).
+    val luts = (0 until m).map { s =>
+      val off = s * subDim + 1
+      rq.crossJoin(broadcast(cbAll))
+        .select(col("pcell").as(s"pc$s"), col("rqe"),
+          explode(col(s"cents$s")).as("ct"))
+        .select(col(s"pc$s"), col("ct.cluster").as(s"cc$s"),
+          expr(s"graft_l2(slice(rqe, $off, $subDim), ct.cvec)").as(s"dd$s"))
+    }
+    def code(s: Int) = {
+      val off = s * subDim + 1
+      s"""array_min(transform(cents$s,
+           ct -> named_struct('dd', graft_l2(slice(r, $off, $subDim), ct.cvec),
+                              'c', ct.cluster))).c"""
+    }
+    val cand = resid
+      .join(broadcast(probed.select("pcell")), col("c1") === col("pcell"))
+      .crossJoin(broadcast(q.select("q_id")))
+      .filter(col("vec_id") =!= col("q_id"))
+      .crossJoin(broadcast(cbAll))
+      .select(Seq(col("vec_id"), col("c1")) ++
+        (0 until m).map(s => expr(code(s)).as(s"code_$s")): _*)
+    val joined = luts.zipWithIndex.foldLeft(cand) { case (acc, (l, s)) =>
+      acc.join(broadcast(l),
+        col("c1") === col(s"pc$s") && col(s"code_$s") === col(s"cc$s"))
+    }
+    val adc = (0 until m).map(s => col(s"dd$s")).reduce(_ + _)
+    val scored = joined.withColumn("adc", adc)
+      .select("vec_id", "c1", "adc")
+    val exact = a1.crossJoin(broadcast(q))
+      .filter(col("vec_id") =!= col("q_id"))
+      .withColumn("d2", expr("graft_l2(e, qe)"))
+      .orderBy(col("d2"), col("vec_id")).limit(kTop)
+      .select(col("vec_id").as("evid"))
+    (scored, a1, q, exact)
+  }
+
+  def ivfPqKnn(emb: DataFrame, k1Default: Int = 8, m: Int = 4,
+      subDim: Int = 16, kcode: Int = 8, iters: Int = 2, nprobe: Int = 2,
+      kTop: Int = 10, pp: Boolean = false): DataFrame = {
+    val (scored, _, _, exact) =
+      ivfPqCore(emb, k1Default, m, subDim, kcode, iters, nprobe, kTop, pp)
+    val top = scored.orderBy(col("adc"), col("vec_id")).limit(kTop)
+    top.join(broadcast(exact), col("vec_id") === col("evid"), "left_outer")
+      .select(col("vec_id"), col("c1"), col("adc"),
+        col("evid").isNotNull.as("in_exact_topk"))
+  }
+
+  /** x25: IVF-PQ with EXACT RE-RANK — the production serving path (x10's
+    * two-stage discipline composed onto the IVFADC index): the ADC scan
+    * keeps a `shortK`-wide shortlist (by (adc, vec_id)), and only those
+    * rows are re-scored with the exact L2 kernel against the full-precision
+    * vectors. At 100 TB the shortlist is shortK row-ids resolved against
+    * the vector store (shortK point reads), so the full-precision corpus is
+    * touched shortK times per query while the scan itself reads only codes
+    * in probed partitions — the standard answer to raw ADC's resolution
+    * floor (m·log2(kcode) ≈ 12 bits/vector cannot rank within-cell
+    * neighbors whose true distances differ by less than the quantization
+    * error; x24's flat raw curve is that floor, measured).
+    *
+    * Determinism: the shortlist cut is (adc, vec_id)-ordered (bit-stable),
+    * the re-rank is the same graft_l2/duckD2 fold as the exact baseline
+    * with (d2, vec_id) tie-break — every stage hash-gateable.
+    */
+  def ivfPqKnnRerank(emb: DataFrame, k1Default: Int = 8, m: Int = 4,
+      subDim: Int = 16, kcode: Int = 8, iters: Int = 2, nprobe: Int = 2,
+      shortK: Int = 50, kTop: Int = 10, pp: Boolean = false): DataFrame = {
+    val (scored, a1, q, exact) =
+      ivfPqCore(emb, k1Default, m, subDim, kcode, iters, nprobe, kTop, pp)
+    val shortlist = scored.orderBy(col("adc"), col("vec_id")).limit(shortK)
+      .select(col("vec_id"), col("c1"))
+    // shortK rows broadcast against the cached full-precision relation —
+    // the "resolve row-ids against the vector store" point-read stand-in.
+    a1.join(broadcast(shortlist), "vec_id")
+      .crossJoin(broadcast(q))
+      .withColumn("d2", expr("graft_l2(e, qe)"))
+      .select("vec_id", "c1", "d2")
+      .orderBy(col("d2"), col("vec_id")).limit(kTop)
+      .join(broadcast(exact), col("vec_id") === col("evid"), "left_outer")
+      .select(col("vec_id"), col("c1"), col("d2"),
+        col("evid").isNotNull.as("in_exact_topk"))
+  }
+
+  /** Shared IVF-PQ oracle CTEs: the level-1 chain + serving centroids +
+    * residuals + m per-subspace codebook chains (over residual slices) +
+    * FULL-CORPUS codes + the query + the exact-L2 top-k. Ends with
+    * `pqcodes(vec_id, c1, code_0..)`, `q(q_id, qe)`, `pqexact(vec_id)`.
+    * (The oracle encodes the whole corpus where the engine encodes after
+    * the prune — codes are a pure function of (vector, codebooks), so the
+    * compared results are identical.)
+    */
+  private def ivfPqBaseCtes(k1: Int, m: Int, subDim: Int, kcode: Int,
+      iters: Int, kTop: Int, src: String,
+      seed: Option[String] = None): String = {
+    val subs = (0 until m).map { s =>
+      val off = s * subDim
+      s"""vsub$s AS (SELECT vec_id,
+                            list_slice(r, ${off + 1}, ${off + subDim})
+                              AS embedding
+                     FROM residp),
+          ${kmeansAssignCtes(kcode, iters, src = s"vsub$s", prefix = s"v$s")},
+          ${kmeansServeCentroidsCtes(iters, prefix = s"v$s")},
+          v${s}code AS (SELECT vec_id, cluster AS code_$s
+                        FROM (SELECT z.vec_id, c.cluster,
+                                     ROW_NUMBER() OVER (PARTITION BY z.vec_id
+                                       ORDER BY ${duckD2("z.e", "c.cvec")},
+                                                c.cluster) AS rn
+                              FROM v${s}e0 z, v${s}cvF c) WHERE rn = 1)"""
+    }.mkString(",\n")
+    val codeJoin = (0 until m)
+      .map(s => s"JOIN v${s}code USING (vec_id)").mkString(" ")
+    s"""${kmeansAssignCtes(k1, iters, src = src, seed = seed)},
+        ${kmeansServeCentroidsCtes(iters)},
+        residp AS MATERIALIZED (SELECT z.vec_id, z.cluster AS c1,
+                          list_transform(range(1, len(z.e) + 1),
+                                         i -> z.e[i] - cvec[i]) AS r
+                   FROM a$iters z JOIN cvF ON z.cluster = cvF.cluster),
+        $subs,
+        pqcodes AS MATERIALIZED (SELECT residp.vec_id, residp.c1,
+                           ${(0 until m).map(s => s"code_$s").mkString(", ")}
+                    FROM residp $codeJoin),
+        q AS MATERIALIZED (SELECT vec_id AS q_id, e AS qe
+              FROM a$iters ORDER BY vec_id LIMIT 1),
+        pqexact AS MATERIALIZED (SELECT z.vec_id FROM a$iters z, q
+                    WHERE z.vec_id <> q_id
+                    ORDER BY ${duckD2("z.e", "qe")}, z.vec_id LIMIT $kTop)"""
+  }
+
+  /** Per-nprobe probe/LUT/score block over [[ivfPqBaseCtes]]'s relations;
+    * ends with `${pfx}scored(vec_id, c1, adc)`.
+    */
+  private def ivfPqProbeCtes(m: Int, subDim: Int, nprobe: Int,
+      pfx: String = ""): String = {
+    val luts = (0 until m).map { s =>
+      val off = s * subDim
+      s"""${pfx}lut$s AS (SELECT r.pcell AS pc$s, c.cluster AS cc$s,
+                         ${duckD2(
+                           s"list_slice(r.rqe, ${off + 1}, ${off + subDim})",
+                           "c.cvec")} AS dd$s
+                  FROM ${pfx}rq r, v${s}cvF c)"""
+    }.mkString(",\n")
+    val lutJoin = (0 until m)
+      .map(s => s"JOIN ${pfx}lut$s ON k.c1 = pc$s AND k.code_$s = cc$s")
+      .mkString(" ")
+    val adc = (0 until m).map(s => s"dd$s").reduce((a, b) => s"($a + $b)")
+    s"""${pfx}probe AS (SELECT cluster AS pcell, cvec AS pcv FROM cvF, q
+                ORDER BY ${duckD2("cvec", "qe")}, cluster LIMIT $nprobe),
+        ${pfx}rq AS (SELECT pcell,
+                        list_transform(range(1, len(qe) + 1),
+                                       i -> qe[i] - pcv[i]) AS rqe
+                 FROM ${pfx}probe, q),
+        $luts,
+        ${pfx}scored AS MATERIALIZED (SELECT k.vec_id, k.c1, $adc AS adc
+                 FROM pqcodes k $lutJoin, q
+                 WHERE k.vec_id <> q_id)"""
+  }
+
+  def ivfPqKnnSql(k1: Int = graft.ext.Dedup.confInt(
+        graft.ext.Dedup.KmeansCellsKey, 8),
+      m: Int = 4, subDim: Int = 16, kcode: Int = 8, iters: Int = 2,
+      nprobe: Int = 2, kTop: Int = 10): String =
+    s"""WITH ${ivfPqBaseCtes(k1, m, subDim, kcode, iters, kTop,
+           src = "embeddings")},
+             ${ivfPqProbeCtes(m, subDim, nprobe)},
+             top AS (SELECT vec_id, c1, adc FROM scored
+                     ORDER BY adc, vec_id LIMIT $kTop)
+        SELECT t.vec_id, t.c1, t.adc,
+               t.vec_id IN (SELECT vec_id FROM pqexact) AS in_exact_topk
+        FROM top t"""
+
+  /** Re-rank CTE over an ADC-scored block (`scoredName`, default
+    * `${pfx}scored`): the shortK ADC shortlist re-scored exactly against
+    * `a$iters`'s full-precision vectors; ends with
+    * `${pfx}rr(vec_id, c1, d2)` — the final top-k.
+    */
+  private def ivfPqRerankCte(iters: Int, shortK: Int, kTop: Int,
+      pfx: String = "", scoredName: String = ""): String = {
+    val scored = if (scoredName.nonEmpty) scoredName else s"${pfx}scored"
+    s"""${pfx}short AS (SELECT vec_id, c1 FROM $scored
+                 ORDER BY adc, vec_id LIMIT $shortK),
+        ${pfx}rr AS (SELECT z.vec_id, s.c1, ${duckD2("z.e", "qe")} AS d2
+              FROM a$iters z JOIN ${pfx}short s ON z.vec_id = s.vec_id, q
+              ORDER BY d2, z.vec_id LIMIT $kTop)"""
+  }
+
+  def ivfPqKnnRerankSql(k1: Int = graft.ext.Dedup.confInt(
+        graft.ext.Dedup.KmeansCellsKey, 8),
+      m: Int = 4, subDim: Int = 16, kcode: Int = 8, iters: Int = 2,
+      nprobe: Int = 2, shortK: Int = 50, kTop: Int = 10): String =
+    s"""WITH ${ivfPqBaseCtes(k1, m, subDim, kcode, iters, kTop,
+           src = "embeddings")},
+             ${ivfPqProbeCtes(m, subDim, nprobe)},
+             ${ivfPqRerankCte(iters, shortK, kTop)}
+        SELECT t.vec_id, t.c1, t.d2,
+               t.vec_id IN (SELECT vec_id FROM pqexact) AS in_exact_topk
+        FROM rr t"""
+
+  /** x24: the IVF-PQ recall-vs-nprobe CURVE on the planted-cluster corpus
+    * (x21/x22's discipline applied to the composed index): recall@k of the
+    * ADC top-k against the exact L2 top-k, one row per nprobe arm. Because
+    * [[ivfPqKnn]]'s in_exact_topk flag already marks each returned row's
+    * membership in the exact set, each arm is ONE aggregate over the
+    * (≤ k)-row search result — the curve costs the searches themselves
+    * plus nothing. The trainings (level-1 cells, residuals, codebooks) are
+    * retained, so arms share one training pass.
+    */
+  val PqCurveArms: Seq[Int] = Seq(1, 2, 4)
+
+  /** x24: the raw-ADC recall-vs-nprobe curve — the gate that reads the
+    * CODE RESOLUTION floor (m·log2(kcode) ≈ 12 bits cannot rank
+    * within-cell neighbors whose true distances differ by less than the
+    * quantization error, so the curve sits flat below the probe's recall;
+    * x26's shortK curve is the knob that buys it back).
+    */
+  def ivfPqRecallCurve(emb: DataFrame, kTop: Int = 10,
+      pp: Boolean = false): DataFrame = {
+    def arm(np: Int): DataFrame =
+      ivfPqKnn(emb, nprobe = np, kTop = kTop, pp = pp)
+        // count(when(...)) not sum(): an empty probed cell would make the
+        // sum NULL where the oracle's count(*) reads 0
+        .agg(count(when(col("in_exact_topk"), lit(1))).as("n_overlap"))
+        .select(lit(np).as("nprobe"), lit(kTop).as("k"), col("n_overlap"),
+          (col("n_overlap").cast("double") / kTop).as("recall_at_k"))
+    PqCurveArms.map(arm).reduce(_.unionByName(_))
+  }
+
+  def ivfPqRecallCurveSql(k1: Int = graft.ext.Dedup.confInt(
+        graft.ext.Dedup.KmeansCellsKey, 8),
+      m: Int = 4, subDim: Int = 16, kcode: Int = 8, iters: Int = 2,
+      kTop: Int = 10, src: String = "embeddings",
+      pre: String = "", pp: Boolean = false): String = {
+    val armCtes = PqCurveArms
+      .map(np => ivfPqProbeCtes(m, subDim, np, pfx = s"n${np}_"))
+      .mkString(",\n")
+    val armSelects = PqCurveArms.map { np =>
+      s"""SELECT $np AS nprobe, $kTop AS k,
+                 CAST(count(*) AS BIGINT) AS n_overlap,
+                 CAST(count(*) AS DOUBLE) / $kTop AS recall_at_k
+          FROM (SELECT vec_id FROM n${np}_scored
+                ORDER BY adc, vec_id LIMIT $kTop)
+          WHERE vec_id IN (SELECT vec_id FROM pqexact)"""
+    }.mkString("\nUNION ALL\n")
+    s"""WITH ${if (pre.nonEmpty) pre + "," else ""}
+             ${ivfPqBaseCtes(k1, m, subDim, kcode, iters, kTop, src = src,
+               seed = if (pp) Some(ppSeedCtes(k1)) else None)},
+             $armCtes
+        $armSelects"""
+  }
+
+  /** x26: the re-ranked index's recall-vs-shortK curve at the declared
+    * serving nprobe — the knob that actually moves on this index. Once
+    * the probe reaches the right cell (x21: planted recall 1.0 at
+    * nprobe=1), x24's nprobe axis is flat by construction; what decides
+    * serving recall is how wide an ADC shortlist the exact re-rank gets
+    * to repair — i.e. how many of the true top-k survive the 12-bit cut.
+    * Cost is linear in shortK (shortK point reads of full-precision
+    * vectors per query), so this curve IS the latency/recall trade a
+    * deployment tunes.
+    */
+  val PqShortArms: Seq[Int] = Seq(50, 200, 800)
+
+  def ivfPqRerankCurve(emb: DataFrame, kTop: Int = 10,
+      pp: Boolean = false, nprobe: Int = 2): DataFrame = {
+    def arm(sk: Int): DataFrame =
+      ivfPqKnnRerank(emb, nprobe = nprobe, shortK = sk, kTop = kTop, pp = pp)
+        .agg(count(when(col("in_exact_topk"), lit(1))).as("n_overlap"))
+        .select(lit(sk).as("short_k"), lit(kTop).as("k"), col("n_overlap"),
+          (col("n_overlap").cast("double") / kTop).as("recall_at_k"))
+    PqShortArms.map(arm).reduce(_.unionByName(_))
+  }
+
+  def ivfPqRerankCurveSql(k1: Int = graft.ext.Dedup.confInt(
+        graft.ext.Dedup.KmeansCellsKey, 8),
+      m: Int = 4, subDim: Int = 16, kcode: Int = 8, iters: Int = 2,
+      nprobe: Int = 2, kTop: Int = 10, src: String = "embeddings",
+      pre: String = "", pp: Boolean = false): String = {
+    // ONE probe/LUT/score block (nprobe fixed) shared by every arm; each
+    // arm only re-cuts the shortlist and re-ranks.
+    val armCtes = PqShortArms
+      .map(sk => ivfPqRerankCte(iters, sk, kTop, pfx = s"s${sk}_",
+        scoredName = "scored"))
+      .mkString(",\n")
+    val armSelects = PqShortArms.map { sk =>
+      s"""SELECT $sk AS short_k, $kTop AS k,
+                 CAST(count(*) AS BIGINT) AS n_overlap,
+                 CAST(count(*) AS DOUBLE) / $kTop AS recall_at_k
+          FROM (SELECT vec_id FROM s${sk}_rr)
+          WHERE vec_id IN (SELECT vec_id FROM pqexact)"""
+    }.mkString("\nUNION ALL\n")
+    s"""WITH ${if (pre.nonEmpty) pre + "," else ""}
+             ${ivfPqBaseCtes(k1, m, subDim, kcode, iters, kTop, src = src,
+               seed = if (pp) Some(ppSeedCtes(k1)) else None)},
+             ${ivfPqProbeCtes(m, subDim, nprobe)},
+             $armCtes
+        $armSelects"""
+  }
+
   /** x13: the learned-cell family's RECALL GATE (x06's discipline applied
     * to x12/x14) — recall@k of the IVF probe against x01's exact top-k, as
     * a recall-vs-nprobe CURVE: one row per nprobe ∈ {1, 2}. This is the
@@ -1051,15 +1428,19 @@ object Similarity {
     * the default modulo-seed `a0` in [[kmeansAssignCtes]].
     */
   def ppSeedCtes(k: Int): String = {
+    // Each k_j MATERIALIZED: under DuckDB's per-reference CTE inlining the
+    // chain is exponential (k_j re-inlines k_0..k_{j-1}, each re-inlining
+    // the corpus scan) — see the kmeansAssignCtes scaladoc.
     val ks = (0 until k).map { j =>
-      if (j == 0) "k0 AS (SELECT e AS ce FROM e0 ORDER BY vec_id LIMIT 1)"
+      if (j == 0)
+        "k0 AS MATERIALIZED (SELECT e AS ce FROM e0 ORDER BY vec_id LIMIT 1)"
       else {
         val dists = (0 until j).map(i => duckD2("e", s"k$i.ce"))
         val md =
           if (dists.size == 1) dists.head
           else s"least(${dists.mkString(", ")})"
         val froms = (0 until j).map(i => s"k$i").mkString(", ")
-        s"k$j AS (SELECT e AS ce FROM e0, $froms " +
+        s"k$j AS MATERIALIZED (SELECT e AS ce FROM e0, $froms " +
           s"ORDER BY $md DESC, vec_id LIMIT 1)"
       }
     }.mkString(",\n")
@@ -1067,11 +1448,11 @@ object Similarity {
       .map(j => s"SELECT $j AS cluster, ce AS cvec FROM k$j")
       .mkString(" UNION ALL ")
     s"""$ks,
-        cents0 AS ($cents),
+        cents0 AS MATERIALIZED ($cents),
         d0 AS (SELECT vec_id, e, cents0.cluster AS cl,
                       ${duckD2("e", "cvec")} AS dd
                FROM e0, cents0),
-        a0 AS (SELECT vec_id, e, cl AS cluster, dd
+        a0 AS MATERIALIZED (SELECT vec_id, e, cl AS cluster, dd
                FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
                             ORDER BY dd, cl) AS rn
                      FROM d0) WHERE rn = 1)"""
@@ -1082,6 +1463,17 @@ object Similarity {
     * residuals). `seed` overrides the modulo-seed a0 and is only valid
     * with the default (empty) prefix — [[ppSeedCtes]] references the
     * unprefixed e0.
+    */
+  /** Every multiply-referenced CTE in these chains is `AS MATERIALIZED`
+    * (DuckDB-only syntax — these strings never reach Spark): DuckDB
+    * INLINES plain CTEs per reference, so a chain whose tail references
+    * its head fan-multiplies the base-table scans — the farthest-point
+    * seed chain (k_j references k_0..k_{j-1}) is EXPONENTIAL under
+    * inlining, and composing chains (x23-x26: seed + m codebook chains +
+    * per-arm probes) blew past a 20k file-handle limit re-opening the
+    * same parquet. Materialization computes each relation once, which is
+    * also what the engine's retained caches do — the twins now share the
+    * evaluation shape, not just the values.
     */
   def kmeansAssignCtes(k: Int = 8, iters: Int = 2,
       src: String = "embeddings", seed: Option[String] = None,
@@ -1101,15 +1493,16 @@ object Similarity {
           ${p}d$i AS (SELECT vec_id, e, ${p}cv$i.cluster AS cl,
                          ${duckD2("e", "cvec")} AS dd
                   FROM ${p}e0, ${p}cv$i),
-          ${p}a$i AS (SELECT vec_id, e, cl AS cluster, dd
+          ${p}a$i AS MATERIALIZED (SELECT vec_id, e, cl AS cluster, dd
                   FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
                                ORDER BY dd, cl) AS rn
                         FROM ${p}d$i) WHERE rn = 1)"""
     val rounds = (1 to iters).map(i => round(i, s"${p}a${i - 1}")).mkString(",\n")
     val a0 = seed.getOrElse(
-      s"""${p}a0 AS (SELECT vec_id, e, CAST(vec_id % $k AS INT) AS cluster
+      s"""${p}a0 AS MATERIALIZED (
+                 SELECT vec_id, e, CAST(vec_id % $k AS INT) AS cluster
                  FROM ${p}e0)""")
-    s"""${p}e0 AS (SELECT vec_id,
+    s"""${p}e0 AS MATERIALIZED (SELECT vec_id,
                       list_transform(embedding, ex -> CAST(ex AS DOUBLE))
                         AS e
                FROM $src),
@@ -1550,6 +1943,50 @@ object SimilarityQueries {
         Similarity.clusteredCorpus(Tables.embeddings(s, d))),
       Some(graft.ext.Dedup.guardAuto(graft.ext.Dedup.KmeansCellsKey)(
         Similarity.twoLevelRecallCurveSql(src = "clustered",
-          pre = Similarity.clusteredCteSql))))
+          pre = Similarity.clusteredCteSql)))),
+
+    // x23: IVF-PQ — x16's coarse cells composed with x18's PQ codes: the
+    // codebooks train on level-1 RESIDUALS and ADC scoring runs only
+    // inside the probed cells (the production IVFADC index; see
+    // Similarity.ivfPqKnn for the scale shape and determinism contract).
+    Q("x23_ivfpq_knn",
+      (s, d) => Similarity.ivfPqKnn(Tables.embeddings(s, d)),
+      Some(graft.ext.Dedup.guardAuto(graft.ext.Dedup.KmeansCellsKey)(
+        Similarity.ivfPqKnnSql()))),
+
+    // x24: the RAW-ADC recall-vs-nprobe curve on the planted-cluster
+    // corpus under the production (farthest-point) level-1 seeding — the
+    // x21/x22 gate discipline applied to IVF-PQ. With the probe recovering
+    // the planted cells (x21: recall 1.0 at nprobe=1), what this curve
+    // reads is the CODE RESOLUTION floor: 12-bit codes cannot rank
+    // within-cluster neighbors whose true distances differ by less than
+    // the quantization error — the honestly-gated number that says raw
+    // ADC needs x25's re-rank (exactly as x17's 0.0 said x16 needed x19).
+    Q("x24_ivfpq_recall_curve",
+      (s, d) => Similarity.ivfPqRecallCurve(
+        Similarity.clusteredCorpus(Tables.embeddings(s, d)), pp = true),
+      Some(graft.ext.Dedup.guardAuto(graft.ext.Dedup.KmeansCellsKey)(
+        Similarity.ivfPqRecallCurveSql(src = "clustered",
+          pre = Similarity.clusteredCteSql, pp = true)))),
+
+    // x25: IVF-PQ + exact re-rank — the production serving path (ADC
+    // shortlist of 50 within the probed cells, exact L2 re-rank to top-10;
+    // see Similarity.ivfPqKnnRerank).
+    Q("x25_ivfpq_rerank",
+      (s, d) => Similarity.ivfPqKnnRerank(Tables.embeddings(s, d)),
+      Some(graft.ext.Dedup.guardAuto(graft.ext.Dedup.KmeansCellsKey)(
+        Similarity.ivfPqKnnRerankSql()))),
+
+    // x26: the re-ranked index's recall-vs-shortK curve on the planted
+    // corpus — the knob that actually moves once the probe reaches the
+    // right cell: x24 reads the flat ADC floor, this curve reads how much
+    // of it the exact re-rank buys back per shortlist row (see
+    // Similarity.ivfPqRerankCurve).
+    Q("x26_ivfpq_rerank_curve",
+      (s, d) => Similarity.ivfPqRerankCurve(
+        Similarity.clusteredCorpus(Tables.embeddings(s, d)), pp = true),
+      Some(graft.ext.Dedup.guardAuto(graft.ext.Dedup.KmeansCellsKey)(
+        Similarity.ivfPqRerankCurveSql(src = "clustered",
+          pre = Similarity.clusteredCteSql, pp = true))))
   )
 }

@@ -305,4 +305,66 @@ class KmeansSpec extends SparkSpec {
     assert(rows.length === 8)
     assert(rows.forall(_.getLong(3) === 0L))
   }
+
+  test("x23: IVF-PQ — ADC ascends, candidates stay in probed cells, stable") {
+    val out = Similarity.ivfPqKnn(Tables.embeddings(spark, sf)).collect()
+    assert(out.nonEmpty && out.length <= 10)
+    val adcs = out.map(_.getDouble(2)).toSeq
+    assert(adcs === adcs.sorted, "ADC is a distance: ascending rank")
+    assert(adcs.forall(_ >= 0.0), "ADC is a sum of squared distances")
+    assert(out.map(_.getInt(1)).distinct.length <= 2,
+      "nprobe=2: results come from at most two coarse cells")
+    val shuffled = Similarity
+      .ivfPqKnn(Tables.embeddings(spark, sf).repartition(7))
+      .collect().map(_.toString).toSeq
+    assert(out.map(_.toString).toSeq === shuffled)
+  }
+
+  test("x25: a corpus-wide shortlist under a full probe IS the exact top-k") {
+    // With every cell probed and shortK = |corpus| the ADC stage prunes
+    // nothing, so the exact re-rank must return the exact L2 top-k —
+    // every flag true. The contract that proves re-rank repairs ADC.
+    val emb = Tables.embeddings(spark, sf)
+    val n = emb.count().toInt
+    val rr = Similarity
+      .ivfPqKnnRerank(emb, nprobe = 8, shortK = n, kTop = 10).collect()
+    assert(rr.length === 10)
+    assert(rr.forall(_.getBoolean(3)),
+      "degenerate re-rank must recover the exact top-k exactly")
+    val d2s = rr.map(_.getDouble(2)).toSeq
+    assert(d2s === d2s.sorted)
+  }
+
+  test("x25 >= x23: exact re-rank of a nested shortlist never loses recall") {
+    // The ADC top-10 is a PREFIX of the ADC top-50 shortlist, and in an
+    // exact re-rank every true-top-k member of the candidate set beats
+    // every non-member — so the re-ranked overlap dominates the raw one.
+    val emb = Tables.embeddings(spark, sf)
+    def overlap(df: org.apache.spark.sql.DataFrame): Long =
+      df.agg(count(when(col("in_exact_topk"), lit(1)))).collect().head.getLong(0)
+    assert(overlap(Similarity.ivfPqKnnRerank(emb))
+      >= overlap(Similarity.ivfPqKnn(emb)))
+  }
+
+  test("x26: recall is monotone in shortK (shortlists are nested prefixes)") {
+    val emb = Similarity.clusteredCorpus(Tables.embeddings(spark, sf))
+    val rc = Similarity.ivfPqRerankCurve(emb, pp = true).collect()
+      .sortBy(_.getInt(0)).map(_.getDouble(3)).toSeq
+    assert(rc.zip(rc.tail).forall { case (a, b) => a <= b },
+      s"recall fell as the shortlist grew: $rc")
+  }
+
+  test("clusteredCorpus is overflow-safe at extreme vec_id (masked hash)") {
+    // Round-11 advice: unmasked, vec_id * 2654435761 wraps BIGINT at
+    // vec_id ~ 3.5e9 in Spark while DuckDB raises. The mask must make the
+    // label equal the BigInt-exact value of the masked formula.
+    import spark.implicits._
+    val big = 5000000000L // > 2^32: would have wrapped unmasked
+    val df = Seq((big, Array.fill(4)(0.5f))).toDF("vec_id", "embedding")
+    val row = Similarity.clusteredCorpus(df).collect().head
+    val expected = ((((big % 16777216L) * 2654435761L) / 65536L) % 8L).toInt
+    assert(row.getInt(1) === expected)
+    val emb = row.getSeq[Double](2)
+    assert(emb.forall(v => !v.isNaN && math.abs(v) <= 3.5))
+  }
 }
