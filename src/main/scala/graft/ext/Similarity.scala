@@ -878,16 +878,21 @@ object Similarity {
   def pqKnn(emb: DataFrame, m: Int = 4, subDim: Int = 16, kcode: Int = 8,
       iters: Int = 2, kTop: Int = 10): DataFrame = {
     graft.functions.GraftFunctions.register(emb.sparkSession)
-    val e0 = graft.util.Caches.retain(emb.select(col("vec_id"),
+    // retainCheckpointed (see Caches): the codebook row is broadcast into
+    // 5 downstream subplans (m LUTs + the encode projection), and each
+    // broadcast-exchange job re-ran the m Lloyd chains over the cached
+    // corpus AND re-planned their full logical trees — the residual part
+    // of x18's small-SF scheduling floor after the LUT-join rewrite.
+    val e0 = graft.util.Caches.retainCheckpointed(emb.select(col("vec_id"),
       expr("transform(embedding, ex -> CAST(ex AS DOUBLE))").as("e")))
     val q = e0.orderBy("vec_id").limit(1)
       .select(col("vec_id").as("q_id"), col("e").as("qe"))
-    val cbAll = (0 until m).map { s =>
+    val cbAll = graft.util.Caches.retainCheckpointed((0 until m).map { s =>
       val off = s * subDim + 1
       lloydOver(e0.select(col("vec_id"),
           expr(s"slice(e, $off, $subDim)").as("e")), kcode, iters, pp = false)
         .agg(expr(s"graft_centroids(cluster, e, $kcode)").as(s"cents$s"))
-    }.reduce(_.crossJoin(_))
+    }.reduce(_.crossJoin(_)))
     def code(s: Int) = {
       val off = s * subDim + 1
       s"""array_min(transform(cents$s,
@@ -1030,17 +1035,23 @@ object Similarity {
       : (DataFrame, DataFrame, DataFrame, DataFrame) = {
     graft.functions.GraftFunctions.register(emb.sparkSession)
     val k1 = graft.ext.Dedup.resolveCells(emb, k1Default)
-    val a1 = graft.util.Caches.retain(
+    // retainCheckpointed, not retain: the probe path fans this relation
+    // into ~10 broadcast subplans per arm, and each broadcast-exchange job
+    // re-plans its whole logical subtree — with the farthest-point seed
+    // chain + Lloyd rounds under it that was 24 jobs / 12 s of DRIVER
+    // planning for 0.6 s of executor work. The checkpoint truncates the
+    // lineage to the materialized partitions; values identical.
+    val a1 = graft.util.Caches.retainCheckpointed(
       kmeansAssignSeeded(emb, k1, iters, pp)
         .select(col("vec_id"), col("e"), col("cluster")))
     val cv1 = a1.agg(expr(s"graft_centroids(cluster, e, $k1)").as("cents"))
       .select(explode(col("cents")).as("ct"))
       .select(col("ct.cluster").as("rc1"), col("ct.cvec").as("cv1"))
-    val resid = graft.util.Caches.retain(
+    val resid = graft.util.Caches.retainCheckpointed(
       a1.join(broadcast(cv1), col("cluster") === col("rc1"))
         .select(col("vec_id"), col("cluster").as("c1"),
           expr("zip_with(e, cv1, (x, y) -> x - y)").as("r")))
-    val cbAll = graft.util.Caches.retain((0 until m).map { s =>
+    val cbAll = graft.util.Caches.retainCheckpointed((0 until m).map { s =>
       val off = s * subDim + 1
       lloydOver(resid.select(col("vec_id"),
           expr(s"slice(r, $off, $subDim)").as("e")), kcode, iters, pp = false)
@@ -1054,40 +1065,33 @@ object Similarity {
       .select(col("rc1").as("pcell"), col("cv1").as("pcv"), col("qe"))
     // Multi-probe must re-residualize the query per probed cell — the
     // residual the index stores is relative to the cell the vector landed
-    // in (x19's lesson, applied to the PQ LUT).
+    // in (x19's lesson, applied to the PQ scoring).
     val rq = probed.select(col("pcell"),
       expr("zip_with(qe, pcv, (x, y) -> x - y)").as("rqe"))
-    // ADC LUTs keyed by (probed cell, codeword): nprobe·kcode rows per
-    // subspace, broadcast hash joins inside whole-stage codegen (x18's
-    // HOF-vs-join lesson).
-    val luts = (0 until m).map { s =>
+    // Encode + ADC-score in ONE projection: each candidate's per-subspace
+    // argmin yields the chosen codeword AND its vector, so the asymmetric
+    // distance is computed directly against the cell's query residual —
+    // identical values to the (cell, codeword)-keyed LUT join the oracle
+    // runs (ADC[s] = d2(rqe_s, codeword(code_s)) either way), but zero
+    // joins: measured, the m LUT broadcast joins cost 8 extra
+    // broadcast-exchange jobs per arm at a ~0.5 s/job driver floor. At
+    // 100 TB with STORED codes (no `r` in hand) the LUT-join form is the
+    // right scan — x18 keeps that shape on the declared surface.
+    def adcTerm(s: Int): String = {
       val off = s * subDim + 1
-      rq.crossJoin(broadcast(cbAll))
-        .select(col("pcell").as(s"pc$s"), col("rqe"),
-          explode(col(s"cents$s")).as("ct"))
-        .select(col(s"pc$s"), col("ct.cluster").as(s"cc$s"),
-          expr(s"graft_l2(slice(rqe, $off, $subDim), ct.cvec)").as(s"dd$s"))
+      s"""graft_l2(slice(rqe, $off, $subDim),
+            array_min(transform(cents$s,
+              ct -> named_struct('dd', graft_l2(slice(r, $off, $subDim),
+                                                ct.cvec),
+                                 'c', ct.cluster, 'cv', ct.cvec))).cv)"""
     }
-    def code(s: Int) = {
-      val off = s * subDim + 1
-      s"""array_min(transform(cents$s,
-           ct -> named_struct('dd', graft_l2(slice(r, $off, $subDim), ct.cvec),
-                              'c', ct.cluster))).c"""
-    }
-    val cand = resid
-      .join(broadcast(probed.select("pcell")), col("c1") === col("pcell"))
+    val adc = (0 until m).map(s => expr(adcTerm(s))).reduce(_ + _)
+    val scored = resid
+      .join(broadcast(rq), col("c1") === col("pcell"))
       .crossJoin(broadcast(q.select("q_id")))
       .filter(col("vec_id") =!= col("q_id"))
       .crossJoin(broadcast(cbAll))
-      .select(Seq(col("vec_id"), col("c1")) ++
-        (0 until m).map(s => expr(code(s)).as(s"code_$s")): _*)
-    val joined = luts.zipWithIndex.foldLeft(cand) { case (acc, (l, s)) =>
-      acc.join(broadcast(l),
-        col("c1") === col(s"pc$s") && col(s"code_$s") === col(s"cc$s"))
-    }
-    val adc = (0 until m).map(s => col(s"dd$s")).reduce(_ + _)
-    val scored = joined.withColumn("adc", adc)
-      .select("vec_id", "c1", "adc")
+      .select(col("vec_id"), col("c1"), adc.as("adc"))
     val exact = a1.crossJoin(broadcast(q))
       .filter(col("vec_id") =!= col("q_id"))
       .withColumn("d2", expr("graft_l2(e, qe)"))

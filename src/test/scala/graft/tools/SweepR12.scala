@@ -1,0 +1,111 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Round-12 measurement harness for the IVF-PQ family (x23-x26).
+  * Usage: Test/runMain graft.SweepR12 <sfDir> <mode>
+  *   pieces  — time each pipeline stage of the x24/x26 curves separately
+  *             (training, per-arm search, exact) to attribute curve cost
+  *   scale   — x18 vs x23 vs x25 min-of-2 at the given dir (the
+  *             crossover record)
+  */
+object SweepR12 {
+  def main(args: Array[String]): Unit = {
+    val spark = SparkSession.builder().master("local[32]")
+      .config("spark.sql.shuffle.partitions", 32)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val d = args(0)
+    def t[A](label: String)(f: => A): A = {
+      val t0 = System.nanoTime()
+      val r = f
+      println(f"SWEEP12 $label%-28s ${(System.nanoTime() - t0) / 1e9}%.2f s")
+      r
+    }
+    val emb0 = graft.sources.Tables.embeddings(spark, d)
+    args(1) match {
+      case "pieces" =>
+        import graft.ext.Similarity
+        graft.functions.GraftFunctions.register(spark)
+        val emb = Similarity.clusteredCorpus(emb0)
+        t("corpus count")(emb.count())
+        val a1 = t("a1 train+retain (pp)")(graft.util.Caches.retain(
+          Similarity.kmeansAssignSeeded(emb, 8, 2, pp = true)
+            .select(col("vec_id"), col("e"), col("cluster"))))
+        t("a1 count (fills cache)")(a1.count())
+        t("a1 count (warm)")(a1.count())
+        val cv1 = a1.agg(expr("graft_centroids(cluster, e, 8)").as("cents"))
+          .select(explode(col("cents")).as("ct"))
+          .select(col("ct.cluster").as("rc1"), col("ct.cvec").as("cv1"))
+        t("cv1 collect")(cv1.collect())
+        t("cv1 collect again")(cv1.collect())
+        val resid = graft.util.Caches.retain(
+          a1.join(broadcast(cv1), col("cluster") === col("rc1"))
+            .select(col("vec_id"), col("cluster").as("c1"),
+              expr("zip_with(e, cv1, (x, y) -> x - y)").as("r")))
+        t("resid count (fills cache)")(resid.count())
+        val cbAll = graft.util.Caches.retain((0 until 4).map { s =>
+          val off = s * 16 + 1
+          Similarity.lloydOver(resid.select(col("vec_id"),
+              expr(s"slice(r, $off, 16)").as("e")), 8, 2, pp = false)
+            .agg(expr(s"graft_centroids(cluster, e, 8)").as(s"cents$s"))
+        }.reduce(_.crossJoin(_)))
+        t("cbAll collect (fills cache)")(cbAll.collect())
+        t("cbAll collect (warm)")(cbAll.collect())
+        val q = a1.orderBy("vec_id").limit(1)
+          .select(col("vec_id").as("q_id"), col("e").as("qe"))
+        t("q collect")(q.collect())
+        val probed = cv1.crossJoin(broadcast(q))
+          .withColumn("dq", expr("graft_l2(cv1, qe)"))
+          .orderBy(col("dq"), col("rc1")).limit(1)
+          .select(col("rc1").as("pcell"), col("cv1").as("pcv"), col("qe"))
+        t("probed collect")(probed.collect())
+        val cand = resid
+          .join(broadcast(probed.select("pcell")), col("c1") === col("pcell"))
+          .crossJoin(broadcast(q.select("q_id")))
+          .filter(col("vec_id") =!= col("q_id"))
+          .crossJoin(broadcast(cbAll))
+          .select(Seq(col("vec_id"), col("c1")) ++
+            (0 until 4).map { s =>
+              val off = s * 16 + 1
+              expr(s"""array_min(transform(cents$s,
+                   ct -> named_struct('dd', graft_l2(slice(r, $off, 16), ct.cvec),
+                                      'c', ct.cluster))).c""").as(s"code_$s")
+            }: _*)
+        t("cand count")(cand.count())
+        t("cand count again")(cand.count())
+        val jobs = new java.util.concurrent.atomic.AtomicInteger
+        val taskMs = new java.util.concurrent.atomic.AtomicLong
+        spark.sparkContext.addSparkListener(
+          new org.apache.spark.scheduler.SparkListener {
+            override def onJobStart(
+                j: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+              jobs.incrementAndGet()
+            override def onTaskEnd(
+                e: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit =
+              if (e.taskMetrics != null)
+                taskMs.addAndGet(e.taskMetrics.executorRunTime)
+          })
+        t("full arm warm")(
+          Similarity.ivfPqKnn(emb, nprobe = 1, pp = true).count())
+        Thread.sleep(500)
+        println(s"SWEEP12 arm jobs=${jobs.get} task_exec_ms=${taskMs.get}")
+      case "scale" =>
+        Seq("x18_pq_knn", "x23_ivfpq_knn", "x25_ivfpq_rerank").foreach { q =>
+          val fn = SparkEntry.queries(q)
+          val times = (1 to 2).map { _ =>
+            val t0 = System.nanoTime()
+            fn(spark, d).write.format("noop").mode("overwrite").save()
+            (System.nanoTime() - t0) / 1e9
+          }
+          println(f"SWEEP12 $q min=${times.min}%.2f runs=${times.mkString(",")}")
+        }
+    }
+    graft.util.Caches.releaseAll()
+    spark.stop()
+  }
+}
