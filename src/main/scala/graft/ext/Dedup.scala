@@ -783,7 +783,7 @@ object Dedup {
   def semanticDedup(embeddings: DataFrame, kDefault: Int = 8, iters: Int = 2,
       tau: Double = 0.3): DataFrame = {
     val k = resolveCells(embeddings, kDefault)
-    val assigned = graft.util.Caches.retain(
+    val assigned = graft.util.Caches.retainCheckpointed(
       Similarity.kmeansAssign(embeddings, k, iters)
         .select(col("vec_id"), col("e"), col("cluster")))
     admitWithin(assigned, Seq("cluster"), tau)

@@ -399,8 +399,8 @@ object Similarity {
     * Lloyd assignment IS its nearest coarse cell, so the probe needs no
     * extra centroid pass: rank exact cosine inside that one cell
     * (nprobe=1, the x04 recall trade). The assignment relation is the SAME
-    * retained cache d17 blocks on (identical canonical plan → Spark's
-    * CacheManager dedups them), so an index-maintenance pipeline that
+    * retained checkpoint d17 blocks on (Caches.retainCheckpointed memoizes
+    * by canonicalized plan), so an index-maintenance pipeline that
     * dedups and serves pays for training once. At 100 TB `cluster` becomes
     * a parquet partition column and the probe is partition pruning at the
     * source — the real IVF serving shape.
@@ -413,7 +413,7 @@ object Similarity {
     // assignment, silently breaking the train-once contract documented
     // above.
     val k = graft.ext.Dedup.resolveCells(emb, kDefault)
-    val assigned = graft.util.Caches.retain(
+    val assigned = graft.util.Caches.retainCheckpointed(
       kmeansAssignSeeded(emb, k, iters, pp)
         .select(col("vec_id"), col("e"), col("cluster")))
     val q = assigned.orderBy("vec_id").limit(1)
@@ -475,9 +475,9 @@ object Similarity {
       nprobe: Int = 2, kTop: Int = 10, pp: Boolean = false): DataFrame = {
     graft.functions.GraftFunctions.register(emb.sparkSession)
     val k = graft.ext.Dedup.resolveCells(emb, kDefault)
-    // Same retained relation as x12/d17 (identical canonical plan →
-    // CacheManager dedups): train once, serve at any nprobe.
-    val assigned = graft.util.Caches.retain(
+    // Same retained checkpoint as x12/d17 (memoized by canonicalized
+    // plan): train once, serve at any nprobe.
+    val assigned = graft.util.Caches.retainCheckpointed(
       kmeansAssignSeeded(emb, k, iters, pp)
         .select(col("vec_id"), col("e"), col("cluster")))
     val crows = assigned
@@ -545,7 +545,7 @@ object Similarity {
       iters: Int = 2): DataFrame = {
     graft.functions.GraftFunctions.register(emb.sparkSession)
     val k1 = graft.ext.Dedup.resolveCells(emb, k1Default)
-    val a1 = graft.util.Caches.retain(
+    val a1 = graft.util.Caches.retainCheckpointed(
       kmeansAssign(emb, k1, iters)
         .select(col("vec_id"), col("e"), col("cluster")))
     val c1rows = a1.agg(expr(s"graft_centroids(cluster, e, $k1)").as("cents"))
@@ -557,7 +557,7 @@ object Similarity {
     val fine = lloydOver(resid.select(col("vec_id"), col("r").as("e")),
         k2, iters, pp = false)
       .select(col("vec_id"), col("cluster").as("c2"))
-    graft.util.Caches.retain(
+    graft.util.Caches.retainCheckpointed(
       resid.select("vec_id", "e", "c1").join(fine, "vec_id"))
   }
 

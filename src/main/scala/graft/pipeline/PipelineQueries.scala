@@ -305,8 +305,8 @@ object PipelineQueries {
     // quantizer (x11's Lloyd rounds), dedup the corpus over its cells
     // (d17), then serve an x12-style probe against the KEPT vectors only.
     // The index-maintenance capstone: the three stages share ONE retained
-    // assignment relation (identical canonical plans → Spark's
-    // CacheManager dedups them, pinned by PlanQualitySpec), so training
+    // CHECKPOINT of the assignment (Caches.retainCheckpointed memoizes by
+    // canonicalized plan, pinned by PlanQualitySpec), so training
     // executes once no matter how many stages consume it. Scale shape:
     // train = x11's broadcast/partial-agg rounds; dedup = d17's
     // cell-blocked pairs; serve = one cell's scan + TakeOrdered — the
@@ -319,7 +319,7 @@ object PipelineQueries {
         val admitted = graft.ext.Dedup.semanticDedup(emb)
           .filter(col("is_pruned") === 0).select("vec_id")
         val k = graft.ext.Dedup.resolveCells(emb, 8)
-        val assigned = graft.util.Caches.retain(
+        val assigned = graft.util.Caches.retainCheckpointed(
           graft.ext.Similarity.kmeansAssign(emb, k, 2)
             .select(col("vec_id"), col("e"), col("cluster")))
         val kept = assigned.join(admitted, Seq("vec_id"), "left_semi")

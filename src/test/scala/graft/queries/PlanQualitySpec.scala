@@ -441,12 +441,14 @@ class PlanQualitySpec extends SparkSpec {
     // scale-honest shape)
     assert(p.contains("ShuffledHashJoin"), p)
     assert(!p.contains("CartesianProduct"), p)
-    // the kmeans assignment is computed ONCE and cached — all three
-    // consumers (both pair sides + the admission left join) read the
-    // InMemoryTableScan (the printed plan inlines the cached subtree, so
-    // its broadcast rounds appear per consumer; runtime evaluates one)
-    assert(p.contains("InMemoryTableScan"), p)
-    assert(p.contains("partial_graft_centroids"), p)
+    // the kmeans assignment is TRAINED ONCE, OUTSIDE this plan: the
+    // retained checkpoint (Caches.retainCheckpointed — the round-12
+    // planning-floor fix) truncates the Lloyd lineage, so every consumer
+    // scans the materialized partitions and the serving plan carries NO
+    // training subtree at all
+    assert(p.contains("Scan ExistingRDD"), p)
+    assert(!p.contains("partial_graft_centroids"),
+      "training leaked back into the serving plan:\n" + p)
   }
 
   test("q108: sketch profile is ONE scan — every stat and every KMV ride " +
@@ -465,35 +467,38 @@ class PlanQualitySpec extends SparkSpec {
 
   test("x14: nprobe probe broadcasts; corpus never hash-exchanges") {
     val p = planOf("x14_knn_ivf_nprobe")
-    // serving centroids from the mergeable accumulator, cells ranked
-    // against the broadcast query, nprobe rows broadcast back
+    // serving centroids from the mergeable accumulator over the
+    // checkpointed assignment, cells ranked against the broadcast query,
+    // nprobe rows broadcast back
     assert(p.contains("partial_graft_centroids"), p)
     assert(p.contains("BroadcastHashJoin"), p)
     assert(p.contains("TakeOrderedAndProject"), p)
     assert(!p.contains("CartesianProduct"), p)
-    // the cached assignment is the only corpus relation; no hash exchange
-    // of it appears anywhere in the probe plan
-    assert(p.contains("InMemoryTableScan"), p)
+    // the checkpointed assignment is the only corpus relation (training
+    // lineage truncated out of the plan); no hash exchange of it appears
+    // anywhere in the probe plan
+    assert(p.contains("Scan ExistingRDD"), p)
     assert(!p.contains("Exchange hashpartitioning"), p)
   }
 
-  test("p08 lifecycle: the quantizer trains ONCE — every stage reads the " +
-      "same cache entry") {
+  test("p08 lifecycle: the quantizer trains ONCE — every stage scans the " +
+      "same checkpointed RDD") {
     val df = Catalog.byName("p08_semantic_lifecycle").run(spark, sf)
     // dedup-side pairs (2 consumers), admission base, serve-side kept scan
-    // and the query row all end at the retained assignment; the train-once
-    // contract is that they resolve to ONE CacheManager entry (identical
-    // canonical plans dedup to the same CachedRDDBuilder instance).
-    val builders = df.queryExecution.optimizedPlan.collect {
-      case r: org.apache.spark.sql.execution.columnar.InMemoryRelation
-          if r.cacheBuilder.cachedPlan.toString.contains("graft_centroids")
-        => r.cacheBuilder
+    // and the query row all end at the retained CHECKPOINT of the
+    // assignment (Caches.retainCheckpointed memoizes by canonicalized
+    // input plan); the train-once contract is that they all scan the SAME
+    // materialized RDD instance.
+    val rdds = df.queryExecution.optimizedPlan.collect {
+      case r: org.apache.spark.sql.execution.LogicalRDD
+          if r.output.map(_.name).toSet == Set("vec_id", "e", "cluster")
+        => r.rdd
     }
-    assert(builders.size >= 3,
-      s"dedup + serve stages must all read the cached assignment, " +
-        s"saw ${builders.size}")
-    assert(builders.map(System.identityHashCode).distinct.size === 1,
-      "quantizer trained more than once: distinct cache entries found")
+    assert(rdds.size >= 3,
+      s"dedup + serve stages must all read the checkpointed assignment, " +
+        s"saw ${rdds.size}")
+    assert(rdds.map(_.id).distinct.size === 1,
+      "quantizer trained more than once: distinct checkpoint RDDs found")
   }
 
   test("p08 lifecycle: serve stage is broadcast-probed, never a shuffle " +
@@ -501,17 +506,19 @@ class PlanQualitySpec extends SparkSpec {
     val p = planOf("p08_semantic_lifecycle")
     assert(p.contains("TakeOrderedAndProject"), p)
     assert(!p.contains("CartesianProduct"), p)
-    assert(p.contains("InMemoryTableScan"), p)
+    assert(p.contains("Scan ExistingRDD"), p)
   }
 
   test("d19: pair stage is a shuffled hash join on the compound cell key") {
     val p = planOf("d19_semantic_dedup_2level")
     assert(p.contains("ShuffledHashJoin"), p)
     assert(!p.contains("CartesianProduct"), p)
-    // both Lloyd levels run through the mergeable accumulator and the
-    // shared cells relation is cached for the pair sides + admission base
-    assert(p.contains("partial_graft_centroids"), p)
-    assert(p.contains("InMemoryTableScan"), p)
+    // both Lloyd levels are trained once into the checkpointed cells
+    // relation; the pair sides + admission base scan its partitions and
+    // no training subtree appears in the serving plan
+    assert(p.contains("Scan ExistingRDD"), p)
+    assert(!p.contains("partial_graft_centroids"),
+      "training leaked back into the serving plan:\n" + p)
   }
 
   test("q106: refresh reads state + pruned delta — history rows untouched") {
