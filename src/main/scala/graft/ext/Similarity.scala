@@ -1030,8 +1030,14 @@ object Similarity {
     * [[ivfPqKnnRerank]] re-ranks an ADC shortlist exactly (the production
     * serving path).
     */
-  private def ivfPqCore(emb: DataFrame, k1Default: Int, m: Int, subDim: Int,
-      kcode: Int, iters: Int, nprobe: Int, kTop: Int, pp: Boolean)
+  /** The offline IVF-PQ index build: (a1 assignment, cv1 serving-centroid
+    * rows, resid residuals, cbAll codebook row) — all lineage-truncated
+    * checkpoints. [[ivfPqCore]] consumes it for the declared batch
+    * queries; the streaming serving form (s31) broadcasts the same
+    * artifacts, so offline index and online scorer can never drift.
+    */
+  private[graft] def ivfPqIndex(emb: DataFrame, k1Default: Int, m: Int,
+      subDim: Int, kcode: Int, iters: Int, pp: Boolean)
       : (DataFrame, DataFrame, DataFrame, DataFrame) = {
     graft.functions.GraftFunctions.register(emb.sparkSession)
     val k1 = graft.ext.Dedup.resolveCells(emb, k1Default)
@@ -1057,6 +1063,28 @@ object Similarity {
           expr(s"slice(r, $off, $subDim)").as("e")), kcode, iters, pp = false)
         .agg(expr(s"graft_centroids(cluster, e, $kcode)").as(s"cents$s"))
     }.reduce(_.crossJoin(_)))
+    (a1, cv1, resid, cbAll)
+  }
+
+  /** The per-subspace "encode + asymmetric-distance" SQL term over a row
+    * holding `r` (the candidate's residual), `rqe` (the cell's query
+    * residual) and the broadcast `cents$s` codebooks — shared by the batch
+    * scorer and the streaming serving form (one definition, zero drift).
+    */
+  private[graft] def adcTermExpr(s: Int, subDim: Int): String = {
+    val off = s * subDim + 1
+    s"""graft_l2(slice(rqe, $off, $subDim),
+          array_min(transform(cents$s,
+            ct -> named_struct('dd', graft_l2(slice(r, $off, $subDim),
+                                              ct.cvec),
+                               'c', ct.cluster, 'cv', ct.cvec))).cv)"""
+  }
+
+  private def ivfPqCore(emb: DataFrame, k1Default: Int, m: Int, subDim: Int,
+      kcode: Int, iters: Int, nprobe: Int, kTop: Int, pp: Boolean)
+      : (DataFrame, DataFrame, DataFrame, DataFrame) = {
+    val (a1, cv1, resid, cbAll) =
+      ivfPqIndex(emb, k1Default, m, subDim, kcode, iters, pp)
     val q = a1.orderBy("vec_id").limit(1)
       .select(col("vec_id").as("q_id"), col("e").as("qe"))
     val probed = cv1.crossJoin(broadcast(q))
@@ -1077,15 +1105,7 @@ object Similarity {
     // broadcast-exchange jobs per arm at a ~0.5 s/job driver floor. At
     // 100 TB with STORED codes (no `r` in hand) the LUT-join form is the
     // right scan — x18 keeps that shape on the declared surface.
-    def adcTerm(s: Int): String = {
-      val off = s * subDim + 1
-      s"""graft_l2(slice(rqe, $off, $subDim),
-            array_min(transform(cents$s,
-              ct -> named_struct('dd', graft_l2(slice(r, $off, $subDim),
-                                                ct.cvec),
-                                 'c', ct.cluster, 'cv', ct.cvec))).cv)"""
-    }
-    val adc = (0 until m).map(s => expr(adcTerm(s))).reduce(_ + _)
+    val adc = (0 until m).map(s => expr(adcTermExpr(s, subDim))).reduce(_ + _)
     val scored = resid
       .join(broadcast(rq), col("c1") === col("pcell"))
       .crossJoin(broadcast(q.select("q_id")))
@@ -1154,8 +1174,13 @@ object Similarity {
     * the prune — codes are a pure function of (vector, codebooks), so the
     * compared results are identical.)
     */
-  private def ivfPqBaseCtes(k1: Int, m: Int, subDim: Int, kcode: Int,
-      iters: Int, kTop: Int, src: String,
+  /** The index-build half of [[ivfPqBaseCtes]] — chains, serving
+    * centroids, residuals, full-corpus codes — with no query bound yet;
+    * the streaming serving oracle (s31) appends its own multi-query
+    * probe block.
+    */
+  private[graft] def ivfPqIndexCtes(k1: Int, m: Int, subDim: Int, kcode: Int,
+      iters: Int, src: String,
       seed: Option[String] = None): String = {
     val subs = (0 until m).map { s =>
       val off = s * subDim
@@ -1183,13 +1208,18 @@ object Similarity {
         $subs,
         pqcodes AS MATERIALIZED (SELECT residp.vec_id, residp.c1,
                            ${(0 until m).map(s => s"code_$s").mkString(", ")}
-                    FROM residp $codeJoin),
+                    FROM residp $codeJoin)"""
+  }
+
+  private def ivfPqBaseCtes(k1: Int, m: Int, subDim: Int, kcode: Int,
+      iters: Int, kTop: Int, src: String,
+      seed: Option[String] = None): String =
+    s"""${ivfPqIndexCtes(k1, m, subDim, kcode, iters, src, seed)},
         q AS MATERIALIZED (SELECT vec_id AS q_id, e AS qe
               FROM a$iters ORDER BY vec_id LIMIT 1),
         pqexact AS MATERIALIZED (SELECT z.vec_id FROM a$iters z, q
                     WHERE z.vec_id <> q_id
                     ORDER BY ${duckD2("z.e", "qe")}, z.vec_id LIMIT $kTop)"""
-  }
 
   /** Per-nprobe probe/LUT/score block over [[ivfPqBaseCtes]]'s relations;
     * ends with `${pfx}scored(vec_id, c1, adc)`.

@@ -764,6 +764,89 @@ object StreamingQ {
       .toDF()
   }
 
+  /** Typed rows for the streaming IVF-PQ server (s31). */
+  final case class AdcCand(q_id: Long, vec_id: Long, c1: Int, adc: Double)
+  final case class AdcTopKState(entries: Seq[AdcCand])
+
+  /** s31's per-query state: the running ADC-top-k shortlist (s29's
+    * admission-log discipline with the ordering flipped to ascending
+    * asymmetric distance). A candidate is admitted iff it beats the
+    * current k-th (strict (adc, vec_id) order — a deterministic total
+    * order, so the post-drain rank over the admission log equals the true
+    * top-k independent of micro-batch slicing and in-batch order: a true
+    * member beats every possible k-th at any arrival time). State is
+    * O(|queries|·k) forever.
+    */
+  final class AdcShortlistProcessor(k: Int)
+      extends StatefulProcessor[Long, AdcCand, AdcCand] {
+    @transient private var st: org.apache.spark.sql.streaming.ValueState[AdcTopKState] = _
+
+    private def beats(a: AdcCand, b: AdcCand): Boolean =
+      a.adc < b.adc || (a.adc == b.adc && a.vec_id < b.vec_id)
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      st = getHandle.getValueState[AdcTopKState]("adctopk",
+        org.apache.spark.sql.Encoders.product[AdcTopKState], TTLConfig.NONE)
+
+    override def handleInputRows(key: Long, rows: Iterator[AdcCand],
+        tv: TimerValues): Iterator[AdcCand] = {
+      var entries = if (st.exists()) st.get().entries else Seq.empty[AdcCand]
+      val admitted = scala.collection.mutable.ArrayBuffer[AdcCand]()
+      for (c <- rows) {
+        if (entries.size < k || beats(c, entries.last)) {
+          admitted += c
+          entries = (entries :+ c)
+            .sortBy(e => (e.adc, e.vec_id)).take(k)
+        }
+      }
+      st.update(AdcTopKState(entries))
+      admitted.iterator
+    }
+  }
+
+  /** s31: STREAMING IVF-PQ SERVING — the composed index's online form
+    * (as s29 is x07's and s30 is d17's): arriving corpus vectors are
+    * ingested against an OFFLINE-TRAINED IVF-PQ index (s30's
+    * offline-train/online-serve lifecycle applied to retrieval). Per
+    * arrival: assign its coarse cell with the broadcast trained-centroid
+    * artifact (bit-for-bit the batch cell — s30's pinned contract),
+    * residualize against the broadcast serving centroid, PRUNE to the
+    * static query set's probed cells (the stream-static join on c1 —
+    * arrivals outside every query's nprobe cells are dropped before any
+    * scoring, s29's score-everything shape with the index's prune in
+    * front), ADC-score with the shared [[graft.ext.Similarity
+    * .adcTermExpr]] term, and keep a per-query running shortlist
+    * ([[AdcShortlistProcessor]]). At 100 TB this is continuous index
+    * ingestion with bounded serving state: per-batch cost ∝ the probed
+    * fraction of the batch, state O(|queries|·shortK), sink ∝ admissions.
+    */
+  def ivfPqServeXform(s: SparkSession, assignCents: DataFrame,
+      cv1: DataFrame, cbAll: DataFrame, probes: DataFrame, m: Int = 4,
+      subDim: Int = 16, shortK: Int = 50)(src: DataFrame): DataFrame = {
+    import s.implicits._
+    graft.functions.GraftFunctions.register(s)
+    val adc = (0 until m)
+      .map(s2 => expr(graft.ext.Similarity.adcTermExpr(s2, subDim)))
+      .reduce(_ + _)
+    src.select(col("vec_id"),
+        expr("transform(embedding, ex -> CAST(ex AS DOUBLE))").as("e"))
+      .crossJoin(broadcast(assignCents))
+      .withColumn("best", expr(graft.ext.Similarity.bestCellExpr))
+      .select(col("vec_id"), col("e"), col("best.c").as("c1"))
+      .join(broadcast(cv1), col("c1") === col("rc1"))
+      .select(col("vec_id"), col("c1"),
+        expr("zip_with(e, cv1, (x, y) -> x - y)").as("r"))
+      .join(broadcast(probes), col("c1") === col("pcell"))
+      .filter(col("vec_id") =!= col("q_id"))
+      .crossJoin(broadcast(cbAll))
+      .select(col("q_id"), col("vec_id"), col("c1"), adc.as("adc"))
+      .as[AdcCand]
+      .groupByKey(_.q_id)
+      .transformWithState(new AdcShortlistProcessor(shortK),
+        TimeMode.None(), OutputMode.Append())
+      .toDF()
+  }
+
   /** Scope the RocksDB state-store provider (the transformWithState
     * requirement and the honest 100 TB backend) around `body`.
     */
@@ -1602,6 +1685,112 @@ object StreamingQ {
                    CAST(CASE WHEN z.vec_id <> rid AND $cos > 0.3
                              THEN 1 ELSE 0 END AS INT) AS is_pruned
             FROM a2 z JOIN rep ON z.cluster = rc"""
+      })),
+
+    // s31: streaming IVF-PQ serving (see ivfPqServeXform): the x23/x25
+    // composed index's online form — offline-trained artifacts broadcast,
+    // arrivals pruned to the 8-query set's probed cells BEFORE scoring,
+    // ADC via the shared term, per-query running shortlist in state, and
+    // the x25 exact-re-rank tail applied post-drain. The oracle is the
+    // same index chains + a multi-query probe block, batch-equivalent
+    // because the drained stream IS the corpus.
+    Q("s31_stream_ivfpq_serve",
+      (s, d) => withRocksDb(s) {
+        import org.apache.spark.sql.expressions.Window
+        graft.functions.GraftFunctions.register(s)
+        val emb = Tables.embeddings(s, d)
+        val (a1, cv1, _, cbAll) = graft.ext.Similarity.ivfPqIndex(
+          emb, 8, 4, 16, 8, 2, pp = false)
+        val assignCents = graft.ext.Similarity.kmeansTrainedCentroids(emb)
+        val qset = a1.orderBy("vec_id").limit(8)
+          .select(col("vec_id").as("q_id"), col("e").as("qe"))
+        val probes = qset.crossJoin(broadcast(cv1))
+          .withColumn("dq", expr("graft_l2(cv1, qe)"))
+          .withColumn("rn", row_number().over(
+            Window.partitionBy("q_id").orderBy(col("dq"), col("rc1"))))
+          .filter(col("rn") <= 2)
+          .select(col("q_id"), col("rc1").as("pcell"),
+            expr("zip_with(qe, cv1, (x, y) -> x - y)").as("rqe"))
+        val admitted = runFileStream(s, s"$d/embeddings.parquet")(
+          ivfPqServeXform(s, assignCents, cv1, cbAll, probes))
+        val short = admitted.withColumn("rn", row_number().over(
+            Window.partitionBy("q_id").orderBy(col("adc"), col("vec_id"))))
+          .filter(col("rn") <= 50).select("q_id", "vec_id", "c1")
+        val top = a1.join(broadcast(short), "vec_id")
+          .join(broadcast(qset), "q_id")
+          .withColumn("d2", expr("graft_l2(e, qe)"))
+          .withColumn("rn", row_number().over(
+            Window.partitionBy("q_id").orderBy(col("d2"), col("vec_id"))))
+          .filter(col("rn") <= 5).select("q_id", "vec_id", "c1", "d2")
+        val exact = a1.crossJoin(broadcast(qset))
+          .filter(col("vec_id") =!= col("q_id"))
+          .withColumn("d2x", expr("graft_l2(e, qe)"))
+          .withColumn("rn", row_number().over(
+            Window.partitionBy("q_id").orderBy(col("d2x"), col("vec_id"))))
+          .filter(col("rn") <= 5)
+          .select(col("q_id").as("eq"), col("vec_id").as("evid"))
+        top.join(broadcast(exact),
+            col("q_id") === col("eq") && col("vec_id") === col("evid"),
+            "left_outer")
+          .select(col("q_id"), col("vec_id"), col("c1"), col("d2"),
+            col("evid").isNotNull.as("in_exact_topk"))
+      },
+      Some(graft.ext.Dedup.guardAuto(graft.ext.Dedup.KmeansCellsKey) {
+        val k1 = graft.ext.Dedup.confInt(graft.ext.Dedup.KmeansCellsKey, 8)
+        val (m, subDim) = (4, 16)
+        val d2 = graft.ext.Similarity.duckD2 _
+        val luts = (0 until m).map { sx =>
+          val off = sx * subDim
+          s"""lut$sx AS (SELECT p.q_id, p.pcell AS pc$sx,
+                               c.cluster AS cc$sx,
+                               ${d2(
+                                 s"list_slice(p.rqe, ${off + 1}, ${off + subDim})",
+                                 "c.cvec")} AS dd$sx
+                        FROM probes p, v${sx}cvF c)"""
+        }.mkString(",\n")
+        val lutJoin = (0 until m).map { sx =>
+          val qEq = if (sx == 0) "" else s"lut$sx.q_id = lut0.q_id AND "
+          s"JOIN lut$sx ON ${qEq}k.c1 = pc$sx AND k.code_$sx = cc$sx"
+        }.mkString(" ")
+        val adc = (0 until m).map(sx => s"dd$sx")
+          .reduce((a, b) => s"($a + $b)")
+        s"""WITH ${graft.ext.Similarity.ivfPqIndexCtes(
+               k1, m, subDim, 8, 2, src = "embeddings")},
+             qs AS MATERIALIZED (SELECT vec_id AS q_id, e AS qe
+                   FROM a2 ORDER BY vec_id LIMIT 8),
+             probes AS MATERIALIZED (
+               SELECT q_id, pcell, rqe FROM (
+                 SELECT q.q_id, c.cluster AS pcell,
+                        list_transform(range(1, len(q.qe) + 1),
+                                       i -> q.qe[i] - c.cvec[i]) AS rqe,
+                        ROW_NUMBER() OVER (PARTITION BY q.q_id
+                          ORDER BY ${d2("c.cvec", "q.qe")}, c.cluster) AS rn
+                 FROM qs q, cvF c) WHERE rn <= 2),
+             $luts,
+             scored AS MATERIALIZED (
+               SELECT lut0.q_id, k.vec_id, k.c1, $adc AS adc
+               FROM pqcodes k $lutJoin
+               WHERE k.vec_id <> lut0.q_id),
+             short AS (SELECT q_id, vec_id, c1 FROM (
+                 SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id
+                   ORDER BY adc, vec_id) AS rn FROM scored) WHERE rn <= 50),
+             rr0 AS (SELECT s.q_id, s.vec_id, s.c1,
+                            ${d2("z.e", "q.qe")} AS d2
+                     FROM short s JOIN a2 z ON z.vec_id = s.vec_id
+                                  JOIN qs q ON q.q_id = s.q_id),
+             rr AS (SELECT q_id, vec_id, c1, d2 FROM (
+                 SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id
+                   ORDER BY d2, vec_id) AS rn FROM rr0) WHERE rn <= 5),
+             mex AS (SELECT q_id, vec_id FROM (
+                 SELECT q.q_id, z.vec_id,
+                        ROW_NUMBER() OVER (PARTITION BY q.q_id
+                          ORDER BY ${d2("z.e", "q.qe")}, z.vec_id) AS rn
+                 FROM a2 z, qs q WHERE z.vec_id <> q.q_id) WHERE rn <= 5)
+        SELECT t.q_id, t.vec_id, t.c1, t.d2,
+               EXISTS (SELECT 1 FROM mex
+                       WHERE mex.q_id = t.q_id
+                         AND mex.vec_id = t.vec_id) AS in_exact_topk
+        FROM rr t"""
       })),
 
 

@@ -321,6 +321,72 @@ class StreamingChaosSpec extends SparkSpec {
       "s29: restarted rank diverges from the batch kNN relation")
   }
 
+  test("s31 per-query ADC shortlist state survives a crash at batch k " +
+      "(post-drain rank = clean run)") {
+    // Same embeddings split as the s29 chaos test; the offline index
+    // artifacts are trained from the unsplit table exactly as the s31
+    // catalog query does. The admission LOG is order-sensitive; the
+    // declared output is the post-drain rank — that is what must survive
+    // the crash. (Batch equality of the full serve tail is the s31
+    // oracle gate's job; this pins the STATE machinery across recovery.)
+    val raw = s.read.parquet(s"$sf/embeddings.parquet")
+    val dir = Scratch.dir("graft_chaos_s31_src")
+    val w0 = org.apache.spark.sql.expressions.Window.orderBy(col("vec_id"))
+    val sliced = raw.withColumn("__b", ntile(nFiles).over(w0)).cache()
+    (1 to nFiles).foreach { i =>
+      val tmp = Scratch.dir(s"graft_chaos_s31_tmp$i")
+      sliced.filter(col("__b") === i).drop("__b")
+        .coalesce(1).write.mode("overwrite").parquet(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .find(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet"))
+        .getOrElse(fail(s"no part file in $tmp"))
+      val dst = new java.io.File(dir, f"emb_$i%02d.parquet")
+      Files.move(part.toPath, dst.toPath)
+      assert(dst.setLastModified(1700000000000L + i * 60000L))
+    }
+    sliced.unpersist()
+
+    graft.functions.GraftFunctions.register(s)
+    val emb = Tables.embeddings(s, sf)
+    val (a1, cv1, _, cbAll) = graft.ext.Similarity.ivfPqIndex(
+      emb, 8, 4, 16, 8, 2, pp = false)
+    val assignCents = graft.ext.Similarity.kmeansTrainedCentroids(emb)
+    val qset = a1.orderBy("vec_id").limit(8)
+      .select(col("vec_id").as("q_id"), col("e").as("qe"))
+    val wp = org.apache.spark.sql.expressions.Window
+      .partitionBy("q_id").orderBy(col("dq"), col("rc1"))
+    val probes = qset.crossJoin(broadcast(cv1))
+      .withColumn("dq", expr("graft_l2(cv1, qe)"))
+      .withColumn("rn", row_number().over(wp)).filter(col("rn") <= 2)
+      .select(col("q_id"), col("rc1").as("pcell"),
+        expr("zip_with(qe, cv1, (x, y) -> x - y)").as("rqe"))
+    val xform = StreamingQ.ivfPqServeXform(
+      s, assignCents, cv1, cbAll, probes)(_)
+
+    def rank(p: String): Seq[String] = {
+      val win = org.apache.spark.sql.expressions.Window
+        .partitionBy("q_id").orderBy(col("adc"), col("vec_id"))
+      s.read.parquet(p)
+        .withColumn("rn", row_number().over(win)).filter(col("rn") <= 5)
+        .drop("rn").collect().map(_.toString).sorted.toSeq
+    }
+
+    val cleanOut = Scratch.dir("graft_chaos_s31_clean_out")
+    runSplit(dir, raw.schema, "vec_id", xform,
+      cleanOut, Scratch.dir("graft_chaos_s31_clean_ck"), None)
+
+    val out = Scratch.dir("graft_chaos_s31_out")
+    val ckpt = Scratch.dir("graft_chaos_s31_ck")
+    assert(runSplit(dir, raw.schema, "vec_id", xform, out, ckpt, Some(2)),
+      "s31: injected crash did not terminate the query")
+    runSplit(dir, raw.schema, "vec_id", xform, out, ckpt, None)
+
+    val restarted = rank(out)
+    assert(restarted.nonEmpty)
+    assert(restarted === rank(cleanOut),
+      "s31: restarted ADC shortlist rank differs from uninterrupted run")
+  }
+
   test("s30 per-cell representative state survives a crash at batch k " +
       "(verdicts = clean run = batch oracle)") {
     // embeddings split into vec_id-ordered files (the ordered-replay

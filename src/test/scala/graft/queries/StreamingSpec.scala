@@ -737,6 +737,73 @@ class StreamingSpec extends SparkSpec {
       "the batch-b arrival must displace batch-a admissions via state")
   }
 
+  test("streaming IVF-PQ serving is independent of micro-batch slicing " +
+      "(s31)") {
+    // The ADC shortlist's admission-log discipline (s29's argument, ADC
+    // ordering): the post-drain rank over admissions must be identical
+    // whether the corpus arrives as one micro-batch or two — a true
+    // shortlist member beats every possible k-th at any arrival time, so
+    // it is admitted under any slicing.
+    val s = spark
+    val d = "/root/testdata/sf0.001"
+    graft.functions.GraftFunctions.register(s)
+    val emb = graft.sources.Tables.embeddings(s, d)
+    val (a1, cv1, _, cbAll) = graft.ext.Similarity.ivfPqIndex(
+      emb, 8, 4, 16, 8, 2, pp = false)
+    val assignCents = graft.ext.Similarity.kmeansTrainedCentroids(emb)
+    val qset = a1.orderBy("vec_id").limit(8)
+      .select(col("vec_id").as("q_id"), col("e").as("qe"))
+    val w0 = org.apache.spark.sql.expressions.Window
+      .partitionBy("q_id").orderBy(col("dq"), col("rc1"))
+    val probes = qset.crossJoin(broadcast(cv1))
+      .withColumn("dq", expr("graft_l2(cv1, qe)"))
+      .withColumn("rn", row_number().over(w0)).filter(col("rn") <= 2)
+      .select(col("q_id"), col("rc1").as("pcell"),
+        expr("zip_with(qe, cv1, (x, y) -> x - y)").as("rqe"))
+
+    def serve(split: Boolean): Seq[String] = {
+      val srcDir = Files.createTempDirectory(s"graft_s31_src_$split").toString
+      val out    = Files.createTempDirectory(s"graft_s31_out_$split").toString
+      val ckpt   = Files.createTempDirectory(s"graft_s31_ck_$split").toString
+      def addFile(name: String, mtime: Long,
+          df: org.apache.spark.sql.DataFrame): Unit = {
+        val stage = Files.createTempDirectory(s"graft_s31_$name").toString
+        df.coalesce(1).write.mode("overwrite").parquet(stage)
+        val part = new File(stage).listFiles()
+          .find(_.getName.endsWith(".parquet")).get
+        Files.move(part.toPath, Paths.get(srcDir, s"$name.parquet"))
+        Paths.get(srcDir, s"$name.parquet").toFile.setLastModified(mtime)
+      }
+      if (split) {
+        addFile("a", 1700000000000L, emb.filter(col("vec_id") % 2 === 0))
+        addFile("b", 1700000060000L, emb.filter(col("vec_id") % 2 === 1))
+      } else addFile("all", 1700000000000L, emb)
+      StreamingQ.withRocksDb(s) {
+        StreamingQ.withStateParts(s) {
+          val strq = StreamingQ.ivfPqServeXform(
+              s, assignCents, cv1, cbAll, probes)(
+              s.readStream.schema(emb.schema)
+                .option("maxFilesPerTrigger", 1).parquet(srcDir))
+            .writeStream.format("parquet").outputMode("append")
+            .option("checkpointLocation", ckpt).option("path", out)
+            .trigger(Trigger.AvailableNow()).start()
+          strq.awaitTermination()
+        }
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("q_id").orderBy(col("adc"), col("vec_id"))
+        s.read.parquet(out)
+          .withColumn("rn", row_number().over(w)).filter(col("rn") <= 5)
+          .orderBy("q_id", "rn").select("q_id", "vec_id", "adc")
+          .collect().map(_.toString).toSeq
+      }
+    }
+    val one = serve(split = false)
+    val two = serve(split = true)
+    assert(one.nonEmpty)
+    assert(one === two,
+      "the served top-5 must not depend on micro-batch slicing")
+  }
+
   test("running z-score flags are identical under any micro-batch slicing") {
     val s = spark
     import s.implicits._
