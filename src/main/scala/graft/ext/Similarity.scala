@@ -1050,9 +1050,10 @@ object Similarity {
     val a1 = graft.util.Caches.retainCheckpointed(
       kmeansAssignSeeded(emb, k1, iters, pp)
         .select(col("vec_id"), col("e"), col("cluster")))
-    val cv1 = a1.agg(expr(s"graft_centroids(cluster, e, $k1)").as("cents"))
-      .select(explode(col("cents")).as("ct"))
-      .select(col("ct.cluster").as("rc1"), col("ct.cvec").as("cv1"))
+    val cv1 = graft.util.Caches.retainCheckpointed(
+      a1.agg(expr(s"graft_centroids(cluster, e, $k1)").as("cents"))
+        .select(explode(col("cents")).as("ct"))
+        .select(col("ct.cluster").as("rc1"), col("ct.cvec").as("cv1")))
     val resid = graft.util.Caches.retainCheckpointed(
       a1.join(broadcast(cv1), col("cluster") === col("rc1"))
         .select(col("vec_id"), col("cluster").as("c1"),

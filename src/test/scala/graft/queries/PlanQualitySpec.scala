@@ -521,6 +521,32 @@ class PlanQualitySpec extends SparkSpec {
       "training leaked back into the serving plan:\n" + p)
   }
 
+  test("x23: IVFADC scores only probed cells — no corpus exchange, no " +
+      "training subtree, broadcast-only probe") {
+    val p = planOf("x23_ivfpq_knn")
+    // the index artifacts are checkpointed scans; the serving plan holds
+    // no Lloyd/codebook training and never hash-exchanges the corpus
+    assert(p.contains("Scan ExistingRDD"), p)
+    assert(!p.contains("partial_graft_centroids"),
+      "training leaked back into the serving plan:\n" + p)
+    assert(!p.contains("Exchange hashpartitioning"), p)
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(p.contains("TakeOrderedAndProject"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
+  test("x25: the re-rank touches shortK point reads, not the corpus") {
+    val p = planOf("x25_ivfpq_rerank")
+    // shortlist broadcast back against the checkpointed full-precision
+    // relation: broadcast join + TakeOrdered, no corpus-side exchange
+    assert(p.contains("Scan ExistingRDD"), p)
+    assert(!p.contains("Exchange hashpartitioning"), p)
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(p.contains("TakeOrderedAndProject"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
   test("q106: refresh reads state + pruned delta — history rows untouched") {
     val p = planOf("q106_incremental_agg")
     assert(p.contains("partial_sum"), p)
