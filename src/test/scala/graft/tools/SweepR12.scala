@@ -104,6 +104,20 @@ object SweepR12 {
           }
           println(f"SWEEP12 $q min=${times.min}%.2f runs=${times.mkString(",")}")
         }
+      case "recall" =>
+        // the x24/x26 curve values at this dir's corpus size (the gates
+        // declare them at sf0.01/sf0.1; this reads how they move with
+        // cluster size — e.g. does shortK=200 still saturate when the
+        // planted clusters are 10x larger?)
+        val emb = graft.ext.Similarity.clusteredCorpus(emb0)
+        graft.ext.Similarity.ivfPqRecallCurve(emb, pp = true)
+          .collect().sortBy(_.getInt(0)).foreach(r =>
+            println(s"SWEEP12 x24 nprobe=${r.getInt(0)} " +
+              s"recall=${r.getDouble(3)}"))
+        graft.ext.Similarity.ivfPqRerankCurve(emb, pp = true)
+          .collect().sortBy(_.getInt(0)).foreach(r =>
+            println(s"SWEEP12 x26 shortK=${r.getInt(0)} " +
+              s"recall=${r.getDouble(3)}"))
     }
     graft.util.Caches.releaseAll()
     spark.stop()
