@@ -118,6 +118,28 @@ object SweepR12 {
           .collect().sortBy(_.getInt(0)).foreach(r =>
             println(s"SWEEP12 x26 shortK=${r.getInt(0)} " +
               s"recall=${r.getDouble(3)}"))
+      // `recall4`: the rerank curve at nprobe=4 — measures whether the
+      // shortK ceiling (a truth member outside the nprobe=2 cells) lifts
+      // when the probe widens, i.e. the "nprobe buys the ceiling" claim.
+      case "recall4" =>
+        val emb = graft.ext.Similarity.clusteredCorpus(emb0)
+        graft.ext.Similarity.ivfPqRerankCurve(emb, pp = true, nprobe = 4)
+          .collect().sortBy(_.getInt(0)).foreach(r =>
+            println(s"SWEEP12 x26np4 shortK=${r.getInt(0)} " +
+              s"recall=${r.getDouble(3)}"))
+      // `auto`: the production posture — kmeansCells=auto derives k1 from
+      // the corpus (occupancy ~256), modulo seed (a pp chain at k1~200 is
+      // ~200 corpus passes). Measures whether bounded occupancy restores
+      // the small-shortK recall the fixed-k1=8 run loses at 10x.
+      case "auto" =>
+        spark.conf.set(graft.ext.Dedup.KmeansCellsKey, "auto")
+        try {
+          val emb = graft.ext.Similarity.clusteredCorpus(emb0)
+          graft.ext.Similarity.ivfPqRerankCurve(emb)
+            .collect().sortBy(_.getInt(0)).foreach(r =>
+              println(s"SWEEP12 x26auto shortK=${r.getInt(0)} " +
+                s"recall=${r.getDouble(3)}"))
+        } finally spark.conf.unset(graft.ext.Dedup.KmeansCellsKey)
     }
     graft.util.Caches.releaseAll()
     spark.stop()
