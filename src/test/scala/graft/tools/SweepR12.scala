@@ -132,12 +132,20 @@ object SweepR12 {
       // ~200 corpus passes). Measures whether bounded occupancy restores
       // the small-shortK recall the fixed-k1=8 run loses at 10x.
       case "auto" =>
+        // optional 3rd arg: nprobe (default 2) — the co-sizing check:
+        // auto-k1 shrinks cells ~10x, so the probe fraction must grow
+        // ~10x to hold the recall ceiling.
+        val np = if (args.length > 2) args(2).toInt else 2
         spark.conf.set(graft.ext.Dedup.KmeansCellsKey, "auto")
         try {
           val emb = graft.ext.Similarity.clusteredCorpus(emb0)
-          graft.ext.Similarity.ivfPqRerankCurve(emb)
+          // pp=true to match the fixed-k1 baseline curves — comparing an
+          // auto-k1 modulo-seed run against a pp-seeded baseline would
+          // conflate the seeding with the cell count (caught when the
+          // first auto run read identical curves at nprobe 2 and 16)
+          graft.ext.Similarity.ivfPqRerankCurve(emb, pp = true, nprobe = np)
             .collect().sortBy(_.getInt(0)).foreach(r =>
-              println(s"SWEEP12 x26auto shortK=${r.getInt(0)} " +
+              println(s"SWEEP12 x26auto np=$np shortK=${r.getInt(0)} " +
                 s"recall=${r.getDouble(3)}"))
         } finally spark.conf.unset(graft.ext.Dedup.KmeansCellsKey)
     }
