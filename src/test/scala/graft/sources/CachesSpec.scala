@@ -39,6 +39,36 @@ class CachesSpec extends SparkSpec {
     Caches.releaseAll()
   }
 
+  test("retainCheckpointed memoizes by plan, truncates lineage, and " +
+      "releases") {
+    val s = spark
+    import s.implicits._
+    Caches.releaseAll()
+    def build() = Seq((1L, 2.0), (2L, 4.0)).toDF("id", "v")
+      .withColumn("w", col("v") * 2)
+    val a = Caches.retainCheckpointed(build())
+    val b = Caches.retainCheckpointed(build())
+    // memo hit: an identical canonical plan returns the SAME checkpointed
+    // frame — the train-once contract's mechanism
+    assert(a eq b, "identical plans must resolve to one checkpoint")
+    // lineage truncated: the plan is a scan of the materialized RDD, not
+    // the original projection tree
+    assert(a.queryExecution.optimizedPlan.collectLeaves().exists(
+      _.isInstanceOf[org.apache.spark.sql.execution.LogicalRDD]),
+      a.queryExecution.optimizedPlan.toString)
+    // values identical to the source plan
+    assert(a.orderBy("id").collect().map(_.toString).toSeq
+      === build().orderBy("id").collect().map(_.toString).toSeq)
+    // a DIFFERENT plan gets its own checkpoint
+    val c = Caches.retainCheckpointed(build().filter(col("id") > 1))
+    assert(!(c eq a))
+    Caches.releaseAll()
+    // after release the memo is empty: the same plan re-checkpoints fresh
+    val d = Caches.retainCheckpointed(build())
+    assert(!(d eq a), "releaseAll must clear the checkpoint memo")
+    Caches.releaseAll()
+  }
+
   test("no naked .persist() remains in library code (grep-style audit)") {
     // Source-level guard for the review bar: every persist call in
     // src/main goes through Caches.retain or carries a matching unpersist
