@@ -1391,6 +1391,72 @@ object Similarity {
         $armSelects"""
   }
 
+  /** x27: FILTERED ANN — the "vector search + metadata predicate" problem
+    * every production deployment hits: the true answer is the top-k AMONG
+    * rows satisfying the filter, and the two classic strategies differ in
+    * both cost and correctness:
+    *   - PRE-FILTER: apply the predicate first, exact-rank the survivors.
+    *     Spark-first this is the plan you want at selective predicates —
+    *     the filter is a plain column predicate, so it reaches the
+    *     parquet scan (PushedFilters; at 100 TB with label a partition
+    *     column, partition pruning) and the exact kernel touches only
+    *     survivors. ALWAYS correct.
+    *   - POST-FILTER: run the unfiltered ANN top-k, then filter. Cheap
+    *     (index-speed) but structurally lossy: matching vectors pushed
+    *     out of the unfiltered top-k by non-matching neighbors are GONE —
+    *     the classic post-filter recall hole.
+    * The declared contract returns the pre-filter exact answer with an
+    * `in_postfilter` flag per row (the x09/x18 inline-measurement
+    * discipline applied to filtering): the flag column IS the measured
+    * recall hole, hash-gated at every SF. Cost shape: the pre arm is one
+    * pushed-down scan + TakeOrdered (no shuffle); the post arm reuses the
+    * checkpointed IVF index and its ≤ k rows join broadcast.
+    */
+  def filteredKnn(emb: DataFrame, kDefault: Int = 8, iters: Int = 2,
+      nprobe: Int = 2, target: Int = 3, kTop: Int = 10): DataFrame = {
+    graft.functions.GraftFunctions.register(emb.sparkSession)
+    val q = emb.orderBy("vec_id").limit(1)
+      .select(col("vec_id").as("q_id"), col("embedding").as("qe"))
+    val pre = emb.filter(col("label") === target)
+      .crossJoin(broadcast(q))
+      .filter(col("vec_id") =!= col("q_id"))
+      .withColumn("cos_sim", expr("graft_cos(embedding, qe)"))
+      .select("vec_id", "label", "cos_sim")
+      .orderBy(col("cos_sim").desc, col("vec_id")).limit(kTop)
+    val post = knnIvfLearnedProbe(emb, kDefault, iters, nprobe, kTop)
+      .select(col("vec_id").as("pvid"))
+    // the ≤ k post-filter candidates broadcast against the label column;
+    // the corpus never exchanges for the flag
+    val postMatching = emb.select(col("vec_id").as("lvid"), col("label"))
+      .join(broadcast(post), col("lvid") === col("pvid"))
+      .filter(col("label") === target)
+      .select(col("pvid"))
+    pre.join(broadcast(postMatching), col("vec_id") === col("pvid"),
+        "left_outer")
+      .select(col("vec_id"), col("label"), col("cos_sim"),
+        col("pvid").isNotNull.as("in_postfilter"))
+  }
+
+  def filteredKnnSql(k: Int = graft.ext.Dedup.confInt(
+        graft.ext.Dedup.KmeansCellsKey, 8),
+      iters: Int = 2, nprobe: Int = 2, target: Int = 3,
+      kTop: Int = 10): String =
+    s"""WITH fq AS (SELECT vec_id AS q_id, embedding AS qe
+                    FROM embeddings ORDER BY vec_id LIMIT 1),
+             pre AS (SELECT e.vec_id, e.label,
+                            ${duckCos("e.embedding", "qe")} AS cos_sim
+                     FROM embeddings e, fq
+                     WHERE e.label = $target AND e.vec_id <> q_id
+                     ORDER BY cos_sim DESC, e.vec_id LIMIT $kTop),
+             post AS (SELECT t.vec_id
+                      FROM (${knnIvfLearnedProbeSql(k, iters, nprobe,
+                              kTop)}) t
+                      JOIN embeddings l ON t.vec_id = l.vec_id
+                      WHERE l.label = $target)
+        SELECT p.vec_id, p.label, p.cos_sim,
+               p.vec_id IN (SELECT vec_id FROM post) AS in_postfilter
+        FROM pre p"""
+
   /** x13: the learned-cell family's RECALL GATE (x06's discipline applied
     * to x12/x14) — recall@k of the IVF probe against x01's exact top-k, as
     * a recall-vs-nprobe CURVE: one row per nprobe ∈ {1, 2}. This is the
@@ -2022,6 +2088,15 @@ object SimilarityQueries {
         Similarity.clusteredCorpus(Tables.embeddings(s, d)), pp = true),
       Some(graft.ext.Dedup.guardAuto(graft.ext.Dedup.KmeansCellsKey)(
         Similarity.ivfPqRerankCurveSql(src = "clustered",
-          pre = Similarity.clusteredCteSql, pp = true))))
+          pre = Similarity.clusteredCteSql, pp = true)))),
+
+    // x27: filtered ANN — pre-filter exact (predicate pushed to the scan)
+    // with the post-filter arm's recall hole flagged per row (see
+    // Similarity.filteredKnn: the two classic strategies, one declared
+    // contract, the loss measured inline).
+    Q("x27_filtered_knn",
+      (s, d) => Similarity.filteredKnn(Tables.embeddings(s, d)),
+      Some(graft.ext.Dedup.guardAuto(graft.ext.Dedup.KmeansCellsKey)(
+        Similarity.filteredKnnSql())))
   )
 }

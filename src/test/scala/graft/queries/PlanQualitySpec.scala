@@ -547,6 +547,21 @@ class PlanQualitySpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), p)
   }
 
+  test("x27: the pre-filter predicate reaches the parquet scan; the flag " +
+      "is broadcast-only") {
+    val p = planOf("x27_filtered_knn")
+    // the whole point of pre-filtering in Spark: the label predicate is a
+    // plain column filter, so it pushes into the scan (at 100 TB with
+    // label a partition column this becomes partition pruning)
+    assert(p.contains("PushedFilters: [IsNotNull(label), EqualTo(label,3)]")
+      || p.contains("EqualTo(label,3)"), p)
+    assert(p.contains("TakeOrderedAndProject"), p)
+    // post-filter arm rows join broadcast; no corpus hash exchange
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("Exchange hashpartitioning"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
   test("q106: refresh reads state + pruned delta — history rows untouched") {
     val p = planOf("q106_incremental_agg")
     assert(p.contains("partial_sum"), p)
