@@ -678,16 +678,26 @@ object Dedup {
     * resolveBits thread df.sparkSession directly.)
     */
   private def knobValue(key: String): Option[String] = {
-    val a = org.apache.spark.sql.SparkSession.getActiveSession
-      .flatMap(_.conf.getOption(key))
-    val d = org.apache.spark.sql.SparkSession.getDefaultSession
-      .flatMap(_.conf.getOption(key))
-    if (a.isDefined && d.isDefined && a != d)
+    val act = org.apache.spark.sql.SparkSession.getActiveSession
+    val dfl = org.apache.spark.sql.SparkSession.getDefaultSession
+    val a = act.flatMap(_.conf.getOption(key))
+    val d = dfl.flatMap(_.conf.getOption(key))
+    // Two DISTINCT live sessions that disagree on the key — including
+    // set-on-one / unset-on-the-other (the round-12 review's case: a
+    // value-level orElse would silently read the default session's knob
+    // while the engine's df ran under the active one) — is inherently
+    // ambiguous: fail loudly instead of choosing.
+    if (act.isDefined && dfl.isDefined && !act.exists(s => dfl.exists(_ eq s))
+        && a != d)
       throw new IllegalStateException(
-        s"$key reads '${a.get}' on the active session but '${d.get}' on " +
-          "the default session: oracle generation cannot know which one " +
-          "the engine query runs under — set the knob on one session only")
-    a.orElse(d)
+        s"$key reads '${a.getOrElse("<unset>")}' on the active session " +
+          s"but '${d.getOrElse("<unset>")}' on the default session: " +
+          "oracle generation cannot know which one the engine query runs " +
+          "under — set the knob identically or use one session")
+    // Session-level precedence (the pre-round-12 semantics): the active
+    // session is authoritative when it exists; the default session is
+    // only consulted for generation off the session's own thread.
+    if (act.isDefined) a else d
   }
 
   private[graft] def confInt(key: String, default: Int): Int =

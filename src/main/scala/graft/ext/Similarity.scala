@@ -1081,6 +1081,27 @@ object Similarity {
                                'c', ct.cluster, 'cv', ct.cvec))).cv)"""
   }
 
+  /** The static query set + per-query probe table the streaming server
+    * (s31) and its specs share — ONE definition so the catalog query and
+    * the slicing/chaos specs can never validate a different serving shape
+    * (round-12 review): the nQueries lowest-id vectors, each with its
+    * nprobe nearest serving cells and the per-cell query residual.
+    */
+  private[graft] def ivfPqQueryProbes(a1: DataFrame, cv1: DataFrame,
+      nQueries: Int = 8, nprobe: Int = 2): (DataFrame, DataFrame) = {
+    graft.functions.GraftFunctions.register(a1.sparkSession)
+    val qset = a1.orderBy("vec_id").limit(nQueries)
+      .select(col("vec_id").as("q_id"), col("e").as("qe"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("q_id").orderBy(col("dq"), col("rc1"))
+    val probes = qset.crossJoin(broadcast(cv1))
+      .withColumn("dq", expr("graft_l2(cv1, qe)"))
+      .withColumn("rn", row_number().over(w)).filter(col("rn") <= nprobe)
+      .select(col("q_id"), col("rc1").as("pcell"),
+        expr("zip_with(qe, cv1, (x, y) -> x - y)").as("rqe"))
+    (qset, probes)
+  }
+
   private def ivfPqCore(emb: DataFrame, k1Default: Int, m: Int, subDim: Int,
       kcode: Int, iters: Int, nprobe: Int, kTop: Int, pp: Boolean)
       : (DataFrame, DataFrame, DataFrame, DataFrame) = {
@@ -1148,11 +1169,14 @@ object Similarity {
     * the re-rank is the same graft_l2/duckD2 fold as the exact baseline
     * with (d2, vec_id) tie-break — every stage hash-gateable.
     */
-  def ivfPqKnnRerank(emb: DataFrame, k1Default: Int = 8, m: Int = 4,
-      subDim: Int = 16, kcode: Int = 8, iters: Int = 2, nprobe: Int = 2,
-      shortK: Int = 50, kTop: Int = 10, pp: Boolean = false): DataFrame = {
-    val (scored, a1, q, exact) =
-      ivfPqCore(emb, k1Default, m, subDim, kcode, iters, nprobe, kTop, pp)
+  /** The exact-re-rank tail over an ADC-scored relation — shared by
+    * [[ivfPqKnnRerank]] and [[ivfPqRerankCurve]]'s arms so the curve
+    * re-cuts ONE scored scan per shortK instead of rebuilding the whole
+    * probe/score/exact pipeline per arm (the oracle already shares its
+    * scored block; round-12 review).
+    */
+  private def rerankTail(scored: DataFrame, a1: DataFrame, q: DataFrame,
+      exact: DataFrame, shortK: Int, kTop: Int): DataFrame = {
     val shortlist = scored.orderBy(col("adc"), col("vec_id")).limit(shortK)
       .select(col("vec_id"), col("c1"))
     // shortK rows broadcast against the cached full-precision relation —
@@ -1165,6 +1189,14 @@ object Similarity {
       .join(broadcast(exact), col("vec_id") === col("evid"), "left_outer")
       .select(col("vec_id"), col("c1"), col("d2"),
         col("evid").isNotNull.as("in_exact_topk"))
+  }
+
+  def ivfPqKnnRerank(emb: DataFrame, k1Default: Int = 8, m: Int = 4,
+      subDim: Int = 16, kcode: Int = 8, iters: Int = 2, nprobe: Int = 2,
+      shortK: Int = 50, kTop: Int = 10, pp: Boolean = false): DataFrame = {
+    val (scored, a1, q, exact) =
+      ivfPqCore(emb, k1Default, m, subDim, kcode, iters, nprobe, kTop, pp)
+    rerankTail(scored, a1, q, exact, shortK, kTop)
   }
 
   /** Shared IVF-PQ oracle CTEs: the level-1 chain + serving centroids +
@@ -1357,8 +1389,13 @@ object Similarity {
 
   def ivfPqRerankCurve(emb: DataFrame, kTop: Int = 10,
       pp: Boolean = false, nprobe: Int = 2): DataFrame = {
+    // nprobe is fixed across arms, so the probe/ADC-score/exact pipeline
+    // is built ONCE and each arm only re-cuts the shortlist — mirroring
+    // the oracle's shared `scored` block.
+    val (scored, a1, q, exact) =
+      ivfPqCore(emb, 8, 4, 16, 8, 2, nprobe, kTop, pp)
     def arm(sk: Int): DataFrame =
-      ivfPqKnnRerank(emb, nprobe = nprobe, shortK = sk, kTop = kTop, pp = pp)
+      rerankTail(scored, a1, q, exact, sk, kTop)
         .agg(count(when(col("in_exact_topk"), lit(1))).as("n_overlap"))
         .select(lit(sk).as("short_k"), lit(kTop).as("k"), col("n_overlap"),
           (col("n_overlap").cast("double") / kTop).as("recall_at_k"))

@@ -1702,15 +1702,7 @@ object StreamingQ {
         val (a1, cv1, _, cbAll) = graft.ext.Similarity.ivfPqIndex(
           emb, 8, 4, 16, 8, 2, pp = false)
         val assignCents = graft.ext.Similarity.kmeansTrainedCentroids(emb)
-        val qset = a1.orderBy("vec_id").limit(8)
-          .select(col("vec_id").as("q_id"), col("e").as("qe"))
-        val probes = qset.crossJoin(broadcast(cv1))
-          .withColumn("dq", expr("graft_l2(cv1, qe)"))
-          .withColumn("rn", row_number().over(
-            Window.partitionBy("q_id").orderBy(col("dq"), col("rc1"))))
-          .filter(col("rn") <= 2)
-          .select(col("q_id"), col("rc1").as("pcell"),
-            expr("zip_with(qe, cv1, (x, y) -> x - y)").as("rqe"))
+        val (qset, probes) = graft.ext.Similarity.ivfPqQueryProbes(a1, cv1)
         val admitted = runFileStream(s, s"$d/embeddings.parquet")(
           ivfPqServeXform(s, assignCents, cv1, cbAll, probes))
         val short = admitted.withColumn("rn", row_number().over(

@@ -75,10 +75,41 @@ object Caches {
     * text share it only through this method — callers that rely on
     * cross-query CacheManager dedup should keep using retain.
     */
-  def retainCheckpointed(df: DataFrame): DataFrame = synchronized {
+  def retainCheckpointed(df: DataFrame): DataFrame = {
     val key = df.queryExecution.analyzed.canonicalized
-    checkpointed.getOrElseUpdate(key, df.localCheckpoint())
+    // A memoized frame from a STOPPED session would fail at action time
+    // ("SparkContext has been shut down") — unlike retain, which always
+    // returned the caller's live df. Treat dead-session entries as absent.
+    def live(c: DataFrame): Boolean =
+      !c.sparkSession.sparkContext.isStopped
+    synchronized(checkpointed.get(key).filter(live)) match {
+      case Some(c) => c
+      case None =>
+        // The eager checkpoint is a real Spark job (a full training pass
+        // for the IVF families) — run it OUTSIDE the monitor so a slow
+        // checkpoint cannot block every concurrent retain. The brief
+        // double-compute race is resolved under the lock: the loser's
+        // blocks are unpersisted immediately.
+        val fresh = df.localCheckpoint()
+        synchronized {
+          checkpointed.get(key).filter(live) match {
+            case Some(winner) => unpersistCheckpoint(fresh); winner
+            case None => checkpointed(key) = fresh; fresh
+          }
+        }
+    }
   }
+
+  /** Free a checkpointed frame's blocks deterministically: localCheckpoint
+    * persists the physical RDD behind a LogicalRDD node, and dropping the
+    * reference alone leaves the blocks pinned until a GC cycle feeds the
+    * ContextCleaner — releaseAll's contract is immediate eviction.
+    */
+  private def unpersistCheckpoint(c: DataFrame): Unit =
+    try c.queryExecution.optimizedPlan.collect {
+      case l: org.apache.spark.sql.execution.LogicalRDD => l.rdd
+    }.foreach(_.unpersist(blocking = false))
+    catch { case _: Throwable => () } // session may already be stopped
 
   /** Release every retained cache. Safe at any time: queries re-derive
     * dropped caches from source on next use (slower, never wrong).
@@ -88,9 +119,7 @@ object Caches {
       catch { case _: Throwable => () }) // session may already be stopped
     retained.clear()
     seen.clear()
-    // Checkpointed RDD blocks are owned by the ContextCleaner; dropping
-    // the references here lets them be reclaimed once callers' frames go
-    // out of scope.
+    checkpointed.values.foreach(unpersistCheckpoint)
     checkpointed.clear()
   }
 

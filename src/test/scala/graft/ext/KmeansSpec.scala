@@ -354,6 +354,31 @@ class KmeansSpec extends SparkSpec {
       s"recall fell as the shortlist grew: $rc")
   }
 
+  test("oracle knob readers fail loudly when two live sessions disagree") {
+    // Round-12 review: a value-level orElse would silently read one
+    // session's knob while the engine's df ran under the other. With two
+    // DISTINCT live sessions whose knob values differ (including
+    // set-vs-unset), generation must throw; with agreement it reads
+    // normally.
+    import org.apache.spark.sql.SparkSession
+    val s2 = spark.newSession()
+    val prevActive = SparkSession.getActiveSession
+    SparkSession.setActiveSession(s2)
+    try {
+      s2.conf.set(graft.ext.Dedup.KmeansCellsKey, "16")
+      val e = intercept[IllegalStateException] {
+        graft.ext.Dedup.confInt(graft.ext.Dedup.KmeansCellsKey, 8)
+      }
+      assert(e.getMessage.contains("active session"))
+      s2.conf.unset(graft.ext.Dedup.KmeansCellsKey)
+      // agreement (both unset) falls through to the declared default
+      assert(graft.ext.Dedup.confInt(graft.ext.Dedup.KmeansCellsKey, 8) === 8)
+    } finally {
+      s2.conf.unset(graft.ext.Dedup.KmeansCellsKey)
+      prevActive.foreach(SparkSession.setActiveSession)
+    }
+  }
+
   test("clusteredCorpus is overflow-safe at extreme vec_id (masked hash)") {
     // Round-11 advice: unmasked, vec_id * 2654435761 wraps BIGINT at
     // vec_id ~ 3.5e9 in Spark while DuckDB raises. The mask must make the

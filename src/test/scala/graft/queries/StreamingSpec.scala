@@ -751,15 +751,7 @@ class StreamingSpec extends SparkSpec {
     val (a1, cv1, _, cbAll) = graft.ext.Similarity.ivfPqIndex(
       emb, 8, 4, 16, 8, 2, pp = false)
     val assignCents = graft.ext.Similarity.kmeansTrainedCentroids(emb)
-    val qset = a1.orderBy("vec_id").limit(8)
-      .select(col("vec_id").as("q_id"), col("e").as("qe"))
-    val w0 = org.apache.spark.sql.expressions.Window
-      .partitionBy("q_id").orderBy(col("dq"), col("rc1"))
-    val probes = qset.crossJoin(broadcast(cv1))
-      .withColumn("dq", expr("graft_l2(cv1, qe)"))
-      .withColumn("rn", row_number().over(w0)).filter(col("rn") <= 2)
-      .select(col("q_id"), col("rc1").as("pcell"),
-        expr("zip_with(qe, cv1, (x, y) -> x - y)").as("rqe"))
+    val (_, probes) = graft.ext.Similarity.ivfPqQueryProbes(a1, cv1)
 
     def serve(split: Boolean): Seq[String] = {
       val srcDir = Files.createTempDirectory(s"graft_s31_src_$split").toString
