@@ -682,22 +682,23 @@ object Dedup {
     val dfl = org.apache.spark.sql.SparkSession.getDefaultSession
     val a = act.flatMap(_.conf.getOption(key))
     val d = dfl.flatMap(_.conf.getOption(key))
-    // Two DISTINCT live sessions that disagree on the key — including
-    // set-on-one / unset-on-the-other (the round-12 review's case: a
-    // value-level orElse would silently read the default session's knob
-    // while the engine's df ran under the active one) — is inherently
-    // ambiguous: fail loudly instead of choosing.
-    if (act.isDefined && dfl.isDefined && !act.exists(s => dfl.exists(_ eq s))
-        && a != d)
+    // Two DISTINCT live sessions that EXPLICITLY set conflicting values is
+    // inherently ambiguous: fail loudly instead of choosing. Set-on-one /
+    // unset-on-the-other is NOT a conflict (round-12 advice): the common
+    // builder.getOrCreate + newSession shape sets the knob only on the
+    // session actually running the query, and hard-failing there broke
+    // oracle generation for a configuration the engine resolves fine.
+    if (a.isDefined && d.isDefined && a != d
+        && !act.exists(s => dfl.exists(_ eq s)))
       throw new IllegalStateException(
-        s"$key reads '${a.getOrElse("<unset>")}' on the active session " +
-          s"but '${d.getOrElse("<unset>")}' on the default session: " +
+        s"$key reads '${a.get}' on the active session " +
+          s"but '${d.get}' on the default session: " +
           "oracle generation cannot know which one the engine query runs " +
           "under — set the knob identically or use one session")
-    // Session-level precedence (the pre-round-12 semantics): the active
-    // session is authoritative when it exists; the default session is
-    // only consulted for generation off the session's own thread.
-    if (act.isDefined) a else d
+    // Value-level precedence: the active session's explicit value wins;
+    // an unset active session falls through to the default session — the
+    // only other place an engine df's session could have read it.
+    a.orElse(d)
   }
 
   private[graft] def confInt(key: String, default: Int): Int =

@@ -1081,6 +1081,21 @@ object Similarity {
                                'c', ct.cluster, 'cv', ct.cvec))).cv)"""
   }
 
+  /** s31's serving contract: ONE definition of the four constants the
+    * engine query, the streaming shortlist processor, and the hand-written
+    * oracle SQL all embed (round-12 advice: they were hard-coded
+    * independently in four places — ivfPqQueryProbes defaults, the
+    * AdcShortlistProcessor shortK, the engine's post-drain rank windows,
+    * and the oracle's LIMIT/rn literals — so changing any one silently
+    * desynchronized the engine from its correctness gate).
+    */
+  private[graft] object Serve {
+    val NQueries = 8 // static query set: the NQueries lowest-id vectors
+    val NProbe = 2   // probed serving cells per query
+    val ShortK = 50  // ADC shortlist width held in state / re-ranked
+    val TopK = 5     // final exact-re-ranked answer size per query
+  }
+
   /** The static query set + per-query probe table the streaming server
     * (s31) and its specs share — ONE definition so the catalog query and
     * the slicing/chaos specs can never validate a different serving shape
@@ -1088,7 +1103,8 @@ object Similarity {
     * nprobe nearest serving cells and the per-cell query residual.
     */
   private[graft] def ivfPqQueryProbes(a1: DataFrame, cv1: DataFrame,
-      nQueries: Int = 8, nprobe: Int = 2): (DataFrame, DataFrame) = {
+      nQueries: Int = Serve.NQueries,
+      nprobe: Int = Serve.NProbe): (DataFrame, DataFrame) = {
     graft.functions.GraftFunctions.register(a1.sparkSession)
     val qset = a1.orderBy("vec_id").limit(nQueries)
       .select(col("vec_id").as("q_id"), col("e").as("qe"))

@@ -82,6 +82,32 @@ object Extended {
 
   private def dec12(c: org.apache.spark.sql.Column) = c.cast(DecimalType(12, 2))
 
+  // q95's catalog objects, hoisted OUT of the query builder (round-12
+  // verdict item 1: the per-invocation CREATE OR REPLACE TEMPORARY FUNCTION
+  // + createOrReplaceTempView paid catalog/parse work on every call — work
+  // min-of-2 benching cannot strip and that went pathological under a
+  // loaded driver, 0.45 s builder vs 4.04 s driver on the SAME tree). The
+  // function body is session-constant, so it registers once per session;
+  // the view binds the sf dir, so it re-registers only when the dir
+  // changes. WeakHashMap so a stopped session's entry never pins it.
+  private val revUdfReady =
+    java.util.Collections.synchronizedMap(
+      new java.util.WeakHashMap[org.apache.spark.sql.SparkSession, String]())
+
+  private def ensureRevUdf(s: org.apache.spark.sql.SparkSession,
+      d: String): Unit = {
+    val prevDir = revUdfReady.get(s)
+    if (prevDir == null)
+      s.sql("""CREATE OR REPLACE TEMPORARY FUNCTION graft_rev(
+                 p DOUBLE, disc DOUBLE) RETURNS DECIMAL(26, 4)
+               RETURN CAST(p AS DECIMAL(12, 2))
+                      * (1 - CAST(disc AS DECIMAL(12, 2)))""")
+    if (prevDir == null || prevDir != d) {
+      Tables.lineitem(s, d).createOrReplaceTempView("lineitem_v")
+      revUdfReady.put(s, d)
+    }
+  }
+
   /** The RETIRED q90 form: global exact-percentile gate via the built-in
     * percentile_disc — an actual data value, broadcast once, corpus side a
     * scan + filter + partial agg. The cutoff agg funnels the value column
@@ -1543,11 +1569,7 @@ object Extended {
     // is the q76 decimal-exact discipline, inlined.
     Q("q95_sql_udf",
       (s, d) => {
-        Tables.lineitem(s, d).createOrReplaceTempView("lineitem_v")
-        s.sql("""CREATE OR REPLACE TEMPORARY FUNCTION graft_rev(
-                   p DOUBLE, disc DOUBLE) RETURNS DECIMAL(26, 4)
-                 RETURN CAST(p AS DECIMAL(12, 2))
-                        * (1 - CAST(disc AS DECIMAL(12, 2)))""")
+        ensureRevUdf(s, d)
         s.sql(
           """SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n_lines,
                     CAST(sum(graft_rev(l_extendedprice, l_discount))

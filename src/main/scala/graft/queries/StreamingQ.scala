@@ -822,7 +822,9 @@ object StreamingQ {
     */
   def ivfPqServeXform(s: SparkSession, assignCents: DataFrame,
       cv1: DataFrame, cbAll: DataFrame, probes: DataFrame, m: Int = 4,
-      subDim: Int = 16, shortK: Int = 50)(src: DataFrame): DataFrame = {
+      subDim: Int = 16,
+      shortK: Int = graft.ext.Similarity.Serve.ShortK)(
+      src: DataFrame): DataFrame = {
     import s.implicits._
     graft.functions.GraftFunctions.register(s)
     val adc = (0 until m)
@@ -1702,24 +1704,26 @@ object StreamingQ {
         val (a1, cv1, _, cbAll) = graft.ext.Similarity.ivfPqIndex(
           emb, 8, 4, 16, 8, 2, pp = false)
         val assignCents = graft.ext.Similarity.kmeansTrainedCentroids(emb)
+        val serve = graft.ext.Similarity.Serve
         val (qset, probes) = graft.ext.Similarity.ivfPqQueryProbes(a1, cv1)
         val admitted = runFileStream(s, s"$d/embeddings.parquet")(
           ivfPqServeXform(s, assignCents, cv1, cbAll, probes))
         val short = admitted.withColumn("rn", row_number().over(
             Window.partitionBy("q_id").orderBy(col("adc"), col("vec_id"))))
-          .filter(col("rn") <= 50).select("q_id", "vec_id", "c1")
+          .filter(col("rn") <= serve.ShortK).select("q_id", "vec_id", "c1")
         val top = a1.join(broadcast(short), "vec_id")
           .join(broadcast(qset), "q_id")
           .withColumn("d2", expr("graft_l2(e, qe)"))
           .withColumn("rn", row_number().over(
             Window.partitionBy("q_id").orderBy(col("d2"), col("vec_id"))))
-          .filter(col("rn") <= 5).select("q_id", "vec_id", "c1", "d2")
+          .filter(col("rn") <= serve.TopK)
+          .select("q_id", "vec_id", "c1", "d2")
         val exact = a1.crossJoin(broadcast(qset))
           .filter(col("vec_id") =!= col("q_id"))
           .withColumn("d2x", expr("graft_l2(e, qe)"))
           .withColumn("rn", row_number().over(
             Window.partitionBy("q_id").orderBy(col("d2x"), col("vec_id"))))
-          .filter(col("rn") <= 5)
+          .filter(col("rn") <= serve.TopK)
           .select(col("q_id").as("eq"), col("vec_id").as("evid"))
         top.join(broadcast(exact),
             col("q_id") === col("eq") && col("vec_id") === col("evid"),
@@ -1730,6 +1734,7 @@ object StreamingQ {
       Some(graft.ext.Dedup.guardAuto(graft.ext.Dedup.KmeansCellsKey) {
         val k1 = graft.ext.Dedup.confInt(graft.ext.Dedup.KmeansCellsKey, 8)
         val (m, subDim) = (4, 16)
+        val serve = graft.ext.Similarity.Serve
         val d2 = graft.ext.Similarity.duckD2 _
         val luts = (0 until m).map { sx =>
           val off = sx * subDim
@@ -1749,7 +1754,7 @@ object StreamingQ {
         s"""WITH ${graft.ext.Similarity.ivfPqIndexCtes(
                k1, m, subDim, 8, 2, src = "embeddings")},
              qs AS MATERIALIZED (SELECT vec_id AS q_id, e AS qe
-                   FROM a2 ORDER BY vec_id LIMIT 8),
+                   FROM a2 ORDER BY vec_id LIMIT ${serve.NQueries}),
              probes AS MATERIALIZED (
                SELECT q_id, pcell, rqe FROM (
                  SELECT q.q_id, c.cluster AS pcell,
@@ -1757,7 +1762,7 @@ object StreamingQ {
                                        i -> q.qe[i] - c.cvec[i]) AS rqe,
                         ROW_NUMBER() OVER (PARTITION BY q.q_id
                           ORDER BY ${d2("c.cvec", "q.qe")}, c.cluster) AS rn
-                 FROM qs q, cvF c) WHERE rn <= 2),
+                 FROM qs q, cvF c) WHERE rn <= ${serve.NProbe}),
              $luts,
              scored AS MATERIALIZED (
                SELECT lut0.q_id, k.vec_id, k.c1, $adc AS adc
@@ -1765,19 +1770,22 @@ object StreamingQ {
                WHERE k.vec_id <> lut0.q_id),
              short AS (SELECT q_id, vec_id, c1 FROM (
                  SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id
-                   ORDER BY adc, vec_id) AS rn FROM scored) WHERE rn <= 50),
+                   ORDER BY adc, vec_id) AS rn FROM scored)
+               WHERE rn <= ${serve.ShortK}),
              rr0 AS (SELECT s.q_id, s.vec_id, s.c1,
                             ${d2("z.e", "q.qe")} AS d2
                      FROM short s JOIN a2 z ON z.vec_id = s.vec_id
                                   JOIN qs q ON q.q_id = s.q_id),
              rr AS (SELECT q_id, vec_id, c1, d2 FROM (
                  SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id
-                   ORDER BY d2, vec_id) AS rn FROM rr0) WHERE rn <= 5),
+                   ORDER BY d2, vec_id) AS rn FROM rr0)
+               WHERE rn <= ${serve.TopK}),
              mex AS (SELECT q_id, vec_id FROM (
                  SELECT q.q_id, z.vec_id,
                         ROW_NUMBER() OVER (PARTITION BY q.q_id
                           ORDER BY ${d2("z.e", "q.qe")}, z.vec_id) AS rn
-                 FROM a2 z, qs q WHERE z.vec_id <> q.q_id) WHERE rn <= 5)
+                 FROM a2 z, qs q WHERE z.vec_id <> q.q_id)
+               WHERE rn <= ${serve.TopK})
         SELECT t.q_id, t.vec_id, t.c1, t.d2,
                EXISTS (SELECT 1 FROM mex
                        WHERE mex.q_id = t.q_id

@@ -26,9 +26,12 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   */
 object Caches {
   private val retained = ArrayBuffer.empty[DataFrame]
+  // (session, plan): CacheManager dedup is per-session, so a same-plan df
+  // built on a SECOND live session must take its own persist.
   private val seen =
     scala.collection.mutable.HashSet.empty[
-      org.apache.spark.sql.catalyst.plans.logical.LogicalPlan]
+      (SparkSession,
+       org.apache.spark.sql.catalyst.plans.logical.LogicalPlan)]
 
   /** Persist `df` (default MEMORY_AND_DISK) and register it for release.
     *
@@ -42,7 +45,7 @@ object Caches {
     * later plans return untouched.
     */
   def retain(df: DataFrame): DataFrame = synchronized {
-    val key = df.queryExecution.analyzed.canonicalized
+    val key = (df.sparkSession, df.queryExecution.analyzed.canonicalized)
     if (!seen.contains(key)) {
       df.persist()
       retained += df
@@ -51,9 +54,14 @@ object Caches {
     df
   }
 
+  // Keyed by (owning SparkSession, canonicalized plan) — round-12 advice:
+  // a plan-only key returned a frame checkpointed under one live session
+  // into queries built on a DIFFERENT live session with the same plan text,
+  // and the localCheckpoint RDD belongs to one SparkContext.
   private val checkpointed =
     scala.collection.mutable.HashMap.empty[
-      org.apache.spark.sql.catalyst.plans.logical.LogicalPlan, DataFrame]
+      (SparkSession,
+       org.apache.spark.sql.catalyst.plans.logical.LogicalPlan), DataFrame]
 
   /** Memoized LINEAGE-TRUNCATING retain: returns an eager
     * `localCheckpoint` of `df`, computed once per canonicalized plan.
@@ -76,13 +84,17 @@ object Caches {
     * cross-query CacheManager dedup should keep using retain.
     */
   def retainCheckpointed(df: DataFrame): DataFrame = {
-    val key = df.queryExecution.analyzed.canonicalized
+    val key = (df.sparkSession, df.queryExecution.analyzed.canonicalized)
     // A memoized frame from a STOPPED session would fail at action time
     // ("SparkContext has been shut down") — unlike retain, which always
-    // returned the caller's live df. Treat dead-session entries as absent.
-    def live(c: DataFrame): Boolean =
-      !c.sparkSession.sparkContext.isStopped
-    synchronized(checkpointed.get(key).filter(live)) match {
+    // returned the caller's live df. EVICT dead-session entries at lookup
+    // (round-12 advice: filtering alone left each dead entry pinning a
+    // QueryExecution in the map until the next releaseAll).
+    def liveOrEvict(): Option[DataFrame] = {
+      checkpointed.filterInPlace((k, _) => !k._1.sparkContext.isStopped)
+      checkpointed.get(key)
+    }
+    synchronized(liveOrEvict()) match {
       case Some(c) => c
       case None =>
         // The eager checkpoint is a real Spark job (a full training pass
@@ -92,7 +104,7 @@ object Caches {
         // blocks are unpersisted immediately.
         val fresh = df.localCheckpoint()
         synchronized {
-          checkpointed.get(key).filter(live) match {
+          liveOrEvict() match {
             case Some(winner) => unpersistCheckpoint(fresh); winner
             case None => checkpointed(key) = fresh; fresh
           }
@@ -109,14 +121,16 @@ object Caches {
     try c.queryExecution.optimizedPlan.collect {
       case l: org.apache.spark.sql.execution.LogicalRDD => l.rdd
     }.foreach(_.unpersist(blocking = false))
-    catch { case _: Throwable => () } // session may already be stopped
+    // Session may already be stopped; NonFatal so OOM/interrupts propagate
+    // (round-12 advice: a bare Throwable swallowed fatal JVM errors).
+    catch { case scala.util.control.NonFatal(_) => () }
 
   /** Release every retained cache. Safe at any time: queries re-derive
     * dropped caches from source on next use (slower, never wrong).
     */
   def releaseAll(): Unit = synchronized {
     retained.foreach(df => try df.unpersist(blocking = false)
-      catch { case _: Throwable => () }) // session may already be stopped
+      catch { case scala.util.control.NonFatal(_) => () }) // stopped session
     retained.clear()
     seen.clear()
     checkpointed.values.foreach(unpersistCheckpoint)

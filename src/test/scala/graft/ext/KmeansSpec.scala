@@ -354,28 +354,42 @@ class KmeansSpec extends SparkSpec {
       s"recall fell as the shortlist grew: $rc")
   }
 
-  test("oracle knob readers fail loudly when two live sessions disagree") {
-    // Round-12 review: a value-level orElse would silently read one
-    // session's knob while the engine's df ran under the other. With two
-    // DISTINCT live sessions whose knob values differ (including
-    // set-vs-unset), generation must throw; with agreement it reads
-    // normally.
+  test("oracle knob readers fail loudly only on EXPLICIT session conflict") {
+    // Round-12 advice narrowed the disagree-throw: two DISTINCT live
+    // sessions that both EXPLICITLY set conflicting values throw; the
+    // common set-on-active/unset-on-default shape (builder.getOrCreate +
+    // newSession, knob set only on the session running the query) resolves
+    // to the active session's value instead of hard-failing.
     import org.apache.spark.sql.SparkSession
+    val key = graft.ext.Dedup.KmeansCellsKey
     val s2 = spark.newSession()
     val prevActive = SparkSession.getActiveSession
     SparkSession.setActiveSession(s2)
     try {
-      s2.conf.set(graft.ext.Dedup.KmeansCellsKey, "16")
+      // set-on-active / unset-on-default: active is authoritative
+      s2.conf.set(key, "16")
+      assert(graft.ext.Dedup.confInt(key, 8) === 16)
+      // both explicitly set, conflicting: throw
+      spark.conf.set(key, "32")
       val e = intercept[IllegalStateException] {
-        graft.ext.Dedup.confInt(graft.ext.Dedup.KmeansCellsKey, 8)
+        graft.ext.Dedup.confInt(key, 8)
       }
       assert(e.getMessage.contains("active session"))
-      s2.conf.unset(graft.ext.Dedup.KmeansCellsKey)
+      // unset-on-active / set-on-default: falls through to the default
+      s2.conf.unset(key)
+      assert(graft.ext.Dedup.confInt(key, 8) === 32)
+      spark.conf.unset(key)
       // agreement (both unset) falls through to the declared default
-      assert(graft.ext.Dedup.confInt(graft.ext.Dedup.KmeansCellsKey, 8) === 8)
+      assert(graft.ext.Dedup.confInt(key, 8) === 8)
     } finally {
-      s2.conf.unset(graft.ext.Dedup.KmeansCellsKey)
-      prevActive.foreach(SparkSession.setActiveSession)
+      s2.conf.unset(key)
+      spark.conf.unset(key)
+      // Round-12 advice: leaving s2 active when prevActive was None would
+      // trip later same-thread tests that set the knob on `spark` only.
+      prevActive match {
+        case Some(p) => SparkSession.setActiveSession(p)
+        case None => SparkSession.clearActiveSession()
+      }
     }
   }
 
