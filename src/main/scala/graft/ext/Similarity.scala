@@ -347,10 +347,13 @@ object Similarity {
     * bit-for-bit.
     */
   def kmeansTrainedCentroids(emb: DataFrame, kDefault: Int = 8,
-      iters: Int = 2): DataFrame = {
+      iters: Int = 2, pp: Boolean = false): DataFrame = {
     graft.functions.GraftFunctions.register(emb.sparkSession)
     val k = graft.ext.Dedup.resolveCells(emb, kDefault)
-    kmeansAssign(emb, k, iters - 1)
+    // `pp` must mirror the index build it serves (x28 trains pp-seeded;
+    // a modulo-seeded artifact would assign different cells and the
+    // re-encode≡stored-code contract below would silently break).
+    kmeansAssignSeeded(emb, k, iters - 1, pp)
       .agg(expr(s"graft_centroids(cluster, e, $k)").as("cents"))
   }
 
@@ -1271,10 +1274,14 @@ object Similarity {
                     ORDER BY ${duckD2("z.e", "qe")}, z.vec_id LIMIT $kTop)"""
 
   /** Per-nprobe probe/LUT/score block over [[ivfPqBaseCtes]]'s relations;
-    * ends with `${pfx}scored(vec_id, c1, adc)`.
+    * ends with `${pfx}scored(vec_id, c1, adc)`. `extraJoin`/`extraCond`/
+    * `carry` let x28's filtered variant restrict and widen the scored scan
+    * (join the label source, keep only predicate survivors, carry the
+    * label through) without duplicating the LUT plumbing.
     */
   private def ivfPqProbeCtes(m: Int, subDim: Int, nprobe: Int,
-      pfx: String = ""): String = {
+      pfx: String = "", extraJoin: String = "", extraCond: String = "",
+      carry: String = ""): String = {
     val luts = (0 until m).map { s =>
       val off = s * subDim
       s"""${pfx}lut$s AS (SELECT r.pcell AS pc$s, c.cluster AS cc$s,
@@ -1294,9 +1301,9 @@ object Similarity {
                                        i -> qe[i] - pcv[i]) AS rqe
                  FROM ${pfx}probe, q),
         $luts,
-        ${pfx}scored AS MATERIALIZED (SELECT k.vec_id, k.c1, $adc AS adc
-                 FROM pqcodes k $lutJoin, q
-                 WHERE k.vec_id <> q_id)"""
+        ${pfx}scored AS MATERIALIZED (SELECT k.vec_id, k.c1$carry, $adc AS adc
+                 FROM pqcodes k $lutJoin $extraJoin, q
+                 WHERE k.vec_id <> q_id$extraCond)"""
   }
 
   def ivfPqKnnSql(k1: Int = graft.ext.Dedup.confInt(
@@ -1509,6 +1516,196 @@ object Similarity {
         SELECT p.vec_id, p.label, p.cos_sim,
                p.vec_id IN (SELECT vec_id FROM post) AS in_postfilter
         FROM pre p"""
+
+  /** x28: INLINE-FILTERED IVF-PQ serving — the production middle path x27
+    * deliberately left open (round-12 verdict item 3). x27's two arms are
+    * the endpoints: pre-filter exact (always correct, costs a full filtered
+    * exact pass) and post-filter (index-speed, structurally lossy). The
+    * shape a real vector store ships sits between them: the predicate is
+    * applied INSIDE the probed-cell scan, BEFORE ADC scoring and the
+    * shortlist — matching vectors can never be displaced by non-matching
+    * neighbors (the post-filter hole is closed by construction), and a
+    * selective predicate costs nprobe pruned scans plus a shortK exact
+    * re-rank, never a full exact pass.
+    *
+    * Plan shape (the serving scan is s31's online-encode form, batch):
+    * ONE parquet scan of the corpus with the label predicate PUSHED TO THE
+    * SCAN (PushedFilters — x27's pre-arm discipline; at 100 TB with label
+    * a partition column, partition pruning), each survivor's coarse cell
+    * assigned against the broadcast trained-centroid artifact (bit-for-bit
+    * the batch cell — s30's pinned contract), pruned to the query's nprobe
+    * probed cells by a broadcast join BEFORE any scoring, residualized
+    * against the broadcast serving centroid, encode+ADC-scored inline
+    * ([[adcTermExpr]] — identical values to the stored-codes LUT join the
+    * oracle runs), shortlisted by (adc, vec_id), and the ≤ shortK
+    * survivors re-ranked exactly. With STORED label-bearing codes the same
+    * plan is a codes-table scan with cell partition-pruning + the label
+    * filter pushed — the re-encode here is the deterministic stand-in
+    * (codes are a pure function of (vector, codebooks)).
+    *
+    * The `in_filtered_exact_topk` flag marks each returned row's
+    * membership in the pre-filter exact top-k (the always-correct answer),
+    * so the residual loss — true filtered neighbors whose cell the probe
+    * missed — is measured inline and hash-gated at every SF (x27's flag
+    * discipline; [[ivfPqFilteredRerankCurve]] reads how shortK repairs the
+    * in-cell part of it).
+    */
+  private def ivfPqFilteredCore(emb: DataFrame, k1Default: Int, m: Int,
+      subDim: Int, kcode: Int, iters: Int, nprobe: Int, target: Int,
+      kTop: Int, pp: Boolean): (DataFrame, DataFrame, DataFrame) = {
+    graft.functions.GraftFunctions.register(emb.sparkSession)
+    val (a1, cv1, _, cbAll) =
+      ivfPqIndex(emb, k1Default, m, subDim, kcode, iters, pp)
+    val q = a1.orderBy("vec_id").limit(1)
+      .select(col("vec_id").as("q_id"), col("e").as("qe"))
+    // probed cells + per-cell serving centroid + query residual (x23's
+    // probe, keeping pcv so survivors residualize against their own cell)
+    val rq = cv1.crossJoin(broadcast(q))
+      .withColumn("dq", expr("graft_l2(cv1, qe)"))
+      .orderBy(col("dq"), col("rc1")).limit(nprobe)
+      .select(col("rc1").as("pcell"), col("cv1").as("pcv"),
+        expr("zip_with(qe, cv1, (x, y) -> x - y)").as("rqe"))
+    val assignCents = kmeansTrainedCentroids(emb, k1Default, iters, pp)
+    val adc = (0 until m).map(s => expr(adcTermExpr(s, subDim))).reduce(_ + _)
+    // THE FILTERED SERVING SCAN: predicate at the source scan, cell prune
+    // before scoring, everything else broadcast-sized.
+    val scored = emb.filter(col("label") === target)
+      .select(col("vec_id"), col("label"),
+        expr("transform(embedding, ex -> CAST(ex AS DOUBLE))").as("e"))
+      .crossJoin(broadcast(assignCents))
+      .withColumn("best", expr(bestCellExpr))
+      .select(col("vec_id"), col("label"), col("e"), col("best.c").as("c1"))
+      .join(broadcast(rq), col("c1") === col("pcell"))
+      .crossJoin(broadcast(q.select("q_id")))
+      .filter(col("vec_id") =!= col("q_id"))
+      .withColumn("r", expr("zip_with(e, pcv, (x, y) -> x - y)"))
+      .crossJoin(broadcast(cbAll))
+      .select(col("vec_id"), col("label"), col("e"), col("c1"),
+        adc.as("adc"))
+    // the always-correct pre-filter exact top-k (x27's pre arm), for the
+    // inline flag — one more pushed-down scan + TakeOrdered, no shuffle
+    val fexact = emb.filter(col("label") === target)
+      .select(col("vec_id"),
+        expr("transform(embedding, ex -> CAST(ex AS DOUBLE))").as("e"))
+      .crossJoin(broadcast(q))
+      .filter(col("vec_id") =!= col("q_id"))
+      .withColumn("d2x", expr("graft_l2(e, qe)"))
+      .orderBy(col("d2x"), col("vec_id")).limit(kTop)
+      .select(col("vec_id").as("evid"))
+    (scored, q, fexact)
+  }
+
+  /** The shortlist-cut + exact-re-rank tail over a filtered ADC-scored
+    * relation — survivors carry their own full-precision vectors from the
+    * serving scan, so the re-rank needs no store lookup.
+    */
+  private def filteredRerankTail(scored: DataFrame, q: DataFrame,
+      fexact: DataFrame, shortK: Int, kTop: Int): DataFrame =
+    scored.orderBy(col("adc"), col("vec_id")).limit(shortK)
+      .crossJoin(broadcast(q))
+      .withColumn("d2", expr("graft_l2(e, qe)"))
+      .select("vec_id", "label", "c1", "d2")
+      .orderBy(col("d2"), col("vec_id")).limit(kTop)
+      .join(broadcast(fexact), col("vec_id") === col("evid"), "left_outer")
+      .select(col("vec_id"), col("label"), col("c1"), col("d2"),
+        col("evid").isNotNull.as("in_filtered_exact_topk"))
+
+  def ivfPqFilteredRerank(emb: DataFrame, k1Default: Int = 8, m: Int = 4,
+      subDim: Int = 16, kcode: Int = 8, iters: Int = 2, nprobe: Int = 2,
+      target: Int = 3, shortK: Int = 50, kTop: Int = 10,
+      pp: Boolean = false): DataFrame = {
+    val (scored, q, fexact) = ivfPqFilteredCore(
+      emb, k1Default, m, subDim, kcode, iters, nprobe, target, kTop, pp)
+    filteredRerankTail(scored, q, fexact, shortK, kTop)
+  }
+
+  def ivfPqFilteredRerankSql(k1: Int = graft.ext.Dedup.confInt(
+        graft.ext.Dedup.KmeansCellsKey, 8),
+      m: Int = 4, subDim: Int = 16, kcode: Int = 8, iters: Int = 2,
+      nprobe: Int = 2, target: Int = 3, shortK: Int = 50, kTop: Int = 10,
+      src: String = "embeddings", pre: String = "",
+      pp: Boolean = false): String =
+    s"""WITH ${if (pre.nonEmpty) pre + "," else ""}
+             ${ivfPqBaseCtes(k1, m, subDim, kcode, iters, kTop, src = src,
+               seed = if (pp) Some(ppSeedCtes(k1)) else None)},
+             ${ivfPqProbeCtes(m, subDim, nprobe,
+               extraJoin = s"JOIN $src l ON k.vec_id = l.vec_id",
+               extraCond = s" AND l.label = $target",
+               carry = ", l.label")},
+             fexact AS (SELECT z.vec_id
+                        FROM a$iters z JOIN $src l ON z.vec_id = l.vec_id, q
+                        WHERE l.label = $target AND z.vec_id <> q_id
+                        ORDER BY ${duckD2("z.e", "qe")}, z.vec_id
+                        LIMIT $kTop),
+             fshort AS (SELECT vec_id, label, c1 FROM scored
+                        ORDER BY adc, vec_id LIMIT $shortK),
+             frr AS (SELECT z.vec_id, s.label, s.c1,
+                            ${duckD2("z.e", "qe")} AS d2
+                     FROM a$iters z JOIN fshort s ON z.vec_id = s.vec_id, q
+                     ORDER BY d2, z.vec_id LIMIT $kTop)
+        SELECT t.vec_id, t.label, t.c1, t.d2,
+               t.vec_id IN (SELECT vec_id FROM fexact)
+                 AS in_filtered_exact_topk
+        FROM frr t"""
+
+  /** x29: x28's recall-vs-shortK curve on the planted corpus, filtered to
+    * the QUERY'S OWN planted cell (label 0 — the lowest vec_id hashes to
+    * cell 0 by [[clusteredLabelExpr]], a compile-time constant so the
+    * predicate stays a pushed-down literal): the filter keeps exactly the
+    * query's cluster mates, whose true distances differ by less than the
+    * 12-bit quantization error — the worst case for raw ADC (x24's floor)
+    * and therefore the sharpest read of how much of the filtered answer
+    * each shortlist row buys back (x26's discipline under a predicate).
+    */
+  def ivfPqFilteredRerankCurve(emb: DataFrame, kTop: Int = 10,
+      pp: Boolean = false, nprobe: Int = 2, target: Int = 0): DataFrame = {
+    val (scored, q, fexact) = ivfPqFilteredCore(
+      emb, 8, 4, 16, 8, 2, nprobe, target, kTop, pp)
+    def arm(sk: Int): DataFrame =
+      filteredRerankTail(scored, q, fexact, sk, kTop)
+        .agg(count(when(col("in_filtered_exact_topk"), lit(1)))
+          .as("n_overlap"))
+        .select(lit(sk).as("short_k"), lit(kTop).as("k"), col("n_overlap"),
+          (col("n_overlap").cast("double") / kTop).as("recall_at_k"))
+    PqShortArms.map(arm).reduce(_.unionByName(_))
+  }
+
+  def ivfPqFilteredRerankCurveSql(k1: Int = graft.ext.Dedup.confInt(
+        graft.ext.Dedup.KmeansCellsKey, 8),
+      m: Int = 4, subDim: Int = 16, kcode: Int = 8, iters: Int = 2,
+      nprobe: Int = 2, target: Int = 0, kTop: Int = 10,
+      src: String = "embeddings", pre: String = "",
+      pp: Boolean = false): String = {
+    val armCtes = PqShortArms.map { sk =>
+      s"""s${sk}_fshort AS (SELECT vec_id, label, c1 FROM scored
+                    ORDER BY adc, vec_id LIMIT $sk),
+          s${sk}_frr AS (SELECT z.vec_id
+                  FROM a$iters z JOIN s${sk}_fshort s ON z.vec_id = s.vec_id,
+                       q
+                  ORDER BY ${duckD2("z.e", "qe")}, z.vec_id LIMIT $kTop)"""
+    }.mkString(",\n")
+    val armSelects = PqShortArms.map { sk =>
+      s"""SELECT $sk AS short_k, $kTop AS k,
+                 CAST(count(*) AS BIGINT) AS n_overlap,
+                 CAST(count(*) AS DOUBLE) / $kTop AS recall_at_k
+          FROM s${sk}_frr
+          WHERE vec_id IN (SELECT vec_id FROM fexact)"""
+    }.mkString("\nUNION ALL\n")
+    s"""WITH ${if (pre.nonEmpty) pre + "," else ""}
+             ${ivfPqBaseCtes(k1, m, subDim, kcode, iters, kTop, src = src,
+               seed = if (pp) Some(ppSeedCtes(k1)) else None)},
+             ${ivfPqProbeCtes(m, subDim, nprobe,
+               extraJoin = s"JOIN $src l ON k.vec_id = l.vec_id",
+               extraCond = s" AND l.label = $target",
+               carry = ", l.label")},
+             fexact AS (SELECT z.vec_id
+                        FROM a$iters z JOIN $src l ON z.vec_id = l.vec_id, q
+                        WHERE l.label = $target AND z.vec_id <> q_id
+                        ORDER BY ${duckD2("z.e", "qe")}, z.vec_id
+                        LIMIT $kTop),
+             $armCtes
+        $armSelects"""
+  }
 
   /** x13: the learned-cell family's RECALL GATE (x06's discipline applied
     * to x12/x14) — recall@k of the IVF probe against x01's exact top-k, as
@@ -2150,6 +2347,27 @@ object SimilarityQueries {
     Q("x27_filtered_knn",
       (s, d) => Similarity.filteredKnn(Tables.embeddings(s, d)),
       Some(graft.ext.Dedup.guardAuto(graft.ext.Dedup.KmeansCellsKey)(
-        Similarity.filteredKnnSql())))
+        Similarity.filteredKnnSql()))),
+
+    // x28: INLINE-filtered IVF-PQ serving — the production middle path
+    // between x27's two arms: the label predicate applied inside the
+    // probed-cell scan BEFORE ADC scoring and the shortlist, exact re-rank
+    // on survivors; selective predicates cost nprobe pruned scans, never a
+    // full exact pass (see Similarity.ivfPqFilteredCore for the plan shape
+    // and the stored-codes equivalence).
+    Q("x28_ivfpq_filtered",
+      (s, d) => Similarity.ivfPqFilteredRerank(Tables.embeddings(s, d)),
+      Some(graft.ext.Dedup.guardAuto(graft.ext.Dedup.KmeansCellsKey)(
+        Similarity.ivfPqFilteredRerankSql()))),
+
+    // x29: x28's recall-vs-shortK curve on the planted corpus, filtered to
+    // the query's own planted cell — the filtered counterpart of x26's
+    // repair curve (see Similarity.ivfPqFilteredRerankCurve).
+    Q("x29_ivfpq_filtered_curve",
+      (s, d) => Similarity.ivfPqFilteredRerankCurve(
+        Similarity.clusteredCorpus(Tables.embeddings(s, d)), pp = true),
+      Some(graft.ext.Dedup.guardAuto(graft.ext.Dedup.KmeansCellsKey)(
+        Similarity.ivfPqFilteredRerankCurveSql(src = "clustered",
+          pre = Similarity.clusteredCteSql, pp = true))))
   )
 }

@@ -562,6 +562,22 @@ class PlanQualitySpec extends SparkSpec {
     assert(!p.contains("SortMergeJoin"), p)
   }
 
+  test("x28: the inline filter reaches the serving scan BEFORE scoring; " +
+      "everything else is broadcast-sized") {
+    val p = planOf("x28_ivfpq_filtered")
+    // the middle path's whole point: the predicate pushes into the parquet
+    // scan of the serving pass (at 100 TB with label-bearing stored codes,
+    // partition pruning + the same pushed filter on the codes table)
+    assert(p.contains("EqualTo(label,3)"), p)
+    // cell prune + probe + codebooks + shortlist + flag all broadcast; the
+    // corpus never hash-exchanges and no non-broadcast cartesian appears
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("Exchange hashpartitioning"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("TakeOrderedAndProject"), p)
+  }
+
   test("q106: refresh reads state + pruned delta — history rows untouched") {
     val p = planOf("q106_incremental_agg")
     assert(p.contains("partial_sum"), p)

@@ -39,6 +39,7 @@ object PlanDump {
     "x23_ivfpq_knn"           -> "IVFADC: checkpointed residuals + codebooks, nprobe-row broadcast probe, encode+ADC as ONE projection over probed cells only — unprobed cells never touched",
     "x25_ivfpq_rerank"        -> "IVFADC + exact re-rank: shortK ADC shortlist broadcast back against the checkpointed full-precision relation (the point-read stand-in), TakeOrdered tail",
     "x27_filtered_knn"        -> "filtered ANN: the pre-filter predicate pushed into the parquet scan (PushedFilters -> partition pruning at scale), post-filter flag via broadcast-only joins",
+    "x28_ivfpq_filtered"      -> "inline-filtered IVF-PQ: predicate pushed into the serving scan, cell prune + probe + codebooks broadcast, ADC + shortK exact re-rank — never a full exact pass",
   )
 
   def main(args: Array[String]): Unit = {
