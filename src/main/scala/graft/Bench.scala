@@ -148,14 +148,65 @@ object Bench {
       probeBefore = probeAfter
       timed
     }.toMap
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    // Outlier re-probe (round-12 verdict item 8): the q95 incident showed
+    // ONE pathological reading can distort a drifted run — 0.45 s in the
+    // builder's pass vs 4.04 s in the driver's re-run of the SAME tree
+    // while the suite median ratio sat at 1.06. After the main pass,
+    // compare each query against the committed BENCH_FULL map (same sf
+    // only; skipped for subsets and when no committed artifact exists) and
+    // re-run any query reading >4× the suite's median ratio (and >0.5 s —
+    // a 4× on a 0.1 s query is scheduler noise, not an outlier). Both
+    // readings land in `requeried`; the final per-query number is the min
+    // over all runs (the same discipline min-of-2 already applies).
+    val committed: Map[String, Double] =
+      if (only.isDefined || injectFail.nonEmpty) Map.empty
+      else try {
+        val txt = new String(java.nio.file.Files.readAllBytes(
+          java.nio.file.Paths.get("BENCH_FULL.json")), "UTF-8")
+        if (!txt.contains(s""""sf":"$sfDir"""")) Map.empty
+        else {
+          val qstart = txt.indexOf("\"queries\":{")
+          if (qstart < 0) Map.empty
+          else {
+            val body = txt.substring(qstart + 11, txt.indexOf("}", qstart))
+            "\"([A-Za-z0-9_]+)\":(-?[0-9][0-9.Ee+-]*)".r
+              .findAllMatchIn(body)
+              .map(m => m.group(1) -> m.group(2).toDouble).toMap
+          }
+        }
+      } catch { case scala.util.control.NonFatal(_) =>
+        Map.empty[String, Double] }
+    val ratios = results.flatMap { case (k, v) =>
+      committed.get(k).filter(c => c > 0 && v > 0).map(c => k -> v / c) }
+    val medianRatio =
+      if (ratios.isEmpty) 1.0
+      else { val s = ratios.values.toSeq.sorted; s(s.size / 2) }
+    val requeried: Map[String, (Double, Double)] = ratios.collect {
+      case (k, r) if r > 4.0 * medianRatio && results(k) > 0.5 => k
+    }.toSeq.sorted.map { name =>
+      val t0 = System.nanoTime()
+      val re = try {
+        SparkEntry.queries(name)(spark, sfDir)
+          .write.format("noop").mode("overwrite").save()
+        (System.nanoTime() - t0) / 1e9
+      } catch { case _: Throwable => -1.0 }
+      name -> (results(name), re)
+    }.toMap
+    val finalResults = results.map { case (k, v) =>
+      k -> (requeried.get(k) match {
+        case Some((first, re)) if re >= 0 => math.min(first, re)
+        case _ => v
+      })
+    }
+    val qs = finalResults.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     // An errored query reports -1.0; summing that sentinel would silently
     // UNDERSTATE the total (round-6 artifact: 23 × -1 shaved 23 s off the
     // headline). Totals cover successful queries only, and failures are
     // first-class fields — a bench with errors is loudly partial.
-    val failed = results.collect { case (k, v) if v < 0 => k }.toSeq.sorted
-    val total = results.values.filter(_ >= 0).sum
+    val failed =
+      finalResults.collect { case (k, v) if v < 0 => k }.toSeq.sorted
+    val total = finalResults.values.filter(_ >= 0).sum
     // Release the library's retained caches (Dedup signatures/token arrays,
     // LinkRank edges) before shutdown — the owner-side release path the
     // Caches registry exists for. After timing: d03→d05 cross-query cache
@@ -193,11 +244,16 @@ object Bench {
       .map { case (k, v) => s"\"$k\":$v" }.mkString("{", ",", "}")
     val injectedJson = injectFail.toSeq.sorted
       .map("\"" + _ + "\"").mkString("[", ",", "]")
+    val requeriedJson = requeried.toSeq.sortBy(_._1)
+      .map { case (k, (first, re)) =>
+        s"\"$k\":{\"first\":$first,\"reprobe\":$re}" }
+      .mkString("{", ",", "}")
     val prov = s""""runs_per_query":2,"load_avg_start":$loadStart,""" +
       s""""load_avg_end":$loadEnd,"calib_sec_start":$calibStart,""" +
       s""""calib_sec_end":$calibEnd,"calib_ratio":$calibRatio,""" +
       s""""calib_suite":$suiteCalibJson,""" +
       s""""subset":${only.isDefined},"injected":$injectedJson,""" +
+      s""""requeried":$requeriedJson,""" +
       s""""contended":$contended,"drifted":$drifted,""" +
       s""""waited_sec":$waitedSec,""" +
       s""""n_failed":${failed.size},"failed":$failedJson"""
@@ -224,14 +280,14 @@ object Bench {
     def r3(v: Double): String =
       if (v < 0) "-1"
       else String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
-    val suites = results.toSeq.groupBy(_._1.takeWhile(!_.isDigit))
+    val suites = finalResults.toSeq.groupBy(_._1.takeWhile(!_.isDigit))
       .toSeq.sortBy(_._1)
       .map { case (p, kv) =>
         s"\"suite_$p\":${r3(kv.map(_._2).filter(_ >= 0).sum)}" }
-    val slowest = results.toSeq.sortBy(-_._2).take(30)
+    val slowest = finalResults.toSeq.sortBy(-_._2).take(30)
       .map { case (k, v) => s"\"$k\":${r3(v)}" }
     val compactQs = (suites ++ slowest).mkString("{", ",", "}")
-    println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","n_queries":${results.size},$prov,"queries":$compactQs,"detail":"$detailFile","sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","n_queries":${finalResults.size},$prov,"queries":$compactQs,"detail":"$detailFile","sf":"$sfDir"}""")
     System.out.flush()
     // halt() skips JVM shutdown hooks, so run Scratch's recursive-delete
     // explicitly — otherwise every bench invocation leaks its sink/roundtrip

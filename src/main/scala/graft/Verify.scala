@@ -69,6 +69,36 @@ object Verify {
               "(comma-separated; values must not contain commas)")
         }
       })
+    // `auto` blocking knobs resolve ONCE here to their numeric derived
+    // values (the same autoCells/autoBits formulas the engine applies at
+    // plan-build): engine queries and oracle generators then read one
+    // number, so the PRODUCTION posture becomes gateable end-to-end — a
+    // standalone oracle SQL string cannot count the corpus, which is why
+    // guardAuto otherwise poisons these oracles. The count is the gate
+    // corpus's embeddings table (every KmeansCellsKey/HyperplaneBitsKey
+    // resolution in the library runs against a 1:1 derivation of it).
+    // NOTE: with the pp-seeded IVF-PQ defaults, a large derived k unrolls
+    // k-1 farthest-point CTEs in the oracle — auto gating is meant for the
+    // modulo-seeded families (d17/d19, x12-x14) and small-sf runs.
+    locally {
+      val autoKeys = Seq(
+        graft.ext.Dedup.KmeansCellsKey -> ((n: Long) =>
+          graft.ext.Dedup.autoCells(n)),
+        graft.ext.Dedup.HyperplaneBitsKey -> ((n: Long) =>
+          graft.ext.Dedup.autoBits(n)))
+      if (autoKeys.exists { case (k, _) =>
+          spark.conf.getOption(k).contains("auto") }) {
+        val n = spark.read.parquet(s"$sfDir/embeddings.parquet").count()
+        autoKeys.foreach { case (k, derive) =>
+          if (spark.conf.getOption(k).contains("auto")) {
+            val v = derive(n)
+            System.err.println(s"[verify] $k=auto resolved to $v " +
+              s"from gate corpus count $n")
+            spark.conf.set(k, v.toString)
+          }
+        }
+      }
+    }
     new java.io.File(outDir).mkdirs()
     SparkEntry.queries
       .filter { case (name, _) => only.forall(_.contains(name)) }

@@ -1000,7 +1000,8 @@ object Similarity {
     *     centroids, scan `nprobe` cells; at scale c1 is a partition key
     *     and the probe is partition pruning at the source.
     *   - the in-cell scan reads m byte-sized codes per vector (m·log2(k)
-    *     bits ≈ 12 bits here vs 64 floats — the compression that fits an
+    *     bits ≈ 24 bits at the round-13 default, 12 at the swept
+    *     baseline, vs 64 floats — the compression that fits an
     *     index in cache tiers) and scores each candidate with m LUT adds;
     *     the LUTs are nprobe·m·kcode rows built from the query alone.
     *   - training on residuals (not raw vectors) is what makes a SMALL
@@ -1097,6 +1098,20 @@ object Similarity {
     val NProbe = 2   // probed serving cells per query
     val ShortK = 50  // ADC shortlist width held in state / re-ranked
     val TopK = 5     // final exact-re-ranked answer size per query
+    // The index config behind the declared IVF-PQ serving surface
+    // (x23/x25/x28/s31 + the curves), shared engine/oracle/specs. Round-13
+    // re-pick from the measured sweeps: farthest-point seeding (the
+    // round-12 matrix: pp-seeded reaches recall 1.0 where modulo-seeded
+    // collapses) and kcode=64 (the bits sweep: at equal 24 bits, bigger
+    // codebooks beat more subspaces — raw-ADC floor 0.2→0.5/0.6 and
+    // shortK=50 saturates to 1.0 at BOTH sf0.1 and sf1; numbers in
+    // BASELINE.md round-13).
+    val K1Default = 8 // declared oracle contract; `auto` is the prod knob
+    val M = 4         // subspaces (subDim = dim / m = 16 at dim 64)
+    val SubDim = 16
+    val Kcode = 64    // codewords per subspace: m·log2(kcode) = 24 bits
+    val Iters = 2
+    val Pp = true     // farthest-point level-1 seeding
   }
 
   /** The static query set + per-query probe table the streaming server
@@ -1161,9 +1176,10 @@ object Similarity {
     (scored, a1, q, exact)
   }
 
-  def ivfPqKnn(emb: DataFrame, k1Default: Int = 8, m: Int = 4,
-      subDim: Int = 16, kcode: Int = 8, iters: Int = 2, nprobe: Int = 2,
-      kTop: Int = 10, pp: Boolean = false): DataFrame = {
+  def ivfPqKnn(emb: DataFrame, k1Default: Int = Serve.K1Default,
+      m: Int = Serve.M, subDim: Int = Serve.SubDim,
+      kcode: Int = Serve.Kcode, iters: Int = Serve.Iters, nprobe: Int = 2,
+      kTop: Int = 10, pp: Boolean = Serve.Pp): DataFrame = {
     val (scored, _, _, exact) =
       ivfPqCore(emb, k1Default, m, subDim, kcode, iters, nprobe, kTop, pp)
     val top = scored.orderBy(col("adc"), col("vec_id")).limit(kTop)
@@ -1180,9 +1196,10 @@ object Similarity {
     * the vector store (shortK point reads), so the full-precision corpus is
     * touched shortK times per query while the scan itself reads only codes
     * in probed partitions — the standard answer to raw ADC's resolution
-    * floor (m·log2(kcode) ≈ 12 bits/vector cannot rank within-cell
+    * floor (m·log2(kcode) bits/vector cannot rank within-cell
     * neighbors whose true distances differ by less than the quantization
-    * error; x24's flat raw curve is that floor, measured).
+    * error; x24's flat raw curve is that floor, measured — 0.2 at the
+    * 12-bit baseline, 0.5 at the 24-bit round-13 default, BASELINE.md).
     *
     * Determinism: the shortlist cut is (adc, vec_id)-ordered (bit-stable),
     * the re-rank is the same graft_l2/duckD2 fold as the exact baseline
@@ -1210,9 +1227,11 @@ object Similarity {
         col("evid").isNotNull.as("in_exact_topk"))
   }
 
-  def ivfPqKnnRerank(emb: DataFrame, k1Default: Int = 8, m: Int = 4,
-      subDim: Int = 16, kcode: Int = 8, iters: Int = 2, nprobe: Int = 2,
-      shortK: Int = 50, kTop: Int = 10, pp: Boolean = false): DataFrame = {
+  def ivfPqKnnRerank(emb: DataFrame, k1Default: Int = Serve.K1Default,
+      m: Int = Serve.M, subDim: Int = Serve.SubDim,
+      kcode: Int = Serve.Kcode, iters: Int = Serve.Iters, nprobe: Int = 2,
+      shortK: Int = Serve.ShortK, kTop: Int = 10,
+      pp: Boolean = Serve.Pp): DataFrame = {
     val (scored, a1, q, exact) =
       ivfPqCore(emb, k1Default, m, subDim, kcode, iters, nprobe, kTop, pp)
     rerankTail(scored, a1, q, exact, shortK, kTop)
@@ -1307,11 +1326,13 @@ object Similarity {
   }
 
   def ivfPqKnnSql(k1: Int = graft.ext.Dedup.confInt(
-        graft.ext.Dedup.KmeansCellsKey, 8),
-      m: Int = 4, subDim: Int = 16, kcode: Int = 8, iters: Int = 2,
-      nprobe: Int = 2, kTop: Int = 10): String =
+        graft.ext.Dedup.KmeansCellsKey, Serve.K1Default),
+      m: Int = Serve.M, subDim: Int = Serve.SubDim,
+      kcode: Int = Serve.Kcode, iters: Int = Serve.Iters,
+      nprobe: Int = 2, kTop: Int = 10, pp: Boolean = Serve.Pp): String =
     s"""WITH ${ivfPqBaseCtes(k1, m, subDim, kcode, iters, kTop,
-           src = "embeddings")},
+           src = "embeddings",
+           seed = if (pp) Some(ppSeedCtes(k1)) else None)},
              ${ivfPqProbeCtes(m, subDim, nprobe)},
              top AS (SELECT vec_id, c1, adc FROM scored
                      ORDER BY adc, vec_id LIMIT $kTop)
@@ -1335,11 +1356,14 @@ object Similarity {
   }
 
   def ivfPqKnnRerankSql(k1: Int = graft.ext.Dedup.confInt(
-        graft.ext.Dedup.KmeansCellsKey, 8),
-      m: Int = 4, subDim: Int = 16, kcode: Int = 8, iters: Int = 2,
-      nprobe: Int = 2, shortK: Int = 50, kTop: Int = 10): String =
+        graft.ext.Dedup.KmeansCellsKey, Serve.K1Default),
+      m: Int = Serve.M, subDim: Int = Serve.SubDim,
+      kcode: Int = Serve.Kcode, iters: Int = Serve.Iters,
+      nprobe: Int = 2, shortK: Int = Serve.ShortK, kTop: Int = 10,
+      pp: Boolean = Serve.Pp): String =
     s"""WITH ${ivfPqBaseCtes(k1, m, subDim, kcode, iters, kTop,
-           src = "embeddings")},
+           src = "embeddings",
+           seed = if (pp) Some(ppSeedCtes(k1)) else None)},
              ${ivfPqProbeCtes(m, subDim, nprobe)},
              ${ivfPqRerankCte(iters, shortK, kTop)}
         SELECT t.vec_id, t.c1, t.d2,
@@ -1358,15 +1382,17 @@ object Similarity {
   val PqCurveArms: Seq[Int] = Seq(1, 2, 4)
 
   /** x24: the raw-ADC recall-vs-nprobe curve — the gate that reads the
-    * CODE RESOLUTION floor (m·log2(kcode) ≈ 12 bits cannot rank
+    * CODE RESOLUTION floor (m·log2(kcode) bits cannot rank
     * within-cell neighbors whose true distances differ by less than the
     * quantization error, so the curve sits flat below the probe's recall;
     * x26's shortK curve is the knob that buys it back).
     */
   def ivfPqRecallCurve(emb: DataFrame, kTop: Int = 10,
-      pp: Boolean = false): DataFrame = {
+      pp: Boolean = Serve.Pp, m: Int = Serve.M, subDim: Int = Serve.SubDim,
+      kcode: Int = Serve.Kcode): DataFrame = {
     def arm(np: Int): DataFrame =
-      ivfPqKnn(emb, nprobe = np, kTop = kTop, pp = pp)
+      ivfPqKnn(emb, m = m, subDim = subDim, kcode = kcode,
+          nprobe = np, kTop = kTop, pp = pp)
         // count(when(...)) not sum(): an empty probed cell would make the
         // sum NULL where the oracle's count(*) reads 0
         .agg(count(when(col("in_exact_topk"), lit(1))).as("n_overlap"))
@@ -1376,10 +1402,11 @@ object Similarity {
   }
 
   def ivfPqRecallCurveSql(k1: Int = graft.ext.Dedup.confInt(
-        graft.ext.Dedup.KmeansCellsKey, 8),
-      m: Int = 4, subDim: Int = 16, kcode: Int = 8, iters: Int = 2,
+        graft.ext.Dedup.KmeansCellsKey, Serve.K1Default),
+      m: Int = Serve.M, subDim: Int = Serve.SubDim,
+      kcode: Int = Serve.Kcode, iters: Int = Serve.Iters,
       kTop: Int = 10, src: String = "embeddings",
-      pre: String = "", pp: Boolean = false): String = {
+      pre: String = "", pp: Boolean = Serve.Pp): String = {
     val armCtes = PqCurveArms
       .map(np => ivfPqProbeCtes(m, subDim, np, pfx = s"n${np}_"))
       .mkString(",\n")
@@ -1403,7 +1430,7 @@ object Similarity {
     * the probe reaches the right cell (x21: planted recall 1.0 at
     * nprobe=1), x24's nprobe axis is flat by construction; what decides
     * serving recall is how wide an ADC shortlist the exact re-rank gets
-    * to repair — i.e. how many of the true top-k survive the 12-bit cut.
+    * to repair — i.e. how many of the true top-k survive the code cut.
     * Cost is linear in shortK (shortK point reads of full-precision
     * vectors per query), so this curve IS the latency/recall trade a
     * deployment tunes.
@@ -1411,12 +1438,14 @@ object Similarity {
   val PqShortArms: Seq[Int] = Seq(50, 200, 800)
 
   def ivfPqRerankCurve(emb: DataFrame, kTop: Int = 10,
-      pp: Boolean = false, nprobe: Int = 2): DataFrame = {
+      pp: Boolean = Serve.Pp, nprobe: Int = 2, m: Int = Serve.M,
+      subDim: Int = Serve.SubDim, kcode: Int = Serve.Kcode): DataFrame = {
     // nprobe is fixed across arms, so the probe/ADC-score/exact pipeline
     // is built ONCE and each arm only re-cuts the shortlist — mirroring
     // the oracle's shared `scored` block.
     val (scored, a1, q, exact) =
-      ivfPqCore(emb, 8, 4, 16, 8, 2, nprobe, kTop, pp)
+      ivfPqCore(emb, Serve.K1Default, m, subDim, kcode, Serve.Iters,
+        nprobe, kTop, pp)
     def arm(sk: Int): DataFrame =
       rerankTail(scored, a1, q, exact, sk, kTop)
         .agg(count(when(col("in_exact_topk"), lit(1))).as("n_overlap"))
@@ -1426,10 +1455,11 @@ object Similarity {
   }
 
   def ivfPqRerankCurveSql(k1: Int = graft.ext.Dedup.confInt(
-        graft.ext.Dedup.KmeansCellsKey, 8),
-      m: Int = 4, subDim: Int = 16, kcode: Int = 8, iters: Int = 2,
+        graft.ext.Dedup.KmeansCellsKey, Serve.K1Default),
+      m: Int = Serve.M, subDim: Int = Serve.SubDim,
+      kcode: Int = Serve.Kcode, iters: Int = Serve.Iters,
       nprobe: Int = 2, kTop: Int = 10, src: String = "embeddings",
-      pre: String = "", pp: Boolean = false): String = {
+      pre: String = "", pp: Boolean = Serve.Pp): String = {
     // ONE probe/LUT/score block (nprobe fixed) shared by every arm; each
     // arm only re-cuts the shortlist and re-ranks.
     val armCtes = PqShortArms
@@ -1610,21 +1640,23 @@ object Similarity {
       .select(col("vec_id"), col("label"), col("c1"), col("d2"),
         col("evid").isNotNull.as("in_filtered_exact_topk"))
 
-  def ivfPqFilteredRerank(emb: DataFrame, k1Default: Int = 8, m: Int = 4,
-      subDim: Int = 16, kcode: Int = 8, iters: Int = 2, nprobe: Int = 2,
-      target: Int = 3, shortK: Int = 50, kTop: Int = 10,
-      pp: Boolean = false): DataFrame = {
+  def ivfPqFilteredRerank(emb: DataFrame, k1Default: Int = Serve.K1Default,
+      m: Int = Serve.M, subDim: Int = Serve.SubDim,
+      kcode: Int = Serve.Kcode, iters: Int = Serve.Iters, nprobe: Int = 2,
+      target: Int = 3, shortK: Int = Serve.ShortK, kTop: Int = 10,
+      pp: Boolean = Serve.Pp): DataFrame = {
     val (scored, q, fexact) = ivfPqFilteredCore(
       emb, k1Default, m, subDim, kcode, iters, nprobe, target, kTop, pp)
     filteredRerankTail(scored, q, fexact, shortK, kTop)
   }
 
   def ivfPqFilteredRerankSql(k1: Int = graft.ext.Dedup.confInt(
-        graft.ext.Dedup.KmeansCellsKey, 8),
-      m: Int = 4, subDim: Int = 16, kcode: Int = 8, iters: Int = 2,
-      nprobe: Int = 2, target: Int = 3, shortK: Int = 50, kTop: Int = 10,
-      src: String = "embeddings", pre: String = "",
-      pp: Boolean = false): String =
+        graft.ext.Dedup.KmeansCellsKey, Serve.K1Default),
+      m: Int = Serve.M, subDim: Int = Serve.SubDim,
+      kcode: Int = Serve.Kcode, iters: Int = Serve.Iters,
+      nprobe: Int = 2, target: Int = 3, shortK: Int = Serve.ShortK,
+      kTop: Int = 10, src: String = "embeddings", pre: String = "",
+      pp: Boolean = Serve.Pp): String =
     s"""WITH ${if (pre.nonEmpty) pre + "," else ""}
              ${ivfPqBaseCtes(k1, m, subDim, kcode, iters, kTop, src = src,
                seed = if (pp) Some(ppSeedCtes(k1)) else None)},
@@ -1653,14 +1685,16 @@ object Similarity {
     * cell 0 by [[clusteredLabelExpr]], a compile-time constant so the
     * predicate stays a pushed-down literal): the filter keeps exactly the
     * query's cluster mates, whose true distances differ by less than the
-    * 12-bit quantization error — the worst case for raw ADC (x24's floor)
+    * code quantization error — the worst case for raw ADC (x24's floor)
     * and therefore the sharpest read of how much of the filtered answer
     * each shortlist row buys back (x26's discipline under a predicate).
     */
   def ivfPqFilteredRerankCurve(emb: DataFrame, kTop: Int = 10,
-      pp: Boolean = false, nprobe: Int = 2, target: Int = 0): DataFrame = {
+      pp: Boolean = Serve.Pp, nprobe: Int = 2,
+      target: Int = 0): DataFrame = {
     val (scored, q, fexact) = ivfPqFilteredCore(
-      emb, 8, 4, 16, 8, 2, nprobe, target, kTop, pp)
+      emb, Serve.K1Default, Serve.M, Serve.SubDim, Serve.Kcode,
+      Serve.Iters, nprobe, target, kTop, pp)
     def arm(sk: Int): DataFrame =
       filteredRerankTail(scored, q, fexact, sk, kTop)
         .agg(count(when(col("in_filtered_exact_topk"), lit(1)))
@@ -1671,11 +1705,12 @@ object Similarity {
   }
 
   def ivfPqFilteredRerankCurveSql(k1: Int = graft.ext.Dedup.confInt(
-        graft.ext.Dedup.KmeansCellsKey, 8),
-      m: Int = 4, subDim: Int = 16, kcode: Int = 8, iters: Int = 2,
+        graft.ext.Dedup.KmeansCellsKey, Serve.K1Default),
+      m: Int = Serve.M, subDim: Int = Serve.SubDim,
+      kcode: Int = Serve.Kcode, iters: Int = Serve.Iters,
       nprobe: Int = 2, target: Int = 0, kTop: Int = 10,
       src: String = "embeddings", pre: String = "",
-      pp: Boolean = false): String = {
+      pp: Boolean = Serve.Pp): String = {
     val armCtes = PqShortArms.map { sk =>
       s"""s${sk}_fshort AS (SELECT vec_id, label, c1 FROM scored
                     ORDER BY adc, vec_id LIMIT $sk),
@@ -2309,10 +2344,12 @@ object SimilarityQueries {
     // corpus under the production (farthest-point) level-1 seeding — the
     // x21/x22 gate discipline applied to IVF-PQ. With the probe recovering
     // the planted cells (x21: recall 1.0 at nprobe=1), what this curve
-    // reads is the CODE RESOLUTION floor: 12-bit codes cannot rank
+    // reads is the CODE RESOLUTION floor: m·log2(kcode) bits cannot rank
     // within-cluster neighbors whose true distances differ by less than
     // the quantization error — the honestly-gated number that says raw
     // ADC needs x25's re-rank (exactly as x17's 0.0 said x16 needed x19).
+    // The round-13 bits sweep (BASELINE.md) moved the default to 24 bits
+    // (kcode=64): the floor lifts 0.2 -> 0.5 and shortK=50 saturates.
     Q("x24_ivfpq_recall_curve",
       (s, d) => Similarity.ivfPqRecallCurve(
         Similarity.clusteredCorpus(Tables.embeddings(s, d)), pp = true),

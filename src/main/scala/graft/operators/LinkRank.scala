@@ -37,8 +37,13 @@ object LinkRank {
 
   /** `edges` must be a DISTINCT (src, dst) long-pair relation. Returns
     * (node, rank) after `iters` damped integer power iterations.
+    * `checkpoint = false` keeps the full logical tree (no per-iteration
+    * lineage truncation) — the spec hook that lets PlanQualitySpec pin the
+    * per-iteration broadcast shape, which the checkpointed form hides
+    * behind its materialized scan; production callers keep the default.
     */
-  def rank(edges0: DataFrame, iters: Int): DataFrame = {
+  def rank(edges0: DataFrame, iters: Int,
+      checkpoint: Boolean = true): DataFrame = {
     // persist the edge relation: ranks_i's lineage nests ranks_{i-1}, so
     // without it every iteration re-derives the edges from source —
     // events would be re-scanned ~2^iters times (d03's persist rationale).
@@ -56,12 +61,13 @@ object LinkRank {
         .join(broadcast(ranks), col("src") === col("node"))
         .select(col("dst"), expr("rank DIV deg").as("c"))
         .groupBy("dst").agg(sum("c").as("in_sum"))
-      ranks = graft.util.Caches.retainCheckpointed(
-        nodes.join(broadcast(contrib),
-            col("node") === col("dst"), "left_outer")
-          .select(col("node"), expr(
-            s"coalesce(in_sum, 0L) * $DampNum DIV $DampDen + $BaseRank")
-            .as("rank")))
+      val next = nodes.join(broadcast(contrib),
+          col("node") === col("dst"), "left_outer")
+        .select(col("node"), expr(
+          s"coalesce(in_sum, 0L) * $DampNum DIV $DampDen + $BaseRank")
+          .as("rank"))
+      ranks =
+        if (checkpoint) graft.util.Caches.retainCheckpointed(next) else next
     }
     ranks
   }

@@ -1700,11 +1700,13 @@ object StreamingQ {
       (s, d) => withRocksDb(s) {
         import org.apache.spark.sql.expressions.Window
         graft.functions.GraftFunctions.register(s)
+        val serve = graft.ext.Similarity.Serve
         val emb = Tables.embeddings(s, d)
         val (a1, cv1, _, cbAll) = graft.ext.Similarity.ivfPqIndex(
-          emb, 8, 4, 16, 8, 2, pp = false)
-        val assignCents = graft.ext.Similarity.kmeansTrainedCentroids(emb)
-        val serve = graft.ext.Similarity.Serve
+          emb, serve.K1Default, serve.M, serve.SubDim, serve.Kcode,
+          serve.Iters, pp = serve.Pp)
+        val assignCents = graft.ext.Similarity.kmeansTrainedCentroids(
+          emb, serve.K1Default, serve.Iters, pp = serve.Pp)
         val (qset, probes) = graft.ext.Similarity.ivfPqQueryProbes(a1, cv1)
         val admitted = runFileStream(s, s"$d/embeddings.parquet")(
           ivfPqServeXform(s, assignCents, cv1, cbAll, probes))
@@ -1732,9 +1734,10 @@ object StreamingQ {
             col("evid").isNotNull.as("in_exact_topk"))
       },
       Some(graft.ext.Dedup.guardAuto(graft.ext.Dedup.KmeansCellsKey) {
-        val k1 = graft.ext.Dedup.confInt(graft.ext.Dedup.KmeansCellsKey, 8)
-        val (m, subDim) = (4, 16)
         val serve = graft.ext.Similarity.Serve
+        val k1 = graft.ext.Dedup.confInt(graft.ext.Dedup.KmeansCellsKey,
+          serve.K1Default)
+        val (m, subDim) = (serve.M, serve.SubDim)
         val d2 = graft.ext.Similarity.duckD2 _
         val luts = (0 until m).map { sx =>
           val off = sx * subDim
@@ -1752,7 +1755,9 @@ object StreamingQ {
         val adc = (0 until m).map(sx => s"dd$sx")
           .reduce((a, b) => s"($a + $b)")
         s"""WITH ${graft.ext.Similarity.ivfPqIndexCtes(
-               k1, m, subDim, 8, 2, src = "embeddings")},
+               k1, m, subDim, serve.Kcode, serve.Iters, src = "embeddings",
+               seed = if (serve.Pp)
+                 Some(graft.ext.Similarity.ppSeedCtes(k1)) else None)},
              qs AS MATERIALIZED (SELECT vec_id AS q_id, e AS qe
                    FROM a2 ORDER BY vec_id LIMIT ${serve.NQueries}),
              probes AS MATERIALIZED (

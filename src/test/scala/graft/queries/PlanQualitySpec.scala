@@ -286,8 +286,22 @@ class PlanQualitySpec extends SparkSpec {
   }
 
   test("q94: link-rank iterations broadcast the node-scale rank side — edges never merge-join") {
+    // the per-iteration shape, via the spec hook that skips the lineage
+    // truncation (the declared query's final plan is a checkpoint scan and
+    // hides the joins inside its materialization — pinned below)
+    val edges = graft.sources.Tables.events(spark, sf)
+      .select((col("user_id") % 50).as("src"), (col("event_id") % 50).as("dst"))
+      .distinct()
+    val raw = graft.operators.LinkRank.rank(edges, 3, checkpoint = false)
+      .queryExecution.executedPlan.toString
+    assert(raw.contains("BroadcastHashJoin"), raw)
+    assert(!raw.contains("SortMergeJoin"), raw)
+    assert(!raw.contains("CartesianProduct"), raw)
+    // the declared query's plan: ONE scan of the materialized final
+    // iteration (round-13: the nested broadcast tree re-planned per run
+    // was the 0.98→1.92 s same-tree wobble) — no joins survive in it
     val p = planOf("q94_link_rank")
-    assert(p.contains("BroadcastHashJoin"), p)
+    assert(p.contains("Scan ExistingRDD"), p)
     assert(!p.contains("SortMergeJoin"), p)
     assert(!p.contains("CartesianProduct"), p)
   }

@@ -348,9 +348,12 @@ class StreamingChaosSpec extends SparkSpec {
 
     graft.functions.GraftFunctions.register(s)
     val emb = Tables.embeddings(s, sf)
+    val serve = graft.ext.Similarity.Serve
     val (a1, cv1, _, cbAll) = graft.ext.Similarity.ivfPqIndex(
-      emb, 8, 4, 16, 8, 2, pp = false)
-    val assignCents = graft.ext.Similarity.kmeansTrainedCentroids(emb)
+      emb, serve.K1Default, serve.M, serve.SubDim, serve.Kcode,
+      serve.Iters, pp = serve.Pp)
+    val assignCents = graft.ext.Similarity.kmeansTrainedCentroids(
+      emb, serve.K1Default, serve.Iters, pp = serve.Pp)
     val (_, probes) = graft.ext.Similarity.ivfPqQueryProbes(a1, cv1)
     val xform = StreamingQ.ivfPqServeXform(
       s, assignCents, cv1, cbAll, probes)(_)

@@ -748,9 +748,11 @@ class StreamingSpec extends SparkSpec {
     val d = "/root/testdata/sf0.001"
     graft.functions.GraftFunctions.register(s)
     val emb = graft.sources.Tables.embeddings(s, d)
+    val sv = graft.ext.Similarity.Serve
     val (a1, cv1, _, cbAll) = graft.ext.Similarity.ivfPqIndex(
-      emb, 8, 4, 16, 8, 2, pp = false)
-    val assignCents = graft.ext.Similarity.kmeansTrainedCentroids(emb)
+      emb, sv.K1Default, sv.M, sv.SubDim, sv.Kcode, sv.Iters, pp = sv.Pp)
+    val assignCents = graft.ext.Similarity.kmeansTrainedCentroids(
+      emb, sv.K1Default, sv.Iters, pp = sv.Pp)
     val (_, probes) = graft.ext.Similarity.ivfPqQueryProbes(a1, cv1)
 
     def serve(split: Boolean): Seq[String] = {
