@@ -74,7 +74,35 @@ object Bench {
       val dt = (System.nanoTime() - t0 + (x & 1)) / 1e9
       math.round(dt * 1000.0) / 1000.0
     }
+    // PARALLEL calibration probe (round 13): the single-thread probe
+    // missed a real drift mode — a run where calib read 1.10× while
+    // 32-way parallel throughput was HALVED (noisy-neighbor CPU steal
+    // shows up under concurrency, not on one thread), inflating every
+    // multi-core Spark stage ~1.5-1.8× with per-suite calib reading
+    // ~1.0. This probe runs the same xorshift loop on `cpus` threads at
+    // once (1/8 the rounds each); its wall over the single-thread probe's
+    // is the box's parallel-efficiency factor — ~cpus/8-fold FASTER than
+    // the single probe when scaling is clean, degrading toward (and past)
+    // the single probe's time as the host oversubscribes.
+    def calibratePar(): Double = {
+      val n = math.max(1, cpus.toInt)
+      val t0 = System.nanoTime()
+      val threads = (0 until n).map { t =>
+        new Thread(() => {
+          var x = 0x9e3779b97f4a7c15L + t
+          var i = 0
+          while (i < 25000000) {
+            x ^= x << 13; x ^= x >>> 7; x ^= x << 17
+            i += 1
+          }
+          if ((x & 1) == 42) println("") // defeat DCE
+        })
+      }
+      threads.foreach(_.start()); threads.foreach(_.join())
+      math.round((System.nanoTime() - t0) / 1e9 * 1000.0) / 1000.0
+    }
     val calibStart = calibrate()
+    val calibParStart = calibratePar()
     val loadStart = loadAvg()
     sys.env.get("GRAFT_STATE_PARTS")
       .foreach(v => spark.conf.set("graft.stream.stateParts", v))
@@ -219,6 +247,7 @@ object Bench {
     spark.stop()
     val loadEnd = loadAvg()
     val calibEnd = calibrate()
+    val calibParEnd = calibratePar()
     // calib_ratio: end-probe time over start-probe time. ~1.0 on a box whose
     // background load held steady; >1 means the run got slower mid-flight
     // (round-6: 1.78× — neighbors, not regressions). Contention is judged
@@ -237,8 +266,15 @@ object Bench {
     // round-10 driver runs were ~10-18% uniformly slow, enough to misread
     // a cross-run total band without being "contention". With this flag a
     // driver-vs-builder delta is attributable from the artifact alone.
+    // ...or the PARALLEL probe pair >1.5× apart (round 13: a run read
+    // calib flat 0.418/0.430 while par went 0.161→0.092 — the start was
+    // parallel-degraded ~1.75×, uniformly inflating multi-core stages with
+    // every single-thread signal green; par probes are thread-scheduling
+    // noisy, hence the looser 1.5 gate).
+    val parPair = Seq(calibParStart, calibParEnd).map(math.max(_, 1e-9))
     val drifted = math.abs(calibRatio - 1.0) > 0.1 ||
-      suiteCalib.values.exists(v => math.abs(v - 1.0) > 0.05)
+      suiteCalib.values.exists(v => math.abs(v - 1.0) > 0.05) ||
+      parPair.max / parPair.min > 1.5
     val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
     val suiteCalibJson = suiteCalib
       .map { case (k, v) => s"\"$k\":$v" }.mkString("{", ",", "}")
@@ -251,6 +287,7 @@ object Bench {
     val prov = s""""runs_per_query":2,"load_avg_start":$loadStart,""" +
       s""""load_avg_end":$loadEnd,"calib_sec_start":$calibStart,""" +
       s""""calib_sec_end":$calibEnd,"calib_ratio":$calibRatio,""" +
+      s""""calib_par_start":$calibParStart,"calib_par_end":$calibParEnd,""" +
       s""""calib_suite":$suiteCalibJson,""" +
       s""""subset":${only.isDefined},"injected":$injectedJson,""" +
       s""""requeried":$requeriedJson,""" +

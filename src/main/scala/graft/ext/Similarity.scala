@@ -353,8 +353,16 @@ object Similarity {
     // `pp` must mirror the index build it serves (x28 trains pp-seeded;
     // a modulo-seeded artifact would assign different cells and the
     // re-encode≡stored-code contract below would silently break).
-    kmeansAssignSeeded(emb, k, iters - 1, pp)
-      .agg(expr(s"graft_centroids(cluster, e, $k)").as("cents"))
+    // retainCheckpointed: this 1-row artifact is BROADCAST per consumer —
+    // and a stream-static broadcast recomputes its subquery every
+    // micro-batch, so without the checkpoint the pp seed chain (k−1
+    // sequential corpus passes) re-trained PER BATCH once the round-13
+    // defaults flipped (measured: s31 2.5 → 4.6 s; the artifact is what
+    // an offline trainer SHIPS, so materializing it is also the honest
+    // lifecycle shape).
+    graft.util.Caches.retainCheckpointed(
+      kmeansAssignSeeded(emb, k, iters - 1, pp)
+        .agg(expr(s"graft_centroids(cluster, e, $k)").as("cents")))
   }
 
   /** The argmin-cell SQL expression [[kmeansAssignSeeded]]'s assign step
