@@ -1798,6 +1798,128 @@ object StreamingQ {
         FROM rr t"""
       })),
 
+    // s32: streaming FILTERED IVF-PQ serving — x28's inline middle path
+    // online (completing the x→s symmetry: x07→s29, d17→s30, x23/x25→s31,
+    // x28→s32): the label predicate applies to ARRIVALS at the stream scan
+    // (before cell assignment, before any scoring), so the per-batch cost
+    // is the matching fraction of the probed fraction and non-matching
+    // vectors never enter state — the post-filter recall hole is closed by
+    // construction for everything the index ingests. The tail is x28's:
+    // exact re-rank of the drained shortlists, flagged against the
+    // PRE-FILTER exact top-k per query. Oracle = s31's index + probe
+    // chains with the scored/exact blocks restricted to the predicate.
+    Q("s32_stream_ivfpq_filtered",
+      (s, d) => withRocksDb(s) {
+        import org.apache.spark.sql.expressions.Window
+        graft.functions.GraftFunctions.register(s)
+        val serve = graft.ext.Similarity.Serve
+        val target = 3
+        val emb = Tables.embeddings(s, d)
+        val (a1, cv1, _, cbAll) = graft.ext.Similarity.ivfPqIndex(
+          emb, serve.K1Default, serve.M, serve.SubDim, serve.Kcode,
+          serve.Iters, pp = serve.Pp)
+        val assignCents = graft.ext.Similarity.kmeansTrainedCentroids(
+          emb, serve.K1Default, serve.Iters, pp = serve.Pp)
+        val (qset, probes) = graft.ext.Similarity.ivfPqQueryProbes(a1, cv1)
+        val admitted = runFileStream(s, s"$d/embeddings.parquet")(src =>
+          ivfPqServeXform(s, assignCents, cv1, cbAll, probes)(
+            src.filter(col("label") === target)))
+        val short = admitted.withColumn("rn", row_number().over(
+            Window.partitionBy("q_id").orderBy(col("adc"), col("vec_id"))))
+          .filter(col("rn") <= serve.ShortK).select("q_id", "vec_id", "c1")
+        val top = a1.join(broadcast(short), "vec_id")
+          .join(broadcast(qset), "q_id")
+          .withColumn("d2", expr("graft_l2(e, qe)"))
+          .withColumn("rn", row_number().over(
+            Window.partitionBy("q_id").orderBy(col("d2"), col("vec_id"))))
+          .filter(col("rn") <= serve.TopK)
+          .select("q_id", "vec_id", "c1", "d2")
+        // pre-filter exact per query (x28's always-correct arm) — fresh
+        // pushed-down scan, label never joins the corpus
+        val fexact = emb.filter(col("label") === target)
+          .select(col("vec_id").as("evid"),
+            expr("transform(embedding, ex -> CAST(ex AS DOUBLE))").as("fe"))
+          .crossJoin(broadcast(qset))
+          .filter(col("evid") =!= col("q_id"))
+          .withColumn("d2x", expr("graft_l2(fe, qe)"))
+          .withColumn("rn", row_number().over(
+            Window.partitionBy("q_id").orderBy(col("d2x"), col("evid"))))
+          .filter(col("rn") <= serve.TopK)
+          .select(col("q_id").as("eq"), col("evid"))
+        top.join(broadcast(fexact),
+            col("q_id") === col("eq") && col("vec_id") === col("evid"),
+            "left_outer")
+          .select(col("q_id"), col("vec_id"), col("c1"), col("d2"),
+            col("evid").isNotNull.as("in_filtered_exact_topk"))
+      },
+      Some(graft.ext.Dedup.guardAuto(graft.ext.Dedup.KmeansCellsKey) {
+        val serve = graft.ext.Similarity.Serve
+        val target = 3
+        val k1 = graft.ext.Dedup.confInt(graft.ext.Dedup.KmeansCellsKey,
+          serve.K1Default)
+        val (m, subDim) = (serve.M, serve.SubDim)
+        val d2 = graft.ext.Similarity.duckD2 _
+        val luts = (0 until m).map { sx =>
+          val off = sx * subDim
+          s"""lut$sx AS (SELECT p.q_id, p.pcell AS pc$sx,
+                               c.cluster AS cc$sx,
+                               ${d2(
+                                 s"list_slice(p.rqe, ${off + 1}, ${off + subDim})",
+                                 "c.cvec")} AS dd$sx
+                        FROM probes p, v${sx}cvF c)"""
+        }.mkString(",\n")
+        val lutJoin = (0 until m).map { sx =>
+          val qEq = if (sx == 0) "" else s"lut$sx.q_id = lut0.q_id AND "
+          s"JOIN lut$sx ON ${qEq}k.c1 = pc$sx AND k.code_$sx = cc$sx"
+        }.mkString(" ")
+        val adc = (0 until m).map(sx => s"dd$sx")
+          .reduce((a, b) => s"($a + $b)")
+        s"""WITH ${graft.ext.Similarity.ivfPqIndexCtes(
+               k1, m, subDim, serve.Kcode, serve.Iters, src = "embeddings",
+               seed = if (serve.Pp)
+                 Some(graft.ext.Similarity.ppSeedCtes(k1)) else None)},
+             qs AS MATERIALIZED (SELECT vec_id AS q_id, e AS qe
+                   FROM a2 ORDER BY vec_id LIMIT ${serve.NQueries}),
+             probes AS MATERIALIZED (
+               SELECT q_id, pcell, rqe FROM (
+                 SELECT q.q_id, c.cluster AS pcell,
+                        list_transform(range(1, len(q.qe) + 1),
+                                       i -> q.qe[i] - c.cvec[i]) AS rqe,
+                        ROW_NUMBER() OVER (PARTITION BY q.q_id
+                          ORDER BY ${d2("c.cvec", "q.qe")}, c.cluster) AS rn
+                 FROM qs q, cvF c) WHERE rn <= ${serve.NProbe}),
+             $luts,
+             scored AS MATERIALIZED (
+               SELECT lut0.q_id, k.vec_id, k.c1, $adc AS adc
+               FROM pqcodes k $lutJoin
+                    JOIN embeddings l ON k.vec_id = l.vec_id
+               WHERE k.vec_id <> lut0.q_id AND l.label = $target),
+             short AS (SELECT q_id, vec_id, c1 FROM (
+                 SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id
+                   ORDER BY adc, vec_id) AS rn FROM scored)
+               WHERE rn <= ${serve.ShortK}),
+             rr AS (SELECT q_id, vec_id, c1, d2 FROM (
+                 SELECT s.q_id, s.vec_id, s.c1,
+                        ${d2("z.e", "q.qe")} AS d2,
+                        ROW_NUMBER() OVER (PARTITION BY s.q_id
+                          ORDER BY ${d2("z.e", "q.qe")}, s.vec_id) AS rn
+                 FROM short s JOIN a2 z ON z.vec_id = s.vec_id
+                              JOIN qs q ON q.q_id = s.q_id)
+               WHERE rn <= ${serve.TopK}),
+             fmex AS (SELECT q_id, vec_id FROM (
+                 SELECT q.q_id, z.vec_id,
+                        ROW_NUMBER() OVER (PARTITION BY q.q_id
+                          ORDER BY ${d2("z.e", "q.qe")}, z.vec_id) AS rn
+                 FROM a2 z JOIN embeddings l ON z.vec_id = l.vec_id, qs q
+                 WHERE l.label = $target AND z.vec_id <> q.q_id)
+               WHERE rn <= ${serve.TopK})
+        SELECT t.q_id, t.vec_id, t.c1, t.d2,
+               EXISTS (SELECT 1 FROM fmex
+                       WHERE fmex.q_id = t.q_id
+                         AND fmex.vec_id = t.vec_id)
+                 AS in_filtered_exact_topk
+        FROM rr t"""
+      })),
 
     // s25: stream-stream FULL OUTER interval join — s10's outer-emission
     // semantics on BOTH sides, completing the join-type family (inner

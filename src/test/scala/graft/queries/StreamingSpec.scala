@@ -796,6 +796,59 @@ class StreamingSpec extends SparkSpec {
     assert(one.nonEmpty)
     assert(one === two,
       "the served top-5 must not depend on micro-batch slicing")
+
+    // s32's filtered form under the SAME slicing pair: the arrival-side
+    // predicate composes with the xform (filter before assignment), and
+    // the filtered shortlists must be slicing-independent for the same
+    // admission-log reason — plus every admitted row must satisfy the
+    // predicate (non-matching vectors never enter state).
+    def serveFiltered(split: Boolean): Seq[String] = {
+      val srcDir = Files.createTempDirectory(s"graft_s32_src_$split").toString
+      val out    = Files.createTempDirectory(s"graft_s32_out_$split").toString
+      val ckpt   = Files.createTempDirectory(s"graft_s32_ck_$split").toString
+      def addFile(name: String, mtime: Long,
+          df: org.apache.spark.sql.DataFrame): Unit = {
+        val stage = Files.createTempDirectory(s"graft_s32_$name").toString
+        df.coalesce(1).write.mode("overwrite").parquet(stage)
+        val part = new File(stage).listFiles()
+          .find(_.getName.endsWith(".parquet")).get
+        Files.move(part.toPath, Paths.get(srcDir, s"$name.parquet"))
+        Paths.get(srcDir, s"$name.parquet").toFile.setLastModified(mtime)
+      }
+      if (split) {
+        addFile("a", 1700000000000L, emb.filter(col("vec_id") % 2 === 0))
+        addFile("b", 1700000060000L, emb.filter(col("vec_id") % 2 === 1))
+      } else addFile("all", 1700000000000L, emb)
+      StreamingQ.withRocksDb(s) {
+        StreamingQ.withStateParts(s) {
+          val strq = StreamingQ.ivfPqServeXform(
+              s, assignCents, cv1, cbAll, probes)(
+              s.readStream.schema(emb.schema)
+                .option("maxFilesPerTrigger", 1).parquet(srcDir)
+                .filter(col("label") === 3))
+            .writeStream.format("parquet").outputMode("append")
+            .option("checkpointLocation", ckpt).option("path", out)
+            .trigger(Trigger.AvailableNow()).start()
+          strq.awaitTermination()
+        }
+        val admitted = s.read.parquet(out)
+        // every admitted vec satisfies the predicate
+        val labels = emb.select(col("vec_id").as("lv"), col("label"))
+        assert(admitted.join(labels, col("vec_id") === col("lv"))
+          .filter(col("label") =!= 3).count() === 0L)
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("q_id").orderBy(col("adc"), col("vec_id"))
+        admitted
+          .withColumn("rn", row_number().over(w)).filter(col("rn") <= 5)
+          .orderBy("q_id", "rn").select("q_id", "vec_id", "adc")
+          .collect().map(_.toString).toSeq
+      }
+    }
+    val fOne = serveFiltered(split = false)
+    val fTwo = serveFiltered(split = true)
+    assert(fOne.nonEmpty)
+    assert(fOne === fTwo,
+      "the filtered served top-5 must not depend on micro-batch slicing")
   }
 
   test("running z-score flags are identical under any micro-batch slicing") {
