@@ -3,7 +3,7 @@ package graft.functions
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ExpressionInfo, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ExpressionInfo, TernaryExpression, UnaryExpression}
 import org.apache.spark.sql.types._
 
 /** Native Catalyst expressions for the engine's text-hash / vector kernels.
@@ -295,6 +295,43 @@ case class D2Expr(left: Expression, right: Expression)
   override protected def withNewChildrenInternal(
       newLeft: Expression, newRight: Expression): Expression =
     copy(left = newLeft, right = newRight)
+}
+
+/** One IVF-PQ asymmetric-distance term — encode `r`'s subspace window
+  * against the codebook and score `rqe`'s window against the chosen
+  * codeword in ONE compiled kernel (VecOps.adcTermD has the full value
+  * contract and the bit-identity argument vs the slice+array_min HOF form
+  * this replaces). `off`/`len` are plan-time constants like
+  * [[LshBucketExpr]]'s bits: the subspace layout is index geometry, not
+  * per-row data.
+  */
+case class AdcTermExpr(r: Expression, rqe: Expression, cents: Expression,
+    off: Int, len: Int) extends TernaryExpression {
+  require(off >= 0 && len >= 1,
+    s"graft_adc_term off=$off len=$len out of range")
+  override def first: Expression = r
+  override def second: Expression = rqe
+  override def third: Expression = cents
+  override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true
+  override def prettyName: String = "graft_adc_term"
+  protected override def nullSafeEval(a: Any, b: Any, c: Any): Any =
+    VecOps.adcTermD(
+      a.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData],
+      b.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData],
+      c.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData],
+      off, len)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b, c) => {
+      val res = ctx.freshName("adcRes")
+      s"""java.lang.Double $res =
+           graft.functions.VecOps.adcTermD($a, $b, $c, $off, $len);
+         if ($res == null) { ${ev.isNull} = true; }
+         else { ${ev.value} = $res.doubleValue(); }"""
+    })
+  override protected def withNewChildrenInternal(newFirst: Expression,
+      newSecond: Expression, newThird: Expression): Expression =
+    copy(r = newFirst, rqe = newSecond, cents = newThird)
 }
 
 /** `bits` is a plan-time constant (like the generator literals below), not
@@ -667,6 +704,9 @@ object GraftFunctions {
     "graft_dot"          -> (cs => DotFExpr(cs(0), cs(1))),
     "graft_cos"          -> (cs => CosFExpr(cs(0), cs(1))),
     "graft_l2"           -> (cs => D2Expr(cs(0), cs(1))),
+    // trailing off/len must be int literals (plan-time subspace layout)
+    "graft_adc_term"     -> (cs => AdcTermExpr(cs(0), cs(1), cs(2),
+      cs(3).eval(null).asInstanceOf[Int], cs(4).eval(null).asInstanceOf[Int])),
     "graft_q127"         -> (cs => Q127Expr(cs.head)),
     "graft_doti"         -> (cs => DotIExpr(cs(0), cs(1))),
     "graft_thumb"        -> (cs => ThumbHexExpr(cs(0), cs(1))),

@@ -555,6 +555,63 @@ object VecOps {
     acc
   }
 
+  /** One IVF-PQ asymmetric-distance TERM (the per-subspace encode + score
+    * of [[graft.ext.Similarity.adcTermExpr]]) as a single compiled loop:
+    * over the `cents` codebook (array<struct<cluster int, cvec
+    * array<double>>>), find the codeword minimizing the squared L2 to
+    * `r[off, off+len)` — ties to the LOWEST cluster id, exactly the
+    * lexicographic (dd, cluster) struct-min the SQL `array_min(transform(
+    * ...))` form computes — then return the squared L2 from
+    * `rqe[off, off+len)` to that codeword. Every distance is the same
+    * sequential left-fold as [[d2D]] over the offset window, so the value
+    * is bit-identical to the slice+HOF form it replaces; what it removes
+    * is the per-row interpreted lambda + one named_struct allocation PER
+    * CODEWORD per subspace (at kcode=64 that was 256 allocations per
+    * scored candidate — the ADC scan's hot path, x23/x25/x28/s31/s32 and
+    * every recall curve). Null when either window exceeds its array or
+    * any codeword width differs from `len` (the HOF form degrades
+    * entry-by-entry on malformed codebooks; a codebook is fixed-width by
+    * construction, so strict-null is the honest contract).
+    */
+  def adcTermD(r: ArrayData, rqe: ArrayData, cents: ArrayData,
+      off: Int, len: Int): java.lang.Double = {
+    if (r.numElements() < off + len || rqe.numElements() < off + len)
+      return null
+    val n = cents.numElements()
+    if (n == 0) return null
+    var bestDd = 0.0
+    var bestC = 0
+    var bestIdx = -1
+    var i = 0
+    while (i < n) {
+      val st = cents.getStruct(i, 2)
+      val c = st.getInt(0)
+      val cv = st.getArray(1)
+      if (cv.numElements() != len) return null
+      var acc = 0.0
+      var j = 0
+      while (j < len) {
+        val d = r.getDouble(off + j) - cv.getDouble(j)
+        acc += d * d
+        j += 1
+      }
+      val cmp = java.lang.Double.compare(acc, bestDd)
+      if (bestIdx < 0 || cmp < 0 || (cmp == 0 && c < bestC)) {
+        bestDd = acc; bestC = c; bestIdx = i
+      }
+      i += 1
+    }
+    val cv = cents.getStruct(bestIdx, 2).getArray(1)
+    var acc = 0.0
+    var j = 0
+    while (j < len) {
+      val d = rqe.getDouble(off + j) - cv.getDouble(j)
+      acc += d * d
+      j += 1
+    }
+    acc
+  }
+
   /** INT8 symmetric scalar quantization (x09/x10 hot path): code_i =
     * floor(x_i / max|x| × 127 + 0.5), every step in doubles — bit-identical
     * to the SQL `transform(...)` / DuckDB `list_transform` form it
