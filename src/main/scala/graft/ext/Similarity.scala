@@ -368,10 +368,14 @@ object Similarity {
   /** The argmin-cell SQL expression [[kmeansAssignSeeded]]'s assign step
     * and s30's streaming assignment share — ONE definition so the offline
     * and online cell of a vector can never drift.
+    *
+    * Round 13: compiled kernel (same HOF-to-Expression move as
+    * adcTermExpr — VecOps.bestCellD documents the bit-identity: d2D fold
+    * per centroid, (dd, cluster)-lexicographic min). The Lloyd assignment
+    * evaluated the lambda interpreted with one struct allocation per
+    * centroid per row per round — at auto-k that is ~n²/256 allocations.
     */
-  val bestCellExpr: String =
-    """array_min(transform(cents,
-         ct -> named_struct('dd', graft_l2(e, ct.cvec), 'c', ct.cluster)))"""
+  val bestCellExpr: String = "graft_best_cell(e, cents)"
 
   /** Deterministic farthest-point seeding — the k-means++ shape with D²
     * SAMPLING replaced by argmax (the classic k-center greedy, a provable
@@ -904,12 +908,9 @@ object Similarity {
           expr(s"slice(e, $off, $subDim)").as("e")), kcode, iters, pp = false)
         .agg(expr(s"graft_centroids(cluster, e, $kcode)").as(s"cents$s"))
     }.reduce(_.crossJoin(_)))
-    def code(s: Int) = {
-      val off = s * subDim + 1
-      s"""array_min(transform(cents$s,
-           ct -> named_struct('dd', graft_l2(slice(e, $off, $subDim), ct.cvec),
-                              'c', ct.cluster))).c"""
-    }
+    // round 13: compiled encode kernel (VecOps.codeD) — same argmin/
+    // tie-break as the slice+HOF form, zero per-codeword allocations
+    def code(s: Int) = s"graft_code(e, cents$s, ${s * subDim}, $subDim)"
     // The m query-side LUTs are tiny DataFrames (kcode rows each) joined
     // back by codeword id: broadcast hash joins stay inside whole-stage
     // codegen, where the per-row filter()/element_at() lambda form was

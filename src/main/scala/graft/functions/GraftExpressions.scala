@@ -334,6 +334,66 @@ case class AdcTermExpr(r: Expression, rqe: Expression, cents: Expression,
     copy(r = newFirst, rqe = newSecond, cents = newThird)
 }
 
+/** The k-means assignment argmin as a compiled kernel returning
+  * struct<dd double, c int> — the Lloyd hot path (VecOps.bestCellD has
+  * the value contract; [[graft.ext.Similarity.bestCellExpr]] is the one
+  * shared SQL spelling).
+  */
+case class BestCellExpr(e: Expression, cents: Expression)
+    extends BinaryExpression {
+  override def left: Expression = e
+  override def right: Expression = cents
+  override def dataType: DataType = StructType(Seq(
+    StructField("dd", DoubleType, nullable = false),
+    StructField("c", IntegerType, nullable = false)))
+  override def nullable: Boolean = true
+  override def prettyName: String = "graft_best_cell"
+  protected override def nullSafeEval(a: Any, b: Any): Any =
+    VecOps.bestCellD(
+      a.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData],
+      b.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val res = ctx.freshName("bestCell")
+      s"""org.apache.spark.sql.catalyst.InternalRow $res =
+           graft.functions.VecOps.bestCellD($a, $b);
+         if ($res == null) { ${ev.isNull} = true; }
+         else { ${ev.value} = $res; }"""
+    })
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(e = newLeft, cents = newRight)
+}
+
+/** Encode-only subspace argmin (x18's flat-PQ code_s) — cluster id of the
+  * (dd, cluster)-argmin codeword for the `[off, off+len)` window.
+  */
+case class CodeExpr(e: Expression, cents: Expression, off: Int, len: Int)
+    extends BinaryExpression {
+  require(off >= 0 && len >= 1, s"graft_code off=$off len=$len out of range")
+  override def left: Expression = e
+  override def right: Expression = cents
+  override def dataType: DataType = IntegerType
+  override def nullable: Boolean = true
+  override def prettyName: String = "graft_code"
+  protected override def nullSafeEval(a: Any, b: Any): Any =
+    VecOps.codeD(
+      a.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData],
+      b.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData],
+      off, len)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val res = ctx.freshName("codeRes")
+      s"""java.lang.Integer $res =
+           graft.functions.VecOps.codeD($a, $b, $off, $len);
+         if ($res == null) { ${ev.isNull} = true; }
+         else { ${ev.value} = $res.intValue(); }"""
+    })
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(e = newLeft, cents = newRight)
+}
+
 /** `bits` is a plan-time constant (like the generator literals below), not
   * a child expression: plane count shapes the physical candidate volume,
   * and a per-row-varying width has no meaning for a blocking key. Higher
@@ -707,6 +767,9 @@ object GraftFunctions {
     // trailing off/len must be int literals (plan-time subspace layout)
     "graft_adc_term"     -> (cs => AdcTermExpr(cs(0), cs(1), cs(2),
       cs(3).eval(null).asInstanceOf[Int], cs(4).eval(null).asInstanceOf[Int])),
+    "graft_best_cell"    -> (cs => BestCellExpr(cs(0), cs(1))),
+    "graft_code"         -> (cs => CodeExpr(cs(0), cs(1),
+      cs(2).eval(null).asInstanceOf[Int], cs(3).eval(null).asInstanceOf[Int])),
     "graft_q127"         -> (cs => Q127Expr(cs.head)),
     "graft_doti"         -> (cs => DotIExpr(cs(0), cs(1))),
     "graft_thumb"        -> (cs => ThumbHexExpr(cs(0), cs(1))),

@@ -573,6 +573,84 @@ object VecOps {
     * entry-by-entry on malformed codebooks; a codebook is fixed-width by
     * construction, so strict-null is the honest contract).
     */
+  /** The k-means assignment argmin (the SQL
+    * `array_min(transform(cents, ct -> struct(dd, c)))` of
+    * [[graft.ext.Similarity.bestCellExpr]]) as one compiled loop:
+    * over `cents` (array<struct<cluster int, cvec array<double>>>), the
+    * (squared-L2, cluster)-lexicographic minimum — same [[d2D]] fold per
+    * candidate, ties to the lowest cluster id. Returns (dd, c) as an
+    * InternalRow, or null when the codebook is empty or any cvec width
+    * differs from `e`'s (the strict-null contract [[adcTermD]]
+    * documents). This is the Lloyd hot path: every assignment round of
+    * every kmeans-family query evaluated the HOF lambda interpreted with
+    * one struct allocation per centroid per row — at auto-k (k≈n/256)
+    * that is ~n²/256 allocations per round.
+    */
+  def bestCellD(e: ArrayData, cents: ArrayData)
+      : org.apache.spark.sql.catalyst.InternalRow = {
+    val n = cents.numElements()
+    if (n == 0) return null
+    val len = e.numElements()
+    var bestDd = 0.0
+    var bestC = 0
+    var found = false
+    var i = 0
+    while (i < n) {
+      val st = cents.getStruct(i, 2)
+      val c = st.getInt(0)
+      val cv = st.getArray(1)
+      if (cv.numElements() != len) return null
+      var acc = 0.0
+      var j = 0
+      while (j < len) {
+        val d = e.getDouble(j) - cv.getDouble(j)
+        acc += d * d
+        j += 1
+      }
+      val cmp = java.lang.Double.compare(acc, bestDd)
+      if (!found || cmp < 0 || (cmp == 0 && c < bestC)) {
+        bestDd = acc; bestC = c; found = true
+      }
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      Array[Any](bestDd, bestC))
+  }
+
+  /** Encode-only variant over a subspace window (x18's flat-PQ `code_s`):
+    * the cluster id of the (dd, cluster)-argmin codeword for
+    * `e[off, off+len)`. Same strict-null contract.
+    */
+  def codeD(e: ArrayData, cents: ArrayData, off: Int,
+      len: Int): java.lang.Integer = {
+    if (e.numElements() < off + len) return null
+    val n = cents.numElements()
+    if (n == 0) return null
+    var bestDd = 0.0
+    var bestC = 0
+    var found = false
+    var i = 0
+    while (i < n) {
+      val st = cents.getStruct(i, 2)
+      val c = st.getInt(0)
+      val cv = st.getArray(1)
+      if (cv.numElements() != len) return null
+      var acc = 0.0
+      var j = 0
+      while (j < len) {
+        val d = e.getDouble(off + j) - cv.getDouble(j)
+        acc += d * d
+        j += 1
+      }
+      val cmp = java.lang.Double.compare(acc, bestDd)
+      if (!found || cmp < 0 || (cmp == 0 && c < bestC)) {
+        bestDd = acc; bestC = c; found = true
+      }
+      i += 1
+    }
+    bestC
+  }
+
   def adcTermD(r: ArrayData, rqe: ArrayData, cents: ArrayData,
       off: Int, len: Int): java.lang.Double = {
     if (r.numElements() < off + len || rqe.numElements() < off + len)

@@ -436,9 +436,12 @@ class PlanQualitySpec extends SparkSpec {
     val p = planOf("x11_kmeans")
     // assignment = broadcast centroid row per Lloyd round (2 rounds)
     assert("BroadcastNestedLoopJoin".r.findAllIn(p).size === 2, p)
-    // distance is the compiled kernel, not an interpreted zip_with fold
-    assert(p.contains("graft_l2"), p)
+    // assignment is the compiled argmin kernel (round 13: graft_best_cell
+    // replaced the array_min(transform(...)) HOF — interpreted lambda +
+    // one struct alloc per centroid per row), never an interpreted fold
+    assert(p.contains("graft_best_cell"), p)
     assert(!p.contains("zip_with"), p)
+    assert(!p.contains("array_min"), p)
     // centroid recompute is the mergeable accumulator (one bounded buffer
     // per partition), not the exploded (cluster,pos) row chain
     assert(p.contains("partial_graft_centroids"), p)
