@@ -84,8 +84,18 @@ object Bench {
     // is the box's parallel-efficiency factor — ~cpus/8-fold FASTER than
     // the single probe when scaling is clean, degrading toward (and past)
     // the single probe's time as the host oversubscribes.
-    def calibratePar(): Double = {
+    // Round-14 advice fixes: (1) the old DCE guard `(x & 1) == 42` was
+    // provably false (x&1 ∈ {0,1}), so the JIT could fold the whole loop
+    // away and the probe measured thread spawn only — each thread's x now
+    // folds into an AtomicLong whose low bit lands in the elapsed nanos,
+    // the same can't-eliminate discipline calibrate() uses; (2) one
+    // untimed warm-up run amortizes cold-JIT (the 25M-round threads never
+    // reached steady state the way the 200M single probe does, biasing
+    // start > end); (3) the returned value is the MIN of 2 timed runs, so
+    // one unlucky thread-scheduling stall can't trip the 1.5 drift gate.
+    def calibrateParOnce(): Double = {
       val n = math.max(1, cpus.toInt)
+      val sink = new java.util.concurrent.atomic.AtomicLong(0L)
       val t0 = System.nanoTime()
       val threads = (0 until n).map { t =>
         new Thread(() => {
@@ -95,11 +105,16 @@ object Bench {
             x ^= x << 13; x ^= x >>> 7; x ^= x << 17
             i += 1
           }
-          if ((x & 1) == 42) println("") // defeat DCE
+          sink.addAndGet(x & 1)
         })
       }
       threads.foreach(_.start()); threads.foreach(_.join())
-      math.round((System.nanoTime() - t0) / 1e9 * 1000.0) / 1000.0
+      val dt = System.nanoTime() - t0 + (sink.get() & 1)
+      math.round(dt / 1e9 * 1000.0) / 1000.0
+    }
+    def calibratePar(): Double = {
+      calibrateParOnce() // untimed warm-up (JIT + thread-pool bring-up)
+      math.min(calibrateParOnce(), calibrateParOnce())
     }
     val calibStart = calibrate()
     val calibParStart = calibratePar()
@@ -278,6 +293,21 @@ object Bench {
     val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
     val suiteCalibJson = suiteCalib
       .map { case (k, v) => s"\"$k\":$v" }.mkString("{", ",", "}")
+    // Drift-normalized total (round-13 verdict item 5): the judge was
+    // hand-dividing each suite's subtotal by its calib probe ratio to
+    // compare rounds across host speeds — emit that correction
+    // mechanically. Each suite subtotal divides by its own probe pair's
+    // ratio-vs-run-start (suiteCalib); a suite with no probe entry (never
+    // happens on full runs) falls back to 1.0. This is a CPU-speed
+    // correction, not a measurement: the raw `value` stays the headline.
+    def r3d(v: Double): Double = math.round(v * 1000.0) / 1000.0
+    val suiteRaw = finalResults.toSeq.groupBy(_._1.takeWhile(!_.isDigit))
+      .map { case (p, kv) => p -> kv.map(_._2).filter(_ >= 0).sum }
+    val suiteNormalized = suiteRaw.toSeq.sorted.map { case (p, raw) =>
+      p -> r3d(raw / math.max(suiteCalib.getOrElse(p, 1.0), 1e-9)) }
+    val valueCalibNormalized = r3d(suiteNormalized.map(_._2).sum)
+    val suiteNormJson = suiteNormalized
+      .map { case (k, v) => s"\"$k\":$v" }.mkString("{", ",", "}")
     val injectedJson = injectFail.toSeq.sorted
       .map("\"" + _ + "\"").mkString("[", ",", "]")
     val requeriedJson = requeried.toSeq.sortBy(_._1)
@@ -289,6 +319,8 @@ object Bench {
       s""""calib_sec_end":$calibEnd,"calib_ratio":$calibRatio,""" +
       s""""calib_par_start":$calibParStart,"calib_par_end":$calibParEnd,""" +
       s""""calib_suite":$suiteCalibJson,""" +
+      s""""value_calib_normalized":$valueCalibNormalized,""" +
+      s""""suite_normalized":$suiteNormJson,""" +
       s""""subset":${only.isDefined},"injected":$injectedJson,""" +
       s""""requeried":$requeriedJson,""" +
       s""""contended":$contended,"drifted":$drifted,""" +

@@ -408,6 +408,164 @@ object Similarity {
       struct(lit(j).as("cluster"), col(s"c$j").as("cvec"))): _*).as("cents"))
   }
 
+  /** Fixed k-means|| geometry — ONE definition shared by the engine seeder,
+    * the oracle CTE generator, and the pp-mode routing rule, so the three
+    * can never desynchronize (the Serve-object discipline).
+    */
+  private[graft] object ParSeed {
+    /** Candidate-sampling passes. Bahmani et al. prove O(log φ) rounds
+      * suffice; a FIXED small constant keeps the chain oracle-unrollable
+      * and is the published practical choice (≈5 rounds at ℓ=2k; 3 is
+      * plenty at ℓ=2k for the planted/test geometries, gated by x30).
+      */
+    val Rounds = 3
+    /** Weighted Lloyd rounds over the ≤ 1+Rounds·ℓ candidate rows. */
+    val Iters = 2
+    /** Per-round expected oversampling is ℓ = OversampleX · k. */
+    val OversampleX = 2
+    /** pp-mode routing: farthest-point (k−1 sequential corpus passes) IS
+      * the declared small-k contract — x15/x21/x24/Serve all gate at k=8 —
+      * but above this bound the same request routes to k-means||, whose
+      * pass count is independent of k. This is what makes `auto` cell
+      * counts (k ≈ n/256) safe to combine with production seeding: at
+      * auto-k, farthest-point would be O(n) sequential Spark jobs.
+      */
+    val PpMaxK = 16
+  }
+
+  /** How a seeding request resolves to an initializer. Public APIs keep the
+    * 2-valued `pp` flag (declared contracts pin its meaning at small k);
+    * the 3rd member is reachable explicitly (x30) or via the PpMaxK route.
+    */
+  private[graft] sealed trait SeedMode
+  private[graft] object SeedMode {
+    case object Modulo extends SeedMode
+    case object FarthestPoint extends SeedMode
+    case object Parallel extends SeedMode
+    def fromPp(pp: Boolean, k: Int): SeedMode =
+      if (!pp) Modulo
+      else if (k <= ParSeed.PpMaxK) FarthestPoint
+      else Parallel
+  }
+
+  /** The deterministic per-(vec_id, round) uniform in [0,1) that replaces
+    * k-means||'s RNG draw (the q68/p09 no-RNG discipline: membership must
+    * be a pure function both engines evaluate bit-identically — no two
+    * engines share an RNG stream). Integer mix: fold the id and round
+    * through the portable-hash modulus, then one multiplicative spread
+    * (2654435761 = Knuth's 2^32/φ constant; consecutive ids land ~0.287
+    * apart mod 1 — low-discrepancy, which for threshold sampling is
+    * exactly what's wanted). All arithmetic stays < 2^63: the pre-multiply
+    * value is < P ≈ 1e9, so h·2654435761 < 2.7e18.
+    */
+  private def u01Sql(r: Int): String = {
+    val P = graft.ext.PortableHash.P
+    s"(CAST(((((vec_id % $P) * 31 + $r) % $P) * 2654435761 % $P) AS DOUBLE)" +
+      s" / $P)"
+  }
+
+  /** Deterministic k-means|| seeding (Bahmani et al., "Scalable k-means++",
+    * VLDB 2012) — the SCALABLE production initializer: ParSeed.Rounds corpus
+    * passes (a constant, independent of k) each admitting every point with
+    * probability min(1, ℓ·d²(x,C)/φ) in PARALLEL, then a weighted Lloyd
+    * re-cluster of the tiny candidate set down to k centers. Replaces
+    * [[farthestPointSeeds]]' k−1 sequential passes above ParSeed.PpMaxK
+    * (the round-13 verdict's last sequential-barrier design): at auto-k
+    * (k ≈ n/256) farthest-point is O(n) sequential Spark jobs; this is
+    * O(Rounds + Iters) jobs at ANY k, every one a broadcast map-side pass
+    * over the corpus — no corpus shuffle anywhere.
+    *
+    * Determinism (hash-gated by x30 against the fully unrolled DuckDB
+    * twin [[parallelSeedCtes]]):
+    *   - the RNG draw is [[u01Sql]] — a pure (vec_id, round) function;
+    *   - d²(x,C) is the compiled graft_best_cell min (value = MIN of
+    *     bit-portable d2 folds, order-free);
+    *   - φ is the floor-quantized BIGINT cost sum (order-free);
+    *   - candidate ids are the rank by vec_id; weights are corpus argmin
+    *     counts with the (dd, id) tie-break; the candidate Lloyd uses
+    *     weighted floor-quantized component sums. Zero-weight candidates
+    *     drop before the Lloyd (they carry no corpus mass, and keeping
+    *     them could form weight-0 clusters whose mean is 0/0).
+    *
+    * Returns the 1-row `cents` relation (array<struct<cluster, cvec>>,
+    * cluster ∈ [0, k), possibly missing ids where a candidate-Lloyd cell
+    * emptied) that [[lloydOver]]'s assign step consumes — the same shape
+    * [[farthestPointSeeds]] returns.
+    */
+  private[graft] def parallelSeeds(e0: DataFrame, k: Int): DataFrame = {
+    graft.functions.GraftFunctions.register(e0.sparkSession)
+    val ell = (ParSeed.OversampleX * k).toDouble
+    // c0 = the lowest vec_id's vector — the same deterministic anchor
+    // farthest-point uses (Bahmani picks it uniformly; any fixed choice
+    // satisfies the proof's requirements).
+    val c0 = e0.orderBy("vec_id").limit(1)
+      .select(col("vec_id").as("cid"), col("e").as("ce"))
+    // Each round's candidate relation is a tiny (≤ 1+r·ℓ rows) eager
+    // checkpoint: without it, round r's plan embeds round r−1's TWICE
+    // (once under the cents array, once under φ), doubling the corpus
+    // passes per round — the checkpoint makes each round exactly one
+    // corpus pass, read from the caller's retained e0 cache.
+    val cands = (1 to ParSeed.Rounds).foldLeft(
+      graft.util.Caches.retainCheckpointed(c0)) { (prev, r) =>
+      // cluster ids are irrelevant for the min-distance (only `.dd` is
+      // consumed), so the collect_list order inside the 1-row array
+      // doesn't matter here.
+      val centsArr = prev.agg(collect_list(struct(lit(0).as("cluster"),
+        col("ce").as("cvec"))).as("cents"))
+      val scored = e0.crossJoin(broadcast(centsArr))
+        .withColumn("dd", expr(s"$bestCellExpr.dd"))
+      val phi = scored.agg((sum(expr(
+        "CAST(floor(dd * 67108864.0) AS BIGINT)")).cast("double")
+        / 67108864.0).as("phi"))
+      val fresh = scored.crossJoin(broadcast(phi))
+        .filter(col("dd") > 0 && // dd=0 ⇔ already a candidate: never re-admit
+          expr(u01Sql(r)) <
+            least(lit(1.0), lit(ell) * col("dd") / col("phi")))
+        .select(col("vec_id").as("cid"), col("e").as("ce"))
+      graft.util.Caches.retainCheckpointed(prev.union(fresh))
+    }
+    // Candidate id = rank by vec_id (0-based INT): the portable id both
+    // engines derive identically; the single-partition window is over the
+    // ≤ 1+Rounds·ℓ candidate rows, never the corpus.
+    val rw = org.apache.spark.sql.expressions.Window.orderBy("cid")
+    val ranked = cands
+      .withColumn("rn", (row_number().over(rw) - 1).cast("int"))
+    val rArr = ranked.agg(expr("array_sort(collect_list(" +
+      "named_struct('cluster', rn, 'cvec', ce)))").as("cents"))
+    // weight(c) = |{x : c = argmin_(dd, id) d²(x, C)}| — one corpus pass.
+    val weights = e0.crossJoin(broadcast(rArr))
+      .select(expr(s"$bestCellExpr.c").as("rn"))
+      .groupBy("rn").agg(count(lit(1)).as("w"))
+    val wcands = graft.util.Caches.retainCheckpointed(
+      ranked.join(weights, Seq("rn")) // inner: drops zero-weight candidates
+        .select(col("rn"), col("ce"), col("w")))
+    // Weighted Lloyd over the candidate set: modulo seed on the rank,
+    // Iters × (weighted-centroid recompute → reassign), final centers =
+    // the recompute the last reassignment consumed (the
+    // kmeansTrainedCentroids convention). Every relation here is ≤
+    // 1+Rounds·ℓ rows — driver-trivial at any corpus scale.
+    def wCentroids(assigned: DataFrame): DataFrame =
+      assigned
+        .select(col("cluster"), col("w"),
+          posexplode(col("ce")).as(Seq("pos", "v")))
+        .groupBy("cluster", "pos")
+        .agg((sum(expr("CAST(floor(v * 1048576.0) AS BIGINT) * w"))
+          .cast("double") / 1048576.0 / sum(col("w")).cast("double")).as("c"))
+        .groupBy("cluster")
+        .agg(expr("transform(array_sort(collect_list(" +
+          "named_struct('pos', pos, 'c', c))), s -> s.c)").as("cvec"))
+    var wa = wcands.withColumn("cluster", pmod(col("rn"), lit(k)).cast("int"))
+    for (_ <- 1 until ParSeed.Iters) {
+      val cvArr = wCentroids(wa).agg(expr("array_sort(collect_list(" +
+        "named_struct('cluster', cluster, 'cvec', cvec)))").as("cents"))
+      wa = wcands.crossJoin(broadcast(cvArr))
+        .withColumn("cluster", expr("graft_best_cell(ce, cents).c"))
+        .select(col("rn"), col("ce"), col("w"), col("cluster"))
+    }
+    wCentroids(wa).agg(expr("array_sort(collect_list(" +
+      "named_struct('cluster', cluster, 'cvec', cvec)))").as("cents"))
+  }
+
   /** x12: IVF ANN over the LEARNED quantizer — the serving-side completion
     * of the x11 → x12 lifecycle (x04 is the same probe shape over the
     * `label` stand-in cells; this one trains its cells). The query's own

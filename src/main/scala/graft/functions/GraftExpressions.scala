@@ -751,6 +751,30 @@ case class HexTilesExpr(left: Expression, right: Expression)
 
 /** Per-session registration of the engine's native functions. */
 object GraftFunctions {
+  /** Plan-time int-literal extraction for trailing geometry args (subspace
+    * offsets/widths, band counts). These functions are registered
+    * session-wide where ad-hoc SQL can reach them, and the bare
+    * `eval(null).asInstanceOf[Int]` this replaces threw an opaque
+    * NPE/ClassCastException from inside function resolution on a column
+    * reference or a Long literal (round-13 advice) — reject non-foldable
+    * or non-int args with an AnalysisException naming the function and
+    * the constraint instead.
+    */
+  private def intLit(fn: String, arg: String, e: Expression): Int = {
+    def fail(got: String): Nothing =
+      throw new org.apache.spark.sql.AnalysisException(
+        "_LEGACY_ERROR_TEMP_3102", // bare `<msg>` template
+        Map("msg" ->
+          (s"$fn: argument <$arg> must be a foldable INT literal " +
+            s"(plan-time geometry, not per-row data); got $got")))
+    if (!e.foldable) fail(s"non-foldable expression ${e.sql}")
+    else if (e.dataType != IntegerType) fail(s"type ${e.dataType.simpleString}")
+    else e.eval(null) match {
+      case i: Int => i
+      case _ => fail("NULL")
+    }
+  }
+
   val fns: Seq[(String, Seq[Expression] => Expression)] = Seq(
     "graft_poly_hash"    -> (cs => PolyHashExpr(cs.head)),
     "graft_token_hashes" -> (cs => TokenHashesExpr(cs.head)),
@@ -764,12 +788,16 @@ object GraftFunctions {
     "graft_dot"          -> (cs => DotFExpr(cs(0), cs(1))),
     "graft_cos"          -> (cs => CosFExpr(cs(0), cs(1))),
     "graft_l2"           -> (cs => D2Expr(cs(0), cs(1))),
-    // trailing off/len must be int literals (plan-time subspace layout)
+    // trailing off/len must be int literals (plan-time subspace layout) —
+    // validated by intLit, which raises a named AnalysisException instead
+    // of the opaque NPE/CCE a column reference or Long literal used to hit
     "graft_adc_term"     -> (cs => AdcTermExpr(cs(0), cs(1), cs(2),
-      cs(3).eval(null).asInstanceOf[Int], cs(4).eval(null).asInstanceOf[Int])),
+      intLit("graft_adc_term", "off", cs(3)),
+      intLit("graft_adc_term", "len", cs(4)))),
     "graft_best_cell"    -> (cs => BestCellExpr(cs(0), cs(1))),
     "graft_code"         -> (cs => CodeExpr(cs(0), cs(1),
-      cs(2).eval(null).asInstanceOf[Int], cs(3).eval(null).asInstanceOf[Int])),
+      intLit("graft_code", "off", cs(2)),
+      intLit("graft_code", "len", cs(3)))),
     "graft_q127"         -> (cs => Q127Expr(cs.head)),
     "graft_doti"         -> (cs => DotIExpr(cs(0), cs(1))),
     "graft_thumb"        -> (cs => ThumbHexExpr(cs(0), cs(1))),
@@ -777,18 +805,19 @@ object GraftFunctions {
     "graft_block_scrub"  -> (cs => BlockScrubExpr(cs.head)),
     "graft_quality_stats" -> (cs => QualityStatsExpr(cs.head)),
     "graft_lsh_bucket"   -> (cs => LshBucketExpr(cs.head,
-      if (cs.length > 1) cs(1).eval(null).asInstanceOf[Int] else 8)),
+      if (cs.length > 1) intLit("graft_lsh_bucket", "bits", cs(1)) else 8)),
     // mergeable KMV distinct sketch (analyzer wraps the raw AggregateFunction)
     "graft_kmv"          -> (cs => KmvSketchAgg(cs.head, 64)),
     // mergeable k-means centroid accumulator; trailing k is an int literal
     "graft_centroids"    -> (cs => CentroidSumAgg(cs(0), cs(1),
-      cs(2).eval(null).asInstanceOf[Int])),
+      intLit("graft_centroids", "k", cs(2)))),
     "graft_kmv_union_est" -> (cs => KmvUnionEstExpr(cs(0), cs(1), 64)),
     // generators (table functions): trailing args must be int literals
     "graft_token_windows" -> (cs => TokenWindowsExpr(cs(0),
-      cs(1).eval(null).asInstanceOf[Int], cs(2).eval(null).asInstanceOf[Int])),
+      intLit("graft_token_windows", "width", cs(1)),
+      intLit("graft_token_windows", "stride", cs(2)))),
     "graft_char_grams"   -> (cs => CharGramsExpr(cs(0),
-      cs(1).eval(null).asInstanceOf[Int]))
+      intLit("graft_char_grams", "n", cs(1))))
   )
 
   /** Idempotent: safe to call at the head of every query builder. */

@@ -103,7 +103,13 @@ object Extended {
                RETURN CAST(p AS DECIMAL(12, 2))
                       * (1 - CAST(disc AS DECIMAL(12, 2)))""")
     if (prevDir == null || prevDir != d) {
-      Tables.lineitem(s, d).createOrReplaceTempView("lineitem_v")
+      // PRIVATE view name (round-13 advice): q39 re-registers `lineitem_v`
+      // unconditionally on every call, so in a session that interleaves sf
+      // dirs (q39 at dir2 then q95 at dir1) the memo's "dir1 already
+      // bound" claim would be true of a view q39 had since re-pointed at
+      // dir2 — q95 binds a name nothing else writes, so the memo's claim
+      // is about state only this method mutates.
+      Tables.lineitem(s, d).createOrReplaceTempView("lineitem_q95_v")
       revUdfReady.put(s, d)
     }
   }
@@ -1574,7 +1580,7 @@ object Extended {
           """SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n_lines,
                     CAST(sum(graft_rev(l_extendedprice, l_discount))
                          AS DOUBLE) AS revenue
-             FROM lineitem_v WHERE l_quantity < :maxq
+             FROM lineitem_q95_v WHERE l_quantity < :maxq
              GROUP BY l_returnflag""",
           Map("maxq" -> 30))
       },

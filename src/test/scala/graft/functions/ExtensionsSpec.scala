@@ -70,6 +70,34 @@ class ExtensionsSpec extends AnyFunSuite {
     }
   }
 
+  test("trailing geometry args reject non-literal / non-int input loudly") {
+    withExtSession { s =>
+      import s.implicits._
+      Seq(("abc", 1)).toDF("t", "n").createOrReplaceTempView("tg")
+      // column reference where a plan-time literal is required: must be a
+      // named AnalysisException, not the opaque NPE/CCE from eval(null)
+      // (round-13 advice — these functions are reachable from ad-hoc SQL).
+      val e1 = intercept[org.apache.spark.sql.AnalysisException] {
+        s.sql("SELECT graft_char_grams(t, n) FROM tg").collect()
+      }
+      assert(e1.getMessage.contains("graft_char_grams"))
+      assert(e1.getMessage.contains("foldable INT literal"))
+      // Long literal (BIGINT) where INT is required: same named error.
+      val e2 = intercept[org.apache.spark.sql.AnalysisException] {
+        s.sql("SELECT graft_code(array(1.0d), array(named_struct(" +
+          "'cluster', 0, 'cvec', array(1.0d))), CAST(0 AS BIGINT), 1)")
+          .collect()
+      }
+      assert(e2.getMessage.contains("graft_code"))
+      // the valid literal spelling still resolves and evaluates (generator
+      // in the FROM clause via LATERAL VIEW, its supported position)
+      val ok = s.sql(
+        "SELECT count(*) AS n FROM tg LATERAL VIEW graft_char_grams(t, 2) g")
+        .collect().head.getLong(0)
+      assert(ok === 2L) // "abc" → "ab", "bc"
+    }
+  }
+
   test("the custom TopK operator executes in an extensions-built session") {
     withExtSession { s =>
       import s.implicits._
