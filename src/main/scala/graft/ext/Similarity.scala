@@ -249,7 +249,7 @@ object Similarity {
     */
   def kmeansSummary(emb: DataFrame, kDefault: Int = 8,
       iters: Int = 2): DataFrame =
-    summarize(emb, kDefault, iters, pp = false)
+    summarize(emb, kDefault, iters, _ => SeedMode.Modulo)
 
   /** x15: the summary under the PRODUCTION initializer (farthest-point
     * seeding, [[farthestPointSeeds]]) — x11's `vec_id % k` seed stays the
@@ -257,16 +257,27 @@ object Similarity {
     */
   def kmeansSummaryPP(emb: DataFrame, kDefault: Int = 8,
       iters: Int = 2): DataFrame =
-    summarize(emb, kDefault, iters, pp = true)
+    summarize(emb, kDefault, iters, k => SeedMode.fromPp(pp = true, k))
+
+  /** x30: the summary under k-means|| seeding ([[parallelSeeds]]) at the
+    * declared small-k contract — the hash gate that pins the SCALABLE
+    * initializer's every stage (sampling rounds, weighting, candidate
+    * Lloyd) against the fully unrolled oracle. Explicit mode: at k=8 the
+    * pp flag would route to farthest-point; this query IS the parallel
+    * seeder's gate.
+    */
+  def kmeansSummaryParallel(emb: DataFrame, kDefault: Int = 8,
+      iters: Int = 2): DataFrame =
+    summarize(emb, kDefault, iters, _ => SeedMode.Parallel)
 
   private def summarize(emb: DataFrame, kDefault: Int, iters: Int,
-      pp: Boolean): DataFrame = {
+      mode: Int => SeedMode): DataFrame = {
     // Same cell-count resolution as d17/x12 (numeric conf wins, `auto`
     // derives from a corpus count): x11 trains the quantizer the other two
     // consume, so a knob the trainer ignored would silently fork the cells.
     val k = graft.ext.Dedup.resolveCells(emb, kDefault)
     import org.apache.spark.sql.expressions.Window
-    kmeansAssignSeeded(emb, k, iters, pp).groupBy("cluster")
+    kmeansAssignMode(emb, k, iters, mode(k)).groupBy("cluster")
       .agg(count(lit(1)).as("n_vecs"),
         (sum(expr("CAST(floor(dd * 67108864.0) AS BIGINT)")).cast("double")
           / 67108864.0).as("inertia"))
@@ -286,18 +297,30 @@ object Similarity {
   def kmeansAssign(emb: DataFrame, k: Int = 8, iters: Int = 2): DataFrame =
     kmeansAssignSeeded(emb, k, iters, pp = false)
 
+  /** pp requests resolve through [[SeedMode.fromPp]]: farthest-point at the
+    * declared small-k contract, k-means|| above ParSeed.PpMaxK — which is
+    * the auto-k wiring (round-13 verdict item 1): every production family
+    * that trains pp-seeded (Serve.Pp, the IVF-PQ surface) now gets the
+    * O(Rounds)-pass initializer the moment its cell count goes auto,
+    * instead of k−1 sequential corpus passes.
+    */
   def kmeansAssignSeeded(emb: DataFrame, k: Int, iters: Int,
-      pp: Boolean): DataFrame = {
+      pp: Boolean): DataFrame =
+    kmeansAssignMode(emb, k, iters, SeedMode.fromPp(pp, k))
+
+  private[graft] def kmeansAssignMode(emb: DataFrame, k: Int, iters: Int,
+      mode: SeedMode): DataFrame = {
     graft.functions.GraftFunctions.register(emb.sparkSession)
     val e0 = emb.select(col("vec_id"),
       expr("transform(embedding, ex -> CAST(ex AS DOUBLE))").as("e"))
-    // The farthest-point seeder issues k−1 extra corpus passes (one
-    // TakeOrdered per chosen center); without the retain each pass would
-    // re-scan parquet and re-cast — at the 100× checkpoint with auto-k
-    // that is hundreds of uncached scans. The modulo-seed path keeps e0
-    // unretained: its ~iters+1 reads don't justify a corpus-sized cache
-    // entry (the round-10 review's x15 finding).
-    lloydOver(if (pp) graft.util.Caches.retain(e0) else e0, k, iters, pp)
+    // The non-modulo seeders issue extra corpus passes (farthest-point:
+    // k−1 TakeOrdered jobs; k-means||: Rounds+1 broadcast passes); without
+    // the retain each pass would re-scan parquet and re-cast. The
+    // modulo-seed path keeps e0 unretained: its ~iters+1 reads don't
+    // justify a corpus-sized cache entry (the round-10 review's x15
+    // finding).
+    lloydOverMode(if (mode != SeedMode.Modulo) graft.util.Caches.retain(e0)
+      else e0, k, iters, mode)
   }
 
   /** The Lloyd core over an arbitrary (vec_id, e: array<double>) relation —
@@ -307,7 +330,11 @@ object Similarity {
     * input.
     */
   private[graft] def lloydOver(e0: DataFrame, k: Int, iters: Int,
-      pp: Boolean): DataFrame = {
+      pp: Boolean): DataFrame =
+    lloydOverMode(e0, k, iters, SeedMode.fromPp(pp, k))
+
+  private[graft] def lloydOverMode(e0: DataFrame, k: Int, iters: Int,
+      mode: SeedMode): DataFrame = {
     graft.functions.GraftFunctions.register(e0.sparkSession)
 
     // (cluster, e) rows → a single broadcast row holding the sorted
@@ -332,9 +359,12 @@ object Similarity {
           col("best.c").as("cluster"), col("best.dd").as("dd"))
     }
 
-    val a0 =
-      if (pp) assign(farthestPointSeeds(e0, k))
-      else e0.withColumn("cluster", pmod(col("vec_id"), lit(k)).cast("int"))
+    val a0 = mode match {
+      case SeedMode.Modulo =>
+        e0.withColumn("cluster", pmod(col("vec_id"), lit(k)).cast("int"))
+      case SeedMode.FarthestPoint => assign(farthestPointSeeds(e0, k))
+      case SeedMode.Parallel => assign(parallelSeeds(e0, k))
+    }
     (1 to iters).foldLeft(a0: DataFrame)((a, _) => assign(centroidRow(a)))
   }
 
@@ -536,34 +566,114 @@ object Similarity {
     val weights = e0.crossJoin(broadcast(rArr))
       .select(expr(s"$bestCellExpr.c").as("rn"))
       .groupBy("rn").agg(count(lit(1)).as("w"))
-    val wcands = graft.util.Caches.retainCheckpointed(
-      ranked.join(weights, Seq("rn")) // inner: drops zero-weight candidates
-        .select(col("rn"), col("ce"), col("w")))
-    // Weighted Lloyd over the candidate set: modulo seed on the rank,
-    // Iters × (weighted-centroid recompute → reassign), final centers =
-    // the recompute the last reassignment consumed (the
-    // kmeansTrainedCentroids convention). Every relation here is ≤
-    // 1+Rounds·ℓ rows — driver-trivial at any corpus scale.
-    def wCentroids(assigned: DataFrame): DataFrame =
-      assigned
-        .select(col("cluster"), col("w"),
-          posexplode(col("ce")).as(Seq("pos", "v")))
-        .groupBy("cluster", "pos")
-        .agg((sum(expr("CAST(floor(v * 1048576.0) AS BIGINT) * w"))
-          .cast("double") / 1048576.0 / sum(col("w")).cast("double")).as("c"))
-        .groupBy("cluster")
-        .agg(expr("transform(array_sort(collect_list(" +
-          "named_struct('pos', pos, 'c', c))), s -> s.c)").as("cvec"))
-    var wa = wcands.withColumn("cluster", pmod(col("rn"), lit(k)).cast("int"))
-    for (_ <- 1 until ParSeed.Iters) {
-      val cvArr = wCentroids(wa).agg(expr("array_sort(collect_list(" +
-        "named_struct('cluster', cluster, 'cvec', cvec)))").as("cents"))
-      wa = wcands.crossJoin(broadcast(cvArr))
-        .withColumn("cluster", expr("graft_best_cell(ce, cents).c"))
-        .select(col("rn"), col("ce"), col("w"), col("cluster"))
+    // --- Bahmani step 3: re-cluster the candidate set down to k centers.
+    // "Since |C| is small, it can be reclustered on one machine" (the
+    // paper's own prescription): the candidate relation is bounded near
+    // 1 + Rounds·ℓ rows — per-round expected admissions are
+    // Σ min(1, ℓ·dd/φ) ≤ ℓ, and the low-discrepancy u01 draw tracks that
+    // expectation — i.e. O(k) METADATA, not data. So the greedy k-center
+    // seeding (inherently k sequential STEPS) runs as driver-local
+    // arithmetic instead of k−1 sequential Spark JOBS — the exact barrier
+    // this seeder exists to remove (at auto-k, k−1 jobs is minutes of
+    // scheduler latency for microseconds of flops). The collect is the
+    // resolveCells discipline: a deliberate, bounded plan-build-time
+    // action. Every local operation mirrors the oracle CTEs bit-for-bit:
+    // d² is the same sequential subtract-square-accumulate fold as
+    // VecOps.d2D/duckD2, argmax/argmin tie-breaks are (value, rank/cluster)
+    // lexicographic via strict comparison over ascending scan order, and
+    // the weighted means use the same floor-quantized BIGINT sums.
+    val local = ranked.join(weights, Seq("rn")) // inner: drops weight-0 cands
+      .select(col("rn"), col("ce"), col("w"))
+      .collect()
+      .map(r => (r.getInt(0), r.getSeq[Double](1).toArray, r.getLong(2)))
+      .sortBy(_._1)
+    val nC = local.length
+    require(nC >= 1, "k-means|| sampling produced no candidates")
+    require(nC <= 8 * (ParSeed.OversampleX * k * ParSeed.Rounds + 1),
+      s"k-means|| candidate set exploded: $nC rows for k=$k — geometry " +
+        "violates the ℓ-per-round admission bound; refusing a driver-side " +
+        "recluster of unbounded size")
+    def d2(a: Array[Double], b: Array[Double]): Double = {
+      var acc = 0.0; var i = 0
+      while (i < a.length) { val d = a(i) - b(i); acc += d * d; i += 1 }
+      acc
     }
-    wCentroids(wa).agg(expr("array_sort(collect_list(" +
-      "named_struct('cluster', cluster, 'cvec', cvec)))").as("cents"))
+    // Greedy k-center over candidates: c0 = rank 0 (the corpus anchor —
+    // the lowest vec_id is always candidate rank 0, weight ≥ 1); c_j =
+    // argmax min-distance-to-chosen, (md DESC, rn ASC) tie-break. Chosen
+    // candidates have md = 0, so duplicates appear only in the k > |C|
+    // degenerate case — the same semantics the pp chain has.
+    val seedIdx = scala.collection.mutable.ArrayBuffer(0)
+    val minD = Array.fill(nC)(Double.PositiveInfinity)
+    for (_ <- 1 until k) {
+      var i = 0
+      while (i < nC) {
+        val d = d2(local(i)._2, local(seedIdx.last)._2)
+        if (d < minD(i)) minD(i) = d
+        i += 1
+      }
+      var best = 0; var bestMd = minD(0)
+      i = 1
+      while (i < nC) { // strict > keeps the lowest rank on ties
+        if (minD(i) > bestMd) { best = i; bestMd = minD(i) }
+        i += 1
+      }
+      seedIdx += best
+    }
+    // Weighted Lloyd over the candidates: assign to the greedy seeds, then
+    // Iters × (quantized weighted-centroid recompute → reassign); the
+    // output is the recompute the last reassignment consumed (the
+    // kmeansTrainedCentroids convention).
+    def assignLocal(cs: Array[(Int, Array[Double])]): Array[Int] =
+      local.map { case (_, ce, _) =>
+        var bc = cs(0)._1; var bd = d2(ce, cs(0)._2)
+        var c = 1
+        while (c < cs.length) { // strict < keeps the lowest cluster on ties
+          val d = d2(ce, cs(c)._2)
+          if (d < bd) { bd = d; bc = cs(c)._1 }
+          c += 1
+        }
+        bc
+      }
+    def recompute(asn: Array[Int]): Array[(Int, Array[Double])] = {
+      val dim = local(0)._2.length
+      val sums = scala.collection.mutable.SortedMap.empty[Int,
+        (Array[Long], Long)]
+      local.indices.foreach { i =>
+        val (_, ce, w) = local(i)
+        val (vs, w0) = sums.getOrElse(asn(i), (new Array[Long](dim), 0L))
+        var j = 0
+        while (j < dim) {
+          vs(j) += math.floor(ce(j) * 1048576.0).toLong * w; j += 1
+        }
+        sums(asn(i)) = (vs, w0 + w)
+      }
+      sums.iterator.map { case (cl, (vs, w)) =>
+        cl -> vs.map(v => v.toDouble / 1048576.0 / w.toDouble)
+      }.toArray
+    }
+    var cs: Array[(Int, Array[Double])] =
+      seedIdx.toArray.zipWithIndex.map { case (idx, j) => (j, local(idx)._2) }
+    var asn = assignLocal(cs)
+    for (i <- 1 to ParSeed.Iters) {
+      cs = recompute(asn)
+      if (i < ParSeed.Iters) asn = assignLocal(cs)
+    }
+    // Re-enter the plan as a literal relation → the same 1-row cents array
+    // shape farthestPointSeeds returns (what an offline trainer ships).
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("cluster",
+        org.apache.spark.sql.types.IntegerType, nullable = false),
+      org.apache.spark.sql.types.StructField("cvec",
+        org.apache.spark.sql.types.ArrayType(
+          org.apache.spark.sql.types.DoubleType, containsNull = false),
+        nullable = false)))
+    val rows: java.util.List[org.apache.spark.sql.Row] =
+      java.util.Arrays.asList(cs.map(c =>
+        org.apache.spark.sql.Row(c._1, c._2.toSeq)): _*)
+    e0.sparkSession.createDataFrame(rows, schema)
+      .agg(expr("array_sort(collect_list(" +
+        "named_struct('cluster', cluster, 'cvec', cvec)))").as("cents"))
   }
 
   /** x12: IVF ANN over the LEARNED quantizer — the serving-side completion
@@ -2057,6 +2167,105 @@ object Similarity {
                      FROM d0) WHERE rn = 1)"""
   }
 
+  /** Oracle twin of [[parallelSeeds]] + the seed assignment, fully
+    * unrolled: ParSeed.Rounds sampling rounds (per-point min distance →
+    * quantized cost sum → threshold admission on the shared [[u01Sql]]
+    * draw), the rank/weight pass, ParSeed.Iters weighted Lloyd rounds over
+    * the candidate set, then `cents0`/`a0` — a drop-in for [[ppSeedCtes]]
+    * as kmeansAssignCtes' `seed`. Every multiply-referenced CTE is
+    * MATERIALIZED (see the kmeansAssignCtes scaladoc — the sampling chain
+    * is exponential under DuckDB's per-reference inlining).
+    */
+  def parallelSeedCtes(k: Int): String = {
+    val ell = ParSeed.OversampleX * k
+    val nR = ParSeed.Rounds
+    val nI = ParSeed.Iters
+    val rounds = (1 to nR).map { r =>
+      s"""sd$r AS (SELECT vec_id, MIN(${duckD2("e0.e", "s.ce")}) AS dd
+                   FROM e0, sc${r - 1} s GROUP BY vec_id),
+          sp$r AS (SELECT CAST(SUM(CAST(floor(dd * 67108864.0) AS BIGINT))
+                               AS DOUBLE) / 67108864.0 AS phi FROM sd$r),
+          sc$r AS MATERIALIZED (
+            SELECT cid, ce FROM sc${r - 1}
+            UNION ALL
+            SELECT e0.vec_id AS cid, e0.e AS ce
+            FROM e0 JOIN sd$r USING (vec_id), sp$r
+            WHERE sd$r.dd > 0
+              AND ${u01Sql(r)} <
+                  least(1.0, CAST($ell AS DOUBLE) * sd$r.dd / phi))"""
+    }.mkString(",\n")
+    // greedy k-center over the weighted candidate set (the engine runs
+    // this driver-side over the same ≤ O(k) rows): sg0 = candidate rank 0,
+    // sg_j = argmax min-distance with (md DESC, rn) tie-break
+    val greedy = (1 until k).map { j =>
+      val dists = (0 until j).map(i => duckD2("swt.ce", s"sg$i.ce"))
+      val md =
+        if (dists.size == 1) dists.head
+        else s"least(${dists.mkString(", ")})"
+      val froms = (0 until j).map(i => s"sg$i").mkString(", ")
+      s"""sg$j AS MATERIALIZED (SELECT swt.ce AS ce FROM swt, $froms
+            ORDER BY $md DESC, swt.rn LIMIT 1)"""
+    }.mkString(",\n")
+    val gcents = (0 until k)
+      .map(j => s"SELECT $j AS cluster, ce AS cvec FROM sg$j")
+      .mkString(" UNION ALL ")
+    def wRecompute(i: Int, prev: String): String =
+      s"""wpe$i AS (SELECT cluster, w, gi - 1 AS pos, ce[gi] AS v
+                    FROM $prev, UNNEST(range(1, len(ce) + 1)) AS t(gi)),
+          wc$i AS (SELECT cluster, pos,
+                          CAST(SUM(CAST(floor(v * 1048576.0) AS BIGINT) * w)
+                               AS DOUBLE) / 1048576.0
+                            / CAST(SUM(w) AS DOUBLE) AS c
+                   FROM wpe$i GROUP BY 1, 2),
+          wcv$i AS MATERIALIZED (SELECT cluster, list(c ORDER BY pos) AS cvec
+                   FROM wc$i GROUP BY 1)"""
+    def wReassign(i: Int): String =
+      s"""wad$i AS (SELECT s.rn, s.ce, s.w, wcv$i.cluster AS cl,
+                           ${duckD2("s.ce", "cvec")} AS dd
+                    FROM swt s, wcv$i),
+          wa$i AS (SELECT rn, ce, w, cl AS cluster
+                   FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY rn
+                                ORDER BY dd, cl) AS rnk
+                         FROM wad$i) WHERE rnk = 1)"""
+    val lloyd = (1 to nI).map { i =>
+      val rec = wRecompute(i, s"wa${i - 1}")
+      if (i < nI) rec + ",\n" + wReassign(i) else rec
+    }.mkString(",\n")
+    s"""sc0 AS MATERIALIZED (SELECT vec_id AS cid, e AS ce FROM e0
+               ORDER BY vec_id LIMIT 1),
+        $rounds,
+        scF AS MATERIALIZED (SELECT cid, ce,
+                 CAST(ROW_NUMBER() OVER (ORDER BY cid) - 1 AS INT) AS rn
+               FROM sc$nR),
+        swd AS (SELECT e0.vec_id, scF.rn, ${duckD2("e0.e", "scF.ce")} AS dd
+                FROM e0, scF),
+        swn AS (SELECT rn, CAST(COUNT(*) AS BIGINT) AS w
+                FROM (SELECT vec_id, rn, ROW_NUMBER() OVER (
+                          PARTITION BY vec_id ORDER BY dd, rn) AS rnk
+                      FROM swd) WHERE rnk = 1 GROUP BY rn),
+        swt AS MATERIALIZED (SELECT scF.rn, scF.ce, swn.w
+               FROM scF JOIN swn USING (rn)),
+        sg0 AS MATERIALIZED (SELECT ce FROM swt WHERE rn = 0),
+        $greedy,
+        gc AS MATERIALIZED ($gcents),
+        gd AS (SELECT swt.rn, swt.ce, swt.w, gc.cluster AS cl,
+                      ${duckD2("swt.ce", "cvec")} AS dd
+               FROM swt, gc),
+        wa0 AS (SELECT rn, ce, w, cl AS cluster
+                FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY rn
+                             ORDER BY dd, cl) AS rnk
+                      FROM gd) WHERE rnk = 1),
+        $lloyd,
+        cents0 AS MATERIALIZED (SELECT cluster, cvec FROM wcv$nI),
+        d0 AS (SELECT vec_id, e, cents0.cluster AS cl,
+                      ${duckD2("e", "cvec")} AS dd
+               FROM e0, cents0),
+        a0 AS MATERIALIZED (SELECT vec_id, e, cl AS cluster, dd
+               FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+                            ORDER BY dd, cl) AS rn
+                     FROM d0) WHERE rn = 1)"""
+  }
+
   /** `prefix` renames every CTE in the chain (e0 → ${prefix}e0, …) so two
     * chains can coexist in one WITH (x16 unrolls a second Lloyd chain over
     * residuals). `seed` overrides the modulo-seed a0 and is only valid
@@ -2129,6 +2338,14 @@ object Similarity {
         graft.ext.Dedup.KmeansCellsKey, 8),
       iters: Int = 2): String =
     kmeansSummarySql(k, iters, seed = Some(ppSeedCtes(k)))
+
+  /** Oracle twin of [[kmeansSummaryParallel]]: the same rollup over the
+    * k-means||-seeded assignment chain.
+    */
+  def kmeansSummaryParallelSql(k: Int = graft.ext.Dedup.confInt(
+        graft.ext.Dedup.KmeansCellsKey, 8),
+      iters: Int = 2): String =
+    kmeansSummarySql(k, iters, seed = Some(parallelSeedCtes(k)))
 
   /** x06: ANN quality evaluation — recall@k of the LSH-pruned search (x02)
     * against the exact brute-force ranking (x01), the metric that decides
@@ -2618,6 +2835,19 @@ object SimilarityQueries {
         Similarity.clusteredCorpus(Tables.embeddings(s, d)), pp = true),
       Some(graft.ext.Dedup.guardAuto(graft.ext.Dedup.KmeansCellsKey)(
         Similarity.ivfPqFilteredRerankCurveSql(src = "clustered",
-          pre = Similarity.clusteredCteSql, pp = true))))
+          pre = Similarity.clusteredCteSql, pp = true)))),
+
+    // x30: k-means under DETERMINISTIC k-means|| seeding (Bahmani et al.'s
+    // oversampled initializer, derandomized via the q68 content-hash
+    // discipline) — the SCALABLE production seeder: a constant number of
+    // parallel sampling passes at any k, vs x15's k−1 sequential passes.
+    // pp requests above ParSeed.PpMaxK (i.e. every auto-k index build)
+    // route here automatically; this query is the small-k hash gate that
+    // pins every stage against the fully unrolled oracle (see
+    // Similarity.parallelSeeds).
+    Q("x30_kmeans_parallel",
+      (s, d) => Similarity.kmeansSummaryParallel(Tables.embeddings(s, d)),
+      Some(graft.ext.Dedup.guardAuto(graft.ext.Dedup.KmeansCellsKey)(
+        Similarity.kmeansSummaryParallelSql())))
   )
 }

@@ -306,6 +306,47 @@ class KmeansSpec extends SparkSpec {
     assert(rows.forall(_.getLong(3) === 0L))
   }
 
+  test("x30: k-means|| seeding — coverage, loud empties, stability") {
+    val n = Tables.embeddings(spark, sf).count()
+    val rows = Similarity.kmeansSummaryParallel(Tables.embeddings(spark, sf))
+      .collect()
+    assert(rows.map(_.getLong(1)).sum === n)
+    rows.foreach(r => assert(r.getLong(3) === 8L - rows.length))
+    // hash-threshold sampling + quantized sums are partitioning-independent
+    val shuffled = Similarity
+      .kmeansSummaryParallel(Tables.embeddings(spark, sf).repartition(7))
+      .collect().map(_.toString).sorted.toSeq
+    assert(rows.map(_.toString).sorted.toSeq === shuffled)
+  }
+
+  test("pp requests route by k: farthest-point small-k, k-means|| above") {
+    import Similarity.{ParSeed, SeedMode}
+    assert(SeedMode.fromPp(pp = true, 8) === SeedMode.FarthestPoint)
+    assert(SeedMode.fromPp(pp = true, ParSeed.PpMaxK)
+      === SeedMode.FarthestPoint)
+    assert(SeedMode.fromPp(pp = true, ParSeed.PpMaxK + 1)
+      === SeedMode.Parallel)
+    assert(SeedMode.fromPp(pp = false, 100000) === SeedMode.Modulo)
+    // the routed assignment IS the parallel assignment, value-for-value —
+    // the auto-k wiring's observable contract
+    val k = ParSeed.PpMaxK + 4
+    val viaPp = Similarity
+      .kmeansAssignSeeded(Tables.embeddings(spark, sf), k, 1, pp = true)
+      .collect().map(_.toString).sorted.toSeq
+    val direct = Similarity
+      .kmeansAssignMode(Tables.embeddings(spark, sf), k, 1,
+        SeedMode.Parallel)
+      .collect().map(_.toString).sorted.toSeq
+    assert(viaPp === direct)
+  }
+
+  test("x30 on the planted corpus: parallel seeding leaves no empty cell") {
+    val rows = Similarity.kmeansSummaryParallel(
+      Similarity.clusteredCorpus(Tables.embeddings(spark, sf))).collect()
+    assert(rows.length === 8)
+    assert(rows.forall(_.getLong(3) === 0L))
+  }
+
   test("x23: IVF-PQ — ADC ascends, candidates stay in probed cells, stable") {
     val out = Similarity.ivfPqKnn(Tables.embeddings(spark, sf)).collect()
     assert(out.nonEmpty && out.length <= 10)
