@@ -19,7 +19,7 @@ object Bench {
   val FixtureQueries: Seq[String] = Seq(
     "q38_csv_roundtrip", "q70_dsv2_wire_scan", "q77_zorder_scan",
     "q93_bucketed_join", "q96_dsv2_spj", "q106_incremental_agg",
-    "m06_binaryfile_scan")
+    "m06_binaryfile_scan", "p10_index_lifecycle")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

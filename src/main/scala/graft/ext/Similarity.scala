@@ -1419,9 +1419,22 @@ object Similarity {
 
   private def ivfPqCore(emb: DataFrame, k1Default: Int, m: Int, subDim: Int,
       kcode: Int, iters: Int, nprobe: Int, kTop: Int, pp: Boolean)
+      : (DataFrame, DataFrame, DataFrame, DataFrame) =
+    ivfPqCoreFrom(ivfPqIndex(emb, k1Default, m, subDim, kcode, iters, pp),
+      m, subDim, nprobe, kTop)
+
+  /** The probe/score/exact stage over an ALREADY-BUILT index — the serve
+    * half of the train/serve lifecycle. The in-session queries feed it
+    * [[ivfPqIndex]]'s checkpoints; p10 feeds it the same four relations
+    * LOADED from parquet in a fresh session. ONE definition, so the served
+    * answer cannot depend on where the index came from.
+    */
+  private[graft] def ivfPqCoreFrom(
+      parts: (DataFrame, DataFrame, DataFrame, DataFrame),
+      m: Int, subDim: Int, nprobe: Int, kTop: Int)
       : (DataFrame, DataFrame, DataFrame, DataFrame) = {
-    val (a1, cv1, resid, cbAll) =
-      ivfPqIndex(emb, k1Default, m, subDim, kcode, iters, pp)
+    val (a1, cv1, resid, cbAll) = parts
+    graft.functions.GraftFunctions.register(a1.sparkSession)
     val q = a1.orderBy("vec_id").limit(1)
       .select(col("vec_id").as("q_id"), col("e").as("qe"))
     val probed = cv1.crossJoin(broadcast(q))
@@ -1506,6 +1519,18 @@ object Similarity {
       .join(broadcast(exact), col("vec_id") === col("evid"), "left_outer")
       .select(col("vec_id"), col("c1"), col("d2"),
         col("evid").isNotNull.as("in_exact_topk"))
+  }
+
+  /** The x25 serving answer computed from index ARTIFACTS (p10's serve
+    * phase): same core + re-rank tail as [[ivfPqKnnRerank]], index origin
+    * decided by the caller.
+    */
+  private[graft] def ivfPqServeRerank(
+      parts: (DataFrame, DataFrame, DataFrame, DataFrame),
+      m: Int = Serve.M, subDim: Int = Serve.SubDim, nprobe: Int = 2,
+      shortK: Int = Serve.ShortK, kTop: Int = 10): DataFrame = {
+    val (scored, a1, q, exact) = ivfPqCoreFrom(parts, m, subDim, nprobe, kTop)
+    rerankTail(scored, a1, q, exact, shortK, kTop)
   }
 
   def ivfPqKnnRerank(emb: DataFrame, k1Default: Int = Serve.K1Default,

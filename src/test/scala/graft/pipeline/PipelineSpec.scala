@@ -195,6 +195,30 @@ class PipelineSpec extends SparkSpec {
     assert(spark.read.parquet(out).count() === 26) // 13 per epoch, no replays
   }
 
+  test("p10: persisted index serves x25-identically with NO library cache") {
+    val sf = "/root/testdata/sf0.001"
+    // in-session reference answer (train + checkpointed artifacts)
+    val expected = graft.ext.Similarity
+      .ivfPqKnnRerank(graft.sources.Tables.embeddings(spark, sf))
+      .collect().map(_.toString).sorted.toSeq
+    // lifecycle answer — then PROVE the serve side is cache-independent:
+    // release every library retain/checkpoint and re-collect; a serve plan
+    // that silently leaned on training-session state would now recompute
+    // differently or fail. (Queries re-derive dropped caches from source —
+    // Caches contract — so this is safe mid-JVM.)
+    val p10 = graft.queries.Catalog.byName("p10_index_lifecycle")
+    val first = p10.run(spark, sf).collect().map(_.toString).sorted.toSeq
+    assert(first === expected, "lifecycle serve must equal in-session x25")
+    graft.util.Caches.releaseAll()
+    val again = p10.run(spark, sf).collect().map(_.toString).sorted.toSeq
+    assert(again === expected,
+      "serve from parquet artifacts must not depend on any retained cache")
+    // the serve plan's sources are the artifact files, not the corpus
+    val plan = p10.run(spark, sf).queryExecution.optimizedPlan.toString
+    assert(!plan.contains("embeddings.parquet"),
+      "serve phase must read index artifacts only, never the corpus")
+  }
+
   test("ES-shaped sink writes one JSON document per row") {
     val etl = RoomReader.pivotPlan(spark, roomsDir)
     val topic = Files.createTempDirectory("graft_topic3").toString
