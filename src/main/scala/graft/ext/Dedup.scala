@@ -992,6 +992,118 @@ object Dedup {
                     WHERE ${Similarity.duckCos("a.e", "b.e")} > $tau
                     GROUP BY b.vec_id)
         $evalCountsSelect"""
+
+  // ---- d21/d22: EXACT SUBSTRING dedup (token-span granularity) ----
+
+  /** Span threshold for "docs share an exact substring": a shared run of
+    * ≥ SpanN consecutive tokens. COMPLETENESS IS A THEOREM (the d15
+    * discipline): a shared run of length L ≥ SpanN contains exactly
+    * L − SpanN + 1 shared SpanN-grams, so gram blocking misses nothing —
+    * and the matched gram POSITIONS recover the exact span length without
+    * ever re-scanning a text pair.
+    */
+  val SpanN = 8
+
+  /** Deterministic planted-span augmentation (the d14 protocol at
+    * substring granularity): every doc with id < 25 gets a companion
+    * (id + 10000) whose text = one unique marker token + tokens 3..20 of
+    * the original — a strict PARTIAL overlap (18 tokens ⊇ 11 shared
+    * SpanN-grams) that exact dedup (d01, different hash) and whole-doc
+    * near-dup (d02, low Jaccard vs a long original) are blind to, but
+    * substring dedup must catch.
+    */
+  private[graft] def plantSpans(docs: DataFrame): DataFrame = {
+    val base = docs.select("doc_id", "text")
+    base.unionByName(base.filter(col("doc_id") < 25)
+      .select((col("doc_id") + 10000).as("doc_id"),
+        concat(lit("planted"), (col("doc_id") + 10000).cast("string"),
+          lit(" "),
+          concat_ws(" ", slice(split(col("text"), " "), 3, 18))).as("text")))
+  }
+
+  /** Oracle twin of [[plantSpans]]; `baseWhere` restricts the base arm
+    * (d22 evaluates on a slice).
+    */
+  private[graft] def plantSpansSql(baseWhere: String = ""): String =
+    s"""SELECT doc_id, text FROM documents $baseWhere
+        UNION ALL
+        SELECT doc_id + 10000 AS doc_id,
+               'planted' || CAST(doc_id + 10000 AS VARCHAR) || ' ' ||
+                 array_to_string(list_slice(string_split(text, ' '), 3, 20),
+                                 ' ') AS text
+        FROM documents WHERE doc_id < 25"""
+
+  /** d21: document pairs sharing an exact token span ≥ `n`, with the
+    * maximal shared span length — the suffix-array-style exact substring
+    * dedup real LM pipelines run AFTER MinHash (shared quotes/templates
+    * inside otherwise-different docs, which whole-doc signatures dilute
+    * away).
+    *
+    * Scale design: ONE pass emits (pos, gram-hash) per token position via
+    * the compiled graft_gram_chain kernel (no per-pair text scan, ever);
+    * candidates come from ONE equi-join on the gram hash, [[applyBucketCap]]'d
+    * so boilerplate grams (the d08 phenomenon) cannot go quadratic; the
+    * span length falls out of matched positions with the q89 streak trick —
+    * consecutive positions along an alignment diagonal share
+    * (pos_a − row_number), so each maximal run is one group and
+    * span = run + n − 1. Two shuffles total (gram hash, pair key), both on
+    * near-uniform keys. Hash collisions (P ≈ 2³⁰) can in principle forge a
+    * span — d22 grades the hashed path against a STRING-gram ground truth
+    * to make that loss measurable (structurally 1.0/1.0 here).
+    */
+  def exactSubstringSpans(docs: DataFrame, n: Int = SpanN): DataFrame = {
+    graft.functions.GraftFunctions.register(docs.sparkSession)
+    import org.apache.spark.sql.expressions.Window
+    val grams = docs.select(col("doc_id"),
+      posexplode(expr(s"graft_gram_chain(text, $n)")).as(Seq("pos", "g")))
+    val kept = applyBucketCap(grams, Seq("g"))
+    val matched = kept
+      .select(col("g"), col("doc_id").as("doc_a"), col("pos").as("pos_a"))
+      .join(kept.select(col("g"), col("doc_id").as("doc_b"),
+        col("pos").as("pos_b")), "g")
+      .filter(col("doc_a") < col("doc_b"))
+      .withColumn("diag", col("pos_a") - col("pos_b"))
+    val w = Window.partitionBy("doc_a", "doc_b", "diag").orderBy("pos_a")
+    matched
+      .withColumn("sk", col("pos_a") - row_number().over(w))
+      .groupBy("doc_a", "doc_b", "diag", "sk")
+      .agg(count(lit(1)).as("run"))
+      .groupBy("doc_a", "doc_b")
+      .agg((max("run") + lit(n - 1)).cast("long").as("span_tokens"),
+        count(lit(1)).as("n_spans"))
+  }
+
+  /** Oracle twin of [[exactSubstringSpans]] as a CTE chain over `$src`
+    * (ends in `runs21`; the caller appends the final per-pair rollup,
+    * [[spanRollupSql]]).
+    */
+  private[graft] def exactSubstringCtes(src: String,
+      n: Int = SpanN): String = {
+    val chain = (1 until n).foldLeft("th[i]")((acc, j) =>
+      s"(($acc) * 31 + th[i + $j]) % $P")
+    s"""g21 AS MATERIALIZED (
+              SELECT doc_id, i - 1 AS pos, $chain AS g
+              FROM (SELECT doc_id, ${PortableHash.duckTokenHashes} AS th
+                    FROM $src) t,
+                   UNNEST(range(1, len(th) - ${n - 2})) AS u(i)
+              WHERE len(th) >= $n),
+        m21 AS (SELECT ga.doc_id AS doc_a, gb.doc_id AS doc_b,
+                       ga.pos AS pos_a, ga.pos - gb.pos AS diag
+                FROM g21 ga JOIN g21 gb
+                  ON ga.g = gb.g AND ga.doc_id < gb.doc_id),
+        r21 AS (SELECT doc_a, doc_b, diag,
+                       pos_a - ROW_NUMBER() OVER (PARTITION BY doc_a, doc_b,
+                                    diag ORDER BY pos_a) AS sk
+                FROM m21),
+        runs21 AS (SELECT doc_a, doc_b, CAST(COUNT(*) AS BIGINT) AS run
+                   FROM r21 GROUP BY doc_a, doc_b, diag, sk)"""
+  }
+
+  private[graft] def spanRollupSql(n: Int = SpanN): String =
+    s"""SELECT doc_a, doc_b,
+               CAST(MAX(run) + ${n - 1} AS BIGINT) AS span_tokens,
+               CAST(COUNT(*) AS BIGINT) AS n_spans
+        FROM runs21 GROUP BY doc_a, doc_b"""
 }
 
 object DedupQueries {
@@ -1340,6 +1452,90 @@ object DedupQueries {
     // every blocking scheme ships with its gate.
     Q("d20_semantic_eval_2level",
       (s, d) => Dedup.semanticEvalTwoLevel(Tables.embeddings(s, d)),
-      Some(Dedup.guardAuto(Dedup.KmeansCellsKey)(Dedup.semanticEvalTwoLevelSql())))
+      Some(Dedup.guardAuto(Dedup.KmeansCellsKey)(Dedup.semanticEvalTwoLevelSql()))),
+
+    // d21: EXACT SUBSTRING dedup over the planted-span corpus — see
+    // Dedup.exactSubstringSpans for the blocked/positional design and
+    // Dedup.plantSpans for the partial-overlap planting that whole-doc
+    // dedup provably misses.
+    Q("d21_exact_substring",
+      (s, d) => Dedup.exactSubstringSpans(
+        Dedup.plantSpans(Tables.documents(s, d))),
+      Some(s"""WITH aug AS MATERIALIZED (${Dedup.plantSpansSql()}),
+                    ${Dedup.exactSubstringCtes("aug")}
+               ${Dedup.spanRollupSql()}""")),
+
+    // d22: the planted P/R gate for d21's gram-hash blocking (the d14
+    // protocol): ground truth compares n-token substrings AS STRINGS on a
+    // 25-doc slice + its planted companions — no hashing — so a hash
+    // collision forging a candidate pair would read as precision < 1, and
+    // a blocking miss as recall < 1. Both are structurally 1.0 (blocking
+    // completeness is the d15-style theorem; collisions are ~2⁻³⁰ per
+    // gram pair) — the gate exists so that stays MEASURED, not assumed.
+    Q("d22_substring_eval",
+      (s, d) => {
+        graft.functions.GraftFunctions.register(s)
+        val slice = graft.util.Caches.retain(
+          Tables.documents(s, d).filter(col("doc_id") < 25)
+            .select("doc_id", "text"))
+        val aug = Dedup.plantSpans(slice)
+        val n = Dedup.SpanN
+        val sg = aug.filter(size(split(col("text"), " ")) >= n)
+          .select(col("doc_id"), expr(
+            s"array_distinct(transform(sequence(1, size(split(text, ' ')) - ${n - 1}), " +
+              s"i -> concat_ws(' ', slice(split(text, ' '), i, $n))))")
+            .as("sg"))
+        val truth = sg.toDF("doc_a", "sa")
+          .join(sg.toDF("doc_b", "sb"), col("doc_a") < col("doc_b"))
+          .filter(arrays_overlap(col("sa"), col("sb")))
+          .select("doc_a", "doc_b")
+        val cand = Dedup.exactSubstringSpans(aug).select("doc_a", "doc_b")
+        val ce = truth.agg(count(lit(1)).as("n_exact"))
+        val cc = cand.agg(count(lit(1)).as("n_cand"))
+        val ch = cand.intersect(truth).agg(count(lit(1)).as("n_hit"))
+        ce.crossJoin(cc).crossJoin(ch).select(
+          col("n_exact"), col("n_cand"), col("n_hit"),
+          when(col("n_cand") > 0,
+            col("n_hit").cast("double") / col("n_cand")).as("precision"),
+          when(col("n_exact") > 0,
+            col("n_hit").cast("double") / col("n_exact")).as("recall"))
+      },
+      Some {
+        val n = Dedup.SpanN
+        s"""WITH aug AS MATERIALIZED (
+                   ${Dedup.plantSpansSql("WHERE doc_id < 25")}),
+                 sg AS (SELECT doc_id,
+                               list_distinct(list_transform(
+                                 range(1, len(tk) - ${n - 2}),
+                                 i -> array_to_string(
+                                        list_slice(tk, i, i + ${n - 1}),
+                                        ' '))) AS sg
+                        FROM (SELECT doc_id, string_split(text, ' ') AS tk
+                              FROM aug)
+                        WHERE len(tk) >= $n),
+                 truth AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+                           FROM sg a JOIN sg b ON a.doc_id < b.doc_id
+                           WHERE len(list_intersect(a.sg, b.sg)) > 0),
+                 ${Dedup.exactSubstringCtes("aug")},
+                 cand AS (SELECT doc_a, doc_b FROM runs21
+                          GROUP BY doc_a, doc_b)
+            SELECT (SELECT CAST(count(*) AS BIGINT) FROM truth) AS n_exact,
+                   (SELECT CAST(count(*) AS BIGINT) FROM cand) AS n_cand,
+                   (SELECT CAST(count(*) AS BIGINT) FROM cand c
+                    JOIN truth t ON c.doc_a = t.doc_a
+                                AND c.doc_b = t.doc_b) AS n_hit,
+                   CASE WHEN (SELECT count(*) FROM cand) > 0
+                        THEN CAST((SELECT count(*) FROM cand c
+                                   JOIN truth t ON c.doc_a = t.doc_a
+                                               AND c.doc_b = t.doc_b)
+                                  AS DOUBLE)
+                             / (SELECT count(*) FROM cand) END AS precision,
+                   CASE WHEN (SELECT count(*) FROM truth) > 0
+                        THEN CAST((SELECT count(*) FROM cand c
+                                   JOIN truth t ON c.doc_a = t.doc_a
+                                               AND c.doc_b = t.doc_b)
+                                  AS DOUBLE)
+                             / (SELECT count(*) FROM truth) END AS recall"""
+      })
   )
 }

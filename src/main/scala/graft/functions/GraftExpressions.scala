@@ -79,6 +79,35 @@ case class Gram5DistinctExpr(child: Expression)
     copy(child = newChild)
 }
 
+/** Positional word-n-gram chain hashes (TextHash.gramChain — array index =
+  * 0-based token offset, the geometry d21's span verify consumes). `n` is a
+  * plan-time constant (span threshold, not per-row data; intLit-validated
+  * at registration). Null when the text has < n tokens.
+  */
+case class GramChainExpr(child: Expression, n: Int)
+    extends UnaryExpression {
+  require(n >= 1, s"graft_gram_chain n=$n out of range")
+  override def checkInputDataTypes():
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (child.dataType == StringType)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      s"$prettyName expects a string argument, got ${child.dataType.simpleString}")
+  override def nullable: Boolean = true
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "graft_gram_chain"
+  protected override def nullSafeEval(input: Any): Any =
+    TextHash.gramChain(
+      input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String], n)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => s"""
+      ${ev.value} = graft.functions.TextHash.gramChain($c, $n);
+      if (${ev.value} == null) { ${ev.isNull} = true; }
+    """)
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 /** Null when the text has < 2 tokens (no bigram shingles). */
 case class MinHashSigExpr(child: Expression)
     extends UnaryExpression {
@@ -780,6 +809,8 @@ object GraftFunctions {
     "graft_token_hashes" -> (cs => TokenHashesExpr(cs.head)),
     "graft_minhash_sig"  -> (cs => MinHashSigExpr(cs.head)),
     "graft_gram5_distinct" -> (cs => Gram5DistinctExpr(cs.head)),
+    "graft_gram_chain"   -> (cs => GramChainExpr(cs(0),
+      intLit("graft_gram_chain", "n", cs(1)))),
     "graft_simhash"      -> (cs => SimHashExpr(cs.head)),
     "graft_rep_stats"    -> (cs => RepStatsExpr(cs.head)),
     "graft_passages"     -> (cs => PassagesExpr(cs(0), cs(1))),

@@ -187,6 +187,29 @@ object TextHash {
     new GenericArrayData(out)
   }
 
+  /** ALL word-n-gram poly-chain hashes in TEXT ORDER (d21 hot path): token
+    * hashes, then g_i = fold(th[i..i+n-1], (acc,h) -> (acc*31 + h) mod P)
+    * at every position — the POSITIONAL counterpart of [[gram5Distinct]]
+    * (array index = 0-based token offset, so posexplode recovers the span
+    * geometry exact-substring dedup needs). Same values as the SQL
+    * `list_transform(range(1, len(th) - n + 2), i -> chain)` twin. Null
+    * when the text has < n tokens (no n-grams).
+    */
+  def gramChain(s: UTF8String, n: Int): ArrayData = {
+    val th = tokenHashesRaw(s)
+    if (th.length < n) return null
+    val out = new Array[Long](th.length - n + 1)
+    var i = 0
+    while (i <= th.length - n) {
+      var acc = th(i)
+      var j = 1
+      while (j < n) { acc = (acc * 31 + th(i + j)) % P; j += 1 }
+      out(i) = acc
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
   /** Repetition statistics in ONE pass (t06 hot path — the Gopher-style
     * repetition filters a training pipeline gates on): tokens split on
     * single spaces (empty tokens kept, Java `split(" ", -1)` — identical to

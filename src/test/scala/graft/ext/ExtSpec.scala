@@ -294,6 +294,55 @@ class ExtSpec extends SparkSpec {
   // (b) the deliberate divergence on non-ASCII, and (c) the load-bearing
   // fact that the driver's testdata is pure ASCII.
 
+  test("d21: exact shared spans found with exact lengths; sub-threshold not") {
+    val shared = (1 to 12).map(i => s"w$i").mkString(" ") // 12-token span
+    val fix = Seq(
+      (1L, s"alpha beta $shared gamma"), // span embedded mid-doc
+      (2L, s"$shared tail1 tail2"),      // same span at offset 0
+      (3L, "totally different words " +
+        (1 to 9).map(i => s"z$i").mkString(" ")),
+      (4L, (1 to 7).map(i => s"w$i").mkString(" ")) // 7 shared < SpanN=8
+    ).toDF("doc_id", "text")
+    val out = Dedup.exactSubstringSpans(fix).collect()
+      .map(r => ((r.getLong(0), r.getLong(1)),
+        (r.getLong(2), r.getLong(3)))).toMap
+    assert(out.keySet === Set((1L, 2L)),
+      "only the >= 8-token overlap may pair; 7 shared tokens must not")
+    assert(out((1L, 2L))._1 === 12L, "exact span length recovered")
+    assert(out((1L, 2L))._2 === 1L, "one maximal run, one group")
+  }
+
+  test("d21 honors the bucket cap: over-cap gram buckets produce no pairs") {
+    val shared = (1 to 12).map(i => s"w$i").mkString(" ")
+    val fix = Seq((1L, s"a b $shared"), (2L, s"$shared c d"))
+      .toDF("doc_id", "text")
+    try {
+      spark.conf.set(Dedup.MaxBucketSizeKey, "1")
+      assert(Dedup.exactSubstringSpans(fix).collect().isEmpty,
+        "every matching gram bucket has 2 members > cap 1")
+    } finally spark.conf.unset(Dedup.MaxBucketSizeKey)
+    assert(Dedup.exactSubstringSpans(fix).collect().nonEmpty,
+      "cap off: the pair resurfaces")
+  }
+
+  test("graft_gram_chain == the SQL transform twin; null under n tokens") {
+    val P = PortableHash.P
+    val rows = docs.filter(size(split(col("text"), " ")) >= 3)
+      .select(
+        expr("graft_gram_chain(text, 3)").as("k"),
+        expr("graft_token_hashes(text)").as("th"))
+      .select(col("k"), expr(
+        s"transform(sequence(1, size(th) - 2), i -> " +
+          s"((element_at(th, i) * 31 + element_at(th, i + 1)) % $P * 31" +
+          s" + element_at(th, i + 2)) % $P)").as("twin"))
+      .collect()
+    assert(rows.nonEmpty)
+    rows.foreach(r => assert(r.getSeq[Long](0) === r.getSeq[Long](1)))
+    val short = docs.filter(size(split(col("text"), " ")) < 3)
+      .select(expr("graft_gram_chain(text, 3)")).collect()
+    assert(short.nonEmpty && short.forall(_.isNullAt(0)))
+  }
+
   test("m04: byte-based decode == codepoint oracle on ASCII (property)") {
     import org.scalacheck.{Gen, Prop, Test => SCTest}
     val asciiText = Gen.nonEmptyListOf(Gen.choose(32.toChar, 126.toChar))
