@@ -1926,7 +1926,8 @@ object Similarity {
     * in-cell part of it).
     */
   private def ivfPqFilteredCore(emb: DataFrame, k1Default: Int, m: Int,
-      subDim: Int, kcode: Int, iters: Int, nprobe: Int, target: Int,
+      subDim: Int, kcode: Int, iters: Int, nprobe: Int,
+      pred: org.apache.spark.sql.Column,
       kTop: Int, pp: Boolean): (DataFrame, DataFrame, DataFrame) = {
     graft.functions.GraftFunctions.register(emb.sparkSession)
     val (a1, cv1, _, cbAll) =
@@ -1944,7 +1945,7 @@ object Similarity {
     val adc = (0 until m).map(s => expr(adcTermExpr(s, subDim))).reduce(_ + _)
     // THE FILTERED SERVING SCAN: predicate at the source scan, cell prune
     // before scoring, everything else broadcast-sized.
-    val scored = emb.filter(col("label") === target)
+    val scored = emb.filter(pred)
       .select(col("vec_id"), col("label"),
         expr("transform(embedding, ex -> CAST(ex AS DOUBLE))").as("e"))
       .crossJoin(broadcast(assignCents))
@@ -1959,7 +1960,7 @@ object Similarity {
         adc.as("adc"))
     // the always-correct pre-filter exact top-k (x27's pre arm), for the
     // inline flag — one more pushed-down scan + TakeOrdered, no shuffle
-    val fexact = emb.filter(col("label") === target)
+    val fexact = emb.filter(pred)
       .select(col("vec_id"),
         expr("transform(embedding, ex -> CAST(ex AS DOUBLE))").as("e"))
       .crossJoin(broadcast(q))
@@ -1985,13 +1986,47 @@ object Similarity {
       .select(col("vec_id"), col("label"), col("c1"), col("d2"),
         col("evid").isNotNull.as("in_filtered_exact_topk"))
 
+  /** The x28 inline-filtered serving arm under an ARBITRARY predicate —
+    * the FilteredSweep tool's entry for the selectivity crossover
+    * measurement (BASELINE.md records the curve; the declared x28 keeps
+    * the fixed label contract so its oracle stays expressible).
+    */
+  private[graft] def ivfPqFilteredRerankPred(emb: DataFrame,
+      pred: org.apache.spark.sql.Column, nprobe: Int = 2,
+      shortK: Int = Serve.ShortK, kTop: Int = 10): DataFrame = {
+    val (scored, q, fexact) = ivfPqFilteredCore(emb, Serve.K1Default,
+      Serve.M, Serve.SubDim, Serve.Kcode, Serve.Iters, nprobe, pred,
+      kTop, Serve.Pp)
+    filteredRerankTail(scored, q, fexact, shortK, kTop)
+  }
+
+  /** The x27 pre-filter-exact arm under an arbitrary predicate (always
+    * correct; the sweep's other endpoint): pushed-down scan + one compiled
+    * L2 per survivor + TakeOrdered.
+    */
+  private[graft] def filteredExactPred(emb: DataFrame,
+      pred: org.apache.spark.sql.Column, kTop: Int = 10): DataFrame = {
+    graft.functions.GraftFunctions.register(emb.sparkSession)
+    val q = emb.orderBy("vec_id").limit(1)
+      .select(col("vec_id").as("q_id"),
+        expr("transform(embedding, ex -> CAST(ex AS DOUBLE))").as("qe"))
+    emb.filter(pred)
+      .select(col("vec_id"), col("label"),
+        expr("transform(embedding, ex -> CAST(ex AS DOUBLE))").as("e"))
+      .crossJoin(broadcast(q))
+      .filter(col("vec_id") =!= col("q_id"))
+      .withColumn("d2", expr("graft_l2(e, qe)"))
+      .select("vec_id", "label", "d2")
+      .orderBy(col("d2"), col("vec_id")).limit(kTop)
+  }
+
   def ivfPqFilteredRerank(emb: DataFrame, k1Default: Int = Serve.K1Default,
       m: Int = Serve.M, subDim: Int = Serve.SubDim,
       kcode: Int = Serve.Kcode, iters: Int = Serve.Iters, nprobe: Int = 2,
       target: Int = 3, shortK: Int = Serve.ShortK, kTop: Int = 10,
       pp: Boolean = Serve.Pp): DataFrame = {
-    val (scored, q, fexact) = ivfPqFilteredCore(
-      emb, k1Default, m, subDim, kcode, iters, nprobe, target, kTop, pp)
+    val (scored, q, fexact) = ivfPqFilteredCore(emb, k1Default, m, subDim,
+      kcode, iters, nprobe, col("label") === target, kTop, pp)
     filteredRerankTail(scored, q, fexact, shortK, kTop)
   }
 
@@ -2039,7 +2074,7 @@ object Similarity {
       target: Int = 0): DataFrame = {
     val (scored0, q, fexact) = ivfPqFilteredCore(
       emb, Serve.K1Default, Serve.M, Serve.SubDim, Serve.Kcode,
-      Serve.Iters, nprobe, target, kTop, pp)
+      Serve.Iters, nprobe, col("label") === target, kTop, pp)
     // arms are shortlist cuts of ONE scored relation — materialize it
     // (same rationale as ivfPqRerankCurve)
     val scored = graft.util.Caches.retainCheckpointed(scored0)
