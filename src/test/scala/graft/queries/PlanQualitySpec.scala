@@ -595,6 +595,38 @@ class PlanQualitySpec extends SparkSpec {
     assert(p.contains("TakeOrderedAndProject"), p)
   }
 
+  test("x30: k-means|| seeds re-enter as a literal relation — no " +
+      "sequential TakeOrdered chain at any k") {
+    val p = planOf("x30_kmeans_parallel")
+    // the parallel seeder's whole point: the k centers are computed from
+    // bounded candidate METADATA at plan build and re-enter as a literal
+    // (LocalTableScan); the farthest-point seeder's k−1 TakeOrdered jobs
+    // are absent from the served plan
+    assert(p.contains("LocalTableScan"), p)
+    assert(!p.contains("TakeOrderedAndProject"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("p10: the serve plan reads artifact parquet only — no training " +
+      "subtree, no corpus scan, no checkpoint") {
+    val p = planOf("p10_index_lifecycle")
+    assert(!p.contains("embeddings.parquet"), p)
+    assert(p.contains("graft_mat"), p) // the persisted-artifact scratch dir
+    assert(!p.contains("Scan ExistingRDD"), p) // no in-session checkpoint
+    assert(p.contains("TakeOrderedAndProject"), p)
+    assert(!p.contains("Exchange hashpartitioning"), p)
+  }
+
+  test("d21: one gram-hash equi-join — never cartesian; spans from window " +
+      "streaks, no text re-scan") {
+    val p = planOf("d21_exact_substring")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    assert(p.contains("Window"), p) // the streak row_number
+    assert(p.contains("Generate"), p) // posexplode of the gram kernel
+    assert(p.contains("graft_gram_chain"), p) // compiled kernel, not a HOF
+  }
+
   test("q106: refresh reads state + pruned delta — history rows untouched") {
     val p = planOf("q106_incremental_agg")
     assert(p.contains("partial_sum"), p)

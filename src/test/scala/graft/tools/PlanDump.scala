@@ -40,6 +40,9 @@ object PlanDump {
     "x25_ivfpq_rerank"        -> "IVFADC + exact re-rank: shortK ADC shortlist broadcast back against the checkpointed full-precision relation (the point-read stand-in), TakeOrdered tail",
     "x27_filtered_knn"        -> "filtered ANN: the pre-filter predicate pushed into the parquet scan (PushedFilters -> partition pruning at scale), post-filter flag via broadcast-only joins",
     "x28_ivfpq_filtered"      -> "inline-filtered IVF-PQ: predicate pushed into the serving scan, cell prune + probe + codebooks broadcast, ADC + shortK exact re-rank — never a full exact pass",
+    "x30_kmeans_parallel"     -> "k-means|| seeding: constant pass count at any k, seeds re-enter as a literal relation (LocalTableScan) — no sequential TakeOrdered chain in the plan",
+    "p10_index_lifecycle"     -> "persisted index serve: every source is an artifact parquet scan — no training subtree, no cache, corpus parquet absent from the plan",
+    "d21_exact_substring"     -> "exact substring dedup: ONE gram-hash equi-join (never all-pairs), span lengths from window streaks over matched positions — no text re-scan",
   )
 
   def main(args: Array[String]): Unit = {
