@@ -689,7 +689,8 @@ object Similarity {
     * source — the real IVF serving shape.
     */
   def knnIvfLearned(emb: DataFrame, kDefault: Int = 8, iters: Int = 2,
-      kTop: Int = 10, pp: Boolean = false): DataFrame = {
+      kTop: Int = 10, pp: Boolean = false,
+      mode: Option[SeedMode] = None): DataFrame = {
     // Honor the SAME cell-count knob d17 reads (graft.ext.Dedup
     // .KmeansCellsKey, incl. its `auto` derivation) — with a mismatched k
     // the two operators would each train and retain their own full-corpus
@@ -697,7 +698,8 @@ object Similarity {
     // above.
     val k = graft.ext.Dedup.resolveCells(emb, kDefault)
     val assigned = graft.util.Caches.retainCheckpointed(
-      kmeansAssignSeeded(emb, k, iters, pp)
+      kmeansAssignMode(emb, k, iters,
+        mode.getOrElse(SeedMode.fromPp(pp, k)))
         .select(col("vec_id"), col("e"), col("cluster")))
     val q = assigned.orderBy("vec_id").limit(1)
       .select(col("vec_id").as("q_id"), col("e").as("qe"),
@@ -755,13 +757,15 @@ object Similarity {
     * with (distance, cluster) tie-break; the in-cell ranking is x12's.
     */
   def knnIvfLearnedProbe(emb: DataFrame, kDefault: Int = 8, iters: Int = 2,
-      nprobe: Int = 2, kTop: Int = 10, pp: Boolean = false): DataFrame = {
+      nprobe: Int = 2, kTop: Int = 10, pp: Boolean = false,
+      mode: Option[SeedMode] = None): DataFrame = {
     graft.functions.GraftFunctions.register(emb.sparkSession)
     val k = graft.ext.Dedup.resolveCells(emb, kDefault)
     // Same retained checkpoint as x12/d17 (memoized by canonicalized
     // plan): train once, serve at any nprobe.
     val assigned = graft.util.Caches.retainCheckpointed(
-      kmeansAssignSeeded(emb, k, iters, pp)
+      kmeansAssignMode(emb, k, iters,
+        mode.getOrElse(SeedMode.fromPp(pp, k)))
         .select(col("vec_id"), col("e"), col("cluster")))
     val crows = assigned
       .agg(expr(s"graft_centroids(cluster, e, $k)").as("cents"))
@@ -2134,7 +2138,20 @@ object Similarity {
     * three tiny top-k relations.
     */
   def ivfRecallCurve(emb: DataFrame, kTop: Int = 10,
-      pp: Boolean = false): DataFrame = {
+      pp: Boolean = false): DataFrame =
+    ivfRecallCurveArms(emb, kTop, pp, None)
+
+  /** x31's entry: the same curve under an EXPLICIT seed mode — the gate
+    * that grades the k-means|| initializer's serving quality on the
+    * planted corpus (x21's discipline for the new seeder: every
+    * initializer ships with its recall gate).
+    */
+  private[graft] def ivfRecallCurveMode(emb: DataFrame, kTop: Int,
+      mode: SeedMode): DataFrame =
+    ivfRecallCurveArms(emb, kTop, pp = false, Some(mode))
+
+  private def ivfRecallCurveArms(emb: DataFrame, kTop: Int, pp: Boolean,
+      mode: Option[SeedMode]): DataFrame = {
     val exact = knnBrute(emb, kTop).select(col("vec_id"))
     def arm(nprobe: Int, approx: DataFrame): DataFrame =
       exact.join(approx.select("vec_id"), Seq("vec_id"), "left_semi")
@@ -2142,9 +2159,10 @@ object Similarity {
         .select(lit(nprobe).as("nprobe"), lit(kTop).as("k"),
           col("n_overlap"),
           (col("n_overlap").cast("double") / kTop).as("recall_at_k"))
-    arm(1, knnIvfLearned(emb, kTop = kTop, pp = pp))
-      .unionByName(
-        arm(2, knnIvfLearnedProbe(emb, nprobe = 2, kTop = kTop, pp = pp)))
+    arm(1, knnIvfLearned(emb, kTop = kTop, pp = pp, mode = mode))
+      .unionByName(arm(2,
+        knnIvfLearnedProbe(emb, nprobe = 2, kTop = kTop, pp = pp,
+          mode = mode)))
   }
 
   /** `pre` prepends extra CTEs right after WITH (e.g. the clustered-corpus
@@ -2154,10 +2172,12 @@ object Similarity {
   def ivfRecallCurveSql(k: Int = graft.ext.Dedup.confInt(
         graft.ext.Dedup.KmeansCellsKey, 8),
       iters: Int = 2, kTop: Int = 10, src: String = "embeddings",
-      pre: String = "", pp: Boolean = false): String =
+      pre: String = "", pp: Boolean = false,
+      parallelSeed: Boolean = false): String =
     s"""WITH ${if (pre.nonEmpty) pre + "," else ""}
              ${kmeansAssignCtes(k, iters, src = src,
-               seed = if (pp) Some(ppSeedCtes(k)) else None)},
+               seed = if (parallelSeed) Some(parallelSeedCtes(k))
+                 else if (pp) Some(ppSeedCtes(k)) else None)},
              ${kmeansServeCentroidsCtes(iters)},
              q AS (SELECT vec_id AS q_id, e AS qe, cluster AS q_cell
                    FROM a$iters ORDER BY vec_id LIMIT 1),
@@ -2908,6 +2928,20 @@ object SimilarityQueries {
     Q("x30_kmeans_parallel",
       (s, d) => Similarity.kmeansSummaryParallel(Tables.embeddings(s, d)),
       Some(graft.ext.Dedup.guardAuto(graft.ext.Dedup.KmeansCellsKey)(
-        Similarity.kmeansSummaryParallelSql())))
+        Similarity.kmeansSummaryParallelSql()))),
+
+    // x31: the k-means|| initializer's SERVING-QUALITY gate — x21's
+    // planted-corpus recall curve under parallel seeding (every
+    // initializer ships with its gate): a seeder that recovers the
+    // planted cells reads recall ≈ 1 at nprobe=1; one that merges/splits
+    // them reads the probed fraction. This is the number that justifies
+    // routing auto-k builds to k-means|| (BASELINE.md round-14).
+    Q("x31_parallel_ivf_recall",
+      (s, d) => Similarity.ivfRecallCurveMode(
+        Similarity.clusteredCorpus(Tables.embeddings(s, d)), 10,
+        Similarity.SeedMode.Parallel),
+      Some(graft.ext.Dedup.guardAuto(graft.ext.Dedup.KmeansCellsKey)(
+        Similarity.ivfRecallCurveSql(src = "clustered",
+          pre = Similarity.clusteredCteSql, parallelSeed = true))))
   )
 }

@@ -94,6 +94,34 @@ object StreamingQ {
       xform: DataFrame => DataFrame): DataFrame =
     runFileStream(s, s"$d/documents.parquet")(xform)
 
+  /** s33's offline artifact: the snapshot corpus's DISTINCT SpanN-gram
+    * hash set as ONE checkpointed row (the substring counterpart of s30's
+    * trained centroids) — broadcast into every micro-batch.
+    */
+  def substringSnapshot(snapshotDocs: DataFrame): DataFrame = {
+    graft.functions.GraftFunctions.register(snapshotDocs.sparkSession)
+    val n = graft.ext.Dedup.SpanN
+    graft.util.Caches.retainCheckpointed(snapshotDocs
+      .select(explode(expr(s"graft_gram_chain(text, $n)")).as("g"))
+      .agg(expr("array_sort(array_distinct(collect_list(g)))").as("sg")))
+  }
+
+  /** s33's arrival transform: flag every arriving doc that shares an exact
+    * ≥ SpanN-token span with the snapshot (one compiled gram pass + one
+    * array intersect against the broadcast set — stateless, shuffle-free;
+    * completeness per arrival is d21's theorem).
+    */
+  def substringGateXform(snap: DataFrame)(src: DataFrame): DataFrame = {
+    val n = graft.ext.Dedup.SpanN
+    src.crossJoin(broadcast(snap))
+      .select(col("doc_id"),
+        when(size(split(col("text"), " ")) >= n,
+          size(array_intersect(
+            expr(s"graft_gram_chain(text, $n)"), col("sg"))))
+          .otherwise(lit(0)).as("n_hit_grams"))
+      .withColumn("contaminated", col("n_hit_grams") > 0)
+  }
+
   /** Q20: wire-format roundtrip pipeline (reference streaming-job shape —
     * source → CSV-wire parse → CASE enrichment → parquet sink,
     * convert-to-elasticsearch.py:105-134 / convert-to-minio.py:125-131).
@@ -1972,6 +2000,55 @@ object StreamingQ {
               WHERE NOT EXISTS (SELECT 1 FROM s WHERE sk = pk
                                   AND pts >= sts
                                   AND pts <= sts + INTERVAL 24 HOUR)
-                AND pts < (SELECT w FROM wm)"""))
+                AND pts < (SELECT w FROM wm)""")),
+
+    // s33: streaming SUBSTRING-contamination gate — d21's granularity in
+    // the x→s symmetry (d03→s28, d17→s30, x28→s32, d21→s33): arrivals are
+    // flagged when they share an exact ≥ SpanN-token span with the
+    // already-ingested snapshot (doc_id < 100). The snapshot's DISTINCT
+    // gram-hash set is the offline artifact (one checkpointed row — the
+    // substring counterpart of s30's trained centroids / t09's blocklist),
+    // broadcast into every micro-batch; each arrival is ONE compiled
+    // graft_gram_chain pass + an array intersect against the broadcast
+    // set — stateless, no shuffle, per-batch cost linear in arrival bytes.
+    // Completeness per arrival is d21's theorem (span ≥ n ⟺ a shared
+    // n-gram). At 100 TB the snapshot set becomes a bloom/static table
+    // the same expression probes.
+    Q("s33_stream_substring",
+      (s, d) => {
+        val snap = substringSnapshot(
+          Tables.documents(s, d).filter(col("doc_id") < 100))
+        runDocsStream(s, d)(src =>
+          substringGateXform(snap)(src.filter(col("doc_id") >= 100)))
+      },
+      Some {
+        val n = graft.ext.Dedup.SpanN
+        val P = graft.ext.PortableHash.P
+        val chain = (1 until n).foldLeft("th[i]")((acc, j) =>
+          s"(($acc) * 31 + th[i + $j]) % $P")
+        s"""WITH sth AS (SELECT doc_id,
+                                ${graft.ext.PortableHash.duckTokenHashes}
+                                  AS th
+                         FROM documents),
+                 sg0 AS (SELECT DISTINCT $chain AS g
+                         FROM sth, UNNEST(range(1, len(th) - ${n - 2}))
+                              AS u(i)
+                         WHERE doc_id < 100 AND len(th) >= $n),
+                 snap AS (SELECT list(g ORDER BY g) AS sg FROM sg0)
+            SELECT doc_id,
+                   CAST(CASE WHEN len(th) >= $n
+                             THEN len(list_intersect(
+                                    list_transform(
+                                      range(1, len(th) - ${n - 2}),
+                                      i -> $chain), snap.sg))
+                             ELSE 0 END AS INT) AS n_hit_grams,
+                   CASE WHEN len(th) >= $n
+                        THEN len(list_intersect(
+                               list_transform(
+                                 range(1, len(th) - ${n - 2}),
+                                 i -> $chain), snap.sg)) > 0
+                        ELSE FALSE END AS contaminated
+            FROM sth, snap WHERE doc_id >= 100"""
+      })
   )
 }

@@ -912,4 +912,56 @@ class StreamingSpec extends SparkSpec {
       Map(1L -> 0, 2L -> 0, 3L -> 0, 4L -> 0, 5L -> 0, 6L -> 1))
     assert(oneBatch.find(_._1 == 6L).get._2 === 5L)
   }
+  test("s33: substring-contamination verdicts match the batch expression " +
+      "and are slicing-independent (stateless snapshot probe)") {
+    val s = spark
+    import s.implicits._
+    val shared = (1 to 12).map(i => s"w$i").mkString(" ")
+    val snapDocs = Seq(
+      (1L, s"alpha beta $shared gamma"),
+      (2L, "nothing here matches any arrival at all today"))
+      .toDF("doc_id", "text")
+    val arrivals = Seq(
+      (101L, s"$shared tail tokens"),          // shares the 12-token span
+      (102L, "fresh content entirely new words none shared with snapshot"),
+      (103L, "w1 w2 w3"))                      // < SpanN tokens: never flags
+      .toDF("doc_id", "text")
+    val snap = StreamingQ.substringSnapshot(snapDocs)
+    // batch expectation from the SAME transform applied to a batch frame
+    val expected = StreamingQ.substringGateXform(snap)(arrivals)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getBoolean(2)))
+      .sortBy(_._1).toSeq
+    assert(expected.map(t => t._1 -> t._3) ===
+      Seq(101L -> true, 102L -> false, 103L -> false))
+    assert(expected.head._2 === 5) // 12-token span = 5 shared 8-grams
+
+    def run(maxFiles: Option[Int]): Seq[(Long, Int, Boolean)] = {
+      val srcDir = Files.createTempDirectory("graft_s33_src").toString
+      val out    = Files.createTempDirectory("graft_s33_out").toString
+      val ckpt   = Files.createTempDirectory("graft_s33_ckpt").toString
+      arrivals.collect().zipWithIndex.foreach { case (r, i) =>
+        val stage = Files.createTempDirectory(s"graft_s33_$i").toString
+        Seq((r.getLong(0), r.getString(1))).toDF("doc_id", "text")
+          .coalesce(1).write.mode("overwrite").parquet(stage)
+        val part = new File(stage).listFiles()
+          .find(_.getName.endsWith(".parquet")).get
+        val dst = Paths.get(srcDir, s"f$i.parquet")
+        Files.move(part.toPath, dst)
+        dst.toFile.setLastModified(1700000000000L + i * 60000)
+      }
+      val rd = s.readStream.schema(arrivals.schema)
+      val q = StreamingQ.substringGateXform(snap)(
+        maxFiles.fold(rd)(n => rd.option("maxFilesPerTrigger", n))
+          .parquet(srcDir))
+        .writeStream.format("parquet").outputMode("append")
+        .option("checkpointLocation", ckpt).option("path", out)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      s.read.parquet(out).collect()
+        .map(r => (r.getLong(0), r.getInt(1), r.getBoolean(2)))
+        .sortBy(_._1).toSeq
+    }
+    assert(run(None) === expected)
+    assert(run(Some(1)) === expected) // one doc per micro-batch: identical
+  }
 }
