@@ -108,6 +108,30 @@ case class GramChainExpr(child: Expression, n: Int)
     copy(child = newChild)
 }
 
+/** Distinct-hit count of a gram array against a SORTED broadcast snapshot
+  * array (TextHash.sortedHits — s33's hot path; values bit-equal to
+  * `size(array_intersect(gs, snap))` under the sorted-distinct snapshot
+  * contract).
+  */
+case class SortedHitsExpr(gs: Expression, snap: Expression)
+    extends BinaryExpression {
+  override def left: Expression = gs
+  override def right: Expression = snap
+  override def dataType: DataType = IntegerType
+  override def nullable: Boolean = true
+  override def prettyName: String = "graft_sorted_hits"
+  protected override def nullSafeEval(a: Any, b: Any): Any =
+    TextHash.sortedHits(
+      a.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData],
+      b.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      (a, b) => s"graft.functions.TextHash.sortedHits($a, $b)")
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(gs = newLeft, snap = newRight)
+}
+
 /** Null when the text has < 2 tokens (no bigram shingles). */
 case class MinHashSigExpr(child: Expression)
     extends UnaryExpression {
@@ -811,6 +835,7 @@ object GraftFunctions {
     "graft_gram5_distinct" -> (cs => Gram5DistinctExpr(cs.head)),
     "graft_gram_chain"   -> (cs => GramChainExpr(cs(0),
       intLit("graft_gram_chain", "n", cs(1)))),
+    "graft_sorted_hits"  -> (cs => SortedHitsExpr(cs(0), cs(1))),
     "graft_simhash"      -> (cs => SimHashExpr(cs.head)),
     "graft_rep_stats"    -> (cs => RepStatsExpr(cs.head)),
     "graft_passages"     -> (cs => PassagesExpr(cs(0), cs(1))),

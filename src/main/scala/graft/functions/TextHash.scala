@@ -210,6 +210,47 @@ object TextHash {
     new GenericArrayData(out)
   }
 
+  /** Count of DISTINCT values of `gs` present in the SORTED array `snap` —
+    * bit-equal to `size(array_intersect(gs, snap))` when snap is sorted
+    * and distinct (s33's snapshot artifact contract), but O(|gs|·log|snap|)
+    * per row instead of array_intersect's per-ROW O(|snap|) hash-set
+    * rebuild: the snapshot is the big side and arrives as the same
+    * broadcast value on every row, so rebuilding its set per arrival
+    * dominated the sf1 wall (16.2 s → the streaming floor).
+    */
+  def sortedHits(gs: ArrayData, snap: ArrayData): Int = {
+    val n = gs.numElements()
+    val m = snap.numElements()
+    if (n == 0 || m == 0) return 0
+    val arr = new Array[Long](n)
+    var i = 0
+    while (i < n) { arr(i) = gs.getLong(i); i += 1 }
+    java.util.Arrays.sort(arr)
+    var hits = 0
+    var prev = 0L
+    var first = true
+    i = 0
+    while (i < n) {
+      val v = arr(i)
+      if (first || v != prev) { // distinct gs values only
+        // binary search over the sorted snapshot
+        var lo = 0; var hi = m - 1
+        var found = false
+        while (lo <= hi && !found) {
+          val mid = (lo + hi) >>> 1
+          val sv = snap.getLong(mid)
+          if (sv == v) found = true
+          else if (sv < v) lo = mid + 1
+          else hi = mid - 1
+        }
+        if (found) hits += 1
+        prev = v; first = false
+      }
+      i += 1
+    }
+    hits
+  }
+
   /** Repetition statistics in ONE pass (t06 hot path — the Gopher-style
     * repetition filters a training pipeline gates on): tokens split on
     * single spaces (empty tokens kept, Java `split(" ", -1)` — identical to

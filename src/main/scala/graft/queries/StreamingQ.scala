@@ -113,11 +113,17 @@ object StreamingQ {
     */
   def substringGateXform(snap: DataFrame)(src: DataFrame): DataFrame = {
     val n = graft.ext.Dedup.SpanN
+    // graft_sorted_hits, not array_intersect: the snapshot is the BIG side
+    // and arrives as the same broadcast value on every row, but
+    // array_intersect rebuilds its hash set PER ROW — measured 16.2 s at
+    // sf1 (50k arrivals × an 8k-gram snapshot). The kernel binary-searches
+    // the sorted snapshot per distinct arrival gram instead
+    // (O(|gs|·log|snap|)); values bit-equal under substringSnapshot's
+    // sorted-distinct contract, pinned by the unchanged oracle hashes.
     src.crossJoin(broadcast(snap))
       .select(col("doc_id"),
         when(size(split(col("text"), " ")) >= n,
-          size(array_intersect(
-            expr(s"graft_gram_chain(text, $n)"), col("sg"))))
+          expr(s"graft_sorted_hits(graft_gram_chain(text, $n), sg)"))
           .otherwise(lit(0)).as("n_hit_grams"))
       .withColumn("contaminated", col("n_hit_grams") > 0)
   }
