@@ -1537,6 +1537,133 @@ object Similarity {
     rerankTail(scored, a1, q, exact, shortK, kTop)
   }
 
+  /** p11: INCREMENTAL INDEX MAINTENANCE — the lifecycle step after p10's
+    * persist: a delta batch (vec_id ≡ 0 mod 5 — the sf-independent split)
+    * is admitted against the FROZEN quantizer (cell = argmin vs the
+    * trained centroids, residual vs the serving centroid, codes vs the
+    * frozen codebooks — NO retraining anywhere), appended to the index
+    * relations, and served together with the base. The admission rule is
+    * the SAME argmin the batch build applies (s30's online≡batch cell
+    * contract), so a delta vector equal to a base vector gets identical
+    * cell/residual/codes — re-encode ≡ stored, maintained. The query
+    * vector is the lowest vec_id = a DELTA row: the served answer proves
+    * freshly-admitted vectors are retrievable without retrain. At 100 TB
+    * this is the nightly-append job: assign+encode is one broadcast
+    * map-side pass over the delta, the index table gains a partition.
+    */
+  def ivfPqDeltaServe(emb: DataFrame): DataFrame = {
+    graft.functions.GraftFunctions.register(emb.sparkSession)
+    val serve = Serve
+    val base = emb.filter(pmod(col("vec_id"), lit(5)) =!= 0)
+    val delta = emb.filter(pmod(col("vec_id"), lit(5)) === 0)
+    val (a1, cv1, resid, cbAll) = ivfPqIndex(base, serve.K1Default,
+      serve.M, serve.SubDim, serve.Kcode, serve.Iters, serve.Pp)
+    val assignCents =
+      kmeansTrainedCentroids(base, serve.K1Default, serve.Iters, serve.Pp)
+    val deltaAssigned = delta
+      .select(col("vec_id"),
+        expr("transform(embedding, ex -> CAST(ex AS DOUBLE))").as("e"))
+      .crossJoin(broadcast(assignCents))
+      .withColumn("cluster", expr(s"$bestCellExpr.c"))
+      .select("vec_id", "e", "cluster")
+    val deltaResid = deltaAssigned
+      .join(broadcast(cv1), col("cluster") === col("rc1"))
+      .select(col("vec_id"), col("cluster").as("c1"),
+        expr("zip_with(e, cv1, (x, y) -> x - y)").as("r"))
+    ivfPqServeRerank((a1.unionByName(deltaAssigned), cv1,
+      resid.unionByName(deltaResid), cbAll))
+  }
+
+  /** Oracle twin of [[ivfPqDeltaServe]]: the base chains via
+    * [[ivfPqIndexCtes]], the delta admitted against cv$iters (the trained
+    * centroids — what produced a$iters's cells) and the frozen v{s}cvF
+    * codebooks, unioned, probed, LUT-scored, re-ranked.
+    */
+  def ivfPqDeltaServeSql(k1: Int = graft.ext.Dedup.confInt(
+        graft.ext.Dedup.KmeansCellsKey, Serve.K1Default),
+      m: Int = Serve.M, subDim: Int = Serve.SubDim,
+      kcode: Int = Serve.Kcode, iters: Int = Serve.Iters,
+      nprobe: Int = 2, shortK: Int = Serve.ShortK, kTop: Int = 10,
+      pp: Boolean = Serve.Pp): String = {
+    val codeCols = (0 until m).map(s => s"code_$s").mkString(", ")
+    val dsubs = (0 until m).map { s =>
+      val off = s * subDim
+      s"""dcode$s AS (SELECT vec_id, cluster AS code_$s
+                      FROM (SELECT z.vec_id, c.cluster,
+                                   ROW_NUMBER() OVER (PARTITION BY z.vec_id
+                                     ORDER BY ${duckD2(
+                                       s"list_slice(z.r, ${off + 1}, ${off + subDim})",
+                                       "c.cvec")}, c.cluster) AS rn
+                            FROM dR z, v${s}cvF c) WHERE rn = 1)"""
+    }.mkString(",\n")
+    val dcodeJoin = (0 until m)
+      .map(s => s"JOIN dcode$s USING (vec_id)").mkString(" ")
+    val luts = (0 until m).map { s =>
+      val off = s * subDim
+      s"""plut$s AS (SELECT r.pcell AS pc$s, c.cluster AS cc$s,
+                            ${duckD2(
+                              s"list_slice(r.rqe, ${off + 1}, ${off + subDim})",
+                              "c.cvec")} AS dd$s
+                     FROM prq r, v${s}cvF c)"""
+    }.mkString(",\n")
+    val lutJoin = (0 until m)
+      .map(s => s"JOIN plut$s ON k.c1 = pc$s AND k.code_$s = cc$s")
+      .mkString(" ")
+    val adc = (0 until m).map(s => s"dd$s").reduce((a, b) => s"($a + $b)")
+    s"""WITH base AS MATERIALIZED (SELECT * FROM embeddings
+               WHERE vec_id % 5 <> 0),
+            ${ivfPqIndexCtes(k1, m, subDim, kcode, iters, src = "base",
+              seed = if (pp) Some(ppSeedCtes(k1)) else None)},
+            de0 AS MATERIALIZED (SELECT vec_id,
+                   list_transform(embedding, ex -> CAST(ex AS DOUBLE)) AS e
+                 FROM embeddings WHERE vec_id % 5 = 0),
+            dA AS MATERIALIZED (SELECT vec_id, e, cl AS cluster
+                 FROM (SELECT de0.vec_id, de0.e, cv$iters.cluster AS cl,
+                              ${duckD2("de0.e", "cvec")} AS dd,
+                              ROW_NUMBER() OVER (PARTITION BY de0.vec_id
+                                ORDER BY ${duckD2("de0.e", "cvec")},
+                                         cv$iters.cluster) AS rn
+                       FROM de0, cv$iters) WHERE rn = 1),
+            dR AS MATERIALIZED (SELECT da.vec_id, da.cluster AS c1,
+                   list_transform(range(1, len(da.e) + 1),
+                                  i -> da.e[i] - cvF.cvec[i]) AS r
+                 FROM dA da JOIN cvF ON da.cluster = cvF.cluster),
+            $dsubs,
+            allcodes AS MATERIALIZED (
+              SELECT vec_id, c1, $codeCols FROM pqcodes
+              UNION ALL
+              SELECT dR.vec_id, dR.c1, $codeCols FROM dR $dcodeJoin),
+            allA AS MATERIALIZED (
+              SELECT vec_id, e, cluster FROM a$iters
+              UNION ALL
+              SELECT vec_id, e, cluster FROM dA),
+            pq AS MATERIALIZED (SELECT vec_id AS q_id, e AS qe FROM allA
+                 ORDER BY vec_id LIMIT 1),
+            pprobe AS (SELECT cluster AS pcell, cvec AS pcv FROM cvF, pq
+                       ORDER BY ${duckD2("cvec", "qe")}, cluster
+                       LIMIT $nprobe),
+            prq AS (SELECT pcell,
+                           list_transform(range(1, len(qe) + 1),
+                                          i -> qe[i] - pcv[i]) AS rqe
+                    FROM pprobe, pq),
+            $luts,
+            pscored AS MATERIALIZED (SELECT k.vec_id, k.c1, $adc AS adc
+                 FROM allcodes k $lutJoin, pq
+                 WHERE k.vec_id <> q_id),
+            pshort AS (SELECT vec_id, c1 FROM pscored
+                       ORDER BY adc, vec_id LIMIT $shortK),
+            prr AS (SELECT z.vec_id, z.cluster AS c1,
+                           ${duckD2("z.e", "qe")} AS d2
+                    FROM allA z JOIN pshort s ON z.vec_id = s.vec_id, pq
+                    ORDER BY d2, z.vec_id LIMIT $kTop),
+            pfex AS (SELECT z.vec_id FROM allA z, pq
+                     WHERE z.vec_id <> q_id
+                     ORDER BY ${duckD2("z.e", "qe")}, z.vec_id LIMIT $kTop)
+        SELECT vec_id, c1, d2,
+               vec_id IN (SELECT vec_id FROM pfex) AS in_exact_topk
+        FROM prr"""
+  }
+
   def ivfPqKnnRerank(emb: DataFrame, k1Default: Int = Serve.K1Default,
       m: Int = Serve.M, subDim: Int = Serve.SubDim,
       kcode: Int = Serve.Kcode, iters: Int = Serve.Iters, nprobe: Int = 2,

@@ -485,7 +485,19 @@ object PipelineQueries {
       },
       // the serve answer IS x25's answer — one oracle, zero drift
       Some(graft.ext.Dedup.guardAuto(graft.ext.Dedup.KmeansCellsKey)(
-        graft.ext.Similarity.ivfPqKnnRerankSql())))
+        graft.ext.Similarity.ivfPqKnnRerankSql()))),
+
+    // p11: INCREMENTAL INDEX MAINTENANCE — the lifecycle step after p10's
+    // persist: the delta batch admitted against the FROZEN quantizer
+    // (same argmin the batch build applies: re-encode ≡ stored holds for
+    // the appended rows), served together with the base; the query is a
+    // delta vector, proving fresh admissions are retrievable without
+    // retraining (see Similarity.ivfPqDeltaServe).
+    Q("p11_index_delta",
+      (s, d) => graft.ext.Similarity.ivfPqDeltaServe(
+        Tables.embeddings(s, d)),
+      Some(graft.ext.Dedup.guardAuto(graft.ext.Dedup.KmeansCellsKey)(
+        graft.ext.Similarity.ivfPqDeltaServeSql())))
   )
 }
 

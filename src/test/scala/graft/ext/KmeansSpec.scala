@@ -347,6 +347,33 @@ class KmeansSpec extends SparkSpec {
     assert(rows.forall(_.getLong(3) === 0L))
   }
 
+  test("p11: incremental admission == one-shot encode against the frozen " +
+      "quantizer (maintain ≡ rebuild-encode)") {
+    val emb = Tables.embeddings(spark, sf)
+    val serve = Similarity.Serve
+    val base = emb.filter(pmod(col("vec_id"), lit(5)) =!= 0)
+    val (_, cv1, _, cbAll) = Similarity.ivfPqIndex(base, serve.K1Default,
+      serve.M, serve.SubDim, serve.Kcode, serve.Iters, serve.Pp)
+    val cents = Similarity.kmeansTrainedCentroids(base, serve.K1Default,
+      serve.Iters, serve.Pp)
+    // one-shot: EVERY vector (base and delta alike) encoded in one batch
+    // pass against the frozen artifacts — construction order must not
+    // matter, or the appended index has silently forked from a rebuild
+    val all1 = emb.select(col("vec_id"),
+        expr("transform(embedding, ex -> CAST(ex AS DOUBLE))").as("e"))
+      .crossJoin(broadcast(cents))
+      .withColumn("cluster", expr(s"${Similarity.bestCellExpr}.c"))
+      .select("vec_id", "e", "cluster")
+    val allResid = all1.join(broadcast(cv1), col("cluster") === col("rc1"))
+      .select(col("vec_id"), col("cluster").as("c1"),
+        expr("zip_with(e, cv1, (x, y) -> x - y)").as("r"))
+    val oneShot = Similarity.ivfPqServeRerank((all1, cv1, allResid, cbAll))
+      .collect().map(_.toString).sorted.toSeq
+    val p11 = graft.queries.Catalog.byName("p11_index_delta")
+      .run(spark, sf).collect().map(_.toString).sorted.toSeq
+    assert(p11 === oneShot)
+  }
+
   test("x23: IVF-PQ — ADC ascends, candidates stay in probed cells, stable") {
     val out = Similarity.ivfPqKnn(Tables.embeddings(spark, sf)).collect()
     assert(out.nonEmpty && out.length <= 10)
