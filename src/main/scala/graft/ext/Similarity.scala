@@ -575,9 +575,17 @@ object Similarity {
     // seeding (inherently k sequential STEPS) runs as driver-local
     // arithmetic instead of k−1 sequential Spark JOBS — the exact barrier
     // this seeder exists to remove (at auto-k, k−1 jobs is minutes of
-    // scheduler latency for microseconds of flops). The collect is the
-    // resolveCells discipline: a deliberate, bounded plan-build-time
-    // action. Every local operation mirrors the oracle CTEs bit-for-bit:
+    // scheduler latency for microseconds of flops). DECLARED BOUND: the
+    // greedy step is O(k·|C|·dim) ≈ 2·OversampleX·dim·k² local flops —
+    // ~0.4 GFLOP at k=4096 (sub-second), ~100 GFLOP at k=65536 (the
+    // resolveCells ceiling; ~a minute of driver time — at that k the
+    // recluster should recurse through the distributed Lloyd instead,
+    // the one follow-up this design leaves open). Auto-k reaches 4096 at
+    // ~1M corpus vectors, so the driver step is sub-second everywhere
+    // the current derivation can take it without a manual knob. The
+    // collect is the resolveCells discipline: a deliberate, bounded
+    // plan-build-time action. Every local operation mirrors the oracle
+    // CTEs bit-for-bit:
     // d² is the same sequential subtract-square-accumulate fold as
     // VecOps.d2D/duckD2, argmax/argmin tie-breaks are (value, rank/cluster)
     // lexicographic via strict comparison over ascending scan order, and
