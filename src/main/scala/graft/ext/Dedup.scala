@@ -1104,6 +1104,98 @@ object Dedup {
                CAST(MAX(run) + ${n - 1} AS BIGINT) AS span_tokens,
                CAST(COUNT(*) AS BIGINT) AS n_spans
         FROM runs21 GROUP BY doc_a, doc_b"""
+
+  /** Winnowing window width. Anchors ≈ 1/WinnowW of gram positions, and
+    * detection is GUARANTEED for spans ≥ SpanN + WinnowW − 1 tokens (any
+    * such span contains a fully-shared gram window, whose minimum both
+    * docs select — the winnowing theorem, Schleimer/Wilkerson/Aiken).
+    */
+  val WinnowW = 8
+
+  /** d23: exact substring dedup at PRODUCTION anchor cost — d21 with
+    * winnowed anchors. d21 blocks on EVERY gram position (~one anchor per
+    * token: at 100 TB that join key space is corpus-sized); d23 selects
+    * ~1/w of positions via the window-minimum rule (compiled
+    * graft_winnow kernel, one pass, no shuffle) and pays the full
+    * positional span verify ONLY for candidate doc pairs — the
+    * prune-then-verify shape every blocked operator here uses, now with
+    * the anchor volume knob. The trade is declared, not hidden: the
+    * detection guarantee moves from span ≥ n to span ≥ n + w − 1, and the
+    * output is thresholded to that guaranteed regime (a pair caught below
+    * it by a lucky shared anchor would make results depend on luck).
+    */
+  def winnowedSpans(docs: DataFrame, n: Int = SpanN,
+      w: Int = WinnowW): DataFrame = {
+    graft.functions.GraftFunctions.register(docs.sparkSession)
+    import org.apache.spark.sql.expressions.Window
+    val anchors = applyBucketCap(
+      docs.select(col("doc_id"),
+        explode(expr(s"graft_winnow(text, $n, $w)")).as("a"))
+        .select(col("doc_id"), col("a.g").as("g")).distinct(),
+      Seq("g"))
+    val cand = anchors.select(col("g"), col("doc_id").as("doc_a"))
+      .join(anchors.select(col("g"), col("doc_id").as("doc_b")), "g")
+      .filter(col("doc_a") < col("doc_b"))
+      .select("doc_a", "doc_b").distinct()
+    // Verify only candidate docs' grams: the full gram relation is pruned
+    // by ONE semi-join (AQE broadcasts the candidate-doc list when small)
+    // BEFORE any positional join — without this, the verify re-shuffled
+    // the corpus-sized gram relation twice and read SLOWER than d21 at
+    // sf10 (17.8 vs 14.8 s); pruned it is candidate-proportional.
+    val candDocs = cand.select(col("doc_a").as("doc_id"))
+      .unionByName(cand.select(col("doc_b").as("doc_id"))).distinct()
+    val pg = docs.join(candDocs, Seq("doc_id"), "left_semi")
+      .select(col("doc_id"),
+        posexplode(expr(s"graft_gram_chain(text, $n)")).as(Seq("pos", "g")))
+    val matched = cand
+      .join(pg.select(col("doc_id").as("doc_a"), col("pos").as("pos_a"),
+        col("g")), Seq("doc_a"))
+      .join(pg.select(col("doc_id").as("doc_b"), col("pos").as("pos_b"),
+        col("g")), Seq("doc_b", "g"))
+      .withColumn("diag", col("pos_a") - col("pos_b"))
+    val wd = Window.partitionBy("doc_a", "doc_b", "diag").orderBy("pos_a")
+    matched.withColumn("sk", col("pos_a") - row_number().over(wd))
+      .groupBy("doc_a", "doc_b", "diag", "sk")
+      .agg(count(lit(1)).as("run"))
+      .groupBy("doc_a", "doc_b")
+      .agg((max("run") + lit(n - 1)).cast("long").as("span_tokens"),
+        count(lit(1)).as("n_spans"))
+      .filter(col("span_tokens") >= n + w - 1)
+  }
+
+  /** Oracle twin of [[winnowedSpans]]: per-doc window minima via
+    * list_min/list_position (value-identical to the kernel's deque), then
+    * the d21 rollup restricted to anchor-sharing pairs and thresholded to
+    * the guaranteed regime.
+    */
+  def winnowedSpansSql(src: String = "aug", n: Int = SpanN,
+      w: Int = WinnowW): String = {
+    val chain = (1 until n).foldLeft("th[i]")((acc, j) =>
+      s"(($acc) * 31 + th[i + $j]) % $P")
+    s"""WITH aug AS MATERIALIZED (${plantSpansSql()}),
+             ${exactSubstringCtes(src, n)},
+             wgl AS (SELECT doc_id,
+                            list_transform(range(1, len(th) - ${n - 2}),
+                                           i -> $chain) AS gl
+                     FROM (SELECT doc_id, ${PortableHash.duckTokenHashes}
+                                    AS th
+                           FROM $src)
+                     WHERE len(th) >= ${n + w - 1}),
+             wanch AS MATERIALIZED (
+               SELECT DISTINCT doc_id,
+                      unnest(list_transform(range(1, len(gl) - ${w - 2}),
+                               i -> list_min(list_slice(gl, i,
+                                               i + ${w - 1})))) AS g
+               FROM wgl),
+             wcand AS MATERIALIZED (
+               SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+               FROM wanch a JOIN wanch b
+                 ON a.g = b.g AND a.doc_id < b.doc_id)
+        SELECT r.doc_a, r.doc_b, r.span_tokens, r.n_spans
+        FROM (${spanRollupSql(n)}) r
+        JOIN wcand c ON r.doc_a = c.doc_a AND r.doc_b = c.doc_b
+        WHERE r.span_tokens >= ${n + w - 1}"""
+  }
 }
 
 object DedupQueries {
@@ -1464,6 +1556,18 @@ object DedupQueries {
       Some(s"""WITH aug AS MATERIALIZED (${Dedup.plantSpansSql()}),
                     ${Dedup.exactSubstringCtes("aug")}
                ${Dedup.spanRollupSql()}""")),
+
+    // d23: d21 at PRODUCTION anchor cost — winnowed anchor selection
+    // (~1/w of gram positions, compiled kernel) with the span ≥ n+w−1
+    // detection guarantee; full positional span verify only on candidate
+    // pairs (see Dedup.winnowedSpans). Full-length planted overlaps (18
+    // tokens, sources ≥ 20 tokens) sit inside the guaranteed regime;
+    // shorter-source plants fall below the declared n+w−1 threshold and
+    // are correctly excluded on BOTH sides.
+    Q("d23_winnowed_substring",
+      (s, d) => Dedup.winnowedSpans(
+        Dedup.plantSpans(Tables.documents(s, d))),
+      Some(Dedup.winnowedSpansSql())),
 
     // d22: the planted P/R gate for d21's gram-hash blocking (the d14
     // protocol): ground truth compares n-token substrings AS STRINGS on a

@@ -108,6 +108,38 @@ case class GramChainExpr(child: Expression, n: Int)
     copy(child = newChild)
 }
 
+/** Winnowing anchor selection (TextHash.winnow): the distinct
+  * window-minimum (pos, gram) pairs over the word-n-gram chain — d23's
+  * w×-cheaper blocking key with the span ≥ n+w−1 completeness theorem.
+  * `n`/`w` are plan-time constants (intLit-validated). Null when the text
+  * has < n + w − 1 tokens.
+  */
+case class WinnowExpr(child: Expression, n: Int, w: Int)
+    extends UnaryExpression {
+  require(n >= 1 && w >= 1, s"graft_winnow n=$n w=$w out of range")
+  override def checkInputDataTypes():
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (child.dataType == StringType)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      s"$prettyName expects a string argument, got ${child.dataType.simpleString}")
+  override def nullable: Boolean = true
+  override def dataType: DataType = ArrayType(StructType(Seq(
+    StructField("p", IntegerType, nullable = false),
+    StructField("g", LongType, nullable = false))), containsNull = false)
+  override def prettyName: String = "graft_winnow"
+  protected override def nullSafeEval(input: Any): Any =
+    TextHash.winnow(
+      input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String], n, w)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => s"""
+      ${ev.value} = graft.functions.TextHash.winnow($c, $n, $w);
+      if (${ev.value} == null) { ${ev.isNull} = true; }
+    """)
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 /** Distinct-hit count of a gram array against a SORTED broadcast snapshot
   * array (TextHash.sortedHits — s33's hot path; values bit-equal to
   * `size(array_intersect(gs, snap))` under the sorted-distinct snapshot
@@ -836,6 +868,9 @@ object GraftFunctions {
     "graft_gram_chain"   -> (cs => GramChainExpr(cs(0),
       intLit("graft_gram_chain", "n", cs(1)))),
     "graft_sorted_hits"  -> (cs => SortedHitsExpr(cs(0), cs(1))),
+    "graft_winnow"       -> (cs => WinnowExpr(cs(0),
+      intLit("graft_winnow", "n", cs(1)),
+      intLit("graft_winnow", "w", cs(2)))),
     "graft_simhash"      -> (cs => SimHashExpr(cs.head)),
     "graft_rep_stats"    -> (cs => RepStatsExpr(cs.head)),
     "graft_passages"     -> (cs => PassagesExpr(cs(0), cs(1))),

@@ -210,6 +210,61 @@ object TextHash {
     new GenericArrayData(out)
   }
 
+  /** Winnowing anchor selection (Schleimer/Wilkerson/Aiken, SIGMOD 2003) in
+    * ONE pass: over the word-n-gram chain hashes, every window of `w`
+    * consecutive grams selects its minimum (ties → the EARLIEST position,
+    * i.e. the (value, pos)-lexicographic min), and the distinct selected
+    * (pos, gram) pairs are returned in position order. GUARANTEE: two docs
+    * sharing an exact span of ≥ n + w − 1 tokens share a fully-contained
+    * gram window, whose min is a pure function of the shared content — so
+    * both docs select the same anchor and an anchor equi-join cannot miss
+    * the pair (d23's theorem, the d15 discipline). Selection runs a
+    * monotonic deque (amortized O(L)); same values as the SQL
+    * list_min/list_position twin. Null when the text has < n + w − 1
+    * tokens (no full window).
+    */
+  def winnow(s: UTF8String, n: Int, w: Int): ArrayData = {
+    val th = tokenHashesRaw(s)
+    if (th.length < n + w - 1) return null
+    val nG = th.length - n + 1
+    val gs = new Array[Long](nG)
+    var i = 0
+    while (i <= th.length - n) {
+      var acc = th(i)
+      var j = 1
+      while (j < n) { acc = (acc * 31 + th(i + j)) % P; j += 1 }
+      gs(i) = acc
+      i += 1
+    }
+    // monotonic deque of gram indices: values strictly increasing front to
+    // back; equal values keep the EARLIER index (push pops only strictly
+    // larger backs), so the front is the (value, pos)-lexicographic min.
+    val dq = new Array[Int](nG)
+    var head = 0; var tail = 0 // [head, tail)
+    val selPos = new java.util.LinkedHashSet[Integer]()
+    i = 0
+    while (i < nG) {
+      while (tail > head && gs(dq(tail - 1)) > gs(i)) tail -= 1
+      dq(tail) = i; tail += 1
+      val winStart = i - w + 1
+      if (winStart >= 0) {
+        while (dq(head) < winStart) head += 1
+        selPos.add(dq(head))
+      }
+      i += 1
+    }
+    val rows = new Array[Any](selPos.size)
+    val it = selPos.iterator()
+    var k = 0
+    while (it.hasNext) {
+      val p = it.next().intValue()
+      rows(k) = new org.apache.spark.sql.catalyst.expressions
+        .GenericInternalRow(Array[Any](p, gs(p)))
+      k += 1
+    }
+    new GenericArrayData(rows)
+  }
+
   /** Count of DISTINCT values of `gs` present in the SORTED array `snap` —
     * bit-equal to `size(array_intersect(gs, snap))` when snap is sorted
     * and distinct (s33's snapshot artifact contract), but O(|gs|·log|snap|)

@@ -325,6 +325,42 @@ class ExtSpec extends SparkSpec {
       "cap off: the pair resurfaces")
   }
 
+  test("d23: the winnowing guarantee — span >= n+w-1 always pairs, with " +
+      "the exact length; the output is thresholded to the guaranteed regime") {
+    val shared15 = (1 to 15).map(i => s"v$i").mkString(" ") // = n+w-1 exactly
+    val shared12 = (1 to 12).map(i => s"u$i").mkString(" ") // >= n, < n+w-1
+    val fix = Seq(
+      (1L, s"pre1 pre2 $shared15 post1"),
+      (2L, s"$shared15 tailA tailB"),
+      (3L, s"x1 x2 x3 $shared12 x4 x5 x6 x7"),
+      (4L, s"$shared12 y1 y2 y3 y4 y5 y6")
+    ).toDF("doc_id", "text")
+    val out = Dedup.winnowedSpans(fix).collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getLong(2))).toMap
+    assert(out.contains((1L, 2L)),
+      "a shared span of exactly n+w-1 tokens MUST be detected (theorem)")
+    assert(out((1L, 2L)) === 15L, "exact span length recovered")
+    assert(!out.contains((3L, 4L)),
+      "pairs below the guaranteed regime are excluded by the threshold " +
+        "even when an anchor happens to collide (luck must not leak)")
+    // d21 at full anchor cost still catches the 12-token overlap
+    val d21 = Dedup.exactSubstringSpans(fix).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(d21.contains((3L, 4L)))
+  }
+
+  test("winnowing selects ~1/w of gram positions (the anchor-cost claim)") {
+    val longDoc = Seq((1L, (1 to 400).map(i => s"t${i % 97}x$i")
+      .mkString(" "))).toDF("doc_id", "text")
+    val nGrams = longDoc
+      .select(explode(expr("graft_gram_chain(text, 8)"))).count()
+    val nAnchors = longDoc
+      .select(explode(expr("graft_winnow(text, 8, 8)"))).count()
+    assert(nAnchors * 3 <= nGrams, // expected ~2/(w+1) ≈ 0.22 of positions
+      s"winnowing must prune anchors: $nAnchors of $nGrams")
+    assert(nAnchors > 0)
+  }
+
   test("graft_gram_chain == the SQL transform twin; null under n tokens") {
     val P = PortableHash.P
     val rows = docs.filter(size(split(col("text"), " ")) >= 3)
