@@ -54,9 +54,39 @@ object Main {
         q.awaitTermination()
         println(s"[stream-es] documents written under $out")
 
+      // The ANN index lifecycle as separable CLI jobs (p10/p11's contract:
+      // the trainer's output is a table, the server is a reader).
+      //   index-train <embeddingsParquet> <indexDir>   — train at the
+      //     declared Serve config, write the four artifact relations
+      //   index-serve <indexDir>                       — fresh-session
+      //     load + the x25 rerank serve, printed
+      case "index-train" :: emb :: idx :: Nil =>
+        import graft.ext.Similarity
+        graft.functions.GraftFunctions.register(spark)
+        val serve = Similarity.Serve
+        val (a1, cv1, resid, cbAll) = Similarity.ivfPqIndex(
+          spark.read.parquet(emb), serve.K1Default, serve.M, serve.SubDim,
+          serve.Kcode, serve.Iters, serve.Pp)
+        a1.write.mode("overwrite").parquet(s"$idx/a1")
+        cv1.write.mode("overwrite").parquet(s"$idx/cv1")
+        resid.write.mode("overwrite").parquet(s"$idx/resid")
+        cbAll.write.mode("overwrite").parquet(s"$idx/codebooks")
+        println(s"[index-train] ${spark.read.parquet(s"$idx/a1").count()} " +
+          s"vectors indexed under $idx")
+
+      case "index-serve" :: idx :: Nil =>
+        import graft.ext.Similarity
+        val fresh = spark.newSession()
+        graft.functions.GraftFunctions.register(fresh)
+        def ld(n: String) = fresh.read.parquet(s"$idx/$n")
+        Similarity.ivfPqServeRerank(
+          (ld("a1"), ld("cv1"), ld("resid"), ld("codebooks")))
+          .show(truncate = false)
+
       case other =>
         System.err.println(s"unknown command: ${other.mkString(" ")}")
-        System.err.println("commands: etl | replay | stream | stream-es")
+        System.err.println(
+          "commands: etl | replay | stream | stream-es | index-train | index-serve")
         sys.exit(2)
     } finally spark.stop()
   }
