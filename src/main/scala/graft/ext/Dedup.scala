@@ -1105,6 +1105,98 @@ object Dedup {
                CAST(COUNT(*) AS BIGINT) AS n_spans
         FROM runs21 GROUP BY doc_a, doc_b"""
 
+  /** d24: INTRA-document repeated spans — the self-repetition counterpart
+    * of d21 (copy-pasted paragraphs, templated sections, degenerate
+    * generation loops INSIDE one document), which token-level repetition
+    * stats (t06) see only as ratios. A span of ≥ n tokens occurring twice
+    * at offset distance `gap` ⟺ a run of shared n-grams along that gap —
+    * d21's diagonal-streak machinery with doc_a = doc_b and
+    * pos_a < pos_b. One compiled gram pass per doc, one self-join keyed by
+    * (doc, gram) — per-doc work, no cross-doc shuffle at all; the
+    * (doc_id) key makes it embarrassingly partition-local at 100 TB.
+    * Emits one row per offending doc: the longest repeated span and the
+    * count of repeated-gram sites.
+    */
+  /** Deterministic self-repeat planting (the plantSpans discipline turned
+    * inward): every doc with id < 25 gets a companion (id + 20000) whose
+    * text is its first 12 tokens REPEATED twice — a 12-token span at gap
+    * 12, which d24 must localize (the driver corpus has no organic
+    * intra-doc ≥ SpanN repeats, so without planting the gate would pass
+    * on emptiness).
+    */
+  private[graft] def plantRepeats(docs: DataFrame): DataFrame = {
+    val base = docs.select("doc_id", "text")
+    val block = concat_ws(" ", slice(split(col("text"), " "), 1, 12))
+    base.unionByName(base.filter(col("doc_id") < 25)
+      .select((col("doc_id") + 20000).as("doc_id"),
+        concat(block, lit(" "), block).as("text")))
+  }
+
+  private[graft] val plantRepeatsSql: String = {
+    val blk =
+      "array_to_string(list_slice(string_split(text, ' '), 1, 12), ' ')"
+    s"""SELECT doc_id, text FROM documents
+        UNION ALL
+        SELECT doc_id + 20000 AS doc_id, $blk || ' ' || $blk AS text
+        FROM documents WHERE doc_id < 25"""
+  }
+
+  def selfRepeatSpans(docs: DataFrame, n: Int = SpanN): DataFrame = {
+    graft.functions.GraftFunctions.register(docs.sparkSession)
+    import org.apache.spark.sql.expressions.Window
+    // MaxBucketSizeKey caps the per-(doc, gram) site count: a degenerate
+    // doc (one token repeated L times) otherwise yields L²/2 in-doc pairs
+    // — the same quadratic guard every blocked operator here carries.
+    val grams = applyBucketCap(
+      docs.select(col("doc_id"),
+        posexplode(expr(s"graft_gram_chain(text, $n)")).as(Seq("pos", "g"))),
+      Seq("doc_id", "g"))
+    val matched = grams.select(col("doc_id"), col("pos").as("pos_a"),
+        col("g"))
+      .join(grams.select(col("doc_id"), col("pos").as("pos_b"), col("g")),
+        Seq("doc_id", "g"))
+      .filter(col("pos_a") < col("pos_b"))
+      .withColumn("gap", col("pos_b") - col("pos_a"))
+    val wd = Window.partitionBy("doc_id", "gap").orderBy("pos_a")
+    matched.withColumn("sk", col("pos_a") - row_number().over(wd))
+      .groupBy("doc_id", "gap", "sk")
+      .agg(count(lit(1)).as("run"))
+      .groupBy("doc_id")
+      .agg((max("run") + lit(n - 1)).cast("long").as("max_repeat_span"),
+        count(lit(1)).as("n_repeat_runs"))
+  }
+
+  /** Oracle twin of [[selfRepeatSpans]] over `$src` (reuses the g21 gram
+    * CTE from [[exactSubstringCtes]]'s naming discipline, self-contained).
+    */
+  def selfRepeatSpansSql(src: String = "aug24",
+      n: Int = SpanN): String = {
+    val chain = (1 until n).foldLeft("th[i]")((acc, j) =>
+      s"(($acc) * 31 + th[i + $j]) % $P")
+    s"""WITH aug24 AS MATERIALIZED ($plantRepeatsSql),
+            g24 AS MATERIALIZED (
+              SELECT doc_id, i - 1 AS pos, $chain AS g
+              FROM (SELECT doc_id, ${PortableHash.duckTokenHashes} AS th
+                    FROM $src) t,
+                   UNNEST(range(1, len(th) - ${n - 2})) AS u(i)
+              WHERE len(th) >= $n),
+            m24 AS (SELECT a.doc_id, a.pos AS pos_a,
+                           b.pos - a.pos AS gap
+                    FROM g24 a JOIN g24 b
+                      ON a.doc_id = b.doc_id AND a.g = b.g
+                         AND a.pos < b.pos),
+            r24 AS (SELECT doc_id, gap,
+                           pos_a - ROW_NUMBER() OVER (PARTITION BY doc_id,
+                                        gap ORDER BY pos_a) AS sk
+                    FROM m24),
+            runs24 AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS run
+                       FROM r24 GROUP BY doc_id, gap, sk)
+        SELECT doc_id,
+               CAST(MAX(run) + ${n - 1} AS BIGINT) AS max_repeat_span,
+               CAST(COUNT(*) AS BIGINT) AS n_repeat_runs
+        FROM runs24 GROUP BY doc_id"""
+  }
+
   /** Winnowing window width. Anchors ≈ 1/WinnowW of gram positions, and
     * detection is GUARANTEED for spans ≥ SpanN + WinnowW − 1 tokens (any
     * such span contains a fully-shared gram window, whose minimum both
@@ -1568,6 +1660,15 @@ object DedupQueries {
       (s, d) => Dedup.winnowedSpans(
         Dedup.plantSpans(Tables.documents(s, d))),
       Some(Dedup.winnowedSpansSql())),
+
+    // d24: intra-document repeated spans — copy-pasted/templated sections
+    // and generation loops INSIDE one doc, at span granularity (t06's
+    // token-ratio signals can't localize these; see Dedup.selfRepeatSpans
+    // for the per-doc, shuffle-local design).
+    Q("d24_self_repeat",
+      (s, d) => Dedup.selfRepeatSpans(
+        Dedup.plantRepeats(Tables.documents(s, d))),
+      Some(Dedup.selfRepeatSpansSql())),
 
     // d22: the planted P/R gate for d21's gram-hash blocking (the d14
     // protocol): ground truth compares n-token substrings AS STRINGS on a

@@ -361,6 +361,30 @@ class ExtSpec extends SparkSpec {
     assert(nAnchors > 0)
   }
 
+  test("d24: intra-doc repeats localized with exact span; clean docs absent") {
+    val block = (1 to 12).map(i => s"r$i").mkString(" ")
+    val degenerate = Seq.fill(30)("same").mkString(" ")
+    val fix = Seq(
+      (1L, s"$block $block"),                  // 12-token span at gap 12
+      (2L, (1 to 40).map(i => s"q$i").mkString(" ")), // no repeats
+      (3L, degenerate)                          // worst case: one token
+    ).toDF("doc_id", "text")
+    val out = Dedup.selfRepeatSpans(fix).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out.get(1L) === Some(12L))
+    assert(!out.contains(2L), "a repeat-free doc must not appear")
+    assert(out(3L) === 29L) // 30 identical tokens: run 22 at gap 1 -> 29
+    // the per-(doc, gram) cap bounds the degenerate quadratic case
+    try {
+      spark.conf.set(Dedup.MaxBucketSizeKey, "2")
+      val capped = Dedup.selfRepeatSpans(fix).collect()
+        .map(r => r.getLong(0)).toSet
+      assert(!capped.contains(3L),
+        "over-cap gram sites must drop the degenerate doc from the scan")
+      assert(capped.contains(1L), "2-site grams survive a cap of 2")
+    } finally spark.conf.unset(Dedup.MaxBucketSizeKey)
+  }
+
   test("graft_gram_chain == the SQL transform twin; null under n tokens") {
     val P = PortableHash.P
     val rows = docs.filter(size(split(col("text"), " ")) >= 3)
