@@ -478,6 +478,22 @@ object Similarity {
       else Parallel
   }
 
+  /** Oracle-side mirror of [[SeedMode.fromPp]] — EVERY pp-seeded oracle
+    * generator routes through this, never through ppSeedCtes directly
+    * (round-14 advice: with the kmeansCells knob set to a numeric k >
+    * ParSeed.PpMaxK, the engine's pp request resolves to k-means|| while a
+    * generator that hardcodes ppSeedCtes would still emit the
+    * farthest-point chain — a spurious hash mismatch on a supported gate
+    * configuration). One definition, so the engine routing rule and the
+    * oracle routing rule can never desynchronize.
+    */
+  def seedCtesFromPp(pp: Boolean, k: Int): Option[String] =
+    SeedMode.fromPp(pp, k) match {
+      case SeedMode.Modulo => None
+      case SeedMode.FarthestPoint => Some(ppSeedCtes(k))
+      case SeedMode.Parallel => Some(parallelSeedCtes(k))
+    }
+
   /** The deterministic per-(vec_id, round) uniform in [0,1) that replaces
     * k-means||'s RNG draw (the q68/p09 no-RNG discipline: membership must
     * be a pure function both engines evaluate bit-identically — no two
@@ -547,10 +563,16 @@ object Similarity {
       val phi = scored.agg((sum(expr(
         "CAST(floor(dd * 67108864.0) AS BIGINT)")).cast("double")
         / 67108864.0).as("phi"))
+      // phi = 0 with some dd > 0 is reachable (every floor(dd·2^26) term
+      // quantizes to 0 on a near-degenerate corpus); ℓ·dd/0.0 is IEEE ∞ on
+      // the Spark side but DuckDB's x/0 depends on its float-ops setting —
+      // so the degenerate case is admitted EXPLICITLY (admit-all: the
+      // paper's threshold min(1, ℓ·dd/φ) → 1 as φ → 0⁺) before any
+      // division, identically here and in [[parallelSeedCtes]].
       val fresh = scored.crossJoin(broadcast(phi))
         .filter(col("dd") > 0 && // dd=0 ⇔ already a candidate: never re-admit
-          expr(u01Sql(r)) <
-            least(lit(1.0), lit(ell) * col("dd") / col("phi")))
+          (col("phi") === 0.0 || expr(u01Sql(r)) <
+            least(lit(1.0), lit(ell) * col("dd") / col("phi"))))
         .select(col("vec_id").as("cid"), col("e").as("ce"))
       graft.util.Caches.retainCheckpointed(prev.union(fresh))
     }
@@ -1621,7 +1643,7 @@ object Similarity {
     s"""WITH base AS MATERIALIZED (SELECT * FROM embeddings
                WHERE vec_id % 5 <> 0),
             ${ivfPqIndexCtes(k1, m, subDim, kcode, iters, src = "base",
-              seed = if (pp) Some(ppSeedCtes(k1)) else None)},
+              seed = seedCtesFromPp(pp, k1))},
             de0 AS MATERIALIZED (SELECT vec_id,
                    list_transform(embedding, ex -> CAST(ex AS DOUBLE)) AS e
                  FROM embeddings WHERE vec_id % 5 = 0),
@@ -1777,7 +1799,7 @@ object Similarity {
       nprobe: Int = 2, kTop: Int = 10, pp: Boolean = Serve.Pp): String =
     s"""WITH ${ivfPqBaseCtes(k1, m, subDim, kcode, iters, kTop,
            src = "embeddings",
-           seed = if (pp) Some(ppSeedCtes(k1)) else None)},
+           seed = seedCtesFromPp(pp, k1))},
              ${ivfPqProbeCtes(m, subDim, nprobe)},
              top AS (SELECT vec_id, c1, adc FROM scored
                      ORDER BY adc, vec_id LIMIT $kTop)
@@ -1808,7 +1830,7 @@ object Similarity {
       pp: Boolean = Serve.Pp): String =
     s"""WITH ${ivfPqBaseCtes(k1, m, subDim, kcode, iters, kTop,
            src = "embeddings",
-           seed = if (pp) Some(ppSeedCtes(k1)) else None)},
+           seed = seedCtesFromPp(pp, k1))},
              ${ivfPqProbeCtes(m, subDim, nprobe)},
              ${ivfPqRerankCte(iters, shortK, kTop)}
         SELECT t.vec_id, t.c1, t.d2,
@@ -1901,7 +1923,7 @@ object Similarity {
     }.mkString("\nUNION ALL\n")
     s"""WITH ${if (pre.nonEmpty) pre + "," else ""}
              ${ivfPqBaseCtes(k1, m, subDim, kcode, iters, kTop, src = src,
-               seed = if (pp) Some(ppSeedCtes(k1)) else None)},
+               seed = seedCtesFromPp(pp, k1))},
              $armCtes
         $armSelects"""
   }
@@ -1959,7 +1981,7 @@ object Similarity {
     }.mkString("\nUNION ALL\n")
     s"""WITH ${if (pre.nonEmpty) pre + "," else ""}
              ${ivfPqBaseCtes(k1, m, subDim, kcode, iters, kTop, src = src,
-               seed = if (pp) Some(ppSeedCtes(k1)) else None)},
+               seed = seedCtesFromPp(pp, k1))},
              ${ivfPqProbeCtes(m, subDim, nprobe)},
              $armCtes
         $armSelects"""
@@ -2178,7 +2200,7 @@ object Similarity {
       pp: Boolean = Serve.Pp): String =
     s"""WITH ${if (pre.nonEmpty) pre + "," else ""}
              ${ivfPqBaseCtes(k1, m, subDim, kcode, iters, kTop, src = src,
-               seed = if (pp) Some(ppSeedCtes(k1)) else None)},
+               seed = seedCtesFromPp(pp, k1))},
              ${ivfPqProbeCtes(m, subDim, nprobe,
                extraJoin = s"JOIN $src l ON k.vec_id = l.vec_id",
                extraCond = s" AND l.label = $target",
@@ -2250,7 +2272,7 @@ object Similarity {
     }.mkString("\nUNION ALL\n")
     s"""WITH ${if (pre.nonEmpty) pre + "," else ""}
              ${ivfPqBaseCtes(k1, m, subDim, kcode, iters, kTop, src = src,
-               seed = if (pp) Some(ppSeedCtes(k1)) else None)},
+               seed = seedCtesFromPp(pp, k1))},
              ${ivfPqProbeCtes(m, subDim, nprobe,
                extraJoin = s"JOIN $src l ON k.vec_id = l.vec_id",
                extraCond = s" AND l.label = $target",
@@ -2312,7 +2334,7 @@ object Similarity {
     s"""WITH ${if (pre.nonEmpty) pre + "," else ""}
              ${kmeansAssignCtes(k, iters, src = src,
                seed = if (parallelSeed) Some(parallelSeedCtes(k))
-                 else if (pp) Some(ppSeedCtes(k)) else None)},
+                 else seedCtesFromPp(pp, k))},
              ${kmeansServeCentroidsCtes(iters)},
              q AS (SELECT vec_id AS q_id, e AS qe, cluster AS q_cell
                    FROM a$iters ORDER BY vec_id LIMIT 1),
@@ -2406,8 +2428,8 @@ object Similarity {
             SELECT e0.vec_id AS cid, e0.e AS ce
             FROM e0 JOIN sd$r USING (vec_id), sp$r
             WHERE sd$r.dd > 0
-              AND ${u01Sql(r)} <
-                  least(1.0, CAST($ell AS DOUBLE) * sd$r.dd / phi))"""
+              AND (phi = 0 OR ${u01Sql(r)} <
+                  least(1.0, CAST($ell AS DOUBLE) * sd$r.dd / phi)))"""
     }.mkString(",\n")
     // greedy k-center over the weighted candidate set (the engine runs
     // this driver-side over the same ≤ O(k) rows): sg0 = candidate rank 0,
@@ -2552,7 +2574,7 @@ object Similarity {
   def kmeansSummaryPPSql(k: Int = graft.ext.Dedup.confInt(
         graft.ext.Dedup.KmeansCellsKey, 8),
       iters: Int = 2): String =
-    kmeansSummarySql(k, iters, seed = Some(ppSeedCtes(k)))
+    kmeansSummarySql(k, iters, seed = seedCtesFromPp(pp = true, k))
 
   /** Oracle twin of [[kmeansSummaryParallel]]: the same rollup over the
     * k-means||-seeded assignment chain.

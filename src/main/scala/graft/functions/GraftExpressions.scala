@@ -149,6 +149,22 @@ case class SortedHitsExpr(gs: Expression, snap: Expression)
     extends BinaryExpression {
   override def left: Expression = gs
   override def right: Expression = snap
+  override def checkInputDataTypes():
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    // session-registered and reachable from ad-hoc SQL: wrong types must
+    // fail analysis with a named message, not a runtime ClassCastException
+    // from inside the kernel (round-14 advice — the same contract the
+    // string kernels above enforce)
+    def isLongArr(t: DataType): Boolean = t match {
+      case ArrayType(LongType, _) => true
+      case _ => false
+    }
+    if (isLongArr(gs.dataType) && isLongArr(snap.dataType))
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      s"$prettyName expects (array<bigint>, array<bigint>), got " +
+        s"(${gs.dataType.simpleString}, ${snap.dataType.simpleString})")
+  }
   override def dataType: DataType = IntegerType
   override def nullable: Boolean = true
   override def prettyName: String = "graft_sorted_hits"
@@ -860,54 +876,73 @@ object GraftFunctions {
     }
   }
 
+  /** Arity gate for the registration lambdas: every builder below indexes
+    * `cs(i)` positionally, so ad-hoc SQL calling with too few args hit an
+    * opaque IndexOutOfBoundsException from inside function resolution
+    * (round-14 advice) — reject with the same named AnalysisException
+    * intLit raises. `maxN` covers the optional-trailing-arg forms
+    * (graft_lsh_bucket's bits defaulting).
+    */
+  private def arity(fn: String, n: Int, maxN: Int = -1)(
+      b: Seq[Expression] => Expression): Seq[Expression] => Expression = {
+    val hi = if (maxN < 0) n else maxN
+    cs =>
+      if (cs.length >= n && cs.length <= hi) b(cs)
+      else throw new org.apache.spark.sql.AnalysisException(
+        "_LEGACY_ERROR_TEMP_3102",
+        Map("msg" -> (s"$fn expects " +
+          (if (hi == n) s"$n argument(s)" else s"$n to $hi arguments") +
+          s", got ${cs.length}")))
+  }
+
   val fns: Seq[(String, Seq[Expression] => Expression)] = Seq(
-    "graft_poly_hash"    -> (cs => PolyHashExpr(cs.head)),
-    "graft_token_hashes" -> (cs => TokenHashesExpr(cs.head)),
-    "graft_minhash_sig"  -> (cs => MinHashSigExpr(cs.head)),
-    "graft_gram5_distinct" -> (cs => Gram5DistinctExpr(cs.head)),
-    "graft_gram_chain"   -> (cs => GramChainExpr(cs(0),
+    "graft_poly_hash"    -> arity("graft_poly_hash", 1)(cs => PolyHashExpr(cs.head)),
+    "graft_token_hashes" -> arity("graft_token_hashes", 1)(cs => TokenHashesExpr(cs.head)),
+    "graft_minhash_sig"  -> arity("graft_minhash_sig", 1)(cs => MinHashSigExpr(cs.head)),
+    "graft_gram5_distinct" -> arity("graft_gram5_distinct", 1)(cs => Gram5DistinctExpr(cs.head)),
+    "graft_gram_chain"   -> arity("graft_gram_chain", 2)(cs => GramChainExpr(cs(0),
       intLit("graft_gram_chain", "n", cs(1)))),
-    "graft_sorted_hits"  -> (cs => SortedHitsExpr(cs(0), cs(1))),
-    "graft_winnow"       -> (cs => WinnowExpr(cs(0),
+    "graft_sorted_hits"  -> arity("graft_sorted_hits", 2)(cs => SortedHitsExpr(cs(0), cs(1))),
+    "graft_winnow"       -> arity("graft_winnow", 3)(cs => WinnowExpr(cs(0),
       intLit("graft_winnow", "n", cs(1)),
       intLit("graft_winnow", "w", cs(2)))),
-    "graft_simhash"      -> (cs => SimHashExpr(cs.head)),
-    "graft_rep_stats"    -> (cs => RepStatsExpr(cs.head)),
-    "graft_passages"     -> (cs => PassagesExpr(cs(0), cs(1))),
-    "graft_quarter_means" -> (cs => QuarterMeansExpr(cs.head)),
-    "graft_edge_ngrams"  -> (cs => EdgeNgramsExpr(cs.head)),
-    "graft_dot"          -> (cs => DotFExpr(cs(0), cs(1))),
-    "graft_cos"          -> (cs => CosFExpr(cs(0), cs(1))),
-    "graft_l2"           -> (cs => D2Expr(cs(0), cs(1))),
+    "graft_simhash"      -> arity("graft_simhash", 1)(cs => SimHashExpr(cs.head)),
+    "graft_rep_stats"    -> arity("graft_rep_stats", 1)(cs => RepStatsExpr(cs.head)),
+    "graft_passages"     -> arity("graft_passages", 2)(cs => PassagesExpr(cs(0), cs(1))),
+    "graft_quarter_means" -> arity("graft_quarter_means", 1)(cs => QuarterMeansExpr(cs.head)),
+    "graft_edge_ngrams"  -> arity("graft_edge_ngrams", 1)(cs => EdgeNgramsExpr(cs.head)),
+    "graft_dot"          -> arity("graft_dot", 2)(cs => DotFExpr(cs(0), cs(1))),
+    "graft_cos"          -> arity("graft_cos", 2)(cs => CosFExpr(cs(0), cs(1))),
+    "graft_l2"           -> arity("graft_l2", 2)(cs => D2Expr(cs(0), cs(1))),
     // trailing off/len must be int literals (plan-time subspace layout) —
     // validated by intLit, which raises a named AnalysisException instead
     // of the opaque NPE/CCE a column reference or Long literal used to hit
-    "graft_adc_term"     -> (cs => AdcTermExpr(cs(0), cs(1), cs(2),
+    "graft_adc_term"     -> arity("graft_adc_term", 5)(cs => AdcTermExpr(cs(0), cs(1), cs(2),
       intLit("graft_adc_term", "off", cs(3)),
       intLit("graft_adc_term", "len", cs(4)))),
-    "graft_best_cell"    -> (cs => BestCellExpr(cs(0), cs(1))),
-    "graft_code"         -> (cs => CodeExpr(cs(0), cs(1),
+    "graft_best_cell"    -> arity("graft_best_cell", 2)(cs => BestCellExpr(cs(0), cs(1))),
+    "graft_code"         -> arity("graft_code", 4)(cs => CodeExpr(cs(0), cs(1),
       intLit("graft_code", "off", cs(2)),
       intLit("graft_code", "len", cs(3)))),
-    "graft_q127"         -> (cs => Q127Expr(cs.head)),
-    "graft_doti"         -> (cs => DotIExpr(cs(0), cs(1))),
-    "graft_thumb"        -> (cs => ThumbHexExpr(cs(0), cs(1))),
-    "graft_hex_tiles"    -> (cs => HexTilesExpr(cs(0), cs(1))),
-    "graft_block_scrub"  -> (cs => BlockScrubExpr(cs.head)),
-    "graft_quality_stats" -> (cs => QualityStatsExpr(cs.head)),
-    "graft_lsh_bucket"   -> (cs => LshBucketExpr(cs.head,
+    "graft_q127"         -> arity("graft_q127", 1)(cs => Q127Expr(cs.head)),
+    "graft_doti"         -> arity("graft_doti", 2)(cs => DotIExpr(cs(0), cs(1))),
+    "graft_thumb"        -> arity("graft_thumb", 2)(cs => ThumbHexExpr(cs(0), cs(1))),
+    "graft_hex_tiles"    -> arity("graft_hex_tiles", 2)(cs => HexTilesExpr(cs(0), cs(1))),
+    "graft_block_scrub"  -> arity("graft_block_scrub", 1)(cs => BlockScrubExpr(cs.head)),
+    "graft_quality_stats" -> arity("graft_quality_stats", 1)(cs => QualityStatsExpr(cs.head)),
+    "graft_lsh_bucket"   -> arity("graft_lsh_bucket", 1, 2)(cs => LshBucketExpr(cs.head,
       if (cs.length > 1) intLit("graft_lsh_bucket", "bits", cs(1)) else 8)),
     // mergeable KMV distinct sketch (analyzer wraps the raw AggregateFunction)
-    "graft_kmv"          -> (cs => KmvSketchAgg(cs.head, 64)),
+    "graft_kmv"          -> arity("graft_kmv", 1)(cs => KmvSketchAgg(cs.head, 64)),
     // mergeable k-means centroid accumulator; trailing k is an int literal
-    "graft_centroids"    -> (cs => CentroidSumAgg(cs(0), cs(1),
+    "graft_centroids"    -> arity("graft_centroids", 3)(cs => CentroidSumAgg(cs(0), cs(1),
       intLit("graft_centroids", "k", cs(2)))),
-    "graft_kmv_union_est" -> (cs => KmvUnionEstExpr(cs(0), cs(1), 64)),
+    "graft_kmv_union_est" -> arity("graft_kmv_union_est", 2)(cs => KmvUnionEstExpr(cs(0), cs(1), 64)),
     // generators (table functions): trailing args must be int literals
-    "graft_token_windows" -> (cs => TokenWindowsExpr(cs(0),
+    "graft_token_windows" -> arity("graft_token_windows", 3)(cs => TokenWindowsExpr(cs(0),
       intLit("graft_token_windows", "width", cs(1)),
       intLit("graft_token_windows", "stride", cs(2)))),
-    "graft_char_grams"   -> (cs => CharGramsExpr(cs(0),
+    "graft_char_grams"   -> arity("graft_char_grams", 2)(cs => CharGramsExpr(cs(0),
       intLit("graft_char_grams", "n", cs(1))))
   )
 

@@ -1790,8 +1790,7 @@ object StreamingQ {
           .reduce((a, b) => s"($a + $b)")
         s"""WITH ${graft.ext.Similarity.ivfPqIndexCtes(
                k1, m, subDim, serve.Kcode, serve.Iters, src = "embeddings",
-               seed = if (serve.Pp)
-                 Some(graft.ext.Similarity.ppSeedCtes(k1)) else None)},
+               seed = graft.ext.Similarity.seedCtesFromPp(serve.Pp, k1))},
              qs AS MATERIALIZED (SELECT vec_id AS q_id, e AS qe
                    FROM a2 ORDER BY vec_id LIMIT ${serve.NQueries}),
              probes AS MATERIALIZED (
@@ -1910,8 +1909,7 @@ object StreamingQ {
           .reduce((a, b) => s"($a + $b)")
         s"""WITH ${graft.ext.Similarity.ivfPqIndexCtes(
                k1, m, subDim, serve.Kcode, serve.Iters, src = "embeddings",
-               seed = if (serve.Pp)
-                 Some(graft.ext.Similarity.ppSeedCtes(k1)) else None)},
+               seed = graft.ext.Similarity.seedCtesFromPp(serve.Pp, k1))},
              qs AS MATERIALIZED (SELECT vec_id AS q_id, e AS qe
                    FROM a2 ORDER BY vec_id LIMIT ${serve.NQueries}),
              probes AS MATERIALIZED (
@@ -2040,7 +2038,13 @@ object StreamingQ {
                          FROM sth, UNNEST(range(1, len(th) - ${n - 2}))
                               AS u(i)
                          WHERE doc_id < 100 AND len(th) >= $n),
-                 snap AS (SELECT list(g ORDER BY g) AS sg FROM sg0)
+                 -- coalesce: list() over an empty sg0 is NULL, making
+                 -- n_hit_grams/contaminated NULL where the engine's empty
+                 -- sorted array yields 0/false (round-14 advice) — the
+                 -- empty-snapshot edge must agree, not rely on the fixture
+                 -- slice being non-empty
+                 snap AS (SELECT coalesce(list(g ORDER BY g), []) AS sg
+                          FROM sg0)
             SELECT doc_id,
                    CAST(CASE WHEN len(th) >= $n
                              THEN len(list_intersect(
