@@ -1,6 +1,6 @@
 package graft.ext
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.queries.Q
@@ -270,6 +270,20 @@ object Similarity {
       iters: Int = 2): DataFrame =
     summarize(emb, kDefault, iters, _ => SeedMode.Parallel)
 
+  /** x32: the summary under the RECURSED k-means|| recluster (the
+    * above-ReclusterMaxK arm forced at an oracle-unrollable k) — the hash
+    * gate that pins the distributed recluster's every stage (weight-ranked
+    * seeding, broadcast assignment, quantized weighted Lloyd) against the
+    * fully unrolled DuckDB twin, x30's discipline for the path that runs
+    * when auto-k crosses the threshold. Default k = 24: above PpMaxK (so
+    * the summary is a genuinely parallel-seeded one) and 3× the x30
+    * default (a non-trivial seed count), while the oracle's sampling CTEs
+    * stay cheap.
+    */
+  def kmeansSummaryParallelRecursed(emb: DataFrame, kDefault: Int = 24,
+      iters: Int = 2): DataFrame =
+    summarize(emb, kDefault, iters, _ => SeedMode.ParallelRecursed)
+
   private def summarize(emb: DataFrame, kDefault: Int, iters: Int,
       mode: Int => SeedMode): DataFrame = {
     // Same cell-count resolution as d17/x12 (numeric conf wins, `auto`
@@ -364,6 +378,8 @@ object Similarity {
         e0.withColumn("cluster", pmod(col("vec_id"), lit(k)).cast("int"))
       case SeedMode.FarthestPoint => assign(farthestPointSeeds(e0, k))
       case SeedMode.Parallel => assign(parallelSeeds(e0, k))
+      case SeedMode.ParallelRecursed =>
+        assign(parallelSeedsWith(e0, k, recursed = true))
     }
     (1 to iters).foldLeft(a0: DataFrame)((a, _) => assign(centroidRow(a)))
   }
@@ -461,6 +477,28 @@ object Similarity {
       * auto-k, farthest-point would be O(n) sequential Spark jobs.
       */
     val PpMaxK = 16
+    /** Above this k the Bahmani step-3 recluster RECURSES through the
+      * distributed weighted-Lloyd shape instead of the driver-local greedy
+      * (see [[Similarity.reclusterDistributed]]): the greedy is
+      * O(k·|C|·dim) ≈ 2·OversampleX·dim·k² driver flops — sub-second at
+      * this default, ~100 GFLOP (~a minute) at the 65536 resolveCells
+      * ceiling, the round-14 declared bound this routing closes. Conf
+      * [[ReclusterMaxKKey]] overrides (specs force it low to pin the
+      * routed path at testable k).
+      */
+    val ReclusterMaxKDefault = 4096
+    val ReclusterMaxKKey = "spark.graft.ann.reclusterMaxK"
+  }
+
+  /** The recluster routing threshold — engine side reads the LIVE session
+    * conf at plan build; [[parallelSeedCtes]] resolves the SAME knob at
+    * generation time (Dedup.confInt), the d17 conf-agreement discipline.
+    */
+  private[graft] def reclusterMaxK(spark: SparkSession): Int = {
+    val v = spark.conf.get(ParSeed.ReclusterMaxKKey,
+      ParSeed.ReclusterMaxKDefault.toString).toInt
+    require(v >= 1, s"${ParSeed.ReclusterMaxKKey}=$v out of range (>= 1)")
+    v
   }
 
   /** How a seeding request resolves to an initializer. Public APIs keep the
@@ -472,6 +510,12 @@ object Similarity {
     case object Modulo extends SeedMode
     case object FarthestPoint extends SeedMode
     case object Parallel extends SeedMode
+    /** k-means|| with the recluster FORCED through the distributed arm
+      * regardless of the ReclusterMaxK threshold — the x32 gate's mode
+      * (above-threshold semantics at an oracle-unrollable k). Production
+      * requests never name it: Parallel self-routes on the threshold.
+      */
+    case object ParallelRecursed extends SeedMode
     def fromPp(pp: Boolean, k: Int): SeedMode =
       if (!pp) Modulo
       else if (k <= ParSeed.PpMaxK) FarthestPoint
@@ -491,7 +535,10 @@ object Similarity {
     SeedMode.fromPp(pp, k) match {
       case SeedMode.Modulo => None
       case SeedMode.FarthestPoint => Some(ppSeedCtes(k))
-      case SeedMode.Parallel => Some(parallelSeedCtes(k))
+      // fromPp never returns ParallelRecursed (a gate-only mode), and
+      // parallelSeedCtes self-routes the recluster arm on the same conf
+      // threshold parallelSeeds reads — so Parallel covers both arms here.
+      case _ => Some(parallelSeedCtes(k))
     }
 
   /** The deterministic per-(vec_id, round) uniform in [0,1) that replaces
@@ -538,7 +585,16 @@ object Similarity {
     * emptied) that [[lloydOver]]'s assign step consumes — the same shape
     * [[farthestPointSeeds]] returns.
     */
-  private[graft] def parallelSeeds(e0: DataFrame, k: Int): DataFrame = {
+  private[graft] def parallelSeeds(e0: DataFrame, k: Int): DataFrame =
+    parallelSeedsWith(e0, k, k > reclusterMaxK(e0.sparkSession))
+
+  /** Explicit-routing entry: `recursed` forces the recluster arm
+    * independent of the conf threshold — the x32 gate and the
+    * local-≡-recursed spec pin the above-threshold path at a k small
+    * enough for the unrolled DuckDB twin / reference arithmetic.
+    */
+  private[graft] def parallelSeedsWith(e0: DataFrame, k: Int,
+      recursed: Boolean): DataFrame = {
     graft.functions.GraftFunctions.register(e0.sparkSession)
     val ell = (ParSeed.OversampleX * k).toDouble
     // c0 = the lowest vec_id's vector — the same deterministic anchor
@@ -589,29 +645,40 @@ object Similarity {
       .select(expr(s"$bestCellExpr.c").as("rn"))
       .groupBy("rn").agg(count(lit(1)).as("w"))
     // --- Bahmani step 3: re-cluster the candidate set down to k centers.
-    // "Since |C| is small, it can be reclustered on one machine" (the
-    // paper's own prescription): the candidate relation is bounded near
-    // 1 + Rounds·ℓ rows — per-round expected admissions are
-    // Σ min(1, ℓ·dd/φ) ≤ ℓ, and the low-discrepancy u01 draw tracks that
-    // expectation — i.e. O(k) METADATA, not data. So the greedy k-center
-    // seeding (inherently k sequential STEPS) runs as driver-local
-    // arithmetic instead of k−1 sequential Spark JOBS — the exact barrier
-    // this seeder exists to remove (at auto-k, k−1 jobs is minutes of
-    // scheduler latency for microseconds of flops). DECLARED BOUND: the
-    // greedy step is O(k·|C|·dim) ≈ 2·OversampleX·dim·k² local flops —
-    // ~0.4 GFLOP at k=4096 (sub-second), ~100 GFLOP at k=65536 (the
-    // resolveCells ceiling; ~a minute of driver time — at that k the
-    // recluster should recurse through the distributed Lloyd instead,
-    // the one follow-up this design leaves open). Auto-k reaches 4096 at
-    // ~1M corpus vectors, so the driver step is sub-second everywhere
-    // the current derivation can take it without a manual knob. The
-    // collect is the resolveCells discipline: a deliberate, bounded
-    // plan-build-time action. Every local operation mirrors the oracle
-    // CTEs bit-for-bit:
-    // d² is the same sequential subtract-square-accumulate fold as
-    // VecOps.d2D/duckD2, argmax/argmin tie-breaks are (value, rank/cluster)
-    // lexicographic via strict comparison over ascending scan order, and
-    // the weighted means use the same floor-quantized BIGINT sums.
+    // Two implementations of the recluster, routed on k (ONE rule, mirrored
+    // bit-for-bit by [[parallelSeedCtes]]' generation-time routing):
+    //   k ≤ ReclusterMaxK — the paper's own prescription ("since |C| is
+    //     small, it can be reclustered on one machine"): driver-local
+    //     greedy k-center seeding + weighted Lloyd over the O(k) candidate
+    //     rows. The greedy step is O(k·|C|·dim) ≈ 2·OversampleX·dim·k²
+    //     local flops — ~0.4 GFLOP at the default threshold k=4096
+    //     (sub-second), but ~100 GFLOP at the 65536 resolveCells ceiling
+    //     (~a minute of driver time): the round-14 declared bound.
+    //   k > ReclusterMaxK — the recursion that closes that bound (round-15
+    //     verdict item 1): the recluster runs through the DISTRIBUTED
+    //     weighted-Lloyd shape instead — weight-ranked seeding (a sort,
+    //     not k sequential greedy steps) + Iters broadcast-assign /
+    //     quantized-recompute rounds over the candidate RELATION, never
+    //     collected. O(Rounds + Iters) jobs at any k; the driver holds
+    //     only 1-row centroid artifacts. See [[reclusterDistributed]].
+    if (recursed) reclusterDistributed(ranked, weights, k)
+    else reclusterGreedyLocal(ranked, weights, k, e0.sparkSession)
+  }
+
+  /** The below-threshold recluster: collect the O(k)-row candidate set
+    * (METADATA, not data — the resolveCells discipline: a deliberate,
+    * bounded plan-build-time action) and run greedy k-center + weighted
+    * Lloyd as driver-local arithmetic — k sequential greedy STEPS as
+    * microseconds of flops instead of k−1 sequential Spark JOBS (the exact
+    * barrier this seeder exists to remove). Every local operation mirrors
+    * the oracle CTEs bit-for-bit: d² is the same sequential
+    * subtract-square-accumulate fold as VecOps.d2D/duckD2, argmax/argmin
+    * tie-breaks are (value, rank/cluster) lexicographic via strict
+    * comparison over ascending scan order, and the weighted means use the
+    * same floor-quantized BIGINT sums.
+    */
+  private def reclusterGreedyLocal(ranked: DataFrame, weights: DataFrame,
+      k: Int, spark: SparkSession): DataFrame = {
     val local = ranked.join(weights, Seq("rn")) // inner: drops weight-0 cands
       .select(col("rn"), col("ce"), col("w"))
       .collect()
@@ -701,9 +768,81 @@ object Similarity {
     val rows: java.util.List[org.apache.spark.sql.Row] =
       java.util.Arrays.asList(cs.map(c =>
         org.apache.spark.sql.Row(c._1, c._2.toSeq)): _*)
-    e0.sparkSession.createDataFrame(rows, schema)
+    spark.createDataFrame(rows, schema)
       .agg(expr("array_sort(collect_list(" +
         "named_struct('cluster', cluster, 'cvec', cvec)))").as("cents"))
+  }
+
+  /** The above-threshold recluster (round-15 verdict item 1 — the
+    * recursion the round-14 DECLARED BOUND named): re-cluster the
+    * candidate set down to k centers WITHOUT collecting it, so no driver
+    * flops/row ceiling exists at any k the 65536 cents-broadcast ceiling
+    * admits.
+    *
+    * Greedy k-center seeding is inherently k sequential steps — driver
+    * O(k²·dim) flops or k distributed barriers, both the thing being
+    * removed — so above the threshold the seeding RULE changes to a
+    * parallel one: the k heaviest candidates by corpus mass, (w DESC,
+    * rn ASC) tie-break, cluster id = 0-based rank in that order. Heavy
+    * candidates are where the D²-oversampled mass concentrated, and the
+    * Iters weighted-Lloyd rounds that follow are the same correction the
+    * greedy path applies. The Lloyd arithmetic is IDENTICAL to the local
+    * path's (quantized BIGINT weighted sums, (dd, cluster)-lexicographic
+    * argmin via the same compiled graft_best_cell fold), and the whole
+    * chain is unrolled in [[parallelSeedRecursedCtes]] — polynomial-size
+    * SQL (no k-step greedy chain), so this path is DuckDB-hash-gated at
+    * k above the threshold (x32) exactly like the greedy path is at the
+    * default (x30).
+    *
+    * Shape: the candidate relation (≤ 1+Rounds·ℓ rows) stays distributed;
+    * seeding is one metadata-scale sort; each Lloyd round is one broadcast
+    * assign + one posexplode/groupBy quantized recompute over candidate
+    * rows — O(Iters) jobs, centroid artifacts (k·dim·8 B ≤ ~34 MB at the
+    * 65536 ceiling) are the only driver-resident state.
+    */
+  private def reclusterDistributed(ranked: DataFrame, weights: DataFrame,
+      k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    // swt = (rn, ce, w): candidates with their corpus-mass weights (inner
+    // join drops weight-0 candidates — they carry no mass, and keeping
+    // them could form weight-0 clusters whose mean is 0/0 — the same rule
+    // as the local path). Checkpointed: it is read Iters+2 times below and
+    // its lineage contains a corpus pass (the weights aggregation).
+    val swt = graft.util.Caches.retainCheckpointed(
+      ranked.join(weights, Seq("rn")).select("rn", "ce", "w"))
+    // Weight-ranked seeds: the single-partition window is over the O(k)
+    // candidate rows, never the corpus (the `ranked` discipline).
+    val sw = Window.orderBy(col("w").desc, col("rn"))
+    val seeds = swt
+      .withColumn("cl", (row_number().over(sw) - 1).cast("int"))
+      .filter(col("cl") < k)
+    def centsOf(asn: DataFrame): DataFrame = asn
+      .select(col("cl"), col("w"), posexplode(col("ce")).as(Seq("pos", "v")))
+      .groupBy("cl", "pos")
+      .agg((sum(expr("CAST(floor(v * 1048576.0) AS BIGINT) * w"))
+        .cast("double") / 1048576.0 / sum(col("w")).cast("double")).as("c"))
+      .groupBy("cl")
+      .agg(expr("transform(array_sort(collect_list(" +
+        "named_struct('p', pos, 'c', c))), s -> s.c)").as("cvec"))
+      .agg(expr("array_sort(collect_list(" +
+        "named_struct('cluster', cl, 'cvec', cvec)))").as("cents"))
+    def assignW(cents: DataFrame): DataFrame = swt
+      .crossJoin(broadcast(cents))
+      .select(col("rn"), col("ce"), col("w"),
+        expr("graft_best_cell(ce, cents).c").as("cl"))
+    // Round 0's "recompute" is the seed selection itself (each seed is its
+    // own 1-candidate cluster mean = itself — but expressed as the literal
+    // seed vectors, matching the local path's seed-then-assign order).
+    val seedCents = graft.util.Caches.retainCheckpointed(
+      seeds.agg(expr("array_sort(collect_list(" +
+        "named_struct('cluster', cl, 'cvec', ce)))").as("cents")))
+    var asn = assignW(seedCents)
+    var cents = seedCents
+    for (i <- 1 to ParSeed.Iters) {
+      cents = graft.util.Caches.retainCheckpointed(centsOf(asn))
+      if (i < ParSeed.Iters) asn = assignW(cents)
+    }
+    cents
   }
 
   /** x12: IVF ANN over the LEARNED quantizer — the serving-side completion
@@ -2362,6 +2501,102 @@ object Similarity {
                CAST(count(*) AS DOUBLE) / $kTop AS recall_at_k
         FROM exact WHERE vec_id IN (SELECT vec_id FROM arm2)"""
 
+  /** x33: the SAMPLED-QUERIES recall gate — the standard ANN-benchmark
+    * evaluation form (fixed query set, recall@k per query), which is what
+    * makes recall gates AFFORDABLE at production scale: the exact
+    * comparison arm costs O(n·|Q|) — one corpus pass against a broadcast
+    * of nq content-hash-picked queries — instead of a per-gate cost that
+    * grows with whatever the gate happens to train (x31's shape pays its
+    * full trained-probe chain per run; at sf10 that wall was ~21 s).
+    *
+    * Query selection is the q68 discipline: the nq corpus vectors ranked
+    * lowest by a pure hash of vec_id ((id % P)·2654435761 % P, the u01Sql
+    * spread constant) — a deterministic, partition-independent,
+    * engine-portable pick; `sample()`'s RNG is none of those. Both top-k
+    * arms run through the TopKPerKey physical operator (x07's kNN-join
+    * shape): per-partition heaps keep ≤ |Q|·kTop rows BEFORE the exchange,
+    * so the shuffle never carries the n·|Q| scored relation a window-rank
+    * plan would ship. Output: one row per query (q_id, k, n_overlap,
+    * recall_at_k) — the per-query curve an index owner actually reads.
+    */
+  def ivfRecallSampled(emb: DataFrame, kTop: Int = 10, nq: Int = 8,
+      mode: SeedMode = SeedMode.Parallel): DataFrame = {
+    graft.functions.GraftFunctions.register(emb.sparkSession)
+    val k = graft.ext.Dedup.resolveCells(emb, 8)
+    val assigned = graft.util.Caches.retainCheckpointed(
+      kmeansAssignMode(emb, k, 2, mode)
+        .select(col("vec_id"), col("e"), col("cluster")))
+    val P = graft.ext.PortableHash.P
+    val qs = assigned
+      .withColumn("hq", expr(s"((vec_id % $P) * 2654435761) % $P"))
+      .orderBy("hq", "vec_id").limit(nq) // TakeOrdered: no corpus sort
+      .select(col("vec_id").as("q_id"), col("e").as("qe"),
+        col("cluster").as("q_cell"))
+    def topk(scored: DataFrame): DataFrame =
+      graft.plans.TopKPerKey(scored, keys = Seq("q_id"),
+        orderBy = Seq(("cs", false), ("vec_id", true)), k = kTop)
+        .select("q_id", "vec_id")
+    val exact = topk(assigned.crossJoin(broadcast(qs))
+      .filter(col("vec_id") =!= col("q_id"))
+      .withColumn("cs", expr("graft_cos(e, qe)"))
+      .select("q_id", "vec_id", "cs"))
+    // nprobe=1 IVF arm: each query's own cell (queries are corpus members,
+    // their Lloyd assignment IS the nearest coarse cell — x12's identity)
+    val approx = topk(assigned.join(broadcast(qs),
+        col("cluster") === col("q_cell") && col("vec_id") =!= col("q_id"))
+      .withColumn("cs", expr("graft_cos(e, qe)"))
+      .select("q_id", "vec_id", "cs"))
+    val hits = exact.join(approx, Seq("q_id", "vec_id"), "left_semi")
+      .groupBy("q_id").agg(count(lit(1)).as("n_overlap"))
+    qs.select("q_id").join(hits, Seq("q_id"), "left")
+      .select(col("q_id"), lit(kTop).as("k"),
+        coalesce(col("n_overlap"), lit(0L)).as("n_overlap"),
+        (coalesce(col("n_overlap"), lit(0L)).cast("double") / kTop)
+          .as("recall_at_k"))
+  }
+
+  /** Oracle twin of [[ivfRecallSampled]] — same hash-ranked query pick,
+    * window-rank top-k arms, per-query overlap.
+    */
+  def ivfRecallSampledSql(k: Int = graft.ext.Dedup.confInt(
+        graft.ext.Dedup.KmeansCellsKey, 8),
+      iters: Int = 2, kTop: Int = 10, nq: Int = 8,
+      src: String = "embeddings", pre: String = ""): String = {
+    val P = graft.ext.PortableHash.P
+    s"""WITH ${if (pre.nonEmpty) pre + "," else ""}
+             ${kmeansAssignCtes(k, iters, src = src,
+               seed = Some(parallelSeedCtes(k)))},
+             qs AS MATERIALIZED (
+               SELECT vec_id AS q_id, e AS qe, cluster AS q_cell
+               FROM a$iters
+               ORDER BY ((vec_id % $P) * 2654435761) % $P, vec_id
+               LIMIT $nq),
+             ex AS (SELECT q_id, vec_id FROM (
+                      SELECT qs.q_id, z.vec_id,
+                             ROW_NUMBER() OVER (PARTITION BY qs.q_id
+                               ORDER BY ${duckCos("z.e", "qe")} DESC,
+                                        z.vec_id) AS rn
+                      FROM a$iters z, qs WHERE z.vec_id <> q_id)
+                    WHERE rn <= $kTop),
+             ap AS (SELECT q_id, vec_id FROM (
+                      SELECT qs.q_id, z.vec_id,
+                             ROW_NUMBER() OVER (PARTITION BY qs.q_id
+                               ORDER BY ${duckCos("z.e", "qe")} DESC,
+                                        z.vec_id) AS rn
+                      FROM a$iters z, qs
+                      WHERE z.cluster = q_cell AND z.vec_id <> q_id)
+                    WHERE rn <= $kTop),
+             hit AS (SELECT ex.q_id, CAST(count(*) AS BIGINT) AS n_overlap
+                     FROM ex JOIN ap ON ex.q_id = ap.q_id
+                                    AND ex.vec_id = ap.vec_id
+                     GROUP BY ex.q_id)
+        SELECT qs.q_id, $kTop AS k,
+               coalesce(hit.n_overlap, CAST(0 AS BIGINT)) AS n_overlap,
+               CAST(coalesce(hit.n_overlap, 0) AS DOUBLE) / $kTop
+                 AS recall_at_k
+        FROM qs LEFT JOIN hit ON qs.q_id = hit.q_id"""
+  }
+
   /** CTE chain shared by the kmeans oracles: `iters` Lloyd rounds unrolled
     * (assignment via ROW_NUMBER argmin with the same (dd, cluster)
     * tie-break the engine's fold applies); `a$iters` is the final
@@ -2413,7 +2648,18 @@ object Similarity {
     * MATERIALIZED (see the kmeansAssignCtes scaladoc — the sampling chain
     * is exponential under DuckDB's per-reference inlining).
     */
-  def parallelSeedCtes(k: Int): String = {
+  def parallelSeedCtes(k: Int): String =
+    parallelSeedCtesWith(k,
+      recursed = k > graft.ext.Dedup.confInt(
+        ParSeed.ReclusterMaxKKey, ParSeed.ReclusterMaxKDefault))
+
+  /** The recursed-arm twin by name, for generators that force the arm the
+    * way [[SeedMode.ParallelRecursed]] does (the x32 gate).
+    */
+  def parallelSeedRecursedCtes(k: Int): String =
+    parallelSeedCtesWith(k, recursed = true)
+
+  private def parallelSeedCtesWith(k: Int, recursed: Boolean): String = {
     val ell = ParSeed.OversampleX * k
     val nR = ParSeed.Rounds
     val nI = ParSeed.Iters
@@ -2431,21 +2677,43 @@ object Similarity {
               AND (phi = 0 OR ${u01Sql(r)} <
                   least(1.0, CAST($ell AS DOUBLE) * sd$r.dd / phi)))"""
     }.mkString(",\n")
-    // greedy k-center over the weighted candidate set (the engine runs
-    // this driver-side over the same ≤ O(k) rows): sg0 = candidate rank 0,
-    // sg_j = argmax min-distance with (md DESC, rn) tie-break
-    val greedy = (1 until k).map { j =>
-      val dists = (0 until j).map(i => duckD2("swt.ce", s"sg$i.ce"))
-      val md =
-        if (dists.size == 1) dists.head
-        else s"least(${dists.mkString(", ")})"
-      val froms = (0 until j).map(i => s"sg$i").mkString(", ")
-      s"""sg$j AS MATERIALIZED (SELECT swt.ce AS ce FROM swt, $froms
-            ORDER BY $md DESC, swt.rn LIMIT 1)"""
-    }.mkString(",\n")
-    val gcents = (0 until k)
-      .map(j => s"SELECT $j AS cluster, ce AS cvec FROM sg$j")
-      .mkString(" UNION ALL ")
+    // The initial recluster assignment `wa0`, by arm:
+    //   greedy (k <= ReclusterMaxK): k-center over the weighted candidate
+    //     set — sg0 = candidate rank 0, sg_j = argmax min-distance with
+    //     (md DESC, rn) tie-break — the chain the engine runs driver-side
+    //     over the same O(k) rows. The CTE chain is k-step (exponential
+    //     under inlining, hence MATERIALIZED), which is why gates for the
+    //     RECURSED arm cannot simply raise k here.
+    //   recursed (k > ReclusterMaxK): weight-ranked seeds — the k heaviest
+    //     candidates, (w DESC, rn) tie-break, cluster = 0-based rank — a
+    //     POLYNOMIAL-size chain at any k, mirroring
+    //     [[Similarity.reclusterDistributed]].
+    val seedArm =
+      if (recursed)
+        s"""rs AS MATERIALIZED (
+              SELECT cl, ce FROM (
+                SELECT ce, CAST(ROW_NUMBER() OVER (ORDER BY w DESC, rn) - 1
+                               AS INT) AS cl
+                FROM swt)
+              WHERE cl < $k),
+            gc AS MATERIALIZED (SELECT cl AS cluster, ce AS cvec FROM rs)"""
+      else {
+        val greedy = (1 until k).map { j =>
+          val dists = (0 until j).map(i => duckD2("swt.ce", s"sg$i.ce"))
+          val md =
+            if (dists.size == 1) dists.head
+            else s"least(${dists.mkString(", ")})"
+          val froms = (0 until j).map(i => s"sg$i").mkString(", ")
+          s"""sg$j AS MATERIALIZED (SELECT swt.ce AS ce FROM swt, $froms
+                ORDER BY $md DESC, swt.rn LIMIT 1)"""
+        }.mkString(",\n")
+        val gcents = (0 until k)
+          .map(j => s"SELECT $j AS cluster, ce AS cvec FROM sg$j")
+          .mkString(" UNION ALL ")
+        s"""sg0 AS MATERIALIZED (SELECT ce FROM swt WHERE rn = 0),
+            $greedy,
+            gc AS MATERIALIZED ($gcents)"""
+      }
     def wRecompute(i: Int, prev: String): String =
       s"""wpe$i AS (SELECT cluster, w, gi - 1 AS pos, ce[gi] AS v
                     FROM $prev, UNNEST(range(1, len(ce) + 1)) AS t(gi)),
@@ -2482,9 +2750,7 @@ object Similarity {
                       FROM swd) WHERE rnk = 1 GROUP BY rn),
         swt AS MATERIALIZED (SELECT scF.rn, scF.ce, swn.w
                FROM scF JOIN swn USING (rn)),
-        sg0 AS MATERIALIZED (SELECT ce FROM swt WHERE rn = 0),
-        $greedy,
-        gc AS MATERIALIZED ($gcents),
+        $seedArm,
         gd AS (SELECT swt.rn, swt.ce, swt.w, gc.cluster AS cl,
                       ${duckD2("swt.ce", "cvec")} AS dd
                FROM swt, gc),
@@ -2583,6 +2849,14 @@ object Similarity {
         graft.ext.Dedup.KmeansCellsKey, 8),
       iters: Int = 2): String =
     kmeansSummarySql(k, iters, seed = Some(parallelSeedCtes(k)))
+
+  /** Oracle twin of [[kmeansSummaryParallelRecursed]]: the rollup over the
+    * recursed-recluster-seeded chain (arm forced, like the engine's mode).
+    */
+  def kmeansSummaryParallelRecursedSql(k: Int = graft.ext.Dedup.confInt(
+        graft.ext.Dedup.KmeansCellsKey, 24),
+      iters: Int = 2): String =
+    kmeansSummarySql(k, iters, seed = Some(parallelSeedRecursedCtes(k)))
 
   /** x06: ANN quality evaluation — recall@k of the LSH-pruned search (x02)
     * against the exact brute-force ranking (x01), the metric that decides
@@ -3087,6 +3361,20 @@ object SimilarityQueries {
       Some(graft.ext.Dedup.guardAuto(graft.ext.Dedup.KmeansCellsKey)(
         Similarity.kmeansSummaryParallelSql()))),
 
+    // x32: k-means|| under the RECURSED candidate recluster (round-15
+    // verdict item 1) — the arm production takes when k exceeds
+    // ReclusterMaxK (where the driver-local greedy would be O(k²·dim)
+    // flops), forced at k=24 so the weight-ranked-seed + distributed
+    // weighted-Lloyd chain is pinned stage-by-stage against its unrolled
+    // DuckDB twin. Greedy gates (x30) cannot cover this arm by raising k:
+    // their oracle's k-center chain is k sequential CTEs; the recursed
+    // twin is polynomial-size at any k.
+    Q("x32_kmeans_recursed",
+      (s, d) => Similarity.kmeansSummaryParallelRecursed(
+        Tables.embeddings(s, d)),
+      Some(graft.ext.Dedup.guardAuto(graft.ext.Dedup.KmeansCellsKey)(
+        Similarity.kmeansSummaryParallelRecursedSql()))),
+
     // x31: the k-means|| initializer's SERVING-QUALITY gate — x21's
     // planted-corpus recall curve under parallel seeding (every
     // initializer ships with its gate): a seeder that recovers the
@@ -3099,6 +3387,20 @@ object SimilarityQueries {
         Similarity.SeedMode.Parallel),
       Some(graft.ext.Dedup.guardAuto(graft.ext.Dedup.KmeansCellsKey)(
         Similarity.ivfRecallCurveSql(src = "clustered",
-          pre = Similarity.clusteredCteSql, parallelSeed = true))))
+          pre = Similarity.clusteredCteSql, parallelSeed = true)))),
+
+    // x33: the SAMPLED-QUERIES recall gate (round-15 verdict item 2) —
+    // x31's quality question in the ANN-benchmark evaluation form: a
+    // fixed content-hash-picked query set, recall@k PER QUERY, exact arm
+    // O(n·|Q|) through the TopKPerKey pre-exchange heaps. This is the
+    // gate shape that runs at production scale (sf10 wall recorded in
+    // BASELINE.md round-15); x31 stays as the one-query curve whose
+    // nprobe axis this gate does not sweep.
+    Q("x33_sampled_recall",
+      (s, d) => Similarity.ivfRecallSampled(
+        Similarity.clusteredCorpus(Tables.embeddings(s, d))),
+      Some(graft.ext.Dedup.guardAuto(graft.ext.Dedup.KmeansCellsKey)(
+        Similarity.ivfRecallSampledSql(src = "clustered",
+          pre = Similarity.clusteredCteSql))))
   )
 }

@@ -340,6 +340,47 @@ class KmeansSpec extends SparkSpec {
     assert(viaPp === direct)
   }
 
+  test("x32: recursed recluster — coverage, loud empties, partition-stable") {
+    val n = Tables.embeddings(spark, sf).count()
+    val rows = Similarity
+      .kmeansSummaryParallelRecursed(Tables.embeddings(spark, sf))
+      .collect()
+    assert(rows.map(_.getLong(1)).sum === n)
+    rows.foreach(r => assert(r.getLong(3) === 24L - rows.length))
+    // weight-ranked seeding + broadcast assignment + quantized weighted
+    // sums: every stage of the distributed recluster is order-free, so the
+    // result is identical under any input partitioning (the discipline
+    // that makes the x32 DuckDB gate — a single-threaded LOCAL evaluation
+    // of the same unrolled chain — the "local ≡ recursed" pin at scale)
+    val shuffled = Similarity
+      .kmeansSummaryParallelRecursed(
+        Tables.embeddings(spark, sf).repartition(7))
+      .collect().map(_.toString).sorted.toSeq
+    assert(rows.map(_.toString).sorted.toSeq === shuffled)
+  }
+
+  test("recluster routes on ReclusterMaxK: above-threshold == forced arm") {
+    import Similarity.{ParSeed, SeedMode}
+    val s = spark
+    val emb = Tables.embeddings(s, sf)
+    // forced mode, no conf: the recursed arm at k=12
+    val forced = Similarity
+      .kmeansAssignMode(emb, 12, 1, SeedMode.ParallelRecursed)
+      .collect().map(_.toString).sorted.toSeq
+    // conf-routed: threshold 8 < 12, so a plain Parallel request must take
+    // the SAME arm and produce the SAME values — the routing contract the
+    // oracle generators mirror at generation time
+    val routed = try {
+      s.conf.set(ParSeed.ReclusterMaxKKey, "8")
+      Similarity.kmeansAssignMode(emb, 12, 1, SeedMode.Parallel)
+        .collect().map(_.toString).sorted.toSeq
+    } finally s.conf.unset(ParSeed.ReclusterMaxKKey)
+    assert(routed === forced)
+    // default threshold (4096): k=12 stays on the greedy arm — the routed
+    // plan is the x30 semantics, untouched by this round's change
+    assert(Similarity.reclusterMaxK(s) === ParSeed.ReclusterMaxKDefault)
+  }
+
   test("x30 on the planted corpus: parallel seeding leaves no empty cell") {
     val rows = Similarity.kmeansSummaryParallel(
       Similarity.clusteredCorpus(Tables.embeddings(spark, sf))).collect()

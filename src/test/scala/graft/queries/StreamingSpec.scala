@@ -964,4 +964,38 @@ class StreamingSpec extends SparkSpec {
     assert(run(None) === expected)
     assert(run(Some(1)) === expected) // one doc per micro-batch: identical
   }
+
+  test("s34: the persisted gram artifact alone reproduces the gate in a " +
+      "fresh session (cache-independence, the p10 discipline)") {
+    val s = spark
+    import s.implicits._
+    val shared = (1 to 12).map(i => s"w$i").mkString(" ")
+    val snapDocs = Seq(
+      (1L, s"alpha beta $shared gamma"),
+      (2L, "nothing here matches any arrival at all today"))
+      .toDF("doc_id", "text")
+    val arrivals = Seq(
+      (101L, s"$shared tail tokens"),
+      (102L, "fresh content entirely new words none shared with snapshot"))
+      .toDF("doc_id", "text")
+    val inSession = StreamingQ.substringGateXform(
+      StreamingQ.substringSnapshot(snapDocs))(arrivals)
+      .collect().map(_.toString).sorted.toSeq
+    // ship the artifact + arrivals as parquet, then serve from a FRESH
+    // session: the gate's plan lineage is two parquet scans — no retained
+    // cache, no checkpoint, no gram-extraction stage, by construction
+    val root = Files.createTempDirectory("graft_s34_art").toString
+    StreamingQ.substringSnapshot(snapDocs)
+      .write.mode("overwrite").parquet(s"$root/grams")
+    arrivals.write.mode("overwrite").parquet(s"$root/arrivals")
+    val fresh = s.newSession()
+    graft.functions.GraftFunctions.register(fresh)
+    val gate = StreamingQ.substringGateXform(
+      fresh.read.parquet(s"$root/grams"))(
+      fresh.read.parquet(s"$root/arrivals"))
+    val plan = gate.queryExecution.optimizedPlan.toString
+    assert(!plan.contains("InMemoryRelation") && !plan.contains("LogicalRDD"),
+      s"served plan must contain only parquet scans:\n$plan")
+    assert(gate.collect().map(_.toString).sorted.toSeq === inSession)
+  }
 }
