@@ -101,6 +101,76 @@ object Multimodal {
                             2)), '')) AS thumb_md5
        FROM documents WHERE length(text) > 0"""
 
+  /** m09/d25: the perceptual media signature — a 60-bit dHash over
+    * [[thumbBytes]]-style stride-sampled payload bytes (see
+    * [[graft.functions.TextHash.dHash]] for the kernel and the ≤-2-bit
+    * locality theorem). 60 bits = 4 × 15-bit blocks, exactly the d15
+    * pigeonhole geometry, so the signature feeds
+    * [[Dedup.hammingBlockPairs]] unchanged: the image-dedup path of a
+    * multimodal corpus pipeline (m05's thumbprint is exact-byte; this is
+    * the locality-sensitive companion that survives re-encode noise).
+    * Payloads shorter than 61 bytes are excluded by contract (they route
+    * to exact-byte dedup, where decimation adds nothing).
+    */
+  val phashBits = 60
+  def mediaPhash(docs: DataFrame): DataFrame = {
+    graft.functions.GraftFunctions.register(docs.sparkSession)
+    docs.filter(octet_length(col("text")) >= phashBits + 1)
+      .select(col("doc_id"),
+        octet_length(col("text")).as("n_bytes"),
+        expr(s"graft_dhash(text, $phashBits)").as("phash"))
+  }
+
+  def mediaPhashSql(src: String = "documents"): String = {
+    val b = phashBits
+    s"""SELECT doc_id, CAST(octet_length(encode(text)) AS INT) AS n_bytes,
+               CAST(list_sum(list_transform(range(0, $b), i ->
+                 CASE WHEN ascii(substr(text, CAST(1 + i * st AS INT), 1)) >
+                           ascii(substr(text, CAST(1 + (i + 1) * st AS INT),
+                                        1))
+                      THEN (CAST(1 AS BIGINT) << i)
+                      ELSE CAST(0 AS BIGINT) END)) AS BIGINT) AS phash
+        FROM (SELECT doc_id, text,
+                     greatest(1, octet_length(encode(text)) // ${b + 1})
+                       AS st
+              FROM $src)
+        WHERE octet_length(encode(text)) >= ${b + 1}"""
+  }
+
+  /** d25/d26's planted perturbation: a deterministic "re-encoded copy" of
+    * every mod-selected payload — ONE byte substituted ('~' at the
+    * midpoint, length preserved). Length preservation is the point: the
+    * stride and every other sampled byte are unchanged, so the copy's
+    * dHash is within Hamming 2 of the original BY THE LOCALITY THEOREM —
+    * the planted truth d26 measures recall against. (An insert/delete
+    * perturbation shifts every downstream sample — the declared boundary
+    * of this signature, as cropping is for pHash.)
+    */
+  def plantMediaNoise(docs: DataFrame, idOffset: Long = 30000L,
+      mod: Int = 5): DataFrame = {
+    val base = docs.select(col("doc_id"), col("text"))
+    val perturbed = base
+      .filter(col("doc_id") % mod === 0 &&
+        octet_length(col("text")) >= phashBits + 1)
+      .select((col("doc_id") + idOffset).as("doc_id"),
+        concat(
+          expr("substring(text, 1, length(text) DIV 2)"),
+          lit("~"),
+          expr("substring(text, length(text) DIV 2 + 2)")).as("text"))
+    base.unionByName(perturbed)
+  }
+
+  def plantMediaNoiseSql(idOffset: Long = 30000L, mod: Int = 5,
+      where: String = ""): String =
+    s"""SELECT doc_id, text FROM documents $where
+        UNION ALL
+        SELECT doc_id + $idOffset AS doc_id,
+               substr(text, 1, length(text) // 2) || '~' ||
+               substr(text, length(text) // 2 + 2) AS text
+        FROM documents
+        $where ${if (where.isEmpty) "WHERE" else "AND"} doc_id % $mod = 0
+          AND octet_length(encode(text)) >= ${phashBits + 1}"""
+
   /** Feature-extraction stub: 4 quarter-mean codepoint features — the
     * deterministic stand-in for a per-media embedding. Real codecs slot in
     * at [[MediaDecoder.decode]] below without touching the query shape.
@@ -200,6 +270,16 @@ object MultimodalQueries {
     Q("m05_resize",
       (s, d) => Multimodal.resizeStub(Tables.documents(s, d)),
       Some(Multimodal.resizeStubSql)),
+
+    // m09: perceptual media signature (round-15 verdict item 4) — the
+    // locality-sensitive companion to m05's exact-byte thumbprint: a
+    // 60-bit dHash over the same strided byte decimation, deterministic
+    // integer arithmetic, one compiled kernel pass per row (no shuffle).
+    // d25 feeds this through the d15 pigeonhole machinery; d26 is its
+    // planted P/R gate.
+    Q("m09_perceptual_hash",
+      (s, d) => Multimodal.mediaPhash(Tables.documents(s, d)),
+      Some(Multimodal.mediaPhashSql())),
 
     // m07: tile/chunk EXPLODE — one row per fixed-size 32-byte chunk of the
     // payload with its index and digest: the shape that feeds a batched

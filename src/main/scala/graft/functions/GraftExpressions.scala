@@ -788,6 +788,34 @@ case class QualityStatsExpr(child: Expression)
     copy(child = newChild)
 }
 
+/** Perceptual media signature (TextHash.dHash) — m09's difference hash
+  * over stride-sampled payload bytes; `bits` is a plan-time constant
+  * (intLit-validated). Null when the payload is shorter than bits+1 bytes.
+  */
+case class DHashExpr(child: Expression, bits: Int)
+    extends UnaryExpression {
+  require(bits >= 1 && bits <= 62, s"graft_dhash bits=$bits out of range")
+  override def checkInputDataTypes():
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (child.dataType == StringType)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      s"$prettyName expects a string argument, got ${child.dataType.simpleString}")
+  override def nullable: Boolean = true
+  override def dataType: DataType = LongType
+  override def prettyName: String = "graft_dhash"
+  protected override def nullSafeEval(input: Any): Any =
+    TextHash.dHash(
+      input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String], bits)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => s"""
+      java.lang.Long dh = graft.functions.TextHash.dHash($c, $bits);
+      if (dh == null) { ${ev.isNull} = true; } else { ${ev.value} = dh.longValue(); }
+    """)
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 /** Strided byte-sample thumbnail hex (TextHash.thumbHex) — m05's one-pass
   * resize kernel; the HOF form it replaces re-hexed the whole text per
   * sampled byte.
@@ -926,6 +954,8 @@ object GraftFunctions {
       intLit("graft_code", "len", cs(3)))),
     "graft_q127"         -> arity("graft_q127", 1)(cs => Q127Expr(cs.head)),
     "graft_doti"         -> arity("graft_doti", 2)(cs => DotIExpr(cs(0), cs(1))),
+    "graft_dhash"        -> arity("graft_dhash", 2)(cs => DHashExpr(cs(0),
+      intLit("graft_dhash", "bits", cs(1)))),
     "graft_thumb"        -> arity("graft_thumb", 2)(cs => ThumbHexExpr(cs(0), cs(1))),
     "graft_hex_tiles"    -> arity("graft_hex_tiles", 2)(cs => HexTilesExpr(cs(0), cs(1))),
     "graft_block_scrub"  -> arity("graft_block_scrub", 1)(cs => BlockScrubExpr(cs.head)),

@@ -492,6 +492,40 @@ object TextHash {
     new GenericArrayData(out.toArray)
   }
 
+  /** m09's perceptual media signature: a difference hash (dHash — the
+    * published perceptual-hash family member with PURELY LOCAL bit
+    * semantics) over `bits`+1 stride-sampled payload bytes: bit i is set
+    * iff sample i > sample i+1, samples at positions i·stride for
+    * stride = max(1, n / (bits+1)) — the same fixed-count decimation
+    * [[thumbHex]] applies, which is what buys size-normalization (the
+    * pHash family's resize step). Locality theorem (d26's recall
+    * guarantee): ONE substituted byte changes at most one sampled value,
+    * which feeds exactly two comparisons — Hamming distance to the
+    * original signature ≤ 2, inside the d15 pigeonhole completeness
+    * regime. A global-mean hash (aHash) lacks this: one byte shifts the
+    * mean and can flip every near-threshold bit. Null when the payload has
+    * fewer than bits+1 bytes (decimation would repeat samples and the
+    * locality bound degrades — tiny payloads route to exact-byte dedup).
+    * Deterministic integer arithmetic end-to-end; the DuckDB twin computes
+    * the same comparisons via ascii(substr(...)) (byte = codepoint on the
+    * ASCII testdata, the m03/m04 contract).
+    */
+  def dHash(s: UTF8String, bits: Int): java.lang.Long = {
+    require(bits >= 1 && bits <= 62, s"dhash bits=$bits out of range [1, 62]")
+    val bytes = s.getBytes
+    val n = bytes.length
+    if (n < bits + 1) return null
+    val stride = math.max(1, n / (bits + 1))
+    var h = 0L
+    var i = 0
+    while (i < bits) {
+      if ((bytes(i * stride) & 0xff) > (bytes((i + 1) * stride) & 0xff))
+        h |= 1L << i
+      i += 1
+    }
+    java.lang.Long.valueOf(h)
+  }
+
   /** Strided byte-sample "thumbnail" hex (m05's resize stub): uppercase hex
     * of UTF-8 bytes 0, stride, 2·stride, … for min(k, n) samples with
     * stride = max(1, n / k) — byte-identical to the SQL

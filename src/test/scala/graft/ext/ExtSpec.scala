@@ -436,4 +436,39 @@ class ExtSpec extends SparkSpec {
     assert(nonAscii === 0L,
       "documents.text contains non-ASCII; m04's oracle is no longer valid")
   }
+
+  test("m09 dHash locality theorem: one substituted byte flips <= 2 bits, " +
+      "length preserved keeps every other sample fixed") {
+    val base = ("a" * 30) + ("Zq" * 80) + ("m" * 31) // 221 bytes, mixed
+    def h(t: String): Long = graft.functions.TextHash
+      .dHash(org.apache.spark.unsafe.types.UTF8String.fromString(t), 60)
+    val h0 = h(base)
+    // substitute ONE byte at every position: Hamming to the original must
+    // never exceed 2 (the d26 recall guarantee, exhaustively)
+    (0 until base.length).foreach { p =>
+      val mut = base.substring(0, p) + "~" + base.substring(p + 1)
+      val d = java.lang.Long.bitCount(h0 ^ h(mut))
+      assert(d <= 2, s"substitution at $p flipped $d bits")
+    }
+    // sub-61-byte payloads are excluded by contract (null kernel)
+    assert(graft.functions.TextHash.dHash(
+      org.apache.spark.unsafe.types.UTF8String.fromString("x" * 60), 60)
+      == null)
+  }
+
+  test("d25 honors the bucket cap: over-cap signature buckets drop pairs, " +
+      "cap off resurfaces them") {
+    val fix = Seq(
+      (1L, "p" * 100), (2L, "p" * 100), (3L, "p" * 100)) // identical phash
+      .toDF("doc_id", "text")
+    val sig = Multimodal.mediaPhash(fix)
+      .select(col("doc_id"), col("phash").as("sig"))
+    try {
+      spark.conf.set(Dedup.MaxBucketSizeKey, "2")
+      assert(Dedup.hammingBlockPairs(sig).collect().isEmpty,
+        "every block-pair bucket has 3 members > cap 2")
+    } finally spark.conf.unset(Dedup.MaxBucketSizeKey)
+    assert(Dedup.hammingBlockPairs(sig).count() === 3L,
+      "cap off: all three pairs resurface")
+  }
 }
