@@ -21,6 +21,19 @@ object Bench {
     "q93_bucketed_join", "q96_dsv2_spj", "q106_incremental_agg",
     "m06_binaryfile_scan", "p10_index_lifecycle")
 
+  /** Queries whose wall time is DISK-bound (fixture writes / local-volume
+    * reads), observed 1.4-3.0× off across hosts at MATCHED CPU calibration
+    * (round-14 driver run vs committed close — the CPU probes are blind to
+    * disk contention). When the IO probe pair drifts (see calibrateIo),
+    * these re-probe after the main pass regardless of the 4×-median
+    * outlier gate, so a disk-contended reading gets a second chance at the
+    * min the same way a CPU outlier does.
+    */
+  val IoQueries: Seq[String] = Seq(
+    "q50_shipping_priority", "q51_local_volume", "q57_partition_overwrite",
+    "q58_merge_schema", "q61_grouping_sets", "q104_rolling_distinct") ++
+    FixtureQueries
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -116,8 +129,45 @@ object Bench {
       calibrateParOnce() // untimed warm-up (JIT + thread-pool bring-up)
       math.min(calibrateParOnce(), calibrateParOnce())
     }
+    // IO calibration probe (round-15 verdict item 6): the CPU probes above
+    // are blind to DISK contention — the round-14 driver run read the six
+    // fixture-write/IO-heavy queries 1.4-3.0× off the committed close at
+    // matched CPU calib. This probe times write+fsync+read of a fixed
+    // 128 MiB scratch file (min of 2, the same discipline as every other
+    // number here): its idle-box time is a constant of the disk, so a
+    // cross-run delta on IoQueries is attributable from the artifact
+    // alone, and an END-vs-START drift (>1.3×) triggers an IoQueries
+    // re-probe after the main pass.
+    def calibrateIoOnce(): Double = {
+      val path = java.nio.file.Files.createTempFile("graft_iocal", ".bin")
+      try {
+        val block = new Array[Byte](1 << 20) // 1 MiB of fixed bytes
+        java.util.Arrays.fill(block, 0x5a.toByte)
+        val t0 = System.nanoTime()
+        val ch = java.nio.channels.FileChannel.open(path,
+          java.nio.file.StandardOpenOption.WRITE)
+        try {
+          var i = 0
+          while (i < 128) { ch.write(java.nio.ByteBuffer.wrap(block)); i += 1 }
+          ch.force(true) // fsync: the write must reach the device queue
+        } finally ch.close()
+        var sink = 0L
+        val in = java.nio.channels.FileChannel.open(path,
+          java.nio.file.StandardOpenOption.READ)
+        try {
+          val buf = java.nio.ByteBuffer.allocate(1 << 20)
+          var n = 0
+          while (n >= 0) { buf.clear(); n = in.read(buf); sink += n }
+        } finally in.close()
+        val dt = (System.nanoTime() - t0 + (sink & 1)) / 1e9
+        math.round(dt * 1000.0) / 1000.0
+      } finally java.nio.file.Files.deleteIfExists(path)
+    }
+    def calibrateIo(): Double =
+      math.min(calibrateIoOnce(), calibrateIoOnce())
     val calibStart = calibrate()
     val calibParStart = calibratePar()
+    val calibIoStart = calibrateIo()
     val loadStart = loadAvg()
     sys.env.get("GRAFT_STATE_PARTS")
       .foreach(v => spark.conf.set("graft.stream.stateParts", v))
@@ -224,9 +274,22 @@ object Bench {
     val medianRatio =
       if (ratios.isEmpty) 1.0
       else { val s = ratios.values.toSeq.sorted; s(s.size / 2) }
-    val requeried: Map[String, (Double, Double)] = ratios.collect {
+    // IO end-probe BEFORE the re-probe decision (the CPU end-probe runs
+    // after spark.stop(), but the IO verdict gates which queries re-run):
+    // a >1.3× pair means the disk ran detectably off its start speed at
+    // some point — re-probe every IoQueries entry that cost enough to
+    // matter, not just the 4×-median CPU outliers.
+    val calibIoEnd = calibrateIo()
+    val ioPair = Seq(calibIoStart, calibIoEnd).map(math.max(_, 1e-9))
+    val ioDrifted = ioPair.max / ioPair.min > 1.3
+    val cpuOutliers = ratios.collect {
       case (k, r) if r > 4.0 * medianRatio && results(k) > 0.5 => k
-    }.toSeq.sorted.map { name =>
+    }.toSet
+    val ioRetries =
+      if (!ioDrifted) Set.empty[String]
+      else IoQueries.filter(n => results.getOrElse(n, -1.0) > 0.5).toSet
+    val requeried: Map[String, (Double, Double)] =
+      (cpuOutliers ++ ioRetries).toSeq.sorted.map { name =>
       val t0 = System.nanoTime()
       val re = try {
         SparkEntry.queries(name)(spark, sfDir)
@@ -314,10 +377,14 @@ object Bench {
       .map { case (k, (first, re)) =>
         s"\"$k\":{\"first\":$first,\"reprobe\":$re}" }
       .mkString("{", ",", "}")
+    val calibIoRatio = math.round(
+      calibIoEnd / math.max(calibIoStart, 1e-9) * 1000.0) / 1000.0
     val prov = s""""runs_per_query":2,"load_avg_start":$loadStart,""" +
       s""""load_avg_end":$loadEnd,"calib_sec_start":$calibStart,""" +
       s""""calib_sec_end":$calibEnd,"calib_ratio":$calibRatio,""" +
       s""""calib_par_start":$calibParStart,"calib_par_end":$calibParEnd,""" +
+      s""""calib_io_start":$calibIoStart,"calib_io_end":$calibIoEnd,""" +
+      s""""calib_io_ratio":$calibIoRatio,"io_drifted":$ioDrifted,""" +
       s""""calib_suite":$suiteCalibJson,""" +
       s""""value_calib_normalized":$valueCalibNormalized,""" +
       s""""suite_normalized":$suiteNormJson,""" +

@@ -349,6 +349,38 @@ class ExtSpec extends SparkSpec {
     assert(d21.contains((3L, 4L)))
   }
 
+  test("d23 cap: capping only DROPS pairs — every surviving pair reports " +
+      "bit-identical span values (round-15 verdict item 5)") {
+    val shared = (1 to 20).map(i => s"s$i").mkString(" ")
+    val boiler = (1 to 20).map(i => s"b$i").mkString(" ")
+    // 6 docs share the boilerplate run (a hot anchor bucket); docs 1/2
+    // additionally share a genuine span through cold anchors
+    val fix = Seq(
+      (1L, s"$shared pre $boiler"),
+      (2L, s"intro $shared $boiler"),
+      (3L, s"alpha1 alpha2 $boiler alpha3"),
+      (4L, s"beta1 $boiler beta2 beta3"),
+      (5L, s"gamma1 gamma2 gamma3 $boiler"),
+      (6L, s"$boiler delta1 delta2 delta3")
+    ).toDF("doc_id", "text")
+    def rows(df: org.apache.spark.sql.DataFrame): Set[String] =
+      df.collect().map(_.toString).toSet
+    val uncapped = rows(Dedup.winnowedSpans(fix))
+    val capped = try {
+      spark.conf.set(Dedup.MaxBucketSizeKey, "4")
+      rows(Dedup.winnowedSpans(fix))
+    } finally spark.conf.unset(Dedup.MaxBucketSizeKey)
+    // the verify runs on the FULL gram relation of surviving candidate
+    // docs, so a capped run must agree on every pair it keeps — the cap
+    // prunes pair GENERATION, never span recovery
+    assert(capped.subsetOf(uncapped),
+      s"capped rows must be a subset: ${capped -- uncapped}")
+    assert(capped.size < uncapped.size,
+      "the 6-member boilerplate bucket must bind under cap 4")
+    assert(capped.exists(_.startsWith("[1,2,")),
+      "the cold-anchor pair (1,2) must survive the cap")
+  }
+
   test("winnowing selects ~1/w of gram positions (the anchor-cost claim)") {
     val longDoc = Seq((1L, (1 to 400).map(i => s"t${i % 97}x$i")
       .mkString(" "))).toDF("doc_id", "text")
