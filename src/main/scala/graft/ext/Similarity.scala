@@ -333,8 +333,28 @@ object Similarity {
     // modulo-seed path keeps e0 unretained: its ~iters+1 reads don't
     // justify a corpus-sized cache entry (the round-10 review's x15
     // finding).
-    lloydOverMode(if (mode != SeedMode.Modulo) graft.util.Caches.retain(e0)
-      else e0, k, iters, mode)
+    //
+    // Parallelization floor (round 15): those passes are broadcast MAP
+    // passes, so their parallelism is the SCAN's split count — a
+    // single-row-group parquet corpus (the testdata layout; any
+    // pathologically coarse lake layout at scale) serializes EVERY pass
+    // onto one task no matter how many cores the session has (measured:
+    // the k=16384 k-means|| build sat at 1/32 cores for its whole
+    // sampling phase). One corpus repartition up to the session
+    // parallelism, paid once and amortized across all Rounds+Iters+1
+    // passes via the retain, fixes the floor; the guard keeps it a no-op
+    // on a well-split corpus (splits >= cores — every real cluster
+    // layout), so no shuffle is added where none is needed. Values are
+    // unchanged by construction: every downstream stage is order-free
+    // (the partition-stability specs pin exactly this).
+    val floored =
+      if (mode == SeedMode.Modulo) e0
+      else {
+        val par = emb.sparkSession.sparkContext.defaultParallelism
+        if (e0.rdd.getNumPartitions < par) e0.repartition(par) else e0
+      }
+    lloydOverMode(if (mode != SeedMode.Modulo)
+      graft.util.Caches.retain(floored) else floored, k, iters, mode)
   }
 
   /** The Lloyd core over an arbitrary (vec_id, e: array<double>) relation —

@@ -359,6 +359,22 @@ class KmeansSpec extends SparkSpec {
     assert(rows.map(_.toString).sorted.toSeq === shuffled)
   }
 
+  test("resolveCells ceiling is a named refuse-with-message contract: " +
+      "65536 admitted, above refused naming the broadcast bound") {
+    val s = spark
+    val emb = Tables.embeddings(s, sf)
+    try {
+      s.conf.set(Dedup.KmeansCellsKey, "65536")
+      assert(Dedup.resolveCells(emb, 8) === 65536) // the ceiling itself is legal
+      s.conf.set(Dedup.KmeansCellsKey, "65537")
+      val e = intercept[IllegalArgumentException](Dedup.resolveCells(emb, 8))
+      assert(e.getMessage.contains("centroid broadcast"),
+        s"refusal must name the bound, got: ${e.getMessage}")
+      assert(e.getMessage.contains("two-level"),
+        "refusal must name the wider-k design (x16/d19)")
+    } finally s.conf.unset(Dedup.KmeansCellsKey)
+  }
+
   test("recluster routes on ReclusterMaxK: above-threshold == forced arm") {
     import Similarity.{ParSeed, SeedMode}
     val s = spark
