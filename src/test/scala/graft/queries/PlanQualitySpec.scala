@@ -627,6 +627,37 @@ class PlanQualitySpec extends SparkSpec {
     assert(p.contains("graft_gram_chain"), p) // compiled kernel, not a HOF
   }
 
+  test("x32: recursed recluster — candidates stay distributed (checkpoint " +
+      "scans), no k-step TakeOrdered chain, no cartesian") {
+    val p = planOf("x32_kmeans_recursed")
+    // the distributed arm's signature: centroid artifacts re-enter as
+    // checkpointed relations (Scan ExistingRDD) consumed via broadcast;
+    // the greedy arm's LocalTableScan literal and the farthest-point
+    // TakeOrdered chain are both absent
+    assert(p.contains("Scan ExistingRDD"), p)
+    assert(p.contains("BroadcastExchange"), p)
+    assert(!p.contains("TakeOrderedAndProject"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("x33: both recall arms run through TopKPerKey partial heaps — the " +
+      "n*|Q| scored relation never shuffles") {
+    val p = planOf("x33_sampled_recall")
+    assert(p.contains("TopKPartial"), p)
+    assert(p.contains("TopKFinal"), p)
+    assert(p.contains("graft_cos"), p) // compiled kernel, not a HOF fold
+    assert(!p.contains("Window"), p)   // no window-rank fallback anywhere
+  }
+
+  test("d25: media near-dup pairs via shuffled-hash block join over the " +
+      "compiled dHash — never cartesian") {
+    val p = planOf("d25_media_neardup")
+    assert(p.contains("ShuffledHashJoin"), p)
+    assert(p.contains("graft_dhash"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
   test("q106: refresh reads state + pruned delta — history rows untouched") {
     val p = planOf("q106_incremental_agg")
     assert(p.contains("partial_sum"), p)

@@ -43,6 +43,9 @@ object PlanDump {
     "x30_kmeans_parallel"     -> "k-means|| seeding: constant pass count at any k, seeds re-enter as a literal relation (LocalTableScan) — no sequential TakeOrdered chain in the plan",
     "p10_index_lifecycle"     -> "persisted index serve: every source is an artifact parquet scan — no training subtree, no cache, corpus parquet absent from the plan",
     "d21_exact_substring"     -> "exact substring dedup: ONE gram-hash equi-join (never all-pairs), span lengths from window streaks over matched positions — no text re-scan",
+    "x32_kmeans_recursed"     -> "recursed k-means|| recluster: the candidate relation stays distributed (checkpointed scan, weight-ranked seeds via one metadata-scale window), Lloyd rounds are broadcast-assign + posexplode/groupBy quantized recompute — no driver recluster at any k",
+    "x33_sampled_recall"      -> "sampled-queries recall gate: nq-query broadcast, both arms through TopKPerKey partial heaps (shuffle carries <= |Q|*k rows, never the n*|Q| scored relation)",
+    "d25_media_neardup"       -> "perceptual media near-dup: one compiled graft_dhash pass, block-pair equi-join (shuffled hash, capped), exact popcount verify on candidates only — the d15 shape on the media column",
   )
 
   def main(args: Array[String]): Unit = {
