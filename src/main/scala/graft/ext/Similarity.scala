@@ -499,14 +499,26 @@ object Similarity {
     val PpMaxK = 16
     /** Above this k the Bahmani step-3 recluster RECURSES through the
       * distributed weighted-Lloyd shape instead of the driver-local greedy
-      * (see [[Similarity.reclusterDistributed]]): the greedy is
-      * O(k·|C|·dim) ≈ 2·OversampleX·dim·k² driver flops — sub-second at
-      * this default, ~100 GFLOP (~a minute) at the 65536 resolveCells
-      * ceiling, the round-14 declared bound this routing closes. Conf
-      * [[ReclusterMaxKKey]] overrides (specs force it low to pin the
-      * routed path at testable k).
+      * (see [[Similarity.reclusterDistributed]]) — closing the round-14
+      * declared driver-flops bound (greedy is O(k·|C|·dim) driver
+      * arithmetic; measured on the sf10 corpus: 64 s of warm wall at
+      * k=4096, infeasible at 16384).
+      *
+      * The default is 256 — deliberately equal to
+      * [[Similarity.MaxUnrolledSeedK]], the k-step-unrolled ORACLE
+      * feasibility bound — so every conf-numeric k keeps a runnable gate:
+      * at k ≤ 256 the greedy engine arm pairs with the greedy unrolled
+      * twin; above, the recursed arm pairs with its polynomial twin.
+      * Measured crossover justifies the low default (sf10, 200k vecs,
+      * warm min-of-2, BASELINE.md round-15): recursed beats greedy at
+      * EVERY k ≥ 256 (1.6 vs 4.5 s at 256, 3.5 vs 15.8 at 1024, 10.4 vs
+      * 74.1 at 4096) with equal quality (k=1024 inertia 165898 vs
+      * 165974, zero empty cells both). Conf [[ReclusterMaxKKey]]
+      * overrides (specs force it to pin routing; raising it above 256
+      * reopens the poisoned-oracle window (256, threshold] — loud, by
+      * the unrolledSeedGuard).
       */
-    val ReclusterMaxKDefault = 4096
+    val ReclusterMaxKDefault = 256
     val ReclusterMaxKKey = "spark.graft.ann.reclusterMaxK"
   }
 
@@ -2628,7 +2640,26 @@ object Similarity {
     * then `a0` = the argmin assignment against those centers — replacing
     * the default modulo-seed `a0` in [[kmeansAssignCtes]].
     */
-  def ppSeedCtes(k: Int): String = {
+  /** Feasibility bound for the k-STEP-UNROLLED oracle twins (farthest-point
+    * chain, greedy recluster): their SQL TEXT is O(k²) characters —
+    * measured ~1 GB at k=4096, an OOM just to BUILD the string. Beyond
+    * this k the generated fragment fails LOUDLY at oracle evaluation
+    * (guardAuto's poison discipline, scoped to the seed chain) instead of
+    * materializing it; the recursed arm's twin is polynomial-size and
+    * never needs the guard — which is exactly why gates above
+    * ReclusterMaxK are recursed-arm gates (x32).
+    */
+  private[graft] val MaxUnrolledSeedK = 256
+  private def unrolledSeedGuard(k: Int)(chain: => String): String =
+    if (k <= MaxUnrolledSeedK) chain
+    else s"""a0 AS (SELECT vec_id, e,
+               CAST(error('unrolled seed oracle at k=$k: the k-step chain
+ is O(k^2) SQL text; gate at k <= $MaxUnrolledSeedK, or above ReclusterMaxK
+ where the polynomial recursed twin applies') AS INT) AS cluster,
+               CAST(0 AS DOUBLE) AS dd
+             FROM e0)"""
+
+  def ppSeedCtes(k: Int): String = unrolledSeedGuard(k) {
     // Each k_j MATERIALIZED: under DuckDB's per-reference CTE inlining the
     // chain is exponential (k_j re-inlines k_0..k_{j-1}, each re-inlining
     // the corpus scan) — see the kmeansAssignCtes scaladoc.
@@ -2679,7 +2710,11 @@ object Similarity {
   def parallelSeedRecursedCtes(k: Int): String =
     parallelSeedCtesWith(k, recursed = true)
 
-  private def parallelSeedCtesWith(k: Int, recursed: Boolean): String = {
+  private def parallelSeedCtesWith(k: Int, recursed: Boolean): String =
+    if (!recursed && k > MaxUnrolledSeedK) unrolledSeedGuard(k)("")
+    else parallelSeedCtesBody(k, recursed)
+
+  private def parallelSeedCtesBody(k: Int, recursed: Boolean): String = {
     val ell = ParSeed.OversampleX * k
     val nR = ParSeed.Rounds
     val nI = ParSeed.Iters

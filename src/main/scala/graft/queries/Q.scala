@@ -19,10 +19,26 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *   - portable hashing uses md5 (both engines) rather than engine-native
   *     murmur3/xxhash.
   */
-final case class Q(
-    name: String,
-    run: (SparkSession, String) => DataFrame,
-    oracle: Option[String])
+final class Q(
+    val name: String,
+    val run: (SparkSession, String) => DataFrame,
+    oracleThunk: () => Option[String]) {
+  /** Built ON DEMAND (round 15): oracle TEXT can be huge — the unrolled
+    * seed chains are O(k) CTEs / O(k²) characters at a numeric
+    * kmeansCells knob (measured: catalogue construction at
+    * kmeansCells=4096 OOMed an 8 GiB driver building ~1 GB of greedy-arm
+    * SQL that BenchOne would never read). Engine-only paths (Bench,
+    * Probe, plan dumps) touch `run` only; the string materializes solely
+    * where the gate actually consumes it (Verify's oracleSql dump, spec
+    * reads).
+    */
+  def oracle: Option[String] = oracleThunk()
+}
+
+object Q {
+  def apply(name: String, run: (SparkSession, String) => DataFrame,
+      oracle: => Option[String]): Q = new Q(name, run, () => oracle)
+}
 
 /** Full catalogue; SparkEntry derives its `queries`/`oracleSql` maps here. */
 object Catalog {
