@@ -59,7 +59,12 @@ object CapSweep {
       (walls.min, pairs)
     }
     println(s"CAPSWEEP sf=$sfDir boilerMod=$boilerMod carriers=$nCarriers")
-    Seq(None, Some(64L), Some(256L)).foreach { cap =>
+    // optional 3rd arg: comma-separated caps ("off,64,256"); capped arms
+    // first by default so a DNF uncapped run still leaves the capped rows
+    val caps = (if (args.length > 2) args(2).split(",").toSeq
+      else Seq("64", "256", "off"))
+      .map(c => if (c == "off") None else Some(c.toLong))
+    caps.foreach { cap =>
       val (w, p) = run(cap)
       println(f"CAPSWEEP cap=${cap.map(_.toString).getOrElse("off")}%-4s " +
         f"wall=$w%.2f s pairs=$p")
