@@ -1820,11 +1820,16 @@ object DedupQueries {
         val aug = slice.unionByName(copies)
         // truth by string comparison (the d22 discipline): no hashing, so
         // a collision forging a candidate reads as precision < 1
+        // |len(a)-len(b)| <= 1 is NECESSARY for distance <= 1: the cheap
+        // length gate prunes the O(slice²) pair space before the O(len²)
+        // DP runs (unbounded, the truth pass cost 9 s of the 9.05 s bench
+        // wall; gated it is sub-second) — the truth set is unchanged.
         val truth = slice.select(col("doc_id").as("doc_a"),
             col("text").as("ta"))
           .crossJoin(broadcast(copies.select(col("doc_id").as("doc_b"),
             col("text").as("tb"))))
-          .filter(levenshtein(col("ta"), col("tb")) <= 1)
+          .filter(abs(length(col("ta")) - length(col("tb"))) <= 1 &&
+            levenshtein(col("ta"), col("tb")) <= 1)
           .select("doc_a", "doc_b")
         val cand = Dedup.hammingBlockPairs(
             Multimodal.mediaPhash(aug)
@@ -1857,7 +1862,8 @@ object DedupQueries {
                  ph AS MATERIALIZED (${Multimodal.mediaPhashSql("aug")}),
                  truth AS (SELECT s.doc_id AS doc_a, c.doc_id AS doc_b
                            FROM slice s, copies c
-                           WHERE levenshtein(s.text, c.text) <= 1),
+                           WHERE abs(length(s.text) - length(c.text)) <= 1
+                             AND levenshtein(s.text, c.text) <= 1),
                  cand AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
                           FROM ph a JOIN ph b ON a.doc_id < b.doc_id
                           WHERE bit_count(xor(a.phash, b.phash)) <= 2

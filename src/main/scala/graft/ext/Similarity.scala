@@ -347,11 +347,20 @@ object Similarity {
     // layout), so no shuffle is added where none is needed. Values are
     // unchanged by construction: every downstream stage is order-free
     // (the partition-stability specs pin exactly this).
+    // Two guards: splits < cores (a well-split corpus never repartitions)
+    // AND at least a split's worth of bytes (32 MiB): below that, the
+    // extra exchange plus 32-task scheduling per pass is pure overhead —
+    // measured at sf0.1 (0.55 MB corpus) the unconditional floor inflated
+    // x15/x30 by ~0.3-0.6 s each, while the 60 MB sf10 corpus is the case
+    // that needs it (1 → ~25 cores, BASELINE.md round-15).
     val floored =
       if (mode == SeedMode.Modulo) e0
       else {
         val par = emb.sparkSession.sparkContext.defaultParallelism
-        if (e0.rdd.getNumPartitions < par) e0.repartition(par) else e0
+        val bytes = emb.queryExecution.optimizedPlan.stats.sizeInBytes
+        if (bytes >= (32L << 20) && e0.rdd.getNumPartitions < par)
+          e0.repartition(par)
+        else e0
       }
     lloydOverMode(if (mode != SeedMode.Modulo)
       graft.util.Caches.retain(floored) else floored, k, iters, mode)
