@@ -2561,7 +2561,8 @@ object Similarity {
     * recall_at_k) — the per-query curve an index owner actually reads.
     */
   def ivfRecallSampled(emb: DataFrame, kTop: Int = 10, nq: Int = 8,
-      mode: SeedMode = SeedMode.Parallel): DataFrame = {
+      mode: SeedMode = SeedMode.Parallel,
+      nprobes: Seq[Int] = Seq(1, 2)): DataFrame = {
     graft.functions.GraftFunctions.register(emb.sparkSession)
     val k = graft.ext.Dedup.resolveCells(emb, 8)
     val assigned = graft.util.Caches.retainCheckpointed(
@@ -2571,8 +2572,7 @@ object Similarity {
     val qs = assigned
       .withColumn("hq", expr(s"((vec_id % $P) * 2654435761) % $P"))
       .orderBy("hq", "vec_id").limit(nq) // TakeOrdered: no corpus sort
-      .select(col("vec_id").as("q_id"), col("e").as("qe"),
-        col("cluster").as("q_cell"))
+      .select(col("vec_id").as("q_id"), col("e").as("qe"))
     def topk(scored: DataFrame): DataFrame =
       graft.plans.TopKPerKey(scored, keys = Seq("q_id"),
         orderBy = Seq(("cs", false), ("vec_id", true)), k = kTop)
@@ -2581,19 +2581,36 @@ object Similarity {
       .filter(col("vec_id") =!= col("q_id"))
       .withColumn("cs", expr("graft_cos(e, qe)"))
       .select("q_id", "vec_id", "cs"))
-    // nprobe=1 IVF arm: each query's own cell (queries are corpus members,
-    // their Lloyd assignment IS the nearest coarse cell — x12's identity)
-    val approx = topk(assigned.join(broadcast(qs),
-        col("cluster") === col("q_cell") && col("vec_id") =!= col("q_id"))
-      .withColumn("cs", expr("graft_cos(e, qe)"))
-      .select("q_id", "vec_id", "cs"))
-    val hits = exact.join(approx, Seq("q_id", "vec_id"), "left_semi")
-      .groupBy("q_id").agg(count(lit(1)).as("n_overlap"))
-    qs.select("q_id").join(hits, Seq("q_id"), "left")
-      .select(col("q_id"), lit(kTop).as("k"),
-        coalesce(col("n_overlap"), lit(0L)).as("n_overlap"),
-        (coalesce(col("n_overlap"), lit(0L)).cast("double") / kTop)
-          .as("recall_at_k"))
+    // probe ranking is UNIFORM across the nprobe axis (top-n serving
+    // centroids by (d², cell) per query — cvF in the oracle), so probed
+    // cell sets are nested prefixes and recall is monotone in nprobe by
+    // construction. |Q|·k scored cell rows, ranked through the same
+    // TopKPerKey operator the arms use — no window anywhere in the plan.
+    val scoredCells = assigned
+      .agg(expr(s"graft_centroids(cluster, e, $k)").as("cents"))
+      .select(explode(col("cents")).as("ct"))
+      .select(col("ct.cluster").as("pcell"), col("ct.cvec").as("cvec"))
+      .crossJoin(broadcast(qs))
+      .withColumn("dq", expr("graft_l2(cvec, qe)"))
+      .select("q_id", "pcell", "dq")
+    def arm(np: Int): DataFrame = {
+      val probe = graft.plans.TopKPerKey(scoredCells, keys = Seq("q_id"),
+        orderBy = Seq(("dq", true), ("pcell", true)), k = np)
+        .select("q_id", "pcell")
+        .join(qs, Seq("q_id")) // re-attach qe: tiny × tiny
+      val approx = topk(assigned.join(broadcast(probe),
+          col("cluster") === col("pcell") && col("vec_id") =!= col("q_id"))
+        .withColumn("cs", expr("graft_cos(e, qe)"))
+        .select("q_id", "vec_id", "cs"))
+      val hits = exact.join(approx, Seq("q_id", "vec_id"), "left_semi")
+        .groupBy("q_id").agg(count(lit(1)).as("n_overlap"))
+      qs.select("q_id").join(hits, Seq("q_id"), "left")
+        .select(col("q_id"), lit(np).as("nprobe"), lit(kTop).as("k"),
+          coalesce(col("n_overlap"), lit(0L)).as("n_overlap"),
+          (coalesce(col("n_overlap"), lit(0L)).cast("double") / kTop)
+            .as("recall_at_k"))
+    }
+    nprobes.map(arm).reduce(_.unionByName(_))
   }
 
   /** Oracle twin of [[ivfRecallSampled]] — same hash-ranked query pick,
@@ -2602,40 +2619,57 @@ object Similarity {
   def ivfRecallSampledSql(k: Int = graft.ext.Dedup.confInt(
         graft.ext.Dedup.KmeansCellsKey, 8),
       iters: Int = 2, kTop: Int = 10, nq: Int = 8,
-      src: String = "embeddings", pre: String = ""): String = {
+      src: String = "embeddings", pre: String = "",
+      nprobes: Seq[Int] = Seq(1, 2)): String = {
     val P = graft.ext.PortableHash.P
+    val arms = nprobes.map { np =>
+      s"""ap$np AS (SELECT q_id, vec_id FROM (
+                      SELECT pq.q_id, z.vec_id,
+                             ROW_NUMBER() OVER (PARTITION BY pq.q_id
+                               ORDER BY ${duckCos("z.e", "pq.qe")} DESC,
+                                        z.vec_id) AS rn
+                      FROM a$iters z
+                      JOIN (SELECT pr.q_id, pr.pcell, qs.qe
+                            FROM pr JOIN qs USING (q_id)
+                            WHERE pr.prn <= $np) pq
+                        ON z.cluster = pq.pcell AND z.vec_id <> pq.q_id)
+                    WHERE rn <= $kTop),
+          hit$np AS (SELECT ex.q_id, CAST(count(*) AS BIGINT) AS n_overlap
+                     FROM ex JOIN ap$np ON ex.q_id = ap$np.q_id
+                                       AND ex.vec_id = ap$np.vec_id
+                     GROUP BY ex.q_id)"""
+    }.mkString(",\n")
+    val selects = nprobes.map { np =>
+      s"""SELECT qs.q_id, $np AS nprobe, $kTop AS k,
+                 coalesce(hit$np.n_overlap, CAST(0 AS BIGINT)) AS n_overlap,
+                 CAST(coalesce(hit$np.n_overlap, 0) AS DOUBLE) / $kTop
+                   AS recall_at_k
+          FROM qs LEFT JOIN hit$np ON qs.q_id = hit$np.q_id"""
+    }.mkString(" UNION ALL ")
     s"""WITH ${if (pre.nonEmpty) pre + "," else ""}
              ${kmeansAssignCtes(k, iters, src = src,
                seed = Some(parallelSeedCtes(k)))},
+             ${kmeansServeCentroidsCtes(iters)},
              qs AS MATERIALIZED (
-               SELECT vec_id AS q_id, e AS qe, cluster AS q_cell
+               SELECT vec_id AS q_id, e AS qe
                FROM a$iters
                ORDER BY ((vec_id % $P) * 2654435761) % $P, vec_id
                LIMIT $nq),
-             ex AS (SELECT q_id, vec_id FROM (
+             ex AS MATERIALIZED (SELECT q_id, vec_id FROM (
                       SELECT qs.q_id, z.vec_id,
                              ROW_NUMBER() OVER (PARTITION BY qs.q_id
                                ORDER BY ${duckCos("z.e", "qe")} DESC,
                                         z.vec_id) AS rn
                       FROM a$iters z, qs WHERE z.vec_id <> q_id)
                     WHERE rn <= $kTop),
-             ap AS (SELECT q_id, vec_id FROM (
-                      SELECT qs.q_id, z.vec_id,
-                             ROW_NUMBER() OVER (PARTITION BY qs.q_id
-                               ORDER BY ${duckCos("z.e", "qe")} DESC,
-                                        z.vec_id) AS rn
-                      FROM a$iters z, qs
-                      WHERE z.cluster = q_cell AND z.vec_id <> q_id)
-                    WHERE rn <= $kTop),
-             hit AS (SELECT ex.q_id, CAST(count(*) AS BIGINT) AS n_overlap
-                     FROM ex JOIN ap ON ex.q_id = ap.q_id
-                                    AND ex.vec_id = ap.vec_id
-                     GROUP BY ex.q_id)
-        SELECT qs.q_id, $kTop AS k,
-               coalesce(hit.n_overlap, CAST(0 AS BIGINT)) AS n_overlap,
-               CAST(coalesce(hit.n_overlap, 0) AS DOUBLE) / $kTop
-                 AS recall_at_k
-        FROM qs LEFT JOIN hit ON qs.q_id = hit.q_id"""
+             pr AS MATERIALIZED (
+               SELECT qs.q_id, cvF.cluster AS pcell,
+                      ROW_NUMBER() OVER (PARTITION BY qs.q_id
+                        ORDER BY ${duckD2("cvF.cvec", "qs.qe")},
+                                 cvF.cluster) AS prn
+               FROM cvF, qs),
+             $arms
+        $selects"""
   }
 
   /** CTE chain shared by the kmeans oracles: `iters` Lloyd rounds unrolled
