@@ -1032,6 +1032,146 @@ object Dedup {
     */
   val SpanN = 8
 
+  /** d27/d28/s35's Bloom-gate geometry — the 100 TB scale path the s33
+    * scaladoc promised ("at 100 TB the snapshot set becomes a bloom the
+    * same expression probes"): the EXACT sorted gram-set artifact is
+    * O(distinct grams × 8 B) and stops being broadcastable at a real
+    * decontamination corpus; the Bloom is a FIXED 64 KiB word array
+    * (BloomM bits) probed in O(BloomK) per distinct arrival gram, with no
+    * false negatives by construction and a false-positive rate d28
+    * MEASURES ((1−e^{−kn/m})^k: the sf0.1 eval snapshot carries ~35k
+    * distinct grams → ~0.1% at these constants, 0.2% measured by d28;
+    * production sizes M at 10+ bits/gram from the snapshot's gram count
+    * the same way). Probe positions are the
+    * Kirsch–Mitzenmacher double hash (h1 + i·h2, two independent
+    * multiplicative mixes — see TextHash.bloomHits) in plain BIGINT
+    * arithmetic both engines evaluate
+    * identically, so the filter CONTENT is oracle-exact — at production
+    * scale M grows with the snapshot (10+ bits/gram) and the artifact
+    * ships via s35's parquet lifecycle.
+    */
+  val BloomM = 524288
+  val BloomK = 7
+  val BloomWords: Int = BloomM / 64
+
+  /** The 1-row Bloom word-array artifact over the snapshot's distinct
+    * SpanN-gram hashes: k positions per gram → per-word bit_or → one
+    * dense array<bigint> (order-free integer ORs — partition-stable).
+    */
+  def bloomArtifact(snapshotDocs: DataFrame, n: Int = SpanN): DataFrame = {
+    graft.functions.GraftFunctions.register(snapshotDocs.sparkSession)
+    val P = PortableHash.P
+    graft.util.Caches.retainCheckpointed(snapshotDocs
+      .select(explode(expr(s"graft_gram_chain(text, $n)")).as("g")).distinct()
+      .select(explode(expr(
+        s"transform(sequence(0, ${BloomK - 1}), i -> " +
+          s"((g % $P) * 2654435761 % $P + " +
+          s"CAST(i AS BIGINT) * (((g % $P) * 1099087573 % $P) | 1)) " +
+          s"% $P % $BloomM)"))
+        .as("p"))
+      .select(expr("CAST(p DIV 64 AS INT)").as("w"),
+        expr("CAST(p % 64 AS INT)").as("b"))
+      .groupBy("w")
+      .agg(expr("bit_or(shiftleft(CAST(1 AS BIGINT), b))").as("bits"))
+      .agg(map_from_entries(collect_list(struct(col("w"), col("bits"))))
+        .as("wm"))
+      .select(expr(s"transform(sequence(0, ${BloomWords - 1}), w -> " +
+        "coalesce(element_at(wm, CAST(w AS INT)), CAST(0 AS BIGINT)))")
+        .as("bloom")))
+  }
+
+  /** The gate transform (batch d27 and stream s35 share it — the s33/s34
+    * pairing): one compiled gram pass + one Bloom probe per row against
+    * the broadcast word array; stateless, shuffle-free.
+    */
+  def bloomGateXform(bloomRow: DataFrame, n: Int = SpanN)(
+      src: DataFrame): DataFrame = {
+    graft.functions.GraftFunctions.register(src.sparkSession)
+    src.crossJoin(broadcast(bloomRow))
+      .select(col("doc_id"),
+        when(size(split(col("text"), " ")) >= n,
+          expr(s"graft_bloom_hits(graft_gram_chain(text, $n), bloom, " +
+            s"$BloomK)"))
+          .otherwise(lit(0)).as("n_maybe_grams"))
+      .withColumn("maybe_contaminated", col("n_maybe_grams") > 0)
+  }
+
+  /** DuckDB twin of [[bloomArtifact]] as CTEs ending in `bloom(bl)`, plus
+    * the per-gram probe predicate builder — shared by the d27/d28/s35
+    * oracles so the filter geometry lives in exactly one place.
+    */
+  private[graft] def bloomCtes(n: Int = SpanN): String = {
+    val P = PortableHash.P
+    val chain = (1 until n).foldLeft("th[i]")((acc, j) =>
+      s"(($acc) * 31 + th[i + $j]) % $P")
+    s"""bth AS MATERIALIZED (SELECT doc_id,
+                ${PortableHash.duckTokenHashes} AS th
+              FROM documents),
+        bg AS (SELECT DISTINCT $chain AS g
+               FROM bth, UNNEST(range(1, len(th) - ${n - 2})) AS u(i)
+               WHERE doc_id < 100 AND len(th) >= $n),
+        bp AS (SELECT DISTINCT
+                      ((g % $P) * 2654435761 % $P
+                       + i * (((g % $P) * 1099087573 % $P) | 1))
+                      % $P % $BloomM AS p
+               FROM bg, UNNEST(range(0, $BloomK)) AS t(i)),
+        -- bit 63 is the sign bit: DuckDB range-checks 1::BIGINT << 63
+        -- (Spark's shiftleft wraps silently), so that one mask is the
+        -- explicit Long.MinValue literal. The probe side needs no twin
+        -- care: (x >> k) & 1 reads the same bit under arithmetic and
+        -- logical shifts for every k in [0, 63].
+        bw AS (SELECT p // 64 AS w,
+                      bit_or(CASE WHEN p % 64 = 63
+                             THEN CAST(-9223372036854775808 AS BIGINT)
+                             ELSE CAST(1 AS BIGINT) << CAST(p % 64 AS INT)
+                             END) AS bits
+               FROM bp GROUP BY 1),
+        bm AS (SELECT map(list(w ORDER BY w), list(bits ORDER BY w)) AS wm
+               FROM bw),
+        bloom AS (SELECT list_transform(range(0, $BloomWords), w ->
+                    coalesce(list_extract(map_extract(wm, w), 1),
+                             CAST(0 AS BIGINT))) AS bl
+                  FROM bm)"""
+  }
+
+  /** The oracle-side "all k probe bits set" predicate over gram var `g`
+    * and the bloom list var `bl`.
+    */
+  private[graft] def bloomProbeSql(g: String): String = {
+    val P = PortableHash.P
+    s"""len(list_filter(
+          list_transform(range(0, $BloomK),
+                         i -> (($g % $P) * 2654435761 % $P
+                               + i * ((($g % $P) * 1099087573 % $P) | 1))
+                              % $P % $BloomM),
+          p -> (bl[CAST(p // 64 AS INT) + 1]
+                >> CAST(p % 64 AS INT)) & 1 = 1)) = $BloomK"""
+  }
+
+  /** d27's oracle: per-arrival distinct-gram Bloom hit counts (and s35's —
+    * the artifact lifecycle changes nothing about the verdicts).
+    */
+  private[graft] def bloomGateOracleSql(n: Int = SpanN): String = {
+    val P = PortableHash.P
+    val chain = (1 until n).foldLeft("th[i]")((acc, j) =>
+      s"(($acc) * 31 + th[i + $j]) % $P")
+    s"""WITH ${bloomCtes(n)}
+        SELECT doc_id,
+               CAST(CASE WHEN len(th) >= $n
+                    THEN len(list_filter(
+                           list_distinct(list_transform(
+                             range(1, len(th) - ${n - 2}), i -> $chain)),
+                           g -> ${bloomProbeSql("g")}))
+                    ELSE 0 END AS INT) AS n_maybe_grams,
+               CASE WHEN len(th) >= $n
+                    THEN len(list_filter(
+                           list_distinct(list_transform(
+                             range(1, len(th) - ${n - 2}), i -> $chain)),
+                           g -> ${bloomProbeSql("g")})) > 0
+                    ELSE FALSE END AS maybe_contaminated
+        FROM bth, bloom WHERE doc_id >= 100"""
+  }
+
   /** Deterministic planted-span augmentation (the d14 protocol at
     * substring granularity): every doc with id < 25 gets a companion
     * (id + 10000) whose text = one unique marker token + tokens 3..20 of
@@ -1885,6 +2025,101 @@ object DedupQueries {
                                                AND c.doc_b = t.doc_b)
                                   AS DOUBLE)
                              / (SELECT count(*) FROM truth) END AS recall"""
+      }),
+
+    // d27: BLOOM contamination gate — the substring gate's 100 TB scale
+    // path (see Dedup.BloomM): the snapshot's gram set compresses to a
+    // fixed 64 KiB word array probed in O(k) per distinct arrival gram.
+    // The filter CONTENT is oracle-exact (portable integer probe
+    // arithmetic), so verdicts hash-match INCLUDING any false positives —
+    // the approximation is pinned, not waved at. No false negatives by
+    // construction (d28 measures both).
+    Q("d27_bloom_gate",
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        Dedup.bloomGateXform(
+          Dedup.bloomArtifact(docs.filter(col("doc_id") < 100)))(
+          docs.filter(col("doc_id") >= 100))
+      },
+      Some(Dedup.bloomGateOracleSql())),
+
+    // d28: the Bloom gate's quality gate — exact (sorted-set) verdicts vs
+    // Bloom verdicts on the same arrivals: false negatives MUST read 0
+    // (the Bloom theorem, measured every run), false positives and the
+    // clean-docs FP rate are the price of the 64 KiB artifact, measured
+    // against the geometry's design bound.
+    Q("d28_bloom_eval",
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        val arrivals = docs.filter(col("doc_id") >= 100)
+        val exact = graft.queries.StreamingQ.substringGateXform(
+            graft.queries.StreamingQ.substringSnapshot(
+              docs.filter(col("doc_id") < 100)))(arrivals)
+          .select(col("doc_id"), col("contaminated"))
+        val maybe = Dedup.bloomGateXform(
+            Dedup.bloomArtifact(docs.filter(col("doc_id") < 100)))(arrivals)
+          .select(col("doc_id"), col("maybe_contaminated"))
+        exact.join(maybe, Seq("doc_id"))
+          .agg(count(lit(1)).as("n_arrivals"),
+            sum(when(col("contaminated"), 1L).otherwise(0L))
+              .as("n_contaminated"),
+            sum(when(col("maybe_contaminated"), 1L).otherwise(0L))
+              .as("n_maybe"),
+            sum(when(col("maybe_contaminated") && !col("contaminated"), 1L)
+              .otherwise(0L)).as("n_false_pos"),
+            sum(when(!col("maybe_contaminated") && col("contaminated"), 1L)
+              .otherwise(0L)).as("n_false_neg"))
+          .select(col("n_arrivals"), col("n_contaminated"), col("n_maybe"),
+            col("n_false_pos"), col("n_false_neg"),
+            when(col("n_arrivals") - col("n_contaminated") > 0,
+              col("n_false_pos").cast("double")
+                / (col("n_arrivals") - col("n_contaminated")))
+              .as("fp_rate"))
+      },
+      Some {
+        val n = Dedup.SpanN
+        val P = PortableHash.P
+        val chain = (1 until n).foldLeft("th[i]")((acc, j) =>
+          s"(($acc) * 31 + th[i + $j]) % $P")
+        s"""WITH ${Dedup.bloomCtes(n)},
+                 sg0 AS (SELECT DISTINCT $chain AS g
+                         FROM bth, UNNEST(range(1, len(th) - ${n - 2}))
+                              AS u(i)
+                         WHERE doc_id < 100 AND len(th) >= $n),
+                 snap AS (SELECT coalesce(list(g ORDER BY g), []) AS sg
+                          FROM sg0),
+                 v AS (SELECT doc_id,
+                              CASE WHEN len(th) >= $n
+                                   THEN len(list_intersect(
+                                          list_transform(
+                                            range(1, len(th) - ${n - 2}),
+                                            i -> $chain), snap.sg)) > 0
+                                   ELSE FALSE END AS exact_c,
+                              CASE WHEN len(th) >= $n
+                                   THEN len(list_filter(
+                                          list_distinct(list_transform(
+                                            range(1, len(th) - ${n - 2}),
+                                            i -> $chain)),
+                                          g -> ${Dedup.bloomProbeSql("g")}))
+                                        > 0
+                                   ELSE FALSE END AS maybe_c
+                       FROM bth, snap, bloom WHERE doc_id >= 100)
+            SELECT CAST(count(*) AS BIGINT) AS n_arrivals,
+                   CAST(sum(CASE WHEN exact_c THEN 1 ELSE 0 END) AS BIGINT)
+                     AS n_contaminated,
+                   CAST(sum(CASE WHEN maybe_c THEN 1 ELSE 0 END) AS BIGINT)
+                     AS n_maybe,
+                   CAST(sum(CASE WHEN maybe_c AND NOT exact_c
+                            THEN 1 ELSE 0 END) AS BIGINT) AS n_false_pos,
+                   CAST(sum(CASE WHEN NOT maybe_c AND exact_c
+                            THEN 1 ELSE 0 END) AS BIGINT) AS n_false_neg,
+                   CASE WHEN count(*) - sum(CASE WHEN exact_c THEN 1
+                                            ELSE 0 END) > 0
+                        THEN CAST(sum(CASE WHEN maybe_c AND NOT exact_c
+                                      THEN 1 ELSE 0 END) AS DOUBLE)
+                             / (count(*) - sum(CASE WHEN exact_c THEN 1
+                                               ELSE 0 END)) END AS fp_rate
+            FROM v"""
       })
   )
 }

@@ -180,6 +180,43 @@ case class SortedHitsExpr(gs: Expression, snap: Expression)
     copy(gs = newLeft, snap = newRight)
 }
 
+/** Distinct-hit count of a gram array against a broadcast BLOOM word array
+  * (TextHash.bloomHits — d27/s35's hot path; `k` probes, plan-time
+  * constant). The approximate counterpart of [[SortedHitsExpr]]: no false
+  * negatives, measured false positives (d28).
+  */
+case class BloomHitsExpr(gs: Expression, bloom: Expression, k: Int)
+    extends BinaryExpression {
+  require(k >= 1 && k <= 16, s"graft_bloom_hits k=$k out of range [1, 16]")
+  override def left: Expression = gs
+  override def right: Expression = bloom
+  override def checkInputDataTypes():
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    def isLongArr(t: DataType): Boolean = t match {
+      case ArrayType(LongType, _) => true
+      case _ => false
+    }
+    if (isLongArr(gs.dataType) && isLongArr(bloom.dataType))
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      s"$prettyName expects (array<bigint>, array<bigint>), got " +
+        s"(${gs.dataType.simpleString}, ${bloom.dataType.simpleString})")
+  }
+  override def dataType: DataType = IntegerType
+  override def nullable: Boolean = true
+  override def prettyName: String = "graft_bloom_hits"
+  protected override def nullSafeEval(a: Any, b: Any): Any =
+    TextHash.bloomHits(
+      a.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData],
+      b.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData], k)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      (a, b) => s"graft.functions.TextHash.bloomHits($a, $b, $k)")
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(gs = newLeft, bloom = newRight)
+}
+
 /** Null when the text has < 2 tokens (no bigram shingles). */
 case class MinHashSigExpr(child: Expression)
     extends UnaryExpression {
@@ -931,6 +968,8 @@ object GraftFunctions {
     "graft_gram_chain"   -> arity("graft_gram_chain", 2)(cs => GramChainExpr(cs(0),
       intLit("graft_gram_chain", "n", cs(1)))),
     "graft_sorted_hits"  -> arity("graft_sorted_hits", 2)(cs => SortedHitsExpr(cs(0), cs(1))),
+    "graft_bloom_hits"   -> arity("graft_bloom_hits", 3)(cs => BloomHitsExpr(cs(0), cs(1),
+      intLit("graft_bloom_hits", "k", cs(2)))),
     "graft_winnow"       -> arity("graft_winnow", 3)(cs => WinnowExpr(cs(0),
       intLit("graft_winnow", "n", cs(1)),
       intLit("graft_winnow", "w", cs(2)))),

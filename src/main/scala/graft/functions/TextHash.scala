@@ -273,6 +273,52 @@ object TextHash {
     * broadcast value on every row, so rebuilding its set per arrival
     * dominated the sf1 wall (16.2 s → the streaming floor).
     */
+  /** d27/s35's Bloom probe kernel: the count of DISTINCT gram hashes in
+    * `gs` whose every probe bit is set in the `bloom` word array (m =
+    * 64·|bloom| bits, k probes). Probe i of gram g is the
+    * Kirsch–Mitzenmacher double hash (h1 + i·h2) % P % m with
+    * h1 = g·2654435761 % P and h2 = (g·1099087573 % P) | 1 — two
+    * independent multiplicative mixes (an affine-in-i family derived from
+    * ONE mix measured ~10× the ideal FPR; see d28's BASELINE numbers) in
+    * plain BIGINT arithmetic both engines evaluate identically (no
+    * engine-native hash), so the filter CONTENT is oracle-exact, not just
+    * its verdicts. Same distinct-count semantic
+    * as [[sortedHits]] (the exact gate this approximates): no false
+    * negatives by construction; false positives are what d28 measures.
+    */
+  def bloomHits(gs: ArrayData, bloom: ArrayData, k: Int): Int = {
+    val n = gs.numElements()
+    val w = bloom.numElements()
+    if (n == 0 || w == 0) return 0
+    val m = w.toLong * 64L
+    val arr = new Array[Long](n)
+    var i = 0
+    while (i < n) { arr(i) = gs.getLong(i); i += 1 }
+    java.util.Arrays.sort(arr)
+    var hits = 0
+    var prev = 0L
+    var first = true
+    i = 0
+    while (i < n) {
+      val v = arr(i)
+      if (first || v != prev) {
+        val h1 = (v % P) * 2654435761L % P
+        val h2 = (v % P) * 1099087573L % P | 1L
+        var all = true
+        var j = 0
+        while (all && j < k) {
+          val p = (h1 + j * h2) % P % m
+          all = (bloom.getLong((p >>> 6).toInt) >>> (p & 63L).toInt & 1L) == 1L
+          j += 1
+        }
+        if (all) hits += 1
+        prev = v; first = false
+      }
+      i += 1
+    }
+    hits
+  }
+
   def sortedHits(gs: ArrayData, snap: ArrayData): Int = {
     val n = gs.numElements()
     val m = snap.numElements()

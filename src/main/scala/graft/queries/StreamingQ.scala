@@ -2052,7 +2052,32 @@ object StreamingQ {
         runDocsStream(fresh, d)(src =>
           substringGateXform(snap)(src.filter(col("doc_id") >= 100)))
       },
-      Some(substringGateOracleSql))
+      Some(substringGateOracleSql)),
+
+    // s35: the STREAMING Bloom contamination gate over a PERSISTED
+    // artifact — d27's probe in the s34 lifecycle: the 64 KiB word array
+    // ships as parquet (what a nightly decontamination trainer publishes
+    // at 100 TB, where the exact gram set of s33/s34 stops being
+    // broadcastable), a fresh session's stream probes it stateless and
+    // shuffle-free. Same oracle as d27: the lifecycle and the execution
+    // mode change nothing about the verdicts, INCLUDING the filter's
+    // exact false positives.
+    Q("s35_stream_bloom_gate",
+      (s, d) => {
+        graft.functions.GraftFunctions.register(s)
+        val dir = graft.util.Scratch.materialized(s"s35_bloom_$d") { root =>
+          graft.ext.Dedup.bloomArtifact(
+            Tables.documents(s, d).filter(col("doc_id") < 100))
+            .write.parquet(s"$root/bloom")
+        }
+        val fresh = s.newSession()
+        graft.functions.GraftFunctions.register(fresh)
+        val bloom = fresh.read.parquet(s"$dir/bloom")
+        runDocsStream(fresh, d)(src =>
+          graft.ext.Dedup.bloomGateXform(bloom)(
+            src.filter(col("doc_id") >= 100)))
+      },
+      Some(graft.ext.Dedup.bloomGateOracleSql()))
   )
 
   /** s33/s34's shared oracle: the contamination verdicts are a pure

@@ -381,6 +381,26 @@ class ExtSpec extends SparkSpec {
       "the cold-anchor pair (1,2) must survive the cap")
   }
 
+  test("d27/d28 bloom gate: no false negatives on shared spans (theorem), " +
+      "artifact is partition-stable") {
+    val shared = (1 to 12).map(i => s"w$i").mkString(" ")
+    val fix = Seq(
+      (1L, s"alpha beta $shared gamma"),                  // snapshot
+      (101L, s"$shared tail tokens"),                     // shares the span
+      (102L, "fresh content entirely new words here now") // clean
+    ).toDF("doc_id", "text")
+    val bloom = Dedup.bloomArtifact(fix.filter(col("doc_id") < 100))
+    val out = Dedup.bloomGateXform(bloom)(fix.filter(col("doc_id") >= 100))
+      .collect().map(r => r.getLong(0) -> r.getBoolean(2)).toMap
+    assert(out(101L), "a genuinely shared >= n span can NEVER be missed")
+    // the artifact's word ORs are order-free: any partitioning, same bits
+    val b1 = bloom.collect().head.getSeq[Long](0)
+    val b2 = Dedup.bloomArtifact(
+      fix.filter(col("doc_id") < 100).repartition(5)).collect()
+      .head.getSeq[Long](0)
+    assert(b1 === b2)
+  }
+
   test("winnowing selects ~1/w of gram positions (the anchor-cost claim)") {
     val longDoc = Seq((1L, (1 to 400).map(i => s"t${i % 97}x$i")
       .mkString(" "))).toDF("doc_id", "text")

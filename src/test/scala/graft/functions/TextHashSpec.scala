@@ -376,4 +376,37 @@ class VecOpsSpec extends AnyFunSuite {
       })
     assert(r2.passed, r2.status.toString)
   }
+
+  test("bloomHits: members always hit (no false negatives), non-members " +
+      "hit only at the designed FP rate, distinct-count semantics") {
+    import org.apache.spark.sql.catalyst.util.ArrayData
+    val P = TextHash.P
+    val m = 64L * 16 // tiny 1024-bit filter to make FPs observable
+    val k = 7
+    val members = (1L to 40L).map(x => (x * 2654435761L) % P)
+    val words = new Array[Long](16)
+    members.foreach { g =>
+      val h1 = (g % P) * 2654435761L % P
+      val h2 = (g % P) * 1099087573L % P | 1L
+      (0 until k).foreach { i =>
+        val p = (h1 + i * h2) % P % m
+        words((p >>> 6).toInt) |= 1L << (p & 63L).toInt
+      }
+    }
+    val bloom = ArrayData.toArrayData(words)
+    // every member (with duplicates in gs) hits exactly once per DISTINCT
+    val gs = ArrayData.toArrayData((members ++ members).toArray)
+    assert(TextHash.bloomHits(gs, bloom, k) === members.size)
+    // non-members: at 40*7 bits in 1024 the per-gram FP rate is
+    // (1-e^-0.27)^7 ~ 5e-5; 200 probes should essentially never hit
+    val nonMembers = (1000L to 1199L).map(x => (x * 1099087573L) % P)
+    val fp = TextHash.bloomHits(
+      ArrayData.toArrayData(nonMembers.toArray), bloom, k)
+    assert(fp <= 2, s"designed-FPR blowout: $fp of 200 non-members hit")
+    // empties
+    assert(TextHash.bloomHits(ArrayData.toArrayData(Array.empty[Long]),
+      bloom, k) === 0)
+    assert(TextHash.bloomHits(gs,
+      ArrayData.toArrayData(Array.empty[Long]), k) === 0)
+  }
 }

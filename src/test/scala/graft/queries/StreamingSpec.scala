@@ -998,4 +998,36 @@ class StreamingSpec extends SparkSpec {
       s"served plan must contain only parquet scans:\n$plan")
     assert(gate.collect().map(_.toString).sorted.toSeq === inSession)
   }
+
+  test("s35: the persisted BLOOM artifact alone reproduces the gate in a " +
+      "fresh session — verdicts equal the in-session filter's, including " +
+      "its false-positive set") {
+    val s = spark
+    import s.implicits._
+    val shared = (1 to 12).map(i => s"w$i").mkString(" ")
+    val snapDocs = Seq(
+      (1L, s"alpha beta $shared gamma"),
+      (2L, "nothing here matches any arrival at all today"))
+      .toDF("doc_id", "text")
+    val arrivals = Seq(
+      (101L, s"$shared tail tokens"),
+      (102L, "fresh content entirely new words none shared with snapshot"))
+      .toDF("doc_id", "text")
+    val inSession = graft.ext.Dedup.bloomGateXform(
+      graft.ext.Dedup.bloomArtifact(snapDocs))(arrivals)
+      .collect().map(_.toString).sorted.toSeq
+    val root = Files.createTempDirectory("graft_s35_art").toString
+    graft.ext.Dedup.bloomArtifact(snapDocs)
+      .write.mode("overwrite").parquet(s"$root/bloom")
+    arrivals.write.mode("overwrite").parquet(s"$root/arrivals")
+    val fresh = s.newSession()
+    graft.functions.GraftFunctions.register(fresh)
+    val gate = graft.ext.Dedup.bloomGateXform(
+      fresh.read.parquet(s"$root/bloom"))(
+      fresh.read.parquet(s"$root/arrivals"))
+    val plan = gate.queryExecution.optimizedPlan.toString
+    assert(!plan.contains("InMemoryRelation") && !plan.contains("LogicalRDD"),
+      s"served plan must contain only parquet scans:\n$plan")
+    assert(gate.collect().map(_.toString).sorted.toSeq === inSession)
+  }
 }
