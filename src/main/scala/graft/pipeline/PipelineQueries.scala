@@ -497,7 +497,33 @@ object PipelineQueries {
       (s, d) => graft.ext.Similarity.ivfPqDeltaServe(
         Tables.embeddings(s, d)),
       Some(graft.ext.Dedup.guardAuto(graft.ext.Dedup.KmeansCellsKey)(
-        graft.ext.Similarity.ivfPqDeltaServeSql())))
+        graft.ext.Similarity.ivfPqDeltaServeSql()))),
+
+    // p12: INCREMENTAL BLOOM MAINTENANCE — p11's lifecycle step for the
+    // contamination gate (d27/s35): a delta snapshot batch is admitted by
+    // building its OWN word array and elementwise-OR-ing it into the base
+    // artifact. Unlike p11's frozen-quantizer approximation contract,
+    // Bloom union is EXACT by construction (each gram ORs its k bits
+    // independently, ORs commute): artifact(base ∪ delta) ==
+    // OR(artifact(base), artifact(delta)) word-for-word, so maintain ≡
+    // rebuild is a theorem — the oracle is d27's rebuild-form SQL
+    // verbatim, and PipelineSpec pins the word-array equality itself. At
+    // 100 TB this is the nightly decontamination job: yesterday's 64 KiB
+    // artifact + today's delta scan, never a full-corpus rebuild.
+    Q("p12_bloom_maintenance",
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        val base = graft.ext.Dedup.bloomArtifact(
+          docs.filter(col("doc_id") < 50))
+        val delta = graft.ext.Dedup.bloomArtifact(
+          docs.filter(col("doc_id") >= 50 && col("doc_id") < 100))
+        val maintained = base.crossJoin( // 1-row × 1-row artifact combine
+          delta.withColumnRenamed("bloom", "b2"))
+          .select(expr("zip_with(bloom, b2, (x, y) -> x | y)").as("bloom"))
+        graft.ext.Dedup.bloomGateXform(maintained)(
+          docs.filter(col("doc_id") >= 100))
+      },
+      Some(graft.ext.Dedup.bloomGateOracleSql()))
   )
 }
 

@@ -288,4 +288,25 @@ class PipelineSpec extends SparkSpec {
       case _ =>
     }
   }
+
+  test("p12: bloom maintenance is EXACT — OR(base, delta) equals the " +
+      "full rebuild word-for-word") {
+    val sp = spark
+    import sp.implicits._
+    import org.apache.spark.sql.functions._
+    val docs = (1L to 40L)
+      .map(i => (i, (1 to 30).map(t => s"d${i}t$t").mkString(" ")))
+      .toDF("doc_id", "text")
+    val base = docs.filter(col("doc_id") <= 20)
+    val delta = docs.filter(col("doc_id") > 20)
+    val rebuilt = graft.ext.Dedup.bloomArtifact(docs)
+      .collect().head.getSeq[Long](0)
+    val maintained = graft.ext.Dedup.bloomArtifact(base)
+      .crossJoin(graft.ext.Dedup.bloomArtifact(delta)
+        .withColumnRenamed("bloom", "b2"))
+      .select(expr("zip_with(bloom, b2, (x, y) -> x | y)").as("bloom"))
+      .collect().head.getSeq[Long](0)
+    assert(maintained === rebuilt,
+      "bit-OR union must reproduce the rebuild exactly (ORs commute)")
+  }
 }
