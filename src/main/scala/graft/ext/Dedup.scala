@@ -1057,6 +1057,32 @@ object Dedup {
   val BloomM = 524288
   val BloomK = 7
   val BloomWords: Int = BloomM / 64
+  val BloomBitsKey = "spark.graft.dedup.bloomBits"
+
+  /** Bloom width for a snapshot: numeric conf wins, `auto` derives
+    * 16 bits/DISTINCT-gram (rounded up to a 64-bit word, floored at 4096)
+    * from ONE counting pass over the snapshot — the resolveCells `auto`
+    * discipline applied to the filter size, so a production snapshot
+    * whose gram count dwarfs the eval slice gets a correctly-sized
+    * artifact without a hand knob (designed FPR at 16 bits/gram and k=7:
+    * ~1.5e-4). The PROBE side needs no knob at all: m = 64·|words| is
+    * read from the artifact itself (kernel and oracle both), so serve
+    * always matches build by construction.
+    */
+  private[graft] def resolveBloomBits(grams: DataFrame): Int = {
+    val conf = grams.sparkSession.conf.get(BloomBitsKey, BloomM.toString)
+    val m =
+      if (conf == "auto") {
+        val n = grams.count()
+        val v = math.max(4096L, ((16L * n + 63L) / 64L) * 64L)
+        require(v <= (1L << 30), s"$BloomBitsKey=auto derived $v > 2^30 " +
+          "bits; size the artifact explicitly at this snapshot scale")
+        logDerived(BloomBitsKey, n, v.toInt); v.toInt
+      } else conf.toInt
+    require(m >= 64 && m % 64 == 0,
+      s"$BloomBitsKey=$m must be a positive multiple of 64")
+    m
+  }
 
   /** The 1-row Bloom word-array artifact over the snapshot's distinct
     * SpanN-gram hashes: k positions per gram → per-word bit_or → one
@@ -1065,13 +1091,15 @@ object Dedup {
   def bloomArtifact(snapshotDocs: DataFrame, n: Int = SpanN): DataFrame = {
     graft.functions.GraftFunctions.register(snapshotDocs.sparkSession)
     val P = PortableHash.P
-    graft.util.Caches.retainCheckpointed(snapshotDocs
+    val grams = snapshotDocs
       .select(explode(expr(s"graft_gram_chain(text, $n)")).as("g")).distinct()
+    val m = resolveBloomBits(grams)
+    graft.util.Caches.retainCheckpointed(grams
       .select(explode(expr(
         s"transform(sequence(0, ${BloomK - 1}), i -> " +
           s"((g % $P) * 2654435761 % $P + " +
           s"CAST(i AS BIGINT) * (((g % $P) * 1099087573 % $P) | 1)) " +
-          s"% $P % $BloomM)"))
+          s"% $P % $m)"))
         .as("p"))
       .select(expr("CAST(p DIV 64 AS INT)").as("w"),
         expr("CAST(p % 64 AS INT)").as("b"))
@@ -1079,7 +1107,7 @@ object Dedup {
       .agg(expr("bit_or(shiftleft(CAST(1 AS BIGINT), b))").as("bits"))
       .agg(map_from_entries(collect_list(struct(col("w"), col("bits"))))
         .as("wm"))
-      .select(expr(s"transform(sequence(0, ${BloomWords - 1}), w -> " +
+      .select(expr(s"transform(sequence(0, ${m / 64 - 1}), w -> " +
         "coalesce(element_at(wm, CAST(w AS INT)), CAST(0 AS BIGINT)))")
         .as("bloom")))
   }
@@ -1106,6 +1134,10 @@ object Dedup {
     */
   private[graft] def bloomCtes(n: Int = SpanN): String = {
     val P = PortableHash.P
+    // generation-time conf resolution (the d17 discipline); `auto` is
+    // poisoned by the callers' guardAuto — the standalone SQL cannot see
+    // the derived width
+    val m = confInt(BloomBitsKey, BloomM)
     val chain = (1 until n).foldLeft("th[i]")((acc, j) =>
       s"(($acc) * 31 + th[i + $j]) % $P")
     s"""bth AS MATERIALIZED (SELECT doc_id,
@@ -1117,7 +1149,7 @@ object Dedup {
         bp AS (SELECT DISTINCT
                       ((g % $P) * 2654435761 % $P
                        + i * (((g % $P) * 1099087573 % $P) | 1))
-                      % $P % $BloomM AS p
+                      % $P % $m AS p
                FROM bg, UNNEST(range(0, $BloomK)) AS t(i)),
         -- bit 63 is the sign bit: DuckDB range-checks 1::BIGINT << 63
         -- (Spark's shiftleft wraps silently), so that one mask is the
@@ -1132,7 +1164,7 @@ object Dedup {
                FROM bp GROUP BY 1),
         bm AS (SELECT map(list(w ORDER BY w), list(bits ORDER BY w)) AS wm
                FROM bw),
-        bloom AS (SELECT list_transform(range(0, $BloomWords), w ->
+        bloom AS (SELECT list_transform(range(0, ${m / 64}), w ->
                     coalesce(list_extract(map_extract(wm, w), 1),
                              CAST(0 AS BIGINT))) AS bl
                   FROM bm)"""
@@ -1147,7 +1179,7 @@ object Dedup {
           list_transform(range(0, $BloomK),
                          i -> (($g % $P) * 2654435761 % $P
                                + i * ((($g % $P) * 1099087573 % $P) | 1))
-                              % $P % $BloomM),
+                              % $P % (64 * len(bl))),
           p -> (bl[CAST(p // 64 AS INT) + 1]
                 >> CAST(p % 64 AS INT)) & 1 = 1)) = $BloomK"""
   }
@@ -2045,7 +2077,7 @@ object DedupQueries {
           Dedup.bloomArtifact(docs.filter(col("doc_id") < 100)))(
           docs.filter(col("doc_id") >= 100))
       },
-      Some(Dedup.bloomGateOracleSql())),
+      Some(Dedup.guardAuto(Dedup.BloomBitsKey)(Dedup.bloomGateOracleSql()))),
 
     // d28: the Bloom gate's quality gate — exact (sorted-set) verdicts vs
     // Bloom verdicts on the same arrivals: false negatives MUST read 0

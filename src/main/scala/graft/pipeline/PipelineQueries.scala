@@ -523,7 +523,8 @@ object PipelineQueries {
         graft.ext.Dedup.bloomGateXform(maintained)(
           docs.filter(col("doc_id") >= 100))
       },
-      Some(graft.ext.Dedup.bloomGateOracleSql()))
+      Some(graft.ext.Dedup.guardAuto(graft.ext.Dedup.BloomBitsKey)(
+        graft.ext.Dedup.bloomGateOracleSql())))
   )
 }
 

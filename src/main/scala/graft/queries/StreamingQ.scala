@@ -2077,7 +2077,8 @@ object StreamingQ {
           graft.ext.Dedup.bloomGateXform(bloom)(
             src.filter(col("doc_id") >= 100)))
       },
-      Some(graft.ext.Dedup.bloomGateOracleSql()))
+      Some(graft.ext.Dedup.guardAuto(graft.ext.Dedup.BloomBitsKey)(
+        graft.ext.Dedup.bloomGateOracleSql())))
   )
 
   /** s33/s34's shared oracle: the contamination verdicts are a pure

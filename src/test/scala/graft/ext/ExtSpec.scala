@@ -401,6 +401,34 @@ class ExtSpec extends SparkSpec {
     assert(b1 === b2)
   }
 
+  test("bloomBits knob: numeric re-sizes both engine and oracle at " +
+      "generation time; auto derives from the gram count and poisons " +
+      "the oracle (the resolveCells discipline)") {
+    val shared = (1 to 12).map(i => s"w$i").mkString(" ")
+    val fix = Seq((1L, s"alpha beta $shared gamma"),
+      (101L, s"$shared tail tokens")).toDF("doc_id", "text")
+    val snap = fix.filter(col("doc_id") < 100)
+    try {
+      spark.conf.set(Dedup.BloomBitsKey, "4096")
+      val words = Dedup.bloomArtifact(snap).collect().head.getSeq[Long](0)
+      assert(words.length === 4096 / 64, "numeric knob sizes the artifact")
+      // the probe derives m from the artifact: verdicts stay correct at
+      // the smaller width (no false negatives at ANY m)
+      val out = Dedup.bloomGateXform(Dedup.bloomArtifact(snap))(
+        fix.filter(col("doc_id") >= 100)).collect()
+      assert(out.head.getBoolean(2))
+      // oracle generator resolves the SAME knob at generation time
+      assert(Dedup.bloomCtes().contains("% 4096"))
+      spark.conf.set(Dedup.BloomBitsKey, "auto")
+      val auto = Dedup.bloomArtifact(snap).collect().head.getSeq[Long](0)
+      assert(auto.length === 4096 / 64, // tiny gram count floors at 4096
+        s"auto must floor at 4096 bits, got ${auto.length * 64}")
+      assert(Dedup.guardAuto(Dedup.BloomBitsKey)(
+        Dedup.bloomGateOracleSql()).contains("error("),
+        "auto must poison the standalone oracle loudly")
+    } finally spark.conf.unset(Dedup.BloomBitsKey)
+  }
+
   test("winnowing selects ~1/w of gram positions (the anchor-cost claim)") {
     val longDoc = Seq((1L, (1 to 400).map(i => s"t${i % 97}x$i")
       .mkString(" "))).toDF("doc_id", "text")
