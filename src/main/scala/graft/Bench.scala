@@ -189,6 +189,25 @@ object Bench {
     // GRAFT_BENCH_INJECT_FAIL=q02 forces named queries to error — the
     // harness for proving the error-accounting path (totals must exclude
     // the failure and the JSON must name it) without a real regression.
+    // Per-query WRITE-byte metering (round-15 self-review item 4: make
+    // IO-boundness machine-readable instead of hand-curated): one
+    // listener accumulates executor output bytes; the timing loop
+    // snapshots it around each query, and `io_bytes` lands in the JSON
+    // next to the seconds. This is measurement only — IoQueries stays
+    // the re-probe trigger list — but a future round can derive that
+    // list mechanically from the recorded bytes, and a reviewer can see
+    // WHY q57/q51 wobble with disk state (tens of MB of fixture writes
+    // inside the timed body) without reading their source.
+    val bytesWritten = new java.util.concurrent.atomic.AtomicLong(0L)
+    spark.sparkContext.addSparkListener(
+      new org.apache.spark.scheduler.SparkListener {
+        override def onTaskEnd(
+            e: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
+          val m = e.taskMetrics
+          if (m != null) bytesWritten.addAndGet(
+            m.outputMetrics.bytesWritten + m.shuffleWriteMetrics.bytesWritten)
+        }
+      })
     val only = sys.env.get("GRAFT_BENCH_ONLY").map(_.split(",").toSet)
     val injectFail = sys.env.get("GRAFT_BENCH_INJECT_FAIL")
       .map(_.split(",").toSet).getOrElse(Set.empty[String])
@@ -219,9 +238,11 @@ object Bench {
       .toSeq.sortBy(_._1)
       .groupBy(_._1.takeWhile(!_.isDigit)).toSeq.sortBy(_._1)
     val suiteCalib = scala.collection.mutable.LinkedHashMap[String, Double]()
+    val ioBytes = scala.collection.mutable.LinkedHashMap[String, Long]()
     var probeBefore = calibStart
     val results: Map[String, Double] = suiteSeq.flatMap { case (suite, qs) =>
       val timed = qs.map { case (name, fn) =>
+        val bw0 = bytesWritten.get()
         val times = (1 to 2).map { _ =>
           val t0 = System.nanoTime()
           try {
@@ -230,6 +251,10 @@ object Bench {
             (System.nanoTime() - t0) / 1e9
           } catch { case _: Throwable => -1.0 }
         }
+        // listener events are async: a short settle keeps attribution
+        // per-query honest without materially slowing a 240-query pass
+        org.apache.spark.GraftListenerBridge.drain(spark.sparkContext, 2000L)
+        ioBytes(name) = bytesWritten.get() - bw0
         name -> (if (times.exists(_ < 0)) -1.0 else times.min)
       }
       val probeAfter = calibrate()
@@ -377,6 +402,15 @@ object Bench {
       .map { case (k, (first, re)) =>
         s"\"$k\":{\"first\":$first,\"reprobe\":$re}" }
       .mkString("{", ",", "}")
+    // Measured write bytes (task output + shuffle writes) per query, MiB at
+    // 1 dp, entries >= 1 MiB only: the machine-readable WHY behind the
+    // IoQueries list — fixture-writing queries show tens of MiB here while
+    // pure scans show nothing.
+    val ioBytesJson = ioBytes.toSeq
+      .filter(_._2 >= (1L << 20)).sortBy(-_._2)
+      .map { case (k, b) =>
+        s"\"$k\":${math.round(b / 1048576.0 * 10.0) / 10.0}" }
+      .mkString("{", ",", "}")
     val calibIoRatio = math.round(
       calibIoEnd / math.max(calibIoStart, 1e-9) * 1000.0) / 1000.0
     val prov = s""""runs_per_query":2,"load_avg_start":$loadStart,""" +
@@ -389,7 +423,7 @@ object Bench {
       s""""value_calib_normalized":$valueCalibNormalized,""" +
       s""""suite_normalized":$suiteNormJson,""" +
       s""""subset":${only.isDefined},"injected":$injectedJson,""" +
-      s""""requeried":$requeriedJson,""" +
+      s""""requeried":$requeriedJson,"io_mib":$ioBytesJson,""" +
       s""""contended":$contended,"drifted":$drifted,""" +
       s""""waited_sec":$waitedSec,""" +
       s""""n_failed":${failed.size},"failed":$failedJson"""
