@@ -19,7 +19,7 @@ object Bench {
   val FixtureQueries: Seq[String] = Seq(
     "q38_csv_roundtrip", "q70_dsv2_wire_scan", "q77_zorder_scan",
     "q93_bucketed_join", "q96_dsv2_spj", "q106_incremental_agg",
-    "m06_binaryfile_scan", "p10_index_lifecycle")
+    "q109_dynamic_pruning", "m06_binaryfile_scan", "p10_index_lifecycle")
 
   /** Queries whose wall time is DISK-bound (fixture writes / local-volume
     * reads), observed 1.4-3.0× off across hosts at MATCHED CPU calibration

@@ -2234,6 +2234,45 @@ object Extended {
             SELECT 'l_linestatus', c3, d3, mn3, mx3, n_rows FROM st, est
             UNION ALL
             SELECT 'l_shipday', c4, d4, mn4, mx4, n_rows FROM st, est"""
-      })
+      }),
+
+    // q109: DYNAMIC partition pruning — the runtime companion to q42's
+    // static prune and q76's bloom reduction, and THE flagship 100 TB
+    // star-join mechanism: the fact is partitioned on the join key, the
+    // dim's filter sits on a NON-join column (`cat`, a derived attribute),
+    // so no static rewrite can reach the fact — at runtime Spark turns the
+    // broadcast dim into a dynamicpruning subquery inside the fact scan's
+    // PartitionFilters and unselected partitions are never read
+    // (plan-pinned). The fixture is a one-time materialized partitioned
+    // copy (Bench prewarms it); the oracle is the plain join — pruning is
+    // physical, never semantic.
+    Q("q109_dynamic_pruning",
+      (s, d) => {
+        val tmp = Scratch.materialized(s"q109_part:$d")(p =>
+          Tables.events(s, d).withColumn("etype", col("event_type"))
+            .write.mode("overwrite").partitionBy("etype").parquet(p))
+        val fact = s.read.parquet(tmp)
+        val dim = Tables.events(s, d)
+          .select(col("event_type").as("etype")).distinct()
+          .withColumn("cat",
+            when(col("etype").isin("purchase", "signup"), "conversion")
+              .otherwise("activity"))
+          .filter(col("cat") === "conversion")
+        fact.join(dim.select("etype"), Seq("etype"))
+          .groupBy("etype")
+          .agg(count(lit(1)).as("n_events"),
+            sum(dec12(col("value"))).cast("double").as("sum_value"))
+      },
+      Some("""WITH dim AS (SELECT etype FROM (
+                  SELECT DISTINCT event_type AS etype,
+                         CASE WHEN event_type IN ('purchase', 'signup')
+                              THEN 'conversion' ELSE 'activity' END AS cat
+                  FROM events) WHERE cat = 'conversion')
+              SELECT e.event_type AS etype,
+                     CAST(count(*) AS BIGINT) AS n_events,
+                     CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE)
+                       AS sum_value
+              FROM events e JOIN dim ON e.event_type = dim.etype
+              GROUP BY 1"""))
   )
 }

@@ -658,6 +658,13 @@ class PlanQualitySpec extends SparkSpec {
     assert(!p.contains("BroadcastNestedLoopJoin"), p)
   }
 
+  test("q109: the fact scan carries a dynamicpruning PartitionFilter — " +
+      "the dim's non-join-column filter reaches the fact only at runtime") {
+    val p = planOf("q109_dynamic_pruning")
+    assert(p.contains("dynamicpruning"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
   test("q106: refresh reads state + pruned delta — history rows untouched") {
     val p = planOf("q106_incremental_agg")
     assert(p.contains("partial_sum"), p)

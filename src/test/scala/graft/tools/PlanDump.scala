@@ -46,6 +46,7 @@ object PlanDump {
     "x32_kmeans_recursed"     -> "recursed k-means|| recluster: the candidate relation stays distributed (checkpointed scan, weight-ranked seeds via one metadata-scale window), Lloyd rounds are broadcast-assign + posexplode/groupBy quantized recompute — no driver recluster at any k",
     "x33_sampled_recall"      -> "sampled-queries recall gate: nq-query broadcast, both arms through TopKPerKey partial heaps (shuffle carries <= |Q|*k rows, never the n*|Q| scored relation)",
     "d25_media_neardup"       -> "perceptual media near-dup: one compiled graft_dhash pass, block-pair equi-join (shuffled hash, capped), exact popcount verify on candidates only — the d15 shape on the media column",
+    "q109_dynamic_pruning"    -> "dynamic partition pruning: the broadcast dim becomes a dynamicpruning subquery in the fact scan's PartitionFilters — unselected partitions never read, the runtime star-join prune static rewrites cannot reach",
   )
 
   def main(args: Array[String]): Unit = {
