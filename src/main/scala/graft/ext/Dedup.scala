@@ -1059,18 +1059,35 @@ object Dedup {
   val BloomWords: Int = BloomM / 64
   val BloomBitsKey = "spark.graft.dedup.bloomBits"
 
-  /** Bloom width for a snapshot: numeric conf wins, `auto` derives
-    * 16 bits/DISTINCT-gram (rounded up to a 64-bit word, floored at 4096)
-    * from ONE counting pass over the snapshot — the resolveCells `auto`
-    * discipline applied to the filter size, so a production snapshot
-    * whose gram count dwarfs the eval slice gets a correctly-sized
-    * artifact without a hand knob (designed FPR at 16 bits/gram and k=7:
-    * ~1.5e-4). The PROBE side needs no knob at all: m = 64·|words| is
-    * read from the artifact itself (kernel and oracle both), so serve
+  /** The knob's DEFAULT is `auto` (round-16, the resolveCells precedent
+    * completed): a production snapshot's gram count dwarfs any constant a
+    * hand knob could carry, and the derivation is now oracle-expressible
+    * (see [[bloomCtes]] — the width CTE computes the same arithmetic from
+    * the same gram set, so the gate runs hash-green with the knob unset).
+    * A numeric conf still pins the width explicitly (the BloomM constant
+    * remains the documented 64 KiB reference geometry).
+    */
+  val BloomBitsDefault = "auto"
+
+  /** Bloom width for a snapshot: numeric conf wins, `auto` (the default)
+    * derives 16 bits/DISTINCT-gram (rounded up to a 64-bit word, floored
+    * at 4096) from ONE counting pass over the snapshot — the resolveCells
+    * `auto` discipline applied to the filter size, so a production
+    * snapshot whose gram count dwarfs the eval slice gets a
+    * correctly-sized artifact without a hand knob. Designed FPR at
+    * 16 bits/gram and k=7: (1−e^{−7/16})^7 ≈ 7·10⁻⁴ per PROBED GRAM —
+    * a doc with g distinct grams reads maybe_contaminated falsely with
+    * probability ≈ 1−(1−7e-4)^g (~3% at the eval slice's ~50 grams/doc;
+    * d28 measures the realized rate every run). That is the designed
+    * production posture: the Bloom pass is the cheap FIRST stage whose
+    * flagged docs route to the exact gate (s33/s34) — the two-stage
+    * decontamination shape — so the per-gram bound, not a per-doc zero,
+    * is the contract. The PROBE side needs no knob at all: m = 64·|words|
+    * is read from the artifact itself (kernel and oracle both), so serve
     * always matches build by construction.
     */
   private[graft] def resolveBloomBits(grams: DataFrame): Int = {
-    val conf = grams.sparkSession.conf.get(BloomBitsKey, BloomM.toString)
+    val conf = grams.sparkSession.conf.get(BloomBitsKey, BloomBitsDefault)
     val m =
       if (conf == "auto") {
         val n = grams.count()
@@ -1084,16 +1101,47 @@ object Dedup {
     m
   }
 
+  /** The snapshot's distinct SpanN-gram hash relation — the width
+    * derivation's counting input and the artifact's build input.
+    */
+  private def snapshotGrams(snapshotDocs: DataFrame, n: Int): DataFrame = {
+    graft.functions.GraftFunctions.register(snapshotDocs.sparkSession)
+    snapshotDocs
+      .select(explode(expr(s"graft_gram_chain(text, $n)")).as("g")).distinct()
+  }
+
+  /** The resolved width for a snapshot (conf or `auto`-derived) — p12
+    * resolves ONCE here and builds base AND delta at the same m, so the
+    * maintain-path OR can never pad mismatched word arrays (round-15
+    * advice: under `auto`, per-input derivation gave base and delta
+    * different widths and zip_with's null-pad turned the OR into silent
+    * false negatives).
+    */
+  def bloomWidth(snapshotDocs: DataFrame, n: Int = SpanN): Int =
+    resolveBloomBits(snapshotGrams(snapshotDocs, n))
+
   /** The 1-row Bloom word-array artifact over the snapshot's distinct
     * SpanN-gram hashes: k positions per gram → per-word bit_or → one
     * dense array<bigint> (order-free integer ORs — partition-stable).
     */
   def bloomArtifact(snapshotDocs: DataFrame, n: Int = SpanN): DataFrame = {
-    graft.functions.GraftFunctions.register(snapshotDocs.sparkSession)
+    val grams = snapshotGrams(snapshotDocs, n)
+    bloomFromGrams(grams, resolveBloomBits(grams))
+  }
+
+  /** [[bloomArtifact]] at an EXPLICIT width — the maintenance path's form
+    * (p12): the delta artifact must be built at the base artifact's m for
+    * the word-wise OR to be the exact set union.
+    */
+  def bloomArtifactAt(snapshotDocs: DataFrame, m: Int,
+      n: Int = SpanN): DataFrame = {
+    require(m >= 64 && m % 64 == 0,
+      s"bloom width $m must be a positive multiple of 64")
+    bloomFromGrams(snapshotGrams(snapshotDocs, n), m)
+  }
+
+  private def bloomFromGrams(grams: DataFrame, m: Int): DataFrame = {
     val P = PortableHash.P
-    val grams = snapshotDocs
-      .select(explode(expr(s"graft_gram_chain(text, $n)")).as("g")).distinct()
-    val m = resolveBloomBits(grams)
     graft.util.Caches.retainCheckpointed(grams
       .select(explode(expr(
         s"transform(sequence(0, ${BloomK - 1}), i -> " +
@@ -1132,25 +1180,56 @@ object Dedup {
     * the per-gram probe predicate builder — shared by the d27/d28/s35
     * oracles so the filter geometry lives in exactly one place.
     */
-  private[graft] def bloomCtes(n: Int = SpanN): String = {
+  private[graft] def bloomCtes(n: Int = SpanN,
+      snapshotWhere: String = "doc_id < 100",
+      widthWhere: Option[String] = None): String = {
     val P = PortableHash.P
-    // generation-time conf resolution (the d17 discipline); `auto` is
-    // poisoned by the callers' guardAuto — the standalone SQL cannot see
-    // the derived width
-    val m = confInt(BloomBitsKey, BloomM)
+    // generation-time conf resolution (the d17 discipline). A NUMERIC
+    // knob inlines as a literal; `auto` (the default) emits the width
+    // DERIVATION as SQL — greatest(4096, ((16·|distinct grams| + 63) //
+    // 64) · 64), the exact resolveBloomBits arithmetic over the exact
+    // same gram set — so the gate is hash-green with the knob unset (the
+    // round-15 "flip the default to auto" item; guardAuto no longer
+    // applies to this knob). `widthWhere` sizes the filter from a
+    // DIFFERENT slice than it is built over — p12's maintenance contract,
+    // where base and delta both build at the BASE snapshot's m.
+    val conf = knobValue(BloomBitsKey).getOrElse(BloomBitsDefault)
+    val auto = conf == "auto"
+    val mNum = if (auto) 0 else conf.toInt
     val chain = (1 until n).foldLeft("th[i]")((acc, j) =>
       s"(($acc) * 31 + th[i + $j]) % $P")
+    val widthSrc = widthWhere match {
+      case Some(w) if w != snapshotWhere =>
+        s"""bwg AS (SELECT DISTINCT $chain AS g
+               FROM bth, UNNEST(range(1, len(th) - ${n - 2})) AS u(i)
+               WHERE $w AND len(th) >= $n),
+        """
+      case _ => ""
+    }
+    val widthFrom =
+      if (widthWhere.exists(_ != snapshotWhere)) "bwg" else "bg"
+    val widthCte =
+      if (auto)
+        s"""${widthSrc}bwidth AS (SELECT greatest(4096,
+                 ((16 * count(*) + 63) // 64) * 64) AS mb
+               FROM $widthFrom),
+        """
+      else ""
+    val mExpr = if (auto) "mb" else mNum.toString
+    val mWords = if (auto) "CAST(mb // 64 AS BIGINT)" else (mNum / 64).toString
+    val bpFrom = if (auto) "bg, bwidth" else "bg"
+    val bloomFrom = if (auto) "bm, bwidth" else "bm"
     s"""bth AS MATERIALIZED (SELECT doc_id,
                 ${PortableHash.duckTokenHashes} AS th
               FROM documents),
         bg AS (SELECT DISTINCT $chain AS g
                FROM bth, UNNEST(range(1, len(th) - ${n - 2})) AS u(i)
-               WHERE doc_id < 100 AND len(th) >= $n),
-        bp AS (SELECT DISTINCT
+               WHERE $snapshotWhere AND len(th) >= $n),
+        ${widthCte}bp AS (SELECT DISTINCT
                       ((g % $P) * 2654435761 % $P
                        + i * (((g % $P) * 1099087573 % $P) | 1))
-                      % $P % $m AS p
-               FROM bg, UNNEST(range(0, $BloomK)) AS t(i)),
+                      % $P % $mExpr AS p
+               FROM $bpFrom, UNNEST(range(0, $BloomK)) AS t(i)),
         -- bit 63 is the sign bit: DuckDB range-checks 1::BIGINT << 63
         -- (Spark's shiftleft wraps silently), so that one mask is the
         -- explicit Long.MinValue literal. The probe side needs no twin
@@ -1164,10 +1243,10 @@ object Dedup {
                FROM bp GROUP BY 1),
         bm AS (SELECT map(list(w ORDER BY w), list(bits ORDER BY w)) AS wm
                FROM bw),
-        bloom AS (SELECT list_transform(range(0, ${m / 64}), w ->
+        bloom AS (SELECT list_transform(range(0, $mWords), w ->
                     coalesce(list_extract(map_extract(wm, w), 1),
                              CAST(0 AS BIGINT))) AS bl
-                  FROM bm)"""
+                  FROM $bloomFrom)"""
   }
 
   /** The oracle-side "all k probe bits set" predicate over gram var `g`
@@ -1187,11 +1266,12 @@ object Dedup {
   /** d27's oracle: per-arrival distinct-gram Bloom hit counts (and s35's —
     * the artifact lifecycle changes nothing about the verdicts).
     */
-  private[graft] def bloomGateOracleSql(n: Int = SpanN): String = {
+  private[graft] def bloomGateOracleSql(n: Int = SpanN,
+      widthWhere: Option[String] = None): String = {
     val P = PortableHash.P
     val chain = (1 until n).foldLeft("th[i]")((acc, j) =>
       s"(($acc) * 31 + th[i + $j]) % $P")
-    s"""WITH ${bloomCtes(n)}
+    s"""WITH ${bloomCtes(n, widthWhere = widthWhere)}
         SELECT doc_id,
                CAST(CASE WHEN len(th) >= $n
                     THEN len(list_filter(
@@ -2077,7 +2157,7 @@ object DedupQueries {
           Dedup.bloomArtifact(docs.filter(col("doc_id") < 100)))(
           docs.filter(col("doc_id") >= 100))
       },
-      Some(Dedup.guardAuto(Dedup.BloomBitsKey)(Dedup.bloomGateOracleSql()))),
+      Some(Dedup.bloomGateOracleSql())),
 
     // d28: the Bloom gate's quality gate — exact (sorted-set) verdicts vs
     // Bloom verdicts on the same arrivals: false negatives MUST read 0

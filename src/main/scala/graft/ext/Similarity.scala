@@ -692,8 +692,9 @@ object Similarity {
     //     small, it can be reclustered on one machine"): driver-local
     //     greedy k-center seeding + weighted Lloyd over the O(k) candidate
     //     rows. The greedy step is O(k·|C|·dim) ≈ 2·OversampleX·dim·k²
-    //     local flops — ~0.4 GFLOP at the default threshold k=4096
-    //     (sub-second), but ~100 GFLOP at the 65536 resolveCells ceiling
+    //     local flops — ~0.4 GFLOP at k=4096 (sub-second; the default
+    //     threshold is ReclusterMaxKDefault=256, chosen at the measured
+    //     crossover), but ~100 GFLOP at the 65536 resolveCells ceiling
     //     (~a minute of driver time): the round-14 declared bound.
     //   k > ReclusterMaxK — the recursion that closes that bound (round-15
     //     verdict item 1): the recluster runs through the DISTRIBUTED

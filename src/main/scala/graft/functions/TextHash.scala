@@ -302,8 +302,15 @@ object TextHash {
     while (i < n) {
       val v = arr(i)
       if (first || v != prev) {
-        val h1 = (v % P) * 2654435761L % P
-        val h2 = (v % P) * 1099087573L % P | 1L
+        // floorMod: canonical gram hashes are non-negative (graft_gram_chain
+        // mods by P), but graft_bloom_hits is session-registered and
+        // reachable from ad-hoc SQL with arbitrary array<bigint> input — a
+        // negative v under `%` would drive the probe position negative and
+        // index out of the word array (round-15 advice). floorMod is a
+        // no-op on the canonical inputs, so the SQL twins are unchanged.
+        val g = java.lang.Math.floorMod(v, P)
+        val h1 = g * 2654435761L % P
+        val h2 = g * 1099087573L % P | 1L
         var all = true
         var j = 0
         while (all && j < k) {

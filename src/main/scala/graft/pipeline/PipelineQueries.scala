@@ -505,26 +505,38 @@ object PipelineQueries {
     // artifact. Unlike p11's frozen-quantizer approximation contract,
     // Bloom union is EXACT by construction (each gram ORs its k bits
     // independently, ORs commute): artifact(base ∪ delta) ==
-    // OR(artifact(base), artifact(delta)) word-for-word, so maintain ≡
-    // rebuild is a theorem — the oracle is d27's rebuild-form SQL
-    // verbatim, and PipelineSpec pins the word-array equality itself. At
+    // OR(artifact(base), artifact(delta)) word-for-word AT ONE WIDTH, so
+    // maintain ≡ rebuild is a theorem — the oracle is d27's rebuild-form
+    // SQL sized from the base slice (widthWhere), and PipelineSpec pins
+    // the word-array equality itself. At
     // 100 TB this is the nightly decontamination job: yesterday's 64 KiB
     // artifact + today's delta scan, never a full-corpus rebuild.
     Q("p12_bloom_maintenance",
       (s, d) => {
         val docs = Tables.documents(s, d)
-        val base = graft.ext.Dedup.bloomArtifact(
-          docs.filter(col("doc_id") < 50))
-        val delta = graft.ext.Dedup.bloomArtifact(
-          docs.filter(col("doc_id") >= 50 && col("doc_id") < 100))
+        // Width resolves ONCE, from the BASE snapshot, and the delta
+        // builds at that same m (round-15 advice): under bloomBits=auto a
+        // per-input derivation gave base and delta different word counts,
+        // and zip_with's null-pad turned x|null into null words —
+        // graft_bloom_hits read those as 0 bits, i.e. silent FALSE
+        // NEGATIVES. Same-m builds make the OR the exact set union by
+        // construction (equal-length arrays can never pad). The oracle
+        // mirrors the contract: its rebuild over base ∪ delta derives m
+        // from the base slice (widthWhere) — maintain ≡ rebuild-at-base-m
+        // is the OR theorem, now knob-mode-independent.
+        val baseDocs = docs.filter(col("doc_id") < 50)
+        val m = graft.ext.Dedup.bloomWidth(baseDocs)
+        val base = graft.ext.Dedup.bloomArtifactAt(baseDocs, m)
+        val delta = graft.ext.Dedup.bloomArtifactAt(
+          docs.filter(col("doc_id") >= 50 && col("doc_id") < 100), m)
         val maintained = base.crossJoin( // 1-row × 1-row artifact combine
           delta.withColumnRenamed("bloom", "b2"))
           .select(expr("zip_with(bloom, b2, (x, y) -> x | y)").as("bloom"))
         graft.ext.Dedup.bloomGateXform(maintained)(
           docs.filter(col("doc_id") >= 100))
       },
-      Some(graft.ext.Dedup.guardAuto(graft.ext.Dedup.BloomBitsKey)(
-        graft.ext.Dedup.bloomGateOracleSql())))
+      Some(graft.ext.Dedup.bloomGateOracleSql(
+        widthWhere = Some("doc_id < 50"))))
   )
 }
 

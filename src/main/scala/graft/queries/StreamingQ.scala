@@ -2065,7 +2065,13 @@ object StreamingQ {
     Q("s35_stream_bloom_gate",
       (s, d) => {
         graft.functions.GraftFunctions.register(s)
-        val dir = graft.util.Scratch.materialized(s"s35_bloom_$d") { root =>
+        // the Scratch key carries the resolved width knob: a conf-sweeping
+        // spec/tool changing bloomBits in one JVM must not be served a
+        // stale artifact built at the old m (round-15 advice)
+        val mConf = s.conf.get(graft.ext.Dedup.BloomBitsKey,
+          graft.ext.Dedup.BloomBitsDefault)
+        val dir = graft.util.Scratch.materialized(
+          s"s35_bloom_${d}_m$mConf") { root =>
           graft.ext.Dedup.bloomArtifact(
             Tables.documents(s, d).filter(col("doc_id") < 100))
             .write.parquet(s"$root/bloom")
@@ -2077,8 +2083,7 @@ object StreamingQ {
           graft.ext.Dedup.bloomGateXform(bloom)(
             src.filter(col("doc_id") >= 100)))
       },
-      Some(graft.ext.Dedup.guardAuto(graft.ext.Dedup.BloomBitsKey)(
-        graft.ext.Dedup.bloomGateOracleSql())))
+      Some(graft.ext.Dedup.bloomGateOracleSql()))
   )
 
   /** s33/s34's shared oracle: the contamination verdicts are a pure

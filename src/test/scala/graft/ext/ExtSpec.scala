@@ -402,8 +402,8 @@ class ExtSpec extends SparkSpec {
   }
 
   test("bloomBits knob: numeric re-sizes both engine and oracle at " +
-      "generation time; auto derives from the gram count and poisons " +
-      "the oracle (the resolveCells discipline)") {
+      "generation time; auto (the DEFAULT) derives from the gram count " +
+      "in BOTH engines — the oracle emits the same derivation as SQL") {
     val shared = (1 to 12).map(i => s"w$i").mkString(" ")
     val fix = Seq((1L, s"alpha beta $shared gamma"),
       (101L, s"$shared tail tokens")).toDF("doc_id", "text")
@@ -417,16 +417,49 @@ class ExtSpec extends SparkSpec {
       val out = Dedup.bloomGateXform(Dedup.bloomArtifact(snap))(
         fix.filter(col("doc_id") >= 100)).collect()
       assert(out.head.getBoolean(2))
-      // oracle generator resolves the SAME knob at generation time
+      // oracle generator resolves the SAME knob at generation time: a
+      // numeric knob inlines the literal and emits NO derivation CTE
       assert(Dedup.bloomCtes().contains("% 4096"))
+      assert(!Dedup.bloomCtes().contains("bwidth"))
       spark.conf.set(Dedup.BloomBitsKey, "auto")
       val auto = Dedup.bloomArtifact(snap).collect().head.getSeq[Long](0)
       assert(auto.length === 4096 / 64, // tiny gram count floors at 4096
         s"auto must floor at 4096 bits, got ${auto.length * 64}")
-      assert(Dedup.guardAuto(Dedup.BloomBitsKey)(
-        Dedup.bloomGateOracleSql()).contains("error("),
-        "auto must poison the standalone oracle loudly")
+      // auto is no longer oracle-poisoning (round-16): the oracle carries
+      // the exact resolveBloomBits arithmetic over the exact gram set
+      val sql = Dedup.bloomGateOracleSql()
+      assert(sql.contains("bwidth") && sql.contains("greatest(4096"),
+        "auto oracle must derive the width in SQL")
+      assert(!Dedup.guardAuto(Dedup.KmeansCellsKey)(sql).contains("error("),
+        "guardAuto still guards OTHER knobs only when they read auto")
     } finally spark.conf.unset(Dedup.BloomBitsKey)
+    // with the knob UNSET, the default IS auto on both sides
+    assert(Dedup.bloomCtes().contains("bwidth"),
+      "unset knob must emit the auto derivation (auto is the default)")
+  }
+
+  test("d28 FP gate at the auto-derived width (the default): zero false " +
+      "negatives by theorem, realized doc-level FP rate inside the " +
+      "designed per-gram bound's expectation") {
+    // the round-15 verdict's 'sliver actually left': the FP gate had only
+    // been MEASURED at the 524288-bit constant. Run the full d28 query at
+    // the auto default against real testdata.
+    val sf = "/root/testdata/sf0.01"
+    assume(new java.io.File(s"$sf/documents.parquet").exists)
+    val row = graft.queries.Catalog.byName("d28_bloom_eval")
+      .run(spark, sf).collect().head
+    val nArrivals = row.getLong(0)
+    val nFalsePos = row.getLong(3)
+    val nFalseNeg = row.getLong(4)
+    assert(nFalseNeg === 0L, "Bloom false negatives are impossible")
+    assert(nArrivals > 0L)
+    // designed per-gram FPR at 16 bits/gram, k=7 is ~7e-4; docs carry
+    // ~50 distinct grams → per-doc ~3.5%. Gate at 3× that expectation so
+    // a broken probe family (the 10⁶×-off incident d28 exists to catch)
+    // fails loudly while honest statistical variation passes.
+    assert(nFalsePos.toDouble / nArrivals <= 0.10,
+      s"doc-level FP rate ${nFalsePos.toDouble / nArrivals} is far off " +
+        "the 16-bits/gram design bound")
   }
 
   test("winnowing selects ~1/w of gram positions (the anchor-cost claim)") {

@@ -392,7 +392,8 @@ class KmeansSpec extends SparkSpec {
         .collect().map(_.toString).sorted.toSeq
     } finally s.conf.unset(ParSeed.ReclusterMaxKKey)
     assert(routed === forced)
-    // default threshold (4096): k=12 stays on the greedy arm — the routed
+    // default threshold (ReclusterMaxKDefault=256): k=12 stays on the
+    // greedy arm — the routed
     // plan is the x30 semantics, untouched by this round's change
     assert(Similarity.reclusterMaxK(s) === ParSeed.ReclusterMaxKDefault)
   }

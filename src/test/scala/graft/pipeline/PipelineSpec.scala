@@ -289,23 +289,33 @@ class PipelineSpec extends SparkSpec {
     }
   }
 
-  test("p12: bloom maintenance is EXACT — OR(base, delta) equals the " +
-      "full rebuild word-for-word") {
+  test("p12: bloom maintenance is EXACT at ONE width — OR(base, delta) " +
+      "equals the rebuild-at-base-m word-for-word, including under " +
+      "bloomBits=auto where per-input widths would differ") {
     val sp = spark
     import sp.implicits._
     import org.apache.spark.sql.functions._
-    val docs = (1L to 40L)
+    val docs = (1L to 30L)
       .map(i => (i, (1 to 30).map(t => s"d${i}t$t").mkString(" ")))
       .toDF("doc_id", "text")
+    // asymmetric slices: under the auto default the per-input derivations
+    // DIFFER (base 20 docs → 7360 bits, delta 10 docs → floor 4096), the
+    // exact setup where the round-15 zip_with null-pad bug silently
+    // dropped bits. The p12 contract builds BOTH at the base snapshot's m.
     val base = docs.filter(col("doc_id") <= 20)
     val delta = docs.filter(col("doc_id") > 20)
-    val rebuilt = graft.ext.Dedup.bloomArtifact(docs)
+    val m = graft.ext.Dedup.bloomWidth(base)
+    assert(m !== graft.ext.Dedup.bloomWidth(delta),
+      "fixture must exercise the mismatched-derivation case")
+    val rebuilt = graft.ext.Dedup.bloomArtifactAt(docs, m)
       .collect().head.getSeq[Long](0)
-    val maintained = graft.ext.Dedup.bloomArtifact(base)
-      .crossJoin(graft.ext.Dedup.bloomArtifact(delta)
+    val maintained = graft.ext.Dedup.bloomArtifactAt(base, m)
+      .crossJoin(graft.ext.Dedup.bloomArtifactAt(delta, m)
         .withColumnRenamed("bloom", "b2"))
       .select(expr("zip_with(bloom, b2, (x, y) -> x | y)").as("bloom"))
       .collect().head.getSeq[Long](0)
+    assert(maintained.length === m / 64,
+      "same-m builds can never null-pad: the OR'd array is full width")
     assert(maintained === rebuilt,
       "bit-OR union must reproduce the rebuild exactly (ORs commute)")
   }
