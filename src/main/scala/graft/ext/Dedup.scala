@@ -316,7 +316,22 @@ object Dedup {
     * the exact popcount(xor) ≤ 2 verify runs on candidates only — the
     * quadratic space is never built.
     */
-  private[graft] def hammingBlockPairs(sig: DataFrame): DataFrame = {
+  private[graft] def hammingBlockPairs(sig: DataFrame): DataFrame =
+    pigeonholeCandidates(sig)
+      .select(col("doc_a"), col("doc_b"),
+        expr("CAST(bit_count(sh_a ^ sh_b) AS INT)").as("hamming"))
+      .filter(col("hamming") <= 2)
+
+  /** The candidate half of the pigeonhole join, factored so the two
+    * verify semantics share one body: d15/d25's bit-Hamming popcount
+    * (positional signatures — SimHash votes, dHash comparisons) and d29's
+    * block-equality count (SET signatures — a 15-bit min-hash block
+    * either matches exactly or is unrelated, so bit distance between
+    * differing blocks is meaningless). Both receive (doc_a, doc_b, sh_a,
+    * sh_b) = every distinct pair agreeing on at least one of the C(4,2)
+    * block-pair keys ⟺ at least 2 of 4 blocks equal.
+    */
+  private[graft] def pigeonholeCandidates(sig: DataFrame): DataFrame = {
     val blockPairs = Seq((0, 1), (0, 2), (0, 3), (1, 2), (1, 3), (2, 3))
     val bw = simhashBlockBits
     val mask = (1L << bw) - 1
@@ -335,9 +350,110 @@ object Dedup {
     a.join(b, col("bp") === col("bp_b") && col("b1") === col("b1b") &&
         col("b2") === col("b2b") && col("doc_a") < col("doc_b"))
       .select("doc_a", "doc_b", "sh_a", "sh_b").distinct()
+  }
+
+  /** d29's candidate relation: pigeonhole candidates over BLOCK-SET
+    * signatures (m10's packed min-hashes) with the per-pair block
+    * agreement count — by the pigeonhole construction every emitted pair
+    * has n_match_blocks ≥ 2 (two of four independent min-hashes agree).
+    */
+  private[graft] def minhashBlockCandidates(sig: DataFrame): DataFrame = {
+    val bw = simhashBlockBits
+    val mask = (1L << bw) - 1
+    val matches = (0 until simhashBlocks).map(i =>
+      s"(CASE WHEN ((sh_a >> ${bw * i}) & $mask) = " +
+        s"((sh_b >> ${bw * i}) & $mask) THEN 1 ELSE 0 END)")
+      .mkString(" + ")
+    pigeonholeCandidates(sig)
       .select(col("doc_a"), col("doc_b"),
-        expr("CAST(bit_count(sh_a ^ sh_b) AS INT)").as("hamming"))
-      .filter(col("hamming") <= 2)
+        expr(s"CAST($matches AS INT)").as("n_match_blocks"))
+  }
+
+  /** d29's admission threshold on the exact byte-gram-set Jaccard verify.
+    * Derivation: at the signature's 61-byte floor a payload has ≥ 46
+    * byte-16-gram positions; a 1-byte insert/delete destroys ≤ k distinct
+    * grams and creates ≤ k−1, so under the all-grams-distinct worst case
+    * an edit-distance-1 pair keeps J ≥ (46−16)/(46+15) ≈ 0.49 — τ = 0.45
+    * admits every such pair with headroom (repetitive payloads only push
+    * J HIGHER: the destroyed positions' values usually survive
+    * elsewhere). Unrelated word-soup docs share ~1% of their 16-byte
+    * grams (measured), so the verify is also the precision gate. Recall
+    * of the BLOCKING is probabilistic (min-hash, not a theorem) and d30
+    * MEASURES it on length-changing planted noise.
+    */
+  val MediaJaccardTau = 0.45
+
+  /** d29/d30's engine body over a (doc_id, text) corpus: m10 signatures →
+    * pigeonhole block candidates → exact distinct-byte-gram Jaccard
+    * verify ≥ τ on candidates only (the d02/d03 discipline at byte
+    * granularity — the quadratic space is never built, and the gram
+    * arrays travel only to candidate rows).
+    */
+  def mediaMinhashPairs(corpus: DataFrame): DataFrame = {
+    graft.functions.GraftFunctions.register(corpus.sparkSession)
+    val sigs = graft.ext.Multimodal.mediaMinhash(corpus)
+      .select(col("doc_id"), col("mhash").as("sig"))
+    val grams = graft.util.Caches.retain(corpus
+      .filter(octet_length(col("text")) >=
+        graft.ext.Multimodal.mhashMinBytes)
+      .select(col("doc_id"), array_distinct(expr(
+        s"graft_byte_grams(text, ${graft.ext.Multimodal.mhashGramBytes})"))
+        .as("bg")))
+    minhashBlockCandidates(sigs)
+      .join(grams.select(col("doc_id").as("doc_a"), col("bg").as("ga"),
+        size(col("bg")).as("na")), "doc_a")
+      .join(grams.select(col("doc_id").as("doc_b"), col("bg").as("gb"),
+        size(col("bg")).as("nb")), "doc_b")
+      .withColumn("inter", size(array_intersect(col("ga"), col("gb"))))
+      .select(col("doc_a"), col("doc_b"), col("n_match_blocks"),
+        (col("inter").cast("double") /
+          (col("na") + col("nb") - col("inter"))).as("jaccard"))
+      .filter(col("jaccard") >= MediaJaccardTau)
+  }
+
+  /** DuckDB twin of [[mediaMinhashPairs]] as CTEs over `$aug` ending in
+    * `mp(doc_a, doc_b, n_match_blocks, jaccard)` — the O(n²) brute force,
+    * affordable at oracle SF; the engine never builds the pair space.
+    */
+  private[graft] def mediaMinhashPairsSql(aug: String): String = {
+    val k = graft.ext.Multimodal.mhashGramBytes
+    val minB = graft.ext.Multimodal.mhashMinBytes
+    val P = PortableHash.P
+    val chain = (0 until k).foldLeft("CAST(0 AS BIGINT)")((acc, j) =>
+      s"(($acc) * 31 + ascii(substr(text, CAST(i + $j AS INT), 1))) % $P")
+    val mixes = graft.functions.TextHash.MinhashMixes
+    val blocks = mixes.zipWithIndex.map { case (c, b) =>
+      s"list_min(list_transform(gh, g -> (g * $c) % $P)) % 32768 AS b$b"
+    }.mkString(",\n                      ")
+    // block b of the packed signature = (mhash // 2^(15b)) % 2^15 — `//`
+    // and `>>` agree on the non-negative packed value
+    val shifts = Seq("1", "32768", "1073741824", "35184372088832")
+    val matches = shifts.map(s =>
+      s"(CASE WHEN (a.mhash // $s) % 32768 = (b.mhash // $s) % 32768 " +
+        "THEN 1 ELSE 0 END)").mkString(" + ")
+    s"""ms AS MATERIALIZED (
+          SELECT doc_id,
+                 CAST(b0 + b1 * 32768 + b2 * 1073741824
+                      + b3 * 35184372088832 AS BIGINT) AS mhash,
+                 dg
+          FROM (SELECT doc_id,
+                      $blocks,
+                      list_distinct(gh) AS dg
+                FROM (SELECT doc_id,
+                             list_transform(
+                               range(1, octet_length(encode(text))
+                                        - $k + 2),
+                               i -> $chain) AS gh
+                      FROM $aug
+                      WHERE octet_length(encode(text)) >= $minB))),
+        mp AS (SELECT doc_a, doc_b, n_match_blocks, jaccard FROM (
+          SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                 CAST($matches AS INT) AS n_match_blocks,
+                 CAST(len(list_intersect(a.dg, b.dg)) AS DOUBLE)
+                   / (len(a.dg) + len(b.dg)
+                      - len(list_intersect(a.dg, b.dg))) AS jaccard
+          FROM ms a JOIN ms b ON a.doc_id < b.doc_id) z
+          WHERE n_match_blocks >= 2 AND jaccard >= $MediaJaccardTau)"""
   }
 
   /** d09: duplicate-CLUSTER resolution — connected components over the LSH
@@ -2052,6 +2168,13 @@ object DedupQueries {
                WHERE bit_count(xor(a.phash, b.phash)) <= 2""")),
 
     // d26: the planted P/R gate for d25's perceptual blocking (the d14
+    // protocol). BOUNDARY NOTE (round-16): this truth set is
+    // SUBSTITUTION-ONLY by construction (the planted copy preserves
+    // length), so the P/R = 1.0/1.0 it measures certifies exactly the
+    // dHash locality theorem's domain. The length-CHANGING case — the
+    // realistic re-encode — is graded by d30 on a deleted-byte truth set,
+    // where THIS signature reads recall ~0.01 and the d29 min-hash
+    // signature replaces it. (Original d26 rationale below — the d14
     // protocol): ground truth compares PAYLOADS, not hashes — cross pairs
     // (slice doc, planted copy) at Levenshtein distance <= 1, i.e. "is a
     // <=1-substitution re-encode of", evaluated on a 100-doc slice with a
@@ -2141,6 +2264,139 @@ object DedupQueries {
                                                AND c.doc_b = t.doc_b)
                                   AS DOUBLE)
                              / (SELECT count(*) FROM truth) END AS recall"""
+      }),
+
+    // d29: ALIGNMENT-TOLERANT media near-dup pairing (round-16 — closes
+    // the round-15 `weak` item): m10's byte-16-gram min-hash signature
+    // through the SAME d15 pigeonhole block join d25 uses, but graded on
+    // LENGTH-CHANGING planted noise (plantMediaEdits deletes a byte — the
+    // realistic re-encode class where d25's strided dHash decorrelates
+    // completely). Candidates come from ONE equi-join on the exploded
+    // block-pair keys (maxBucketSize cap applies); the exact
+    // distinct-gram Jaccard ≥ τ verify runs on candidates only (the
+    // d02/d03 discipline at byte granularity). The oracle is the O(n²)
+    // brute force, affordable at oracle SF; the engine never builds the
+    // quadratic space. Measured (d30): precision 1.0 both scales, recall
+    // 0.99 at sf0.01 / 0.96 at sf0.1 — the 2-of-4 block agreement trades
+    // a few % recall at THIS payload length (~300 B word-soup, distinct
+    // 16-gram Jaccard ~0.81 after one delete) for cold 30-bit blocking
+    // keys; real media payloads (KB-MB) sit far closer to J=1 where the
+    // same agreement reads ~1.0, and the recall knob is more/narrower
+    // bands at the cost of hotter buckets (the d03 banding trade).
+    Q("d29_media_minhash_neardup",
+      (s, d) => Dedup.mediaMinhashPairs(
+        Multimodal.plantMediaEdits(Tables.documents(s, d))),
+      Some(s"""WITH aug AS MATERIALIZED (${Multimodal.plantMediaEditsSql()}),
+                    ${Dedup.mediaMinhashPairsSql("aug")}
+               SELECT doc_a, doc_b, n_match_blocks, jaccard FROM mp""")),
+
+    // d30: the planted P/R gate for d29 on INSERT/DELETE noise (the d14
+    // protocol, d26's shape, the HARD perturbation class): ground truth
+    // compares PAYLOADS — cross pairs (slice doc, deleted-byte copy) at
+    // Levenshtein distance <= 1 — so a signature collision between
+    // genuinely different payloads reads precision < 1 and a blocking
+    // miss reads recall < 1. BOTH signatures are graded on the same
+    // truth: dhash_recall documents m09/d25's declared boundary as a
+    // MEASURED number (~0 — every strided sample shifts after the
+    // deletion) where the min-hash signature's recall is ~1.
+    Q("d30_media_minhash_eval",
+      (s, d) => {
+        graft.functions.GraftFunctions.register(s)
+        val bMin = Multimodal.mhashMinBytes + 1
+        val slice = graft.util.Caches.retain(
+          Tables.documents(s, d)
+            .filter(col("doc_id") < 100 &&
+              octet_length(col("text")) >= bMin)
+            .select("doc_id", "text"))
+        val copies = slice.select((col("doc_id") + 50000).as("doc_id"),
+          concat(
+            expr("substring(text, 1, length(text) DIV 2)"),
+            expr("substring(text, length(text) DIV 2 + 2)")).as("text"))
+        val aug = slice.unionByName(copies)
+        // truth by string comparison (the d22/d26 discipline): the cheap
+        // |len| gate prunes the pair space before the O(len²) DP runs
+        val truth = slice.select(col("doc_id").as("doc_a"),
+            col("text").as("ta"))
+          .crossJoin(broadcast(copies.select(col("doc_id").as("doc_b"),
+            col("text").as("tb"))))
+          .filter(abs(length(col("ta")) - length(col("tb"))) <= 1 &&
+            levenshtein(col("ta"), col("tb")) <= 1)
+          .select("doc_a", "doc_b")
+        val cand = Dedup.mediaMinhashPairs(aug)
+          .filter(col("doc_a") < 50000 && col("doc_b") >= 50000)
+          .select("doc_a", "doc_b")
+        val dcand = Dedup.hammingBlockPairs(
+            Multimodal.mediaPhash(aug)
+              .select(col("doc_id"), col("phash").as("sig")))
+          .filter(col("doc_a") < 50000 && col("doc_b") >= 50000)
+          .select("doc_a", "doc_b")
+        val ce = truth.agg(count(lit(1)).as("n_exact"))
+        val cc = cand.agg(count(lit(1)).as("n_cand"))
+        val ch = cand.intersect(truth).agg(count(lit(1)).as("n_hit"))
+        val dh = dcand.intersect(truth).agg(count(lit(1)).as("n_dhash_hit"))
+        ce.crossJoin(cc).crossJoin(ch).crossJoin(dh).select(
+          col("n_exact"), col("n_cand"), col("n_hit"),
+          when(col("n_cand") > 0,
+            col("n_hit").cast("double") / col("n_cand")).as("precision"),
+          when(col("n_exact") > 0,
+            col("n_hit").cast("double") / col("n_exact")).as("recall"),
+          col("n_dhash_hit"),
+          when(col("n_exact") > 0,
+            col("n_dhash_hit").cast("double") / col("n_exact"))
+            .as("dhash_recall"))
+      },
+      Some {
+        val bMin = Multimodal.mhashMinBytes + 1
+        s"""WITH slice AS MATERIALIZED (
+                   SELECT doc_id, text FROM documents
+                   WHERE doc_id < 100
+                     AND octet_length(encode(text)) >= $bMin),
+                 copies AS MATERIALIZED (
+                   SELECT doc_id + 50000 AS doc_id,
+                          substr(text, 1, length(text) // 2) ||
+                          substr(text, length(text) // 2 + 2) AS text
+                   FROM slice),
+                 aug AS (SELECT * FROM slice
+                         UNION ALL SELECT * FROM copies),
+                 ${Dedup.mediaMinhashPairsSql("aug")},
+                 ph AS MATERIALIZED (${Multimodal.mediaPhashSql("aug")}),
+                 truth AS (SELECT s.doc_id AS doc_a, c.doc_id AS doc_b
+                           FROM slice s, copies c
+                           WHERE abs(length(s.text) - length(c.text)) <= 1
+                             AND levenshtein(s.text, c.text) <= 1),
+                 cand AS (SELECT doc_a, doc_b FROM mp
+                          WHERE doc_a < 50000 AND doc_b >= 50000),
+                 dcand AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+                           FROM ph a JOIN ph b ON a.doc_id < b.doc_id
+                           WHERE bit_count(xor(a.phash, b.phash)) <= 2
+                             AND a.doc_id < 50000 AND b.doc_id >= 50000)
+            SELECT (SELECT CAST(count(*) AS BIGINT) FROM truth) AS n_exact,
+                   (SELECT CAST(count(*) AS BIGINT) FROM cand) AS n_cand,
+                   (SELECT CAST(count(*) AS BIGINT) FROM cand c
+                    JOIN truth t ON c.doc_a = t.doc_a
+                                AND c.doc_b = t.doc_b) AS n_hit,
+                   CASE WHEN (SELECT count(*) FROM cand) > 0
+                        THEN CAST((SELECT count(*) FROM cand c
+                                   JOIN truth t ON c.doc_a = t.doc_a
+                                               AND c.doc_b = t.doc_b)
+                                  AS DOUBLE)
+                             / (SELECT count(*) FROM cand) END AS precision,
+                   CASE WHEN (SELECT count(*) FROM truth) > 0
+                        THEN CAST((SELECT count(*) FROM cand c
+                                   JOIN truth t ON c.doc_a = t.doc_a
+                                               AND c.doc_b = t.doc_b)
+                                  AS DOUBLE)
+                             / (SELECT count(*) FROM truth) END AS recall,
+                   (SELECT CAST(count(*) AS BIGINT) FROM dcand c
+                    JOIN truth t ON c.doc_a = t.doc_a
+                                AND c.doc_b = t.doc_b) AS n_dhash_hit,
+                   CASE WHEN (SELECT count(*) FROM truth) > 0
+                        THEN CAST((SELECT count(*) FROM dcand c
+                                   JOIN truth t ON c.doc_a = t.doc_a
+                                               AND c.doc_b = t.doc_b)
+                                  AS DOUBLE)
+                             / (SELECT count(*) FROM truth) END
+                     AS dhash_recall"""
       }),
 
     // d27: BLOOM contamination gate — the substring gate's 100 TB scale

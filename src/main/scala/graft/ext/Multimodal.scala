@@ -144,7 +144,10 @@ object Multimodal {
     * dHash is within Hamming 2 of the original BY THE LOCALITY THEOREM —
     * the planted truth d26 measures recall against. (An insert/delete
     * perturbation shifts every downstream sample — the declared boundary
-    * of this signature, as cropping is for pHash.)
+    * of this signature, as cropping is for pHash. Round-16: that boundary
+    * is now MEASURED — d30 grades this dHash at recall ~0.01 on
+    * deleted-byte noise — and CLOSED by the alignment-tolerant
+    * [[mediaMinhash]]/d29 companion, which reads ~1.0 on the same truth.)
     */
   def plantMediaNoise(docs: DataFrame, idOffset: Long = 30000L,
       mod: Int = 5): DataFrame = {
@@ -170,6 +173,83 @@ object Multimodal {
         FROM documents
         $where ${if (where.isEmpty) "WHERE" else "AND"} doc_id % $mod = 0
           AND octet_length(encode(text)) >= ${phashBits + 1}"""
+
+  /** m10/d29: the ALIGNMENT-TOLERANT media signature — 4 × 15-bit byte
+    * k-gram min-hashes packed into one 60-bit long (see
+    * [[graft.functions.TextHash.byteMinhash]]), the companion that closes
+    * m09's declared substitution-only boundary: a real re-encode CHANGES
+    * PAYLOAD LENGTH, which shifts every one of the dHash's strided
+    * samples, but perturbs at most 2k−1 of the byte k-gram SET — so the
+    * min-hash blocks survive and the d15 pigeonhole join still pairs the
+    * copy with its original. Same 60-bit layout, so the signature feeds
+    * the same block-pair machinery; the byte floor mirrors [[mediaPhash]]
+    * (shorter payloads route to exact-byte dedup).
+    */
+  val mhashGramBytes = 16
+  val mhashMinBytes: Int = phashBits + 1 // 61: m09's routing floor
+  def mediaMinhash(docs: DataFrame): DataFrame = {
+    graft.functions.GraftFunctions.register(docs.sparkSession)
+    docs.filter(octet_length(col("text")) >= mhashMinBytes)
+      .select(col("doc_id"),
+        octet_length(col("text")).as("n_bytes"),
+        expr(s"graft_byte_minhash(text, $mhashGramBytes)").as("mhash"))
+  }
+
+  def mediaMinhashSql(src: String = "documents"): String = {
+    val k = mhashGramBytes
+    val P = graft.ext.PortableHash.P
+    val chain = (0 until k).foldLeft("CAST(0 AS BIGINT)")((acc, j) =>
+      s"(($acc) * 31 + ascii(substr(text, CAST(i + $j AS INT), 1))) % $P")
+    val mixes = graft.functions.TextHash.MinhashMixes
+    val blocks = mixes.zipWithIndex.map { case (c, b) =>
+      s"list_min(list_transform(gh, g -> (g * $c) % $P)) % 32768 AS b$b"
+    }.mkString(",\n               ")
+    s"""SELECT doc_id, n_bytes,
+               CAST(b0 + b1 * 32768 + b2 * 1073741824
+                    + b3 * 35184372088832 AS BIGINT) AS mhash
+        FROM (SELECT doc_id, n_bytes,
+               $blocks
+              FROM (SELECT doc_id,
+                           CAST(octet_length(encode(text)) AS INT)
+                             AS n_bytes,
+                           list_transform(
+                             range(1, octet_length(encode(text)) - $k + 2),
+                             i -> $chain) AS gh
+                    FROM $src
+                    WHERE octet_length(encode(text)) >= $mhashMinBytes))"""
+  }
+
+  /** d29/d30's planted perturbation: a deterministic "re-encoded copy"
+    * whose LENGTH CHANGES — the midpoint byte is DELETED (one
+    * edit-distance-1 deletion), the realistic case [[plantMediaNoise]]'s
+    * substitution deliberately avoids and m09's strided dHash is blind to
+    * (every post-edit sample shifts). The min-hash signature's gram-set
+    * view loses at most 2k−1 grams, so d30 can measure recall on exactly
+    * the perturbation class that used to be the declared boundary.
+    */
+  def plantMediaEdits(docs: DataFrame, idOffset: Long = 40000L,
+      mod: Int = 5): DataFrame = {
+    val base = docs.select(col("doc_id"), col("text"))
+    val perturbed = base
+      .filter(col("doc_id") % mod === 0 &&
+        octet_length(col("text")) >= mhashMinBytes + 1)
+      .select((col("doc_id") + idOffset).as("doc_id"),
+        concat(
+          expr("substring(text, 1, length(text) DIV 2)"),
+          expr("substring(text, length(text) DIV 2 + 2)")).as("text"))
+    base.unionByName(perturbed)
+  }
+
+  def plantMediaEditsSql(idOffset: Long = 40000L, mod: Int = 5,
+      where: String = ""): String =
+    s"""SELECT doc_id, text FROM documents $where
+        UNION ALL
+        SELECT doc_id + $idOffset AS doc_id,
+               substr(text, 1, length(text) // 2) ||
+               substr(text, length(text) // 2 + 2) AS text
+        FROM documents
+        $where ${if (where.isEmpty) "WHERE" else "AND"} doc_id % $mod = 0
+          AND octet_length(encode(text)) >= ${mhashMinBytes + 1}"""
 
   /** Feature-extraction stub: 4 quarter-mean codepoint features — the
     * deterministic stand-in for a per-media embedding. Real codecs slot in
@@ -280,6 +360,17 @@ object MultimodalQueries {
     Q("m09_perceptual_hash",
       (s, d) => Multimodal.mediaPhash(Tables.documents(s, d)),
       Some(Multimodal.mediaPhashSql())),
+
+    // m10: ALIGNMENT-TOLERANT media signature (round-16 — closes m09's
+    // declared substitution-only boundary): 4 × 15-bit byte-16-gram
+    // min-hashes packed into the same 60-bit pigeonhole layout. One
+    // compiled byte scan per row (graft_byte_minhash), shuffle-free;
+    // d29 feeds this through the d15 block-pair machinery and d30 is its
+    // planted INSERT/DELETE P/R gate — the perturbation class where the
+    // dHash's recall is ~0 by construction (measured there).
+    Q("m10_minhash_signature",
+      (s, d) => Multimodal.mediaMinhash(Tables.documents(s, d)),
+      Some(Multimodal.mediaMinhashSql())),
 
     // m07: tile/chunk EXPLODE — one row per fixed-size 32-byte chunk of the
     // payload with its index and digest: the shape that feeds a batched

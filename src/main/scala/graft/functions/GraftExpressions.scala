@@ -853,6 +853,61 @@ case class DHashExpr(child: Expression, bits: Int)
     copy(child = newChild)
 }
 
+/** Alignment-tolerant media signature (TextHash.byteMinhash) — d29/m10's
+  * 4×15-bit packed byte-k-gram min-hash; `k` is a plan-time constant
+  * (intLit-validated). Null when the payload has fewer than k bytes.
+  */
+case class ByteMinhashExpr(child: Expression, k: Int)
+    extends UnaryExpression {
+  require(k >= 1 && k <= 64, s"graft_byte_minhash k=$k out of range")
+  override def checkInputDataTypes():
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (child.dataType == StringType)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      s"$prettyName expects a string argument, got ${child.dataType.simpleString}")
+  override def nullable: Boolean = true
+  override def dataType: DataType = LongType
+  override def prettyName: String = "graft_byte_minhash"
+  protected override def nullSafeEval(input: Any): Any =
+    TextHash.byteMinhash(
+      input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String], k)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => s"""
+      java.lang.Long bm = graft.functions.TextHash.byteMinhash($c, $k);
+      if (bm == null) { ${ev.isNull} = true; } else { ${ev.value} = bm.longValue(); }
+    """)
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** Positional byte-k-gram rolling hashes (TextHash.byteGramChain) — the
+  * byte-level twin of graft_gram_chain; d29's exact Jaccard verify input.
+  */
+case class ByteGramChainExpr(child: Expression, k: Int)
+    extends UnaryExpression {
+  require(k >= 1 && k <= 64, s"graft_byte_grams k=$k out of range")
+  override def checkInputDataTypes():
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (child.dataType == StringType)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      s"$prettyName expects a string argument, got ${child.dataType.simpleString}")
+  override def nullable: Boolean = true
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "graft_byte_grams"
+  protected override def nullSafeEval(input: Any): Any =
+    TextHash.byteGramChain(
+      input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String], k)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => s"""
+      ${ev.value} = graft.functions.TextHash.byteGramChain($c, $k);
+      if (${ev.value} == null) { ${ev.isNull} = true; }
+    """)
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 /** Strided byte-sample thumbnail hex (TextHash.thumbHex) — m05's one-pass
   * resize kernel; the HOF form it replaces re-hexed the whole text per
   * sampled byte.
@@ -995,6 +1050,10 @@ object GraftFunctions {
     "graft_doti"         -> arity("graft_doti", 2)(cs => DotIExpr(cs(0), cs(1))),
     "graft_dhash"        -> arity("graft_dhash", 2)(cs => DHashExpr(cs(0),
       intLit("graft_dhash", "bits", cs(1)))),
+    "graft_byte_minhash" -> arity("graft_byte_minhash", 2)(cs => ByteMinhashExpr(cs(0),
+      intLit("graft_byte_minhash", "k", cs(1)))),
+    "graft_byte_grams"   -> arity("graft_byte_grams", 2)(cs => ByteGramChainExpr(cs(0),
+      intLit("graft_byte_grams", "k", cs(1)))),
     "graft_thumb"        -> arity("graft_thumb", 2)(cs => ThumbHexExpr(cs(0), cs(1))),
     "graft_hex_tiles"    -> arity("graft_hex_tiles", 2)(cs => HexTilesExpr(cs(0), cs(1))),
     "graft_block_scrub"  -> arity("graft_block_scrub", 1)(cs => BlockScrubExpr(cs.head)),

@@ -579,6 +579,79 @@ object TextHash {
     java.lang.Long.valueOf(h)
   }
 
+  /** The four independent multiplicative mixes of [[byteMinhash]] — the
+    * Kirsch–Mitzenmacher pair the Bloom probe already uses plus two more
+    * public 32-bit hash primes (xxhash's PRIME32_2/PRIME32_4 family).
+    * Each must stay < 2^32 so g·C < 2^62 never overflows a signed long.
+    */
+  val MinhashMixes: Array[Long] =
+    Array(2654435761L, 1099087573L, 2246822519L, 3266489917L)
+
+  /** d29/m10's ALIGNMENT-TOLERANT media signature: 4 independent
+    * min-hashes over the payload's byte k-gram rolling hashes, each
+    * truncated to 15 bits and packed into one 60-bit long — the d15/d25
+    * pigeonhole geometry, but with SET semantics instead of positional
+    * ones. Where m09's dHash samples bytes at fixed strides (so ANY
+    * insert/delete shifts every downstream sample and the signature
+    * decorrelates — the round-15 declared boundary), a 1-byte edit here
+    * perturbs at most 2k−1 of the ~n byte k-grams: the gram SET's Jaccard
+    * stays ≥ (G−k)/(G+k−1), each block's min-hash survives with that
+    * probability, and two surviving blocks put the pair inside pigeonhole
+    * completeness. Block j = (min over grams g of g·C_j mod P) mod 2^15.
+    * Null when the payload has fewer than k bytes. Byte-addressed
+    * deterministic integer arithmetic; the DuckDB twin computes the same
+    * chain via ascii(substr(...)) (byte = codepoint on the ASCII
+    * testdata, the m03/m04 contract).
+    */
+  def byteMinhash(s: UTF8String, k: Int): java.lang.Long = {
+    require(k >= 1 && k <= 64, s"byte gram width $k out of range [1, 64]")
+    val bytes = s.getBytes
+    val n = bytes.length
+    if (n < k) return null
+    var m0 = Long.MaxValue; var m1 = Long.MaxValue
+    var m2 = Long.MaxValue; var m3 = Long.MaxValue
+    var i = 0
+    while (i + k <= n) {
+      var g = 0L
+      var j = 0
+      while (j < k) { g = (g * 31 + (bytes(i + j) & 0xff)) % P; j += 1 }
+      val v0 = g * 2654435761L % P
+      val v1 = g * 1099087573L % P
+      val v2 = g * 2246822519L % P
+      val v3 = g * 3266489917L % P
+      if (v0 < m0) m0 = v0
+      if (v1 < m1) m1 = v1
+      if (v2 < m2) m2 = v2
+      if (v3 < m3) m3 = v3
+      i += 1
+    }
+    java.lang.Long.valueOf(
+      (m0 % 32768L) | ((m1 % 32768L) << 15) |
+        ((m2 % 32768L) << 30) | ((m3 % 32768L) << 45))
+  }
+
+  /** Positional byte k-gram rolling hashes (the byte-level twin of
+    * [[gramChain]]): element i = the chain over bytes [i, i+k). Feeds
+    * d29's exact gram-set Jaccard verify (array_distinct on top gives the
+    * shingle set). Null when the payload has fewer than k bytes.
+    */
+  def byteGramChain(s: UTF8String, k: Int): ArrayData = {
+    require(k >= 1 && k <= 64, s"byte gram width $k out of range [1, 64]")
+    val bytes = s.getBytes
+    val n = bytes.length
+    if (n < k) return null
+    val out = new Array[Long](n - k + 1)
+    var i = 0
+    while (i + k <= n) {
+      var g = 0L
+      var j = 0
+      while (j < k) { g = (g * 31 + (bytes(i + j) & 0xff)) % P; j += 1 }
+      out(i) = g
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
   /** Strided byte-sample "thumbnail" hex (m05's resize stub): uppercase hex
     * of UTF-8 bytes 0, stride, 2·stride, … for min(k, n) samples with
     * stride = max(1, n / k) — byte-identical to the SQL

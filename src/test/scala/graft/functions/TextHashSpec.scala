@@ -327,6 +327,65 @@ class TextHashSpec extends AnyFunSuite {
       assert(r.passed, r.status.toString)
     }
   }
+
+  test("byteMinhash: the alignment-tolerance contract — a 1-byte DELETE " +
+      "keeps >= 2 of 4 blocks equal on realistic payloads; short inputs " +
+      "are null; the packing is 4 x 15 bits") {
+    val k = 16
+    def blocks(sig: Long): Seq[Long] =
+      (0 until 4).map(b => (sig >> (15 * b)) & 0x7fff)
+    val payload = ("key agg row scan slow fast table value part hash " +
+      "value table part a row fast merge batch part value fast spark")
+    val sig = TextHash.byteMinhash(UTF8String.fromString(payload), k)
+    assert(sig != null && (sig.longValue() >>> 60) === 0L,
+      "60-bit packing: the top 4 bits must be clear")
+    // delete one byte at the midpoint (the d30 perturbation)
+    val mid = payload.length / 2
+    val deleted = payload.substring(0, mid) + payload.substring(mid + 1)
+    val sigDel = TextHash.byteMinhash(UTF8String.fromString(deleted), k)
+    val matching = blocks(sig.longValue()).zip(blocks(sigDel.longValue()))
+      .count { case (a, b) => a == b }
+    assert(matching >= 2,
+      s"deleted-byte copy must stay inside pigeonhole completeness " +
+        s"($matching of 4 blocks matched)")
+    // where the dHash decorrelates on the same perturbation
+    val dh = TextHash.dHash(UTF8String.fromString(payload), 60)
+    val dhDel = TextHash.dHash(UTF8String.fromString(deleted), 60)
+    assert(java.lang.Long.bitCount(dh.longValue() ^ dhDel.longValue()) > 2,
+      "fixture sanity: the strided dHash must NOT survive the deletion " +
+        "(otherwise this payload does not exercise the boundary)")
+    // an unrelated payload shares no block
+    val other = (1 to 20).map(i => s"zq$i").mkString(" ")
+    val sigOther = TextHash.byteMinhash(UTF8String.fromString(other), k)
+    assert(blocks(sig.longValue()).zip(blocks(sigOther.longValue()))
+      .count { case (a, b) => a == b } === 0)
+    // contract edges
+    assert(TextHash.byteMinhash(UTF8String.fromString("tiny"), k) == null)
+    assert(TextHash.byteMinhash(UTF8String.fromString("x" * 16), k) != null)
+  }
+
+  test("byteGramChain: positional rolling hashes match the naive fold; " +
+      "a deletion perturbs at most k distinct grams") {
+    val k = 16
+    val s = "the quick brown fox jumps over the lazy dog again and again"
+    val arr = TextHash.byteGramChain(UTF8String.fromString(s), k)
+    assert(arr.numElements() === s.length - k + 1)
+    def ref(sub: String): Long =
+      sub.getBytes("UTF-8").foldLeft(0L)((acc, b) =>
+        (acc * 31 + (b & 0xff)) % P)
+    (0 until arr.numElements()).foreach { i =>
+      assert(arr.getLong(i) === ref(s.substring(i, i + k)))
+    }
+    // distinct-set stability under one deletion (d29's Jaccard floor)
+    val mid = s.length / 2
+    val del = s.substring(0, mid) + s.substring(mid + 1)
+    val a = (0 until arr.numElements()).map(arr.getLong).toSet
+    val arrB = TextHash.byteGramChain(UTF8String.fromString(del), k)
+    val b = (0 until arrB.numElements()).map(arrB.getLong).toSet
+    assert((a diff b).size <= k, "a 1-byte delete destroys <= k grams")
+    assert((b diff a).size <= k - 1, "and creates <= k-1 new grams")
+    assert(TextHash.byteGramChain(UTF8String.fromString("short"), k) == null)
+  }
 }
 
 class VecOpsSpec extends AnyFunSuite {

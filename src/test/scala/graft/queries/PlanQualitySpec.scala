@@ -658,6 +658,19 @@ class PlanQualitySpec extends SparkSpec {
     assert(!p.contains("BroadcastNestedLoopJoin"), p)
   }
 
+  test("d29: alignment-tolerant media pairs via shuffled-hash block join " +
+      "over the compiled byte min-hash — never cartesian, Jaccard verify " +
+      "on candidates only") {
+    val p = planOf("d29_media_minhash_neardup")
+    assert(p.contains("ShuffledHashJoin"), p)
+    assert(p.contains("graft_byte_minhash"), p)
+    // the exact verify's gram arrays appear (candidate-side joins), and
+    // the quadratic space never materializes
+    assert(p.contains("graft_byte_grams"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
   test("q109: the fact scan carries a dynamicpruning PartitionFilter — " +
       "the dim's non-join-column filter reaches the fact only at runtime") {
     val p = planOf("q109_dynamic_pruning")
