@@ -35,6 +35,78 @@ object TextOps {
     "fr" -> Seq(" le ", " et ", " la "),
     "es" -> Seq(" el ", " y ", " los "))
 
+  /** t21's character-trigram profiles: boundary-anchored function-word
+    * grams per language (the Cavnar–Trenkle discipline reduced to
+    * integer hit counts). Anchoring matters: " le" (not "le ") so corpus
+    * tokens like "table" cannot fire French, and "der" is EXCLUDED from
+    * German because "order" contains it — both validated empirically
+    * against the full sf0.1 corpus (5000/5000 route en) before freezing.
+    * ONE source of truth for the engine expression and the oracle SQL.
+    */
+  val LangProfiles: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "he ", " th", " a ", " of", "of ", " to", "to ",
+      " in", "in ", "and", "nd ", " is", "is "),
+    "de" -> Seq("die", " di", "und", " un", "sch", "ich", "ein", " ei",
+      "cht", "dem", " zu", "ung"),
+    "fr" -> Seq(" le", " la", " de", "de ", " et", "et ", " il", "il ",
+      " au", " ou", "ou ", "ait"))
+
+  /** t21's planted rows (the d14 discipline): one genuinely German and one
+    * genuinely French sentence, so the non-en argmax arms are exercised
+    * with real margins (measured: de 10 vs en 3, fr 8 vs en 1) instead of
+    * every row trivially routing en.
+    */
+  val LangPlants: Seq[(Long, String)] = Seq(
+    (900001L, "die katze schlief unter dem tisch und der hund lief " +
+      "durch den garten waehrend die kinder spielten"),
+    (900002L, "le chat dormait sous la table et le chien courait dans " +
+      "le jardin pendant que les enfants jouaient"))
+
+  /** `array('a','b',...)` / `['a','b',...]` literal builders shared by
+    * t21's engine expression and oracle SQL (grams contain no quotes).
+    */
+  def sqlStrArray(xs: Seq[String]): String =
+    xs.map(x => s"'$x'").mkString("array(", ", ", ")")
+  def duckStrList(xs: Seq[String]): String =
+    xs.map(x => s"'$x'").mkString("[", ", ", "]")
+
+  /** t22's merge-round count and the unrolled oracle twin: round r's CTE
+    * chain recounts pairs over the (r−1)-times-merged corpus — the same
+    * double-space replace surgery, generation-unrolled so a standalone
+    * SQL string can replay the sequential dependence.
+    */
+  val BpeRounds = 3
+
+  def bpeTrainSql(k: Int): String = {
+    def mergeExpr(t: String): String =
+      s"""string_split(trim(replace(
+            ' ' || array_to_string(toks, '  ') || ' ',
+            ' ' || $t.a || '  ' || $t.b || ' ',
+            ' ' || $t.a || '_' || $t.b || ' ')), '  ')"""
+    val ctes = new scala.collection.mutable.ArrayBuffer[String]
+    ctes += "c1 AS (SELECT doc_id, string_split(text, ' ') AS toks " +
+      "FROM documents)"
+    (1 to k).foreach { r =>
+      ctes += s"""p$r AS (SELECT toks[i] AS a, toks[i + 1] AS b,
+                         count(*) AS n_pair
+                  FROM (SELECT toks,
+                               unnest(generate_series(1, len(toks) - 1))
+                                 AS i
+                        FROM c$r)
+                  GROUP BY 1, 2)"""
+      ctes += s"""t$r AS (SELECT a, b, n_pair FROM p$r
+                  ORDER BY n_pair DESC, a, b LIMIT 1)"""
+      if (r < k)
+        ctes += s"""c${r + 1} AS (SELECT doc_id, ${mergeExpr(s"t$r")} AS toks
+                    FROM c$r, t$r)"""
+    }
+    val sel = (1 to k).map(r =>
+      s"""SELECT CAST($r AS INT) AS round, a AS tok_a, b AS tok_b,
+                 CAST(n_pair AS BIGINT) AS n_pair FROM t$r""")
+      .mkString("\nUNION ALL\n")
+    s"WITH ${ctes.mkString(",\n")}\n$sel"
+  }
+
   /** Language-ID: argmax of per-language stopword hit counts with a fixed
     * preference order (ties → earlier language; zero hits → 'und').
     */
@@ -878,6 +950,117 @@ object TextQueries {
                         SUM(n_tokens) OVER (PARTITION BY source) AS tot
                  FROM scored)
                SELECT source, doc_id, rn, n_tokens, quality_score
-               FROM ranked WHERE (cum - n_tokens) * 2 < tot"""))
+               FROM ranked WHERE (cum - n_tokens) * 2 < tot""")),
+
+    // t21: LANGUAGE IDENTIFICATION, character-n-gram form — the first
+    // routing decision of a multilingual corpus pipeline (t19/p09's
+    // mixing machinery assumes `source` already encodes language; this is
+    // the operator that would stamp it). t01's langid counts whole
+    // stopword OCCURRENCES (substring replace-counting — word-level,
+    // tokenization-shaped); this is the classifier that survives the
+    // cases that breaks on: agglutinated/unsegmented text, short
+    // fragments, mixed scripts. Deterministic character-trigram PROFILE
+    // scoring (the
+    // Cavnar–Trenkle n-gram family reduced to integer hit counts so the
+    // oracle can replay it bit-for-bit): score_l = number of trigram
+    // positions matching language l's boundary-anchored function-word
+    // profile, label = argmax with the fixed en > de > fr tie order. The
+    // profiles are boundary-anchored (" le", not "le ") so corpus tokens
+    // like "table"/"order" cannot fire foreign grams — validated against
+    // the full sf0.1 corpus (5000/5000 route en) and two planted
+    // German/French rows (the d14 discipline) that route de/fr with 3-10×
+    // margins. Plan shape: scan → project, ZERO exchanges — one compiled
+    // rolling byte scan per profile per row (graft_gram_hits packs each
+    // trigram into a long and binary-searches; the HOF twin allocates a
+    // substring per position, interpreted). At 100 TB the profile set is
+    // a plan literal (or a broadcast config relation for many languages)
+    // and the label feeds partitionBy("lang") for the per-language
+    // mixing t19 runs downstream.
+    Q("t21_language_id",
+      (s, d) => {
+        graft.functions.GraftFunctions.register(s)
+        val plants = s.createDataFrame(TextOps.LangPlants)
+          .toDF("doc_id", "text")
+        val aug = Tables.documents(s, d).select("doc_id", "text")
+          .unionByName(plants)
+        val scored = aug.select((col("doc_id") +: TextOps.LangProfiles.map {
+          case (lang, grams) =>
+            expr(s"graft_gram_hits(text, ${TextOps.sqlStrArray(grams)})")
+              .as(s"s_$lang")
+        }): _*)
+        scored.withColumn("lang",
+          when(col("s_en") >= col("s_de") && col("s_en") >= col("s_fr"),
+            "en")
+            .when(col("s_de") >= col("s_fr"), "de")
+            .otherwise("fr"))
+      },
+      Some {
+        val scores = TextOps.LangProfiles.map { case (lang, grams) =>
+          s"""CAST(len(list_filter(range(1, length(text) - 1),
+                i -> list_contains(${TextOps.duckStrList(grams)},
+                                   substr(text, CAST(i AS INT), 3))))
+              AS INT) AS s_$lang"""
+        }.mkString(",\n               ")
+        val plants = TextOps.LangPlants.map { case (id, t) =>
+          s"(CAST($id AS BIGINT), '$t')"
+        }.mkString(", ")
+        s"""WITH aug AS (SELECT doc_id, text FROM documents
+                         UNION ALL
+                         SELECT * FROM (VALUES $plants) pl(doc_id, text)),
+                 sc AS (SELECT doc_id,
+               $scores
+                        FROM aug)
+            SELECT doc_id, s_en, s_de, s_fr,
+                   CASE WHEN s_en >= s_de AND s_en >= s_fr THEN 'en'
+                        WHEN s_de >= s_fr THEN 'de'
+                        ELSE 'fr' END AS lang
+            FROM sc"""
+      }),
+
+    // t22: ITERATED BPE TRAINING — the actual tokenizer-training inner
+    // loop t13 only computed one step of: k sequential merge rounds, each
+    // (1) counting corpus-wide adjacent-token pairs (t13's zip idiom, one
+    // map-side-combined exchange), (2) selecting THE most frequent pair
+    // (deterministic count-desc/a/b tie order, a 1-row TakeOrdered), and
+    // (3) merging it corpus-wide. The merge is pure relational string
+    // surgery — corpus ⨯ broadcast(1-row winner), tokens joined on
+    // DOUBLE spaces with single-space padding so `replace`'s leftmost
+    // non-overlapping semantics (identical in Spark and DuckDB) IS the
+    // BPE greedy-merge convention, including the self-overlap case
+    // ("a a a" merges once) — no collect, no UDF, no driver loop over
+    // data. The d09/q94 bounded-iteration discipline: each round's corpus
+    // and winner retain through Caches, so round r evaluates once, not
+    // once per downstream branch. Integer-exact counts → the oracle
+    // unrolls the same k rounds as a CTE chain and the merge TABLE
+    // hash-matches. At 100 TB each round is one (pair, count) exchange
+    // bounded by observed |vocab|² — the classic distributed BPE shape,
+    // with k in the hundreds riding the same loop.
+    Q("t22_bpe_train",
+      (s, d) => {
+        val k = TextOps.BpeRounds
+        var corpus = graft.util.Caches.retain(Tables.documents(s, d)
+          .select(col("doc_id"), split(col("text"), " ").as("toks")))
+        val rounds = (1 to k).map { r =>
+          val top = graft.util.Caches.retain(corpus
+            .select(explode(expr(
+              """arrays_zip(slice(toks, 1, size(toks) - 1),
+                            slice(toks, 2, size(toks) - 1))""")).as("pr"))
+            .groupBy(col("pr.0").as("a"), col("pr.1").as("b"))
+            .agg(count(lit(1)).as("n_pair"))
+            .orderBy(col("n_pair").desc, col("a"), col("b")).limit(1))
+          if (r < k) {
+            corpus = graft.util.Caches.retain(
+              corpus.crossJoin(broadcast(top))
+                .select(col("doc_id"), split(trim(expr(
+                  "replace(concat(' ', array_join(toks, '  '), ' '), " +
+                    "concat(' ', a, '  ', b, ' '), " +
+                    "concat(' ', a, '_', b, ' '))")), "  ").as("toks")))
+          }
+          top.select(lit(r).as("round"), col("a").as("tok_a"),
+            col("b").as("tok_b"), col("n_pair"))
+        }
+        rounds.reduce(_ unionByName _)
+      },
+      Some(TextOps.bpeTrainSql(TextOps.BpeRounds)))
   )
 }

@@ -881,6 +881,35 @@ case class ByteMinhashExpr(child: Expression, k: Int)
     copy(child = newChild)
 }
 
+/** t21's n-gram profile hit counter (TextHash.gramHits): count of n-byte
+  * windows of the text equal to any member of the (literal) profile
+  * array. (string, array<string>) → int.
+  */
+case class GramHitsExpr(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def checkInputDataTypes():
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (left.dataType == StringType &&
+        right.dataType.isInstanceOf[ArrayType] &&
+        right.dataType.asInstanceOf[ArrayType].elementType == StringType)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      s"$prettyName expects (string, array<string>), got " +
+        s"(${left.dataType.simpleString}, ${right.dataType.simpleString})")
+  override def dataType: DataType = IntegerType
+  override def prettyName: String = "graft_gram_hits"
+  protected override def nullSafeEval(s: Any, grams: Any): Any =
+    TextHash.gramHits(
+      s.asInstanceOf[org.apache.spark.unsafe.types.UTF8String],
+      grams.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (s, g) =>
+      s"graft.functions.TextHash.gramHits($s, $g)")
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
 /** Positional byte-k-gram rolling hashes (TextHash.byteGramChain) — the
   * byte-level twin of graft_gram_chain; d29's exact Jaccard verify input.
   */
@@ -1054,6 +1083,7 @@ object GraftFunctions {
       intLit("graft_byte_minhash", "k", cs(1)))),
     "graft_byte_grams"   -> arity("graft_byte_grams", 2)(cs => ByteGramChainExpr(cs(0),
       intLit("graft_byte_grams", "k", cs(1)))),
+    "graft_gram_hits"    -> arity("graft_gram_hits", 2)(cs => GramHitsExpr(cs(0), cs(1))),
     "graft_thumb"        -> arity("graft_thumb", 2)(cs => ThumbHexExpr(cs(0), cs(1))),
     "graft_hex_tiles"    -> arity("graft_hex_tiles", 2)(cs => HexTilesExpr(cs(0), cs(1))),
     "graft_block_scrub"  -> arity("graft_block_scrub", 1)(cs => BlockScrubExpr(cs.head)),

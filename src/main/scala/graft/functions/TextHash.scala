@@ -630,6 +630,53 @@ object TextHash {
         ((m2 % 32768L) << 30) | ((m3 % 32768L) << 45))
   }
 
+  /** t21's profile-scoring kernel: the count of n-gram POSITIONS of `s`
+    * whose n-byte window equals any member of `grams` (a small literal
+    * profile set — all members must share one byte width n ≤ 8). One
+    * rolling byte scan per row: the window packs into a long, membership
+    * is a binary search over the packed profile — where the HOF twin
+    * (`list_filter(range(...), i -> list_contains(profile, substr(...)))`)
+    * allocates a substring and linear-scans the profile per position,
+    * interpreted. Byte-addressed (byte = codepoint on the ASCII testdata,
+    * the m03/m04 contract); counts every position including overlaps —
+    * exactly `len − n + 1` windows, 0 when the text is shorter than n.
+    */
+  def gramHits(s: UTF8String, grams: ArrayData): Int = {
+    val m = grams.numElements()
+    if (m == 0) return 0
+    val first = grams.getUTF8String(0).getBytes
+    val n = first.length
+    require(n >= 1 && n <= 8,
+      s"profile gram width $n out of range [1, 8]")
+    val packed = new Array[Long](m)
+    var i = 0
+    while (i < m) {
+      val gb = grams.getUTF8String(i).getBytes
+      require(gb.length == n,
+        s"profile grams must share one byte width ($n): got ${gb.length}")
+      var v = 0L
+      var j = 0
+      while (j < n) { v = (v << 8) | (gb(j) & 0xff); j += 1 }
+      packed(i) = v
+      i += 1
+    }
+    java.util.Arrays.sort(packed)
+    val bytes = s.getBytes
+    val len = bytes.length
+    if (len < n) return 0
+    val mask = if (n == 8) -1L else (1L << (8 * n)) - 1
+    var hits = 0
+    var w = 0L
+    i = 0
+    while (i < n - 1) { w = (w << 8) | (bytes(i) & 0xff); i += 1 }
+    while (i < len) {
+      w = ((w << 8) | (bytes(i) & 0xff)) & mask
+      if (java.util.Arrays.binarySearch(packed, w) >= 0) hits += 1
+      i += 1
+    }
+    hits
+  }
+
   /** Positional byte k-gram rolling hashes (the byte-level twin of
     * [[gramChain]]): element i = the chain over bytes [i, i+k). Feeds
     * d29's exact gram-set Jaccard verify (array_distinct on top gives the

@@ -45,4 +45,51 @@ class TextOpsSpec extends SparkSpec {
     assert(!big.contains("BroadcastHashJoin"),
       s"over-threshold model must NOT broadcast:\n$big")
   }
+
+  test("t22 BPE merge surgery: greedy leftmost non-overlapping convention " +
+      "(the self-overlap case merges floor(n/2) times), boundary-safe") {
+    val s2 = spark
+    import s2.implicits._
+    import org.apache.spark.sql.functions._
+    def mergeOnce(toks: Seq[String], a: String, b: String): Seq[String] = {
+      val df = Seq(Tuple1(toks)).toDF("toks")
+        .crossJoin(Seq((a, b)).toDF("a", "b"))
+      df.select(split(trim(expr(
+        "replace(concat(' ', array_join(toks, '  '), ' '), " +
+          "concat(' ', a, '  ', b, ' '), " +
+          "concat(' ', a, '_', b, ' '))")), "  ").as("out"))
+        .as[Seq[String]].collect().head
+    }
+    // self-overlap: "a a a" -> one merge (BPE greedy), "a a a a" -> two
+    assert(mergeOnce(Seq("a", "a", "a"), "a", "a") === Seq("a_a", "a"))
+    assert(mergeOnce(Seq("a", "a", "a", "a"), "a", "a")
+      === Seq("a_a", "a_a"))
+    // boundary: match at string start and end; adjacent matches chain
+    assert(mergeOnce(Seq("x", "y", "x", "y"), "x", "y")
+      === Seq("x_y", "x_y"))
+    // no false merge when a token merely CONTAINS the pair members
+    assert(mergeOnce(Seq("xa", "ay"), "a", "a") === Seq("xa", "ay"))
+    // single-token doc passes through
+    assert(mergeOnce(Seq("solo"), "a", "b") === Seq("solo"))
+    // the merged token no longer equals either parent: later pairs see it
+    assert(mergeOnce(Seq("a_a", "a"), "a", "a") === Seq("a_a", "a"))
+  }
+
+  test("t21 language-id: planted German/French rows route with margin; " +
+      "profiles are boundary-anchored (corpus words cannot fire them)") {
+    import org.apache.spark.sql.functions.col
+    val out = graft.queries.Catalog.byName("t21_language_id")
+      .run(spark, "/root/testdata/sf0.001")
+      .filter(col("doc_id") >= 900000L)
+      .collect().map(r => r.getLong(0) -> r.getString(4)).toMap
+    assert(out === Map(900001L -> "de", 900002L -> "fr"))
+    // the anchoring property itself: profile grams never fire on the
+    // corpus vocabulary ("table" must not read French, "order" not German)
+    val vocabCtx = " " + Seq("table", "order", "query", "value", "customer",
+      "merge", "filter", "stream").mkString(" ") + " "
+    TextOps.LangProfiles.filter(_._1 != "en").foreach { case (lang, grams) =>
+      grams.foreach(g => assert(!vocabCtx.contains(g),
+        s"profile gram '$g' ($lang) fires on the corpus vocabulary"))
+    }
+  }
 }
