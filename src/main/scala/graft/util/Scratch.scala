@@ -33,8 +33,39 @@ object Scratch {
     cached.clear()
   }
 
+  /** Optional scratch ROOT override. Default (None) = the JVM tmpdir
+    * (/tmp — a real disk on the bench host). Bench points this at a
+    * tmpfs (/dev/shm) when available: every streaming query's sink
+    * parquet, checkpoint log, and state-store files live under scratch,
+    * and their fsync-heavy writes were the least-mechanical part of the
+    * measured streaming floor (round-15 verdict item 3 — the s-suite
+    * moved 29% across hosts at matched CPU calib purely with disk state).
+    * Correctness paths (Verify, specs) keep the disk default — the
+    * override changes WHERE the bytes go, never what is computed.
+    * Settable via the GRAFT_SCRATCH_DIR env too (both Bench and Verify
+    * honor it at JVM start).
+    */
+  @volatile private var rootOverride: Option[Path] = sys.env
+    .get("GRAFT_SCRATCH_DIR").map(p => java.nio.file.Paths.get(p))
+    .filter(Files.isDirectory(_))
+
+  /** Point scratch at `root` (must exist) — returns true on success. */
+  def setRoot(root: String): Boolean = {
+    val p = java.nio.file.Paths.get(root)
+    if (Files.isDirectory(p) && Files.isWritable(p)) {
+      rootOverride = Some(p); true
+    } else false
+  }
+
+  def currentRoot: String =
+    rootOverride.map(_.toString)
+      .getOrElse(System.getProperty("java.io.tmpdir"))
+
   def dir(prefix: String): String = {
-    val p = Files.createTempDirectory(prefix)
+    val p = rootOverride match {
+      case Some(root) => Files.createTempDirectory(root, prefix)
+      case None => Files.createTempDirectory(prefix)
+    }
     created.add(p)
     p.toString
   }
