@@ -353,12 +353,17 @@ object Similarity {
     // measured at sf0.1 (0.55 MB corpus) the unconditional floor inflated
     // x15/x30 by ~0.3-0.6 s each, while the 60 MB sf10 corpus is the case
     // that needs it (1 → ~25 cores, BASELINE.md round-15).
+    // Split count via the file-index estimate (Tables.estimatedSplits),
+    // NOT e0.rdd.getNumPartitions — .rdd compiles the physical plan once
+    // per BUILD (round-15 advice item 5). estimate 0 = no file relation
+    // (unknown layout) → leave it alone, same as the well-split case.
     val floored =
       if (mode == SeedMode.Modulo) e0
       else {
         val par = emb.sparkSession.sparkContext.defaultParallelism
         val bytes = emb.queryExecution.optimizedPlan.stats.sizeInBytes
-        if (bytes >= (32L << 20) && e0.rdd.getNumPartitions < par)
+        val splits = graft.sources.Tables.estimatedSplits(e0)
+        if (bytes >= (32L << 20) && splits > 0 && splits < par)
           e0.repartition(par)
         else e0
       }

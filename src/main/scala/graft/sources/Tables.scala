@@ -74,10 +74,24 @@ object Tables {
     // relation at all (pure in-memory frames, non-file DSv2 sources)
     // estimate 0 and are left untouched — for those there is no "small
     // scan" to widen and an unconditional repartition would add a shuffle.
+    val estSplits = estimatedSplits(df)
+    if (estSplits > 0 && estSplits < slots) df.repartition(slots) else df
+  }
+
+  /** The scan's split-count estimate from the file index — no job, no RDD
+    * materialization, no physical planning (the round-15 advice:
+    * `df.rdd.getNumPartitions` compiles the physical plan once per call,
+    * which the seeded-kmeans parallelization floor paid at every plan
+    * build). 0 when the plan has no file relation (pure in-memory frames,
+    * non-file DSv2 sources) — callers treat that as "unknown, leave the
+    * layout alone".
+    */
+  def estimatedSplits(df: DataFrame): Long = {
+    val spark = df.sparkSession
     val maxSplit = spark.sessionState.conf.filesMaxPartitionBytes
     def splitsOf(bytes: Long): Long =
       math.max(1L, (bytes + maxSplit - 1) / maxSplit)
-    val estSplits = df.queryExecution.optimizedPlan.collect {
+    df.queryExecution.optimizedPlan.collect {
       case l: LogicalRelation => l.relation match {
         case fs: HadoopFsRelation => splitsOf(fs.location.sizeInBytes)
         case _ => 0L
@@ -89,6 +103,5 @@ object Tables {
           case _ => 0L
         }
     }.sum
-    if (estSplits > 0 && estSplits < slots) df.repartition(slots) else df
   }
 }

@@ -104,4 +104,18 @@ class TablesSchemaSpec extends SparkSpec {
           "be value-preserving under the UTC-pinned session")
     }
   }
+
+  test("estimatedSplits: file-backed plans estimate > 0 with rdd-parity " +
+      "on a single small file; in-memory frames estimate 0 (round-16 — " +
+      "the seeded-kmeans floor no longer compiles a physical plan)") {
+    val s2 = spark
+    import s2.implicits._
+    val emb = Tables.embeddings(spark, "/root/testdata/sf0.01")
+    val est = Tables.estimatedSplits(emb)
+    assert(est > 0)
+    // one small parquet file: the estimate and the physical layout agree,
+    // so the floor's routing decision is unchanged by the swap
+    assert(est === emb.rdd.getNumPartitions.toLong)
+    assert(Tables.estimatedSplits(Seq((1L, 2L)).toDF("a", "b")) === 0L)
+  }
 }

@@ -47,6 +47,8 @@ object PlanDump {
     "x33_sampled_recall"      -> "sampled-queries recall gate: nq-query broadcast, both arms through TopKPerKey partial heaps (shuffle carries <= |Q|*k rows, never the n*|Q| scored relation)",
     "d25_media_neardup"       -> "perceptual media near-dup: one compiled graft_dhash pass, block-pair equi-join (shuffled hash, capped), exact popcount verify on candidates only — the d15 shape on the media column",
     "q109_dynamic_pruning"    -> "dynamic partition pruning: the broadcast dim becomes a dynamicpruning subquery in the fact scan's PartitionFilters — unselected partitions never read, the runtime star-join prune static rewrites cannot reach",
+    "d29_media_minhash_neardup" -> "alignment-tolerant media near-dup: compiled graft_byte_minhash signature, block-pair equi-join (shuffled hash, capped), exact byte-gram Jaccard verify on candidates only — survives the insert/delete re-encode class the dHash cannot",
+    "t21_language_id"         -> "char-n-gram language-id: scan -> project, ZERO exchanges — three compiled graft_gram_hits rolling scans per row, profiles as plan literals",
   )
 
   def main(args: Array[String]): Unit = {
