@@ -331,16 +331,29 @@ object Dedup {
     * sh_b) = every distinct pair agreeing on at least one of the C(4,2)
     * block-pair keys ⟺ at least 2 of 4 blocks equal.
     */
-  private[graft] def pigeonholeCandidates(sig: DataFrame): DataFrame = {
+  private[graft] def pigeonholeCandidates(sig: DataFrame,
+      singleBlockKeys: Boolean = false): DataFrame = {
     val blockPairs = Seq((0, 1), (0, 2), (0, 3), (1, 2), (1, 3), (2, 3))
     val bw = simhashBlockBits
     val mask = (1L << bw) - 1
-    val keyed = sig.select(col("doc_id"), col("sig"),
-      explode(array(blockPairs.zipWithIndex.map { case ((i, j), idx) =>
+    // singleBlockKeys = d29's recall knob (MinhashMinBlocksKey=1): one key
+    // per block instead of per block PAIR — candidates need only ONE
+    // surviving min-hash (classic b=4/r=1 banding), trading hotter 15-bit
+    // buckets for recall on low-Jaccard edits. The default block-pair
+    // keys are 30-bit (two independent minima) and stay cold.
+    val keyStructs =
+      if (singleBlockKeys)
+        (0 until simhashBlocks).map(i =>
+          struct(lit(i).as("bp"),
+            expr(s"(sig >> ${bw * i}) & $mask").as("b1"),
+            lit(0L).as("b2")))
+      else blockPairs.zipWithIndex.map { case ((i, j), idx) =>
         struct(lit(idx).as("bp"),
           expr(s"(sig >> ${bw * i}) & $mask").as("b1"),
           expr(s"(sig >> ${bw * j}) & $mask").as("b2"))
-      }: _*)).as("k"))
+      }
+    val keyed = sig.select(col("doc_id"), col("sig"),
+      explode(array(keyStructs: _*)).as("k"))
       .select(col("doc_id"), col("sig"),
         col("k.bp"), col("k.b1"), col("k.b2"))
     val capped = applyBucketCap(keyed, Seq("bp", "b1", "b2"))
@@ -357,16 +370,31 @@ object Dedup {
     * agreement count — by the pigeonhole construction every emitted pair
     * has n_match_blocks ≥ 2 (two of four independent min-hashes agree).
     */
+  /** d29's recall/bucket-heat knob: the minimum number of agreeing
+    * min-hash blocks for a pair to become a candidate. 2 (default) =
+    * block-PAIR keys (30-bit, cold — the d15 pigeonhole geometry;
+    * measured recall 0.96 at sf0.1 on deleted-byte noise); 1 = classic
+    * b=4/r=1 banding (15-bit keys, hotter buckets under the
+    * maxBucketSize cap, recall on anything with ONE surviving block).
+    * Generation-time conf resolution on the oracle side (the d17
+    * discipline), so the gate stays hash-green at either setting.
+    */
+  val MinhashMinBlocksKey = "spark.graft.dedup.minhashMinBlocks"
+
   private[graft] def minhashBlockCandidates(sig: DataFrame): DataFrame = {
+    val minBlocks = confInt(MinhashMinBlocksKey, 2)
+    require(minBlocks == 1 || minBlocks == 2,
+      s"$MinhashMinBlocksKey=$minBlocks must be 1 or 2")
     val bw = simhashBlockBits
     val mask = (1L << bw) - 1
     val matches = (0 until simhashBlocks).map(i =>
       s"(CASE WHEN ((sh_a >> ${bw * i}) & $mask) = " +
         s"((sh_b >> ${bw * i}) & $mask) THEN 1 ELSE 0 END)")
       .mkString(" + ")
-    pigeonholeCandidates(sig)
+    pigeonholeCandidates(sig, singleBlockKeys = minBlocks == 1)
       .select(col("doc_a"), col("doc_b"),
         expr(s"CAST($matches AS INT)").as("n_match_blocks"))
+      .filter(col("n_match_blocks") >= minBlocks)
   }
 
   /** d29's admission threshold on the exact byte-gram-set Jaccard verify.
@@ -453,7 +481,8 @@ object Dedup {
                    / (len(a.dg) + len(b.dg)
                       - len(list_intersect(a.dg, b.dg))) AS jaccard
           FROM ms a JOIN ms b ON a.doc_id < b.doc_id) z
-          WHERE n_match_blocks >= 2 AND jaccard >= $MediaJaccardTau)"""
+          WHERE n_match_blocks >= ${confInt(MinhashMinBlocksKey, 2)}
+            AND jaccard >= $MediaJaccardTau)"""
   }
 
   /** d09: duplicate-CLUSTER resolution — connected components over the LSH
@@ -2281,8 +2310,11 @@ object DedupQueries {
     // a few % recall at THIS payload length (~300 B word-soup, distinct
     // 16-gram Jaccard ~0.81 after one delete) for cold 30-bit blocking
     // keys; real media payloads (KB-MB) sit far closer to J=1 where the
-    // same agreement reads ~1.0, and the recall knob is more/narrower
-    // bands at the cost of hotter buckets (the d03 banding trade).
+    // same agreement reads ~1.0. The recall knob is MinhashMinBlocksKey=1
+    // (classic b=4/r=1 banding, 15-bit keys): measured P/R = 1.0/1.0 at
+    // sf0.1 on the same truth, +27 candidates (1313 → 1340), hash-green
+    // through the gate at either setting (the oracle resolves the knob
+    // at generation time).
     Q("d29_media_minhash_neardup",
       (s, d) => Dedup.mediaMinhashPairs(
         Multimodal.plantMediaEdits(Tables.documents(s, d))),

@@ -70,6 +70,40 @@ object TextOps {
   def duckStrList(xs: Seq[String]): String =
     xs.map(x => s"'$x'").mkString("[", ", ", "]")
 
+  /** t21/s36's shared scorer: per-profile trigram hit counts + the argmax
+    * label (fixed en > de > fr tie order) over any (doc_id, text)
+    * relation — stateless scan → project, so the batch query and the
+    * streaming twin are the same transform.
+    */
+  def langIdNgram(docs: DataFrame): DataFrame = {
+    graft.functions.GraftFunctions.register(docs.sparkSession)
+    val scored = docs.select((col("doc_id") +: LangProfiles.map {
+      case (lang, grams) =>
+        expr(s"graft_gram_hits(text, ${sqlStrArray(grams)})").as(s"s_$lang")
+    }): _*)
+    scored.withColumn("lang",
+      when(col("s_en") >= col("s_de") && col("s_en") >= col("s_fr"), "en")
+        .when(col("s_de") >= col("s_fr"), "de")
+        .otherwise("fr"))
+  }
+
+  /** DuckDB twin of [[langIdNgram]] over `$src`. */
+  def langIdNgramSql(src: String = "documents"): String = {
+    val scores = LangProfiles.map { case (lang, grams) =>
+      s"""CAST(len(list_filter(range(1, length(text) - 1),
+            i -> list_contains(${duckStrList(grams)},
+                               substr(text, CAST(i AS INT), 3))))
+          AS INT) AS s_$lang"""
+    }.mkString(",\n               ")
+    s"""SELECT doc_id, s_en, s_de, s_fr,
+               CASE WHEN s_en >= s_de AND s_en >= s_fr THEN 'en'
+                    WHEN s_de >= s_fr THEN 'de'
+                    ELSE 'fr' END AS lang
+        FROM (SELECT doc_id,
+               $scores
+              FROM $src)"""
+  }
+
   /** t22's merge-round count and the unrolled oracle twin: round r's CTE
     * chain recounts pairs over the (r−1)-times-merged corpus — the same
     * double-space replace surgery, generation-unrolled so a standalone
@@ -978,43 +1012,19 @@ object TextQueries {
     // mixing t19 runs downstream.
     Q("t21_language_id",
       (s, d) => {
-        graft.functions.GraftFunctions.register(s)
         val plants = s.createDataFrame(TextOps.LangPlants)
           .toDF("doc_id", "text")
-        val aug = Tables.documents(s, d).select("doc_id", "text")
-          .unionByName(plants)
-        val scored = aug.select((col("doc_id") +: TextOps.LangProfiles.map {
-          case (lang, grams) =>
-            expr(s"graft_gram_hits(text, ${TextOps.sqlStrArray(grams)})")
-              .as(s"s_$lang")
-        }): _*)
-        scored.withColumn("lang",
-          when(col("s_en") >= col("s_de") && col("s_en") >= col("s_fr"),
-            "en")
-            .when(col("s_de") >= col("s_fr"), "de")
-            .otherwise("fr"))
+        TextOps.langIdNgram(Tables.documents(s, d)
+          .select("doc_id", "text").unionByName(plants))
       },
       Some {
-        val scores = TextOps.LangProfiles.map { case (lang, grams) =>
-          s"""CAST(len(list_filter(range(1, length(text) - 1),
-                i -> list_contains(${TextOps.duckStrList(grams)},
-                                   substr(text, CAST(i AS INT), 3))))
-              AS INT) AS s_$lang"""
-        }.mkString(",\n               ")
         val plants = TextOps.LangPlants.map { case (id, t) =>
           s"(CAST($id AS BIGINT), '$t')"
         }.mkString(", ")
         s"""WITH aug AS (SELECT doc_id, text FROM documents
                          UNION ALL
-                         SELECT * FROM (VALUES $plants) pl(doc_id, text)),
-                 sc AS (SELECT doc_id,
-               $scores
-                        FROM aug)
-            SELECT doc_id, s_en, s_de, s_fr,
-                   CASE WHEN s_en >= s_de AND s_en >= s_fr THEN 'en'
-                        WHEN s_de >= s_fr THEN 'de'
-                        ELSE 'fr' END AS lang
-            FROM sc"""
+                         SELECT * FROM (VALUES $plants) pl(doc_id, text))
+            ${TextOps.langIdNgramSql("aug")}"""
       }),
 
     // t22: ITERATED BPE TRAINING — the actual tokenizer-training inner

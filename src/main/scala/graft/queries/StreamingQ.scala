@@ -2083,7 +2083,22 @@ object StreamingQ {
           graft.ext.Dedup.bloomGateXform(bloom)(
             src.filter(col("doc_id") >= 100)))
       },
-      Some(graft.ext.Dedup.bloomGateOracleSql()))
+      Some(graft.ext.Dedup.bloomGateOracleSql())),
+
+    // s36: STREAMING LANGUAGE-ID ROUTING — t21's online form (the first
+    // per-document decision of a streaming ingest pipeline, stamped
+    // before any stateful stage): the SAME stateless langIdNgram
+    // transform (three compiled graft_gram_hits scans + argmax label)
+    // over arriving documents. Stateless and shuffle-free per
+    // micro-batch; at 100 TB/day the stamped label keys the downstream
+    // per-language mixing (t19) and partitioned sink layout. Oracle =
+    // the batch scorer over the same table (no plants — the stream
+    // carries only the corpus), which also pins that the streaming
+    // execution mode changes nothing about the verdicts.
+    Q("s36_stream_langid",
+      (s, d) => runDocsStream(s, d)(src =>
+        graft.ext.TextOps.langIdNgram(src.select("doc_id", "text"))),
+      Some(graft.ext.TextOps.langIdNgramSql()))
   )
 
   /** s33/s34's shared oracle: the contamination verdicts are a pure

@@ -584,4 +584,25 @@ class ExtSpec extends SparkSpec {
     assert(Dedup.hammingBlockPairs(sig).count() === 3L,
       "cap off: all three pairs resurface")
   }
+
+  test("minhashMinBlocks knob (d29's recall lever): 1-block banding only " +
+      "ADDS candidates past the same Jaccard verify; recall is monotone") {
+    val sf = "/root/testdata/sf0.01"
+    assume(new java.io.File(s"$sf/documents.parquet").exists)
+    def evalRow() = graft.queries.Catalog.byName("d30_media_minhash_eval")
+      .run(spark, sf).collect().head
+    val atPairs = evalRow()
+    try {
+      spark.conf.set(Dedup.MinhashMinBlocksKey, "1")
+      val atBands = evalRow()
+      assert(atBands.getLong(1) >= atPairs.getLong(1),
+        "single-block keys can only widen the candidate set")
+      assert(atBands.getDouble(4) >= atPairs.getDouble(4),
+        "recall is monotone in the banding")
+      // the oracle twin resolves the same knob at generation time
+      assert(Dedup.mediaMinhashPairsSql("aug").contains(
+        "n_match_blocks >= 1"))
+    } finally spark.conf.unset(Dedup.MinhashMinBlocksKey)
+    assert(Dedup.mediaMinhashPairsSql("aug").contains("n_match_blocks >= 2"))
+  }
 }
