@@ -73,14 +73,15 @@ object TextOps {
   /** t21/s36's shared scorer: per-profile trigram hit counts + the argmax
     * label (fixed en > de > fr tie order) over any (doc_id, text)
     * relation — stateless scan → project, so the batch query and the
-    * streaming twin are the same transform.
+    * streaming twin are the same transform. `keep` propagates extra input
+    * columns (p13 carries the per-doc mass through without a self-join).
     */
-  def langIdNgram(docs: DataFrame): DataFrame = {
+  def langIdNgram(docs: DataFrame, keep: Seq[String] = Nil): DataFrame = {
     graft.functions.GraftFunctions.register(docs.sparkSession)
-    val scored = docs.select((col("doc_id") +: LangProfiles.map {
-      case (lang, grams) =>
+    val scored = docs.select((col("doc_id") +: keep.map(col)) ++
+      LangProfiles.map { case (lang, grams) =>
         expr(s"graft_gram_hits(text, ${sqlStrArray(grams)})").as(s"s_$lang")
-    }): _*)
+      }: _*)
     scored.withColumn("lang",
       when(col("s_en") >= col("s_de") && col("s_en") >= col("s_fr"), "en")
         .when(col("s_de") >= col("s_fr"), "de")
@@ -88,18 +89,20 @@ object TextOps {
   }
 
   /** DuckDB twin of [[langIdNgram]] over `$src`. */
-  def langIdNgramSql(src: String = "documents"): String = {
+  def langIdNgramSql(src: String = "documents",
+      keep: Seq[String] = Nil): String = {
+    val kcols = keep.map(k => s"$k, ").mkString
     val scores = LangProfiles.map { case (lang, grams) =>
       s"""CAST(len(list_filter(range(1, length(text) - 1),
             i -> list_contains(${duckStrList(grams)},
                                substr(text, CAST(i AS INT), 3))))
           AS INT) AS s_$lang"""
     }.mkString(",\n               ")
-    s"""SELECT doc_id, s_en, s_de, s_fr,
+    s"""SELECT doc_id, ${kcols}s_en, s_de, s_fr,
                CASE WHEN s_en >= s_de AND s_en >= s_fr THEN 'en'
                     WHEN s_de >= s_fr THEN 'de'
                     ELSE 'fr' END AS lang
-        FROM (SELECT doc_id,
+        FROM (SELECT doc_id, $kcols
                $scores
               FROM $src)"""
   }
@@ -111,7 +114,13 @@ object TextOps {
     */
   val BpeRounds = 3
 
-  def bpeTrainSql(k: Int): String = {
+  /** Shared merge-round CTE chain: c1 = the token corpus, p_r/t_r = round
+    * r's pair counts and winner, c_{r+1} = the corpus after applying
+    * winner r. t22 consumes the winner tables (`mergeThrough` = k−1: the
+    * k-th winner is reported, never applied); t23 consumes the encoded
+    * corpus itself (`mergeThrough` = k).
+    */
+  private def bpeCtes(k: Int, mergeThrough: Int): Seq[String] = {
     def mergeExpr(t: String): String =
       s"""string_split(trim(replace(
             ' ' || array_to_string(toks, '  ') || ' ',
@@ -130,16 +139,66 @@ object TextOps {
                   GROUP BY 1, 2)"""
       ctes += s"""t$r AS (SELECT a, b, n_pair FROM p$r
                   ORDER BY n_pair DESC, a, b LIMIT 1)"""
-      if (r < k)
+      if (r <= mergeThrough)
         ctes += s"""c${r + 1} AS (SELECT doc_id, ${mergeExpr(s"t$r")} AS toks
                     FROM c$r, t$r)"""
     }
+    ctes.toSeq
+  }
+
+  def bpeTrainSql(k: Int): String = {
     val sel = (1 to k).map(r =>
       s"""SELECT CAST($r AS INT) AS round, a AS tok_a, b AS tok_b,
                  CAST(n_pair AS BIGINT) AS n_pair FROM t$r""")
       .mkString("\nUNION ALL\n")
-    s"WITH ${ctes.mkString(",\n")}\n$sel"
+    s"WITH ${bpeCtes(k, k - 1).mkString(",\n")}\n$sel"
   }
+
+  /** Engine-side merge loop shared by t22/t23 (the exact twin of
+    * [[bpeCtes]]): `corpus0` must carry a `toks` array column; extra
+    * columns ride through unchanged (t23 carries `n_tokens_raw`). Returns
+    * the per-round winner frames and the corpus after `mergeThrough`
+    * merges. Each round retains (the d09/q94 bounded-iteration
+    * discipline) so round r evaluates once, not once per downstream
+    * branch.
+    */
+  def bpeRounds(corpus0: DataFrame, k: Int,
+      mergeThrough: Int): (Seq[DataFrame], DataFrame) = {
+    var corpus = graft.util.Caches.retain(corpus0)
+    val winners = (1 to k).map { r =>
+      val top = graft.util.Caches.retain(corpus
+        .select(explode(expr(
+          """arrays_zip(slice(toks, 1, size(toks) - 1),
+                        slice(toks, 2, size(toks) - 1))""")).as("pr"))
+        .groupBy(col("pr.0").as("a"), col("pr.1").as("b"))
+        .agg(count(lit(1)).as("n_pair"))
+        .orderBy(col("n_pair").desc, col("a"), col("b")).limit(1))
+      if (r <= mergeThrough) {
+        corpus = graft.util.Caches.retain(
+          corpus.crossJoin(broadcast(top))
+            .withColumn("toks", split(trim(expr(
+              "replace(concat(' ', array_join(toks, '  '), ' '), " +
+                "concat(' ', a, '  ', b, ' '), " +
+                "concat(' ', a, '_', b, ' '))")), "  "))
+            .drop("a", "b", "n_pair"))
+      }
+      top
+    }
+    (winners, corpus)
+  }
+
+  /** t23's oracle: the corpus after ALL k merges, per-doc token counts
+    * before/after plus a digest of the full token sequence (so the gate
+    * pins the tokenization itself, not just its length).
+    */
+  def bpeEncodeSql(k: Int): String =
+    s"""WITH ${bpeCtes(k, k).mkString(",\n")},
+          raw AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tokens_raw
+                  FROM c1)
+        SELECT c.doc_id, r.n_tokens_raw,
+               CAST(len(c.toks) AS BIGINT) AS n_tokens_bpe,
+               md5(array_to_string(c.toks, ' ')) AS tok_digest
+        FROM c${k + 1} c JOIN raw r ON c.doc_id = r.doc_id"""
 
   /** Language-ID: argmax of per-language stopword hit counts with a fixed
     * preference order (ties → earlier language; zero hits → 'und').
@@ -1048,29 +1107,42 @@ object TextQueries {
     Q("t22_bpe_train",
       (s, d) => {
         val k = TextOps.BpeRounds
-        var corpus = graft.util.Caches.retain(Tables.documents(s, d)
-          .select(col("doc_id"), split(col("text"), " ").as("toks")))
-        val rounds = (1 to k).map { r =>
-          val top = graft.util.Caches.retain(corpus
-            .select(explode(expr(
-              """arrays_zip(slice(toks, 1, size(toks) - 1),
-                            slice(toks, 2, size(toks) - 1))""")).as("pr"))
-            .groupBy(col("pr.0").as("a"), col("pr.1").as("b"))
-            .agg(count(lit(1)).as("n_pair"))
-            .orderBy(col("n_pair").desc, col("a"), col("b")).limit(1))
-          if (r < k) {
-            corpus = graft.util.Caches.retain(
-              corpus.crossJoin(broadcast(top))
-                .select(col("doc_id"), split(trim(expr(
-                  "replace(concat(' ', array_join(toks, '  '), ' '), " +
-                    "concat(' ', a, '  ', b, ' '), " +
-                    "concat(' ', a, '_', b, ' '))")), "  ").as("toks")))
-          }
-          top.select(lit(r).as("round"), col("a").as("tok_a"),
+        val corpus0 = Tables.documents(s, d)
+          .select(col("doc_id"), split(col("text"), " ").as("toks"))
+        val (winners, _) = TextOps.bpeRounds(corpus0, k, k - 1)
+        winners.zipWithIndex.map { case (top, i) =>
+          top.select(lit(i + 1).as("round"), col("a").as("tok_a"),
             col("b").as("tok_b"), col("n_pair"))
-        }
-        rounds.reduce(_ unionByName _)
+        }.reduce(_ unionByName _)
       },
-      Some(TextOps.bpeTrainSql(TextOps.BpeRounds)))
+      Some(TextOps.bpeTrainSql(TextOps.BpeRounds))),
+
+    // t23: BPE ENCODE — the other half of t22 and the half that actually
+    // runs at 100 TB: training fits a sample (the merge table is k rows,
+    // a broadcast literal in production), but ENCODING applies those
+    // merges to EVERY document of the corpus — the full-scan tokenization
+    // pass that feeds sequence packing (p05) and token accounting (t03).
+    // Same relational string surgery as t22 (corpus × broadcast 1-row
+    // winner per round, leftmost non-overlapping replace = the BPE greedy
+    // convention), but all k merges APPLY (t22 reports winner k without
+    // applying it) and the output is the corpus itself: per-doc token
+    // counts before/after plus an md5 digest of the full merged token
+    // sequence, so the oracle pins the tokenization bit-for-bit rather
+    // than just its length. Plan shape: k (pair, count) exchanges for the
+    // winners + per-row merge maps — no collect, no UDF, no driver loop
+    // over data; at 100 TB the winner chain comes from the t22 trainer
+    // and encode is a single embarrassingly-parallel scan.
+    Q("t23_bpe_encode",
+      (s, d) => {
+        val k = TextOps.BpeRounds
+        val corpus0 = Tables.documents(s, d)
+          .select(col("doc_id"), split(col("text"), " ").as("toks"))
+          .withColumn("n_tokens_raw", size(col("toks")).cast("long"))
+        val (_, encoded) = TextOps.bpeRounds(corpus0, k, k)
+        encoded.select(col("doc_id"), col("n_tokens_raw"),
+          size(col("toks")).cast("long").as("n_tokens_bpe"),
+          expr("md5(array_join(toks, ' '))").as("tok_digest"))
+      },
+      Some(TextOps.bpeEncodeSql(TextOps.BpeRounds)))
   )
 }

@@ -536,7 +536,101 @@ object PipelineQueries {
           docs.filter(col("doc_id") >= 100))
       },
       Some(graft.ext.Dedup.bloomGateOracleSql(
-        widthWhere = Some("doc_id < 50"))))
+        widthWhere = Some("doc_id < 50")))),
+
+    // p13: LANGUAGE-ROUTED TEMPERATURE MIX — closes the loop the round-15
+    // verdict named: t19/p09's mixing machinery "assumes `source` already
+    // encodes language". Here the routing key is PREDICTED by t21's
+    // char-trigram scorer (langIdNgram, keep-propagated so the per-doc
+    // mass rides the same zero-exchange scan — no self-join), then p09's
+    // sqrt-temperature admission runs per LANGUAGE: small languages are
+    // upweighted toward sqrt-proportional share (rate caps at 1.0 — the
+    // planted de/fr rows admit fully while en downsamples), admission is
+    // the deterministic md5-poly coin on 'lmix|doc_id' (independent of
+    // p09's 'mix|' stream — composing both mixes never reuses a coin).
+    // The corpus scans twice (stats pass + admission pass) by design: at
+    // 100 TB two scans beat caching a labeled corpus that cannot fit, and
+    // the label is a compiled per-row kernel, not a shuffle. The z-sum is
+    // 2^-20-quantized before summing (p09's discipline) so the one-row
+    // reduce is partitioning-independent.
+    Q("p13_langid_mix",
+      (s, d) => {
+        graft.functions.GraftFunctions.register(s)
+        val plants = s.createDataFrame(graft.ext.TextOps.LangPlants)
+          .toDF("doc_id", "text")
+        val aug = Tables.documents(s, d).select("doc_id", "text")
+          .unionByName(plants)
+          .withColumn("nch", length(col("text")).cast("long"))
+        val labeled = graft.ext.TextOps.langIdNgram(aug, keep = Seq("nch"))
+          .select("doc_id", "nch", "lang")
+        val stats = labeled.groupBy("lang")
+          .agg(count(lit(1)).as("n_docs"), sum("nch").as("mass"))
+        val total = stats.agg(
+          (sum(expr(
+            "CAST(floor(sqrt(CAST(mass AS DOUBLE)) * 1048576.0) AS BIGINT)"))
+            .cast("double") / 1048576.0).as("z"),
+          sum("mass").as("tot"))
+        val rates = stats.crossJoin(broadcast(total))
+          .withColumn("rate", expr(
+            "CASE WHEN mass = 0 THEN 0.0 ELSE least(1.0, " +
+              "0.5 * CAST(tot AS DOUBLE) * (sqrt(CAST(mass AS DOUBLE)) / z)" +
+              " / CAST(mass AS DOUBLE)) END"))
+        val admitted = labeled
+          .join(broadcast(rates.select(col("lang"), col("rate"))), "lang")
+          .filter(pmod(expr(
+            "graft_poly_hash(md5(concat('lmix|', CAST(doc_id AS STRING))))"),
+            lit(1000000L)) <
+            expr("CAST(floor(rate * 1000000.0) AS BIGINT)"))
+          .groupBy("lang")
+          .agg(count(lit(1)).as("n_admitted"),
+            sum("nch").as("admitted_mass"))
+        rates.select("lang", "n_docs", "mass", "rate")
+          .join(admitted, Seq("lang"), "left_outer")
+          .select(col("lang"), col("n_docs"), col("mass"), col("rate"),
+            coalesce(col("n_admitted"), lit(0L)).as("n_admitted"),
+            coalesce(col("admitted_mass"), lit(0L)).as("admitted_mass"))
+      },
+      Some {
+        val plantVals = graft.ext.TextOps.LangPlants.map { case (id, t) =>
+          s"(CAST($id AS BIGINT), '$t')"
+        }.mkString(", ")
+        val hash = graft.ext.PortableHash.duckPoly(
+          "md5('lmix|' || CAST(doc_id AS VARCHAR))")
+        s"""WITH aug AS (SELECT doc_id, text,
+                                CAST(length(text) AS BIGINT) AS nch
+                         FROM (SELECT doc_id, text FROM documents
+                               UNION ALL
+                               SELECT *
+                               FROM (VALUES $plantVals) pl(doc_id, text))),
+                 lab AS (${graft.ext.TextOps.langIdNgramSql("aug",
+                            keep = Seq("nch"))}),
+                 stats AS (SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+                                  CAST(sum(nch) AS BIGINT) AS mass
+                           FROM lab GROUP BY lang),
+                 total AS (SELECT CAST(SUM(CAST(floor(sqrt(CAST(mass AS DOUBLE))
+                                     * 1048576.0) AS BIGINT)) AS DOUBLE)
+                                    / 1048576.0 AS z,
+                                  CAST(sum(mass) AS BIGINT) AS tot
+                           FROM stats),
+                 rates AS (SELECT lang, n_docs, mass,
+                                  CASE WHEN mass = 0 THEN 0.0
+                                       ELSE least(1.0, 0.5 * CAST(tot AS DOUBLE)
+                                         * (sqrt(CAST(mass AS DOUBLE)) / z)
+                                         / CAST(mass AS DOUBLE)) END AS rate
+                           FROM stats, total),
+                 adm AS (SELECT l.lang,
+                                CAST(count(*) AS BIGINT) AS n_admitted,
+                                CAST(sum(l.nch) AS BIGINT) AS admitted_mass
+                         FROM lab l JOIN rates r ON l.lang = r.lang
+                         WHERE $hash % 1000000
+                               < CAST(floor(r.rate * 1000000.0) AS BIGINT)
+                         GROUP BY l.lang)
+            SELECT r.lang, r.n_docs, r.mass, r.rate,
+                   coalesce(a.n_admitted, CAST(0 AS BIGINT)) AS n_admitted,
+                   coalesce(a.admitted_mass, CAST(0 AS BIGINT))
+                     AS admitted_mass
+            FROM rates r LEFT JOIN adm a ON r.lang = a.lang"""
+      })
   )
 }
 

@@ -75,6 +75,51 @@ class TextOpsSpec extends SparkSpec {
     assert(mergeOnce(Seq("a_a", "a"), "a", "a") === Seq("a_a", "a"))
   }
 
+  test("t23 BPE encode: k sequential merges apply end-to-end (winner r " +
+      "recounted over the (r-1)-merged corpus), counts carried exactly") {
+    val s2 = spark
+    import s2.implicits._
+    import org.apache.spark.sql.functions._
+    // round 1: (a,b) wins 3-2 over (b,c); round 2: (a_b,c) wins 2-1 over
+    // (a_b,a_b) — so round 2's winner EXISTS only because round 1 merged.
+    val corpus0 = Seq(
+      (1L, Seq("a", "b", "a", "b", "c")),
+      (2L, Seq("a", "b", "c", "c")))
+      .toDF("doc_id", "toks")
+      .withColumn("n_tokens_raw", size(col("toks")).cast("long"))
+    val (winners, encoded) = TextOps.bpeRounds(corpus0, 2, 2)
+    val w = winners.map(_.select("a", "b").as[(String, String)]
+      .collect().head)
+    assert(w === Seq(("a", "b"), ("a_b", "c")))
+    val out = encoded.select("doc_id", "toks", "n_tokens_raw")
+      .as[(Long, Seq[String], Long)].collect().map(r => r._1 -> r).toMap
+    assert(out(1L)._2 === Seq("a_b", "a_b_c"))
+    assert(out(2L)._2 === Seq("a_b_c", "c"))
+    assert(out(1L)._3 === 5L && out(2L)._3 === 4L) // raw counts ride through
+  }
+
+  test("p13 langid mix: sqrt-temperature caps small languages at full " +
+      "admission while the dominant language downsamples") {
+    import org.apache.spark.sql.functions.col
+    val rows = graft.queries.Catalog.byName("p13_langid_mix")
+      .run(spark, "/root/testdata/sf0.001")
+      .collect().map { r =>
+        r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3),
+          r.getLong(4), r.getLong(5)))
+      }.toMap
+    assert(rows.keySet === Set("en", "de", "fr"))
+    // planted de/fr: tiny mass -> rate caps at 1.0 -> every doc admitted
+    Seq("de", "fr").foreach { l =>
+      val (nDocs, mass, rate, nAdm, admMass) = rows(l)
+      assert(rate === 1.0 && nAdm === nDocs && admMass === mass, s"$l: $rows")
+    }
+    // dominant en: a real (0,1) rate, admission strictly partial
+    val (nEn, massEn, rateEn, admEn, admMassEn) = rows("en")
+    assert(rateEn > 0.0 && rateEn < 1.0)
+    assert(admEn > 0L && admEn < nEn)
+    assert(admMassEn > 0L && admMassEn < massEn)
+  }
+
   test("t21 language-id: planted German/French rows route with margin; " +
       "profiles are boundary-anchored (corpus words cannot fire them)") {
     import org.apache.spark.sql.functions.col
