@@ -585,7 +585,7 @@ object PipelineQueries {
           .agg(count(lit(1)).as("n_admitted"),
             sum("nch").as("admitted_mass"))
         rates.select("lang", "n_docs", "mass", "rate")
-          .join(admitted, Seq("lang"), "left_outer")
+          .join(broadcast(admitted), Seq("lang"), "left_outer")
           .select(col("lang"), col("n_docs"), col("mass"), col("rate"),
             coalesce(col("n_admitted"), lit(0L)).as("n_admitted"),
             coalesce(col("admitted_mass"), lit(0L)).as("admitted_mass"))

@@ -716,6 +716,27 @@ class PlanQualitySpec extends SparkSpec {
     assert(p.contains("Exchange hashpartitioning(source"), p)
   }
 
+  test("t23: BPE encode — the merge chain never goes quadratic (every " +
+      "winner join is the 1-row broadcast), no SMJ, winners via TakeOrdered") {
+    val p = planOf("t23_bpe_encode")
+    // each of the k rounds: winner = TakeOrderedAndProject over the
+    // map-side-combined pair counts; merge = corpus x broadcast(1 row)
+    assert(p.contains("TakeOrderedAndProject"), p)
+    assert(p.contains("BroadcastNestedLoopJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
+  test("p13: langid mix — the label is a per-row kernel (no exchange to " +
+      "label), rates/admission joins all broadcast, no SMJ anywhere") {
+    val p = planOf("p13_langid_mix")
+    assert(p.contains("graft_gram_hits"), p) // the compiled langid scorer
+    assert(p.contains("graft_poly_hash"), p) // the deterministic coin
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
   test("bucketed tables join without a shuffle exchange") {
     val s = spark
     val prevThreshold = s.conf.get("spark.sql.autoBroadcastJoinThreshold")

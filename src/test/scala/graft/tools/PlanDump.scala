@@ -49,6 +49,8 @@ object PlanDump {
     "q109_dynamic_pruning"    -> "dynamic partition pruning: the broadcast dim becomes a dynamicpruning subquery in the fact scan's PartitionFilters — unselected partitions never read, the runtime star-join prune static rewrites cannot reach",
     "d29_media_minhash_neardup" -> "alignment-tolerant media near-dup: compiled graft_byte_minhash signature, block-pair equi-join (shuffled hash, capped), exact byte-gram Jaccard verify on candidates only — survives the insert/delete re-encode class the dHash cannot",
     "t21_language_id"         -> "char-n-gram language-id: scan -> project, ZERO exchanges — three compiled graft_gram_hits rolling scans per row, profiles as plan literals",
+    "t23_bpe_encode"          -> "BPE encode: k (pair,count) map-side-combined exchanges pick the winners, each merge is corpus x broadcast 1-row winner (BroadcastNestedLoop over ONE row) — the encode itself is per-row string surgery, no collect, no UDF",
+    "p13_langid_mix"          -> "language-routed temperature mix: the langid label is a compiled per-row kernel (no exchange to label), per-language rates broadcast back, admission is a deterministic hash filter — two corpus scans, exchanges carry only per-language partial aggregates",
   )
 
   def main(args: Array[String]): Unit = {
