@@ -19,7 +19,8 @@ object Bench {
   val FixtureQueries: Seq[String] = Seq(
     "q38_csv_roundtrip", "q70_dsv2_wire_scan", "q77_zorder_scan",
     "q93_bucketed_join", "q96_dsv2_spj", "q106_incremental_agg",
-    "q109_dynamic_pruning", "m06_binaryfile_scan", "p10_index_lifecycle")
+    "q109_dynamic_pruning", "m06_binaryfile_scan", "p10_index_lifecycle",
+    "p14_tokenizer_lifecycle")
 
   /** DISK-bound queries re-probe when the IO probe pair drifts (see
     * calibrateIo) — observed 1.4-3.0× off across hosts at MATCHED CPU
@@ -185,6 +186,22 @@ object Bench {
     val loadStart = loadAvg()
     sys.env.get("GRAFT_STATE_PARTS")
       .foreach(v => spark.conf.set("graft.stream.stateParts", v))
+    // Production-knob mode (round-17 verdict item 6): GRAFT_BENCH_AUTO=1
+    // resolves the two remaining FIXED-default training knobs the way a
+    // deployment would (`auto` — corpus-derived), so a scale checkpoint
+    // (sf1/sf10) measures the default PATH a production job actually
+    // runs, not a knob artifact (the r16 sf10 checkpoint carried d17/p08
+    // at 375/364 s where the same tree measures 3.35/3.83 s at the
+    // derived k). OFF by default: the driver's sf0.1 artifact keeps
+    // round-over-round knob continuity (bloomBits, minhashBlockBits and
+    // stateParts are already `auto` as their library defaults). Stamped
+    // into the JSON ("auto_knobs") so a checkpoint is machine-readably
+    // a production-path run.
+    val autoKnobs = sys.env.get("GRAFT_BENCH_AUTO").contains("1")
+    if (autoKnobs) {
+      spark.conf.set("spark.graft.dedup.kmeansCells", "auto")
+      spark.conf.set("spark.graft.dedup.hyperplaneBits", "auto")
+    }
     // Warm-up (BASELINE.md measures "min of 2 full-materialization runs
     // after warm-up"): JIT the scan/shuffle/codegen paths once so the first
     // timed query doesn't pay executor + compiler bring-up (~7 s of fixed
@@ -324,13 +341,25 @@ object Bench {
     val cpuOutliers = ratios.collect {
       case (k, r) if r > 4.0 * medianRatio && results(k) > 0.5 => k
     }.toSet
+    // Regression-triggered re-probe (round-17 verdict item 5): the r16
+    // driver artifact carried a 3.1× contention outlier (q108 5.79 s vs
+    // 1.88) that neither the 4×-median rule nor the io_mib list could
+    // catch. Any query reading >2× its committed previous-round value
+    // re-probes — but only when it ALSO exceeds 1.5× the run's median
+    // ratio, so a uniformly slow host (median itself ~2×) doesn't trigger
+    // a full second pass; and only above 0.5 s, where a ratio is signal
+    // rather than scheduler noise.
+    val regressionOutliers = ratios.collect {
+      case (k, r) if r > 2.0 && r > 1.5 * medianRatio
+        && results(k) > 0.5 => k
+    }.toSet
     val ioRetries =
       if (!ioDrifted) Set.empty[String]
       else (ioBytes.filter(_._2 >= IoReprobeMinBytes).keySet ++
         FixtureQueries)
         .filter(n => results.getOrElse(n, -1.0) > 0.5)
     val requeried: Map[String, (Double, Double)] =
-      (cpuOutliers ++ ioRetries).toSeq.sorted.map { name =>
+      (cpuOutliers ++ regressionOutliers ++ ioRetries).toSeq.sorted.map { name =>
       val t0 = System.nanoTime()
       val re = try {
         SparkEntry.queries(name)(spark, sfDir)
@@ -439,6 +468,7 @@ object Bench {
       s""""calib_suite":$suiteCalibJson,""" +
       s""""value_calib_normalized":$valueCalibNormalized,""" +
       s""""suite_normalized":$suiteNormJson,""" +
+      s""""auto_knobs":$autoKnobs,""" +
       s""""subset":${only.isDefined},"injected":$injectedJson,""" +
       s""""requeried":$requeriedJson,"io_mib":$ioBytesJson,""" +
       s""""contended":$contended,"drifted":$drifted,""" +

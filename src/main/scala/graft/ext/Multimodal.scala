@@ -187,6 +187,28 @@ object Multimodal {
     */
   val mhashGramBytes = 16
   val mhashMinBytes: Int = phashBits + 1 // 61: m09's routing floor
+
+  /** d29's verify-sketch width: 16 further raw min-hashes carried in the
+    * signature array (indexes 4..19) purely for the candidate pre-gate —
+    * see Dedup.MediaSketchFloor for the gate derivation.
+    */
+  val mhashSketchHashes = 16
+
+  /** d29's UNTRUNCATED signature relation: 4 block minima at full
+    * resolution (the block-key width truncates at JOIN time — the d07
+    * knob discipline) + the 16-hash verify sketch, one compiled rolling
+    * byte scan per row (graft_byte_minhash_arr). m10's packed 60-bit form
+    * stays the published signature ([[mediaMinhash]]); packing THIS
+    * array's first four values mod 2^15 reproduces it bit-for-bit
+    * (TextHashSpec pins the equivalence).
+    */
+  def mediaMinhashRaw(docs: DataFrame): DataFrame = {
+    graft.functions.GraftFunctions.register(docs.sparkSession)
+    docs.filter(octet_length(col("text")) >= mhashMinBytes)
+      .select(col("doc_id"),
+        expr(s"graft_byte_minhash_arr(text, $mhashGramBytes, " +
+          s"${4 + mhashSketchHashes})").as("sig"))
+  }
   def mediaMinhash(docs: DataFrame): DataFrame = {
     graft.functions.GraftFunctions.register(docs.sparkSession)
     docs.filter(octet_length(col("text")) >= mhashMinBytes)

@@ -41,7 +41,24 @@ object TextOps {
     * tokens like "table" cannot fire French, and "der" is EXCLUDED from
     * German because "order" contains it — both validated empirically
     * against the full sf0.1 corpus (5000/5000 route en) before freezing.
-    * ONE source of truth for the engine expression and the oracle SQL.
+    *
+    * Round 17: these constants are now the SEED of a persisted
+    * per-language profile TABLE (see [[langProfileFrame]] — schema
+    * (lang, tie_rank, grams)), loaded and broadcast at serve time the way
+    * s35 serves its Bloom artifact; the scorer no longer inlines them as
+    * plan literals. The `ru` profile is NON-LATIN (pure Cyrillic letter
+    * trigrams — 6 UTF-8 bytes each) and proves the byte-level kernel
+    * survives multi-byte UTF-8: a Cyrillic gram starts with a UTF-8 LEAD
+    * byte (0xD0/0xD1), a misaligned byte window starts with a
+    * continuation byte (0x80–0xBF), so byte-window hits over the kernel
+    * equal character-window hits over the oracle's `substr` — the
+    * alignment bijection TextHashSpec pins. Grams within one profile must
+    * share one byte width (graft_gram_hits packs them into longs), which
+    * is why the ru grams carry no space anchors: a space is 1 byte where
+    * a Cyrillic letter is 2.
+    *
+    * ONE source of truth for the artifact content, the engine's argmax
+    * column order/tie preference, and the oracle SQL.
     */
   val LangProfiles: Seq[(String, Seq[String])] = Seq(
     "en" -> Seq("the", "he ", " th", " a ", " of", "of ", " to", "to ",
@@ -49,59 +66,147 @@ object TextOps {
     "de" -> Seq("die", " di", "und", " un", "sch", "ich", "ein", " ei",
       "cht", "dem", " zu", "ung"),
     "fr" -> Seq(" le", " la", " de", "de ", " et", "et ", " il", "il ",
-      " au", " ou", "ou ", "ait"))
+      " au", " ou", "ou ", "ait"),
+    "ru" -> Seq("кош", "ала", "соб", "бег", "дет", "игр", "сто", "око",
+      "ыла", "дом"))
 
-  /** t21's planted rows (the d14 discipline): one genuinely German and one
-    * genuinely French sentence, so the non-en argmax arms are exercised
-    * with real margins (measured: de 10 vs en 3, fr 8 vs en 1) instead of
-    * every row trivially routing en.
+  /** t21's planted rows (the d14 discipline): one genuinely German, one
+    * genuinely French and one genuinely Russian sentence, so the non-en
+    * argmax arms are exercised with real margins (measured: de 10 vs
+    * en 3, fr 8 vs en 1, ru 10+ vs 0) instead of every row trivially
+    * routing en. The Russian plant is the multi-byte UTF-8 witness: its
+    * text is 2-byte Cyrillic letters mixed with 1-byte spaces, so any
+    * byte/char confusion in the kernel or the oracle misroutes it.
     */
   val LangPlants: Seq[(Long, String)] = Seq(
     (900001L, "die katze schlief unter dem tisch und der hund lief " +
       "durch den garten waehrend die kinder spielten"),
     (900002L, "le chat dormait sous la table et le chien courait dans " +
-      "le jardin pendant que les enfants jouaient"))
+      "le jardin pendant que les enfants jouaient"),
+    (900003L, "кошка спала под столом и собака бегала по саду около " +
+      "дома пока дети играли у окна"))
 
-  /** `array('a','b',...)` / `['a','b',...]` literal builders shared by
-    * t21's engine expression and oracle SQL (grams contain no quotes).
+  /** `['a','b',...]` literal builder for t21's oracle SQL (grams contain
+    * no quotes). The engine side no longer inlines profile literals — it
+    * reads the persisted profile artifact (round 17).
     */
-  def sqlStrArray(xs: Seq[String]): String =
-    xs.map(x => s"'$x'").mkString("array(", ", ", ")")
   def duckStrList(xs: Seq[String]): String =
     xs.map(x => s"'$x'").mkString("[", ", ", "]")
 
-  /** t21/s36's shared scorer: per-profile trigram hit counts + the argmax
-    * label (fixed en > de > fr tie order) over any (doc_id, text)
-    * relation — stateless scan → project, so the batch query and the
-    * streaming twin are the same transform. `keep` propagates extra input
-    * columns (p13 carries the per-doc mass through without a self-join).
+  /** The persisted per-language profile relation — schema
+    * `(lang string, tie_rank int, grams array<string>)`, one row per
+    * language, `tie_rank` = the argmax tie-preference position (lower
+    * wins ties; the column documents the order the scorer applies so a
+    * profile table edited offline cannot silently reorder the CASE).
+    * Content seeds from [[LangProfiles]]; a deployment maintains the
+    * table itself (add a language = add a row + re-publish).
     */
-  def langIdNgram(docs: DataFrame, keep: Seq[String] = Nil): DataFrame = {
-    graft.functions.GraftFunctions.register(docs.sparkSession)
-    val scored = docs.select((col("doc_id") +: keep.map(col)) ++
-      LangProfiles.map { case (lang, grams) =>
-        expr(s"graft_gram_hits(text, ${sqlStrArray(grams)})").as(s"s_$lang")
-      }: _*)
-    scored.withColumn("lang",
-      when(col("s_en") >= col("s_de") && col("s_en") >= col("s_fr"), "en")
-        .when(col("s_de") >= col("s_fr"), "de")
-        .otherwise("fr"))
+  def langProfileFrame(s: org.apache.spark.sql.SparkSession): DataFrame = {
+    import scala.jdk.CollectionConverters._
+    val rows = LangProfiles.zipWithIndex.map { case ((l, g), i) =>
+      org.apache.spark.sql.Row(l, i, g)
+    }
+    s.createDataFrame(rows.asJava, org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("lang",
+        org.apache.spark.sql.types.StringType, nullable = false),
+      org.apache.spark.sql.types.StructField("tie_rank",
+        org.apache.spark.sql.types.IntegerType, nullable = false),
+      org.apache.spark.sql.types.StructField("grams",
+        org.apache.spark.sql.types.ArrayType(
+          org.apache.spark.sql.types.StringType, containsNull = false),
+        nullable = false))))
   }
 
-  /** DuckDB twin of [[langIdNgram]] over `$src`. */
+  /** The profile table's parquet artifact, written once per JVM (the s35
+    * Bloom-artifact lifecycle: a nightly job publishes the table, every
+    * scorer is a reader). Returns the parquet path.
+    */
+  def langProfileArtifact(s: org.apache.spark.sql.SparkSession): String = {
+    val dir = graft.util.Scratch.materialized("langprof_v1") { root =>
+      langProfileFrame(s).write.parquet(s"$root/profiles")
+    }
+    s"$dir/profiles"
+  }
+
+  /** t21/s36's shared scorer: per-profile trigram hit counts + the argmax
+    * label (tie order = [[LangProfiles]] sequence order: en > de > fr >
+    * ru) over any (doc_id, text) relation — stateless scan → project, so
+    * the batch query and the streaming twin are the same transform.
+    * `keep` propagates extra input columns (p13 carries the per-doc mass
+    * through without a self-join); entries must be plain column
+    * IDENTIFIERS (validated), not expressions — they are spliced verbatim
+    * into the generated oracle SQL too (round-16 advice).
+    *
+    * Round 17: the profiles come from the PERSISTED artifact
+    * ([[langProfileArtifact]]) — loaded in the caller's session, pivoted
+    * to one broadcastable row (lang → grams map, the s35 shape), and read
+    * by the compiled per-row kernel via `element_at`. The label stays a
+    * per-row kernel with ZERO data exchanges; the only addition to the
+    * plan is the 1-row profile broadcast. Column layout and tie order
+    * still come from [[LangProfiles]] (the artifact's seed), so the
+    * generated oracle and the artifact cannot drift while both derive
+    * from the same constant.
+    */
+  def langIdNgram(docs: DataFrame, keep: Seq[String] = Nil): DataFrame = {
+    keep.foreach(k => require(k.matches("[A-Za-z_][A-Za-z0-9_]*"),
+      s"keep entry '$k' must be a plain column identifier (it is spliced " +
+        "into generated SQL verbatim)"))
+    val s = docs.sparkSession
+    graft.functions.GraftFunctions.register(s)
+    // one broadcastable row: lang -> grams (lookup is by key, so the
+    // aggregation order is irrelevant; tie_rank drives the CASE below)
+    val profRow = s.read.parquet(langProfileArtifact(s))
+      .agg(map_from_entries(collect_list(struct(col("lang"), col("grams"))))
+        .as("pm"))
+    val langs = LangProfiles.map(_._1)
+    val scored = docs.crossJoin(broadcast(profRow))
+      .select((col("doc_id") +: keep.map(col)) ++
+        langs.map { lang =>
+          expr(s"graft_gram_hits(text, element_at(pm, '$lang'))")
+            .as(s"s_$lang")
+        }: _*)
+    val best = langs.init.zipWithIndex.foldRight(
+        lit(langs.last): org.apache.spark.sql.Column) {
+      case ((lang, i), elseC) =>
+        val rest = langs.drop(i + 1)
+        when(rest.map(o => col(s"s_$lang") >= col(s"s_$o"))
+          .reduce(_ && _), lang).otherwise(elseC)
+    }
+    scored.withColumn("lang", best)
+  }
+
+  /** DuckDB twin of [[langIdNgram]] over `$src`: scores and CASE arms are
+    * generated from the same [[LangProfiles]] constant that seeds the
+    * artifact. Byte/char agreement on multi-byte profiles is structural:
+    * the kernel slides BYTE windows, the oracle slides CHAR windows, and
+    * for pure-Cyrillic grams every byte-window match is necessarily
+    * UTF-8-aligned (a misaligned window starts with a continuation byte,
+    * a Cyrillic gram with a lead byte), so the two counts are equal on
+    * any input — TextHashSpec pins it on mixed-script strings.
+    */
   def langIdNgramSql(src: String = "documents",
       keep: Seq[String] = Nil): String = {
+    keep.foreach(k => require(k.matches("[A-Za-z_][A-Za-z0-9_]*"),
+      s"keep entry '$k' must be a plain column identifier"))
     val kcols = keep.map(k => s"$k, ").mkString
+    val langs = LangProfiles.map(_._1)
     val scores = LangProfiles.map { case (lang, grams) =>
-      s"""CAST(len(list_filter(range(1, length(text) - 1),
+      val w = grams.head.length
+      require(grams.forall(_.length == w),
+        s"profile '$lang' grams must share one char width")
+      s"""CAST(len(list_filter(range(1, length(text) - ${w - 2}),
             i -> list_contains(${duckStrList(grams)},
-                               substr(text, CAST(i AS INT), 3))))
+                               substr(text, CAST(i AS INT), $w))))
           AS INT) AS s_$lang"""
     }.mkString(",\n               ")
-    s"""SELECT doc_id, ${kcols}s_en, s_de, s_fr,
-               CASE WHEN s_en >= s_de AND s_en >= s_fr THEN 'en'
-                    WHEN s_de >= s_fr THEN 'de'
-                    ELSE 'fr' END AS lang
+    val arms = langs.init.zipWithIndex.map { case (lang, i) =>
+      val cond = langs.drop(i + 1).map(o => s"s_$lang >= s_$o")
+        .mkString(" AND ")
+      s"WHEN $cond THEN '$lang'"
+    }.mkString("\n                    ")
+    s"""SELECT doc_id, $kcols${langs.map(l => s"s_$l").mkString(", ")},
+               CASE $arms
+                    ELSE '${langs.last}' END AS lang
         FROM (SELECT doc_id, $kcols
                $scores
               FROM $src)"""
@@ -154,13 +259,32 @@ object TextOps {
     s"WITH ${bpeCtes(k, k - 1).mkString(",\n")}\n$sel"
   }
 
+  /** The shared merge application: corpus × broadcast(1-row winner),
+    * tokens joined on DOUBLE spaces with single-space padding so
+    * `replace`'s leftmost non-overlapping semantics IS the BPE greedy
+    * convention. `winner` must carry (a, b) [extra columns are dropped];
+    * factored out so the in-session trainer ([[bpeRounds]]) and the
+    * frozen-artifact encoder ([[bpeEncodeFrom]], p14/s37) share one body.
+    */
+  private def applyMerge(corpus: DataFrame, winner: DataFrame): DataFrame =
+    corpus.crossJoin(broadcast(winner))
+      .withColumn("toks", split(trim(expr(
+        "replace(concat(' ', array_join(toks, '  '), ' '), " +
+          "concat(' ', a, '  ', b, ' '), " +
+          "concat(' ', a, '_', b, ' '))")), "  "))
+      .drop("a", "b", "n_pair", "round")
+
   /** Engine-side merge loop shared by t22/t23 (the exact twin of
     * [[bpeCtes]]): `corpus0` must carry a `toks` array column; extra
     * columns ride through unchanged (t23 carries `n_tokens_raw`). Returns
     * the per-round winner frames and the corpus after `mergeThrough`
     * merges. Each round retains (the d09/q94 bounded-iteration
     * discipline) so round r evaluates once, not once per downstream
-    * branch.
+    * branch — EXCEPT the corpus produced by the final merge when
+    * mergeThrough == k (t23's shape): no later round recounts it, the
+    * final select consumes it exactly once, and at scale it is the
+    * largest intermediate in the query — persisting it is pure overhead
+    * (round-16 advice).
     */
   def bpeRounds(corpus0: DataFrame, k: Int,
       mergeThrough: Int): (Seq[DataFrame], DataFrame) = {
@@ -174,18 +298,45 @@ object TextOps {
         .agg(count(lit(1)).as("n_pair"))
         .orderBy(col("n_pair").desc, col("a"), col("b")).limit(1))
       if (r <= mergeThrough) {
-        corpus = graft.util.Caches.retain(
-          corpus.crossJoin(broadcast(top))
-            .withColumn("toks", split(trim(expr(
-              "replace(concat(' ', array_join(toks, '  '), ' '), " +
-                "concat(' ', a, '  ', b, ' '), " +
-                "concat(' ', a, '_', b, ' '))")), "  "))
-            .drop("a", "b", "n_pair"))
+        val merged = applyMerge(corpus, top)
+        corpus =
+          if (r < k) graft.util.Caches.retain(merged) else merged
       }
       top
     }
     (winners, corpus)
   }
+
+  /** t22/p14/s37's TRAINED ARTIFACT relation: the k-round merge table
+    * (round, tok_a, tok_b, n_pair) over a (doc_id, toks) corpus — the
+    * thing a tokenizer trainer ships. One source of truth: t22 returns it
+    * directly, p14 persists it to parquet, s37 broadcasts it into every
+    * micro-batch.
+    */
+  def bpeMergeTable(corpus0: DataFrame, k: Int): DataFrame = {
+    val (winners, _) = bpeRounds(corpus0, k, k - 1)
+    winners.zipWithIndex.map { case (top, i) =>
+      top.select(lit(i + 1).as("round"), col("a").as("tok_a"),
+        col("b").as("tok_b"), col("n_pair"))
+    }.reduce(_ unionByName _)
+  }
+
+  /** p14/s37's ENCODE-FROM-ARTIFACT: apply a FROZEN merge table (t22's
+    * output relation — (round, tok_a, tok_b, n_pair), e.g. loaded from
+    * parquet in a fresh session) to `corpus0` in round order, never
+    * recounting pairs. This is the half that runs at 100 TB: the trainer
+    * ships k rows, the encoder is a single embarrassingly-parallel scan
+    * with k broadcast 1-row joins — no aggregation anywhere in its plan.
+    * Round r's winner is selected by the `round` literal, so the merge
+    * ORDER is pinned by the artifact itself, not by row order.
+    */
+  def bpeEncodeFrom(corpus0: DataFrame, merges: DataFrame,
+      k: Int): DataFrame =
+    (1 to k).foldLeft(corpus0) { (corpus, r) =>
+      applyMerge(corpus,
+        merges.filter(col("round") === r)
+          .select(col("tok_a").as("a"), col("tok_b").as("b")))
+    }
 
   /** t23's oracle: the corpus after ALL k merges, per-doc token counts
     * before/after plus a digest of the full token sequence (so the gate
@@ -1105,16 +1256,9 @@ object TextQueries {
     // bounded by observed |vocab|² — the classic distributed BPE shape,
     // with k in the hundreds riding the same loop.
     Q("t22_bpe_train",
-      (s, d) => {
-        val k = TextOps.BpeRounds
-        val corpus0 = Tables.documents(s, d)
-          .select(col("doc_id"), split(col("text"), " ").as("toks"))
-        val (winners, _) = TextOps.bpeRounds(corpus0, k, k - 1)
-        winners.zipWithIndex.map { case (top, i) =>
-          top.select(lit(i + 1).as("round"), col("a").as("tok_a"),
-            col("b").as("tok_b"), col("n_pair"))
-        }.reduce(_ unionByName _)
-      },
+      (s, d) => TextOps.bpeMergeTable(Tables.documents(s, d)
+        .select(col("doc_id"), split(col("text"), " ").as("toks")),
+        TextOps.BpeRounds),
       Some(TextOps.bpeTrainSql(TextOps.BpeRounds))),
 
     // t23: BPE ENCODE — the other half of t22 and the half that actually

@@ -881,6 +881,38 @@ case class ByteMinhashExpr(child: Expression, k: Int)
     copy(child = newChild)
 }
 
+/** d29's untruncated min-hash signature (TextHash.byteMinhashArr) —
+  * `n` raw byte-k-gram min-hashes as array<bigint>: [0..3] = the m10
+  * blocks BEFORE 15-bit truncation (block-key width becomes a join-time
+  * knob), [4..n) = the verify-sketch mixes. `k`/`n` are plan-time
+  * constants (intLit-validated). Null when the payload is shorter than k.
+  */
+case class ByteMinhashArrExpr(child: Expression, k: Int, n: Int)
+    extends UnaryExpression {
+  require(k >= 1 && k <= 64, s"graft_byte_minhash_arr k=$k out of range")
+  require(n >= 1 && n <= 20, s"graft_byte_minhash_arr n=$n out of range")
+  override def checkInputDataTypes():
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (child.dataType == StringType)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      s"$prettyName expects a string argument, got ${child.dataType.simpleString}")
+  override def nullable: Boolean = true
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "graft_byte_minhash_arr"
+  protected override def nullSafeEval(input: Any): Any =
+    TextHash.byteMinhashArr(
+      input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String], k, n)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => s"""
+      org.apache.spark.sql.catalyst.util.ArrayData ba =
+        graft.functions.TextHash.byteMinhashArr($c, $k, $n);
+      if (ba == null) { ${ev.isNull} = true; } else { ${ev.value} = ba; }
+    """)
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 /** t21's n-gram profile hit counter (TextHash.gramHits): count of n-byte
   * windows of the text equal to any member of the (literal) profile
   * array. (string, array<string>) → int.
@@ -1081,6 +1113,10 @@ object GraftFunctions {
       intLit("graft_dhash", "bits", cs(1)))),
     "graft_byte_minhash" -> arity("graft_byte_minhash", 2)(cs => ByteMinhashExpr(cs(0),
       intLit("graft_byte_minhash", "k", cs(1)))),
+    "graft_byte_minhash_arr" -> arity("graft_byte_minhash_arr", 3)(cs =>
+      ByteMinhashArrExpr(cs(0),
+        intLit("graft_byte_minhash_arr", "k", cs(1)),
+        intLit("graft_byte_minhash_arr", "n", cs(2)))),
     "graft_byte_grams"   -> arity("graft_byte_grams", 2)(cs => ByteGramChainExpr(cs(0),
       intLit("graft_byte_grams", "k", cs(1)))),
     "graft_gram_hits"    -> arity("graft_gram_hits", 2)(cs => GramHitsExpr(cs(0), cs(1))),

@@ -630,6 +630,56 @@ object TextHash {
         ((m2 % 32768L) << 30) | ((m3 % 32768L) << 45))
   }
 
+  /** 16 further multiplicative mixes for d29's declared SKETCH pre-gate:
+    * odd golden-ratio multiples mod 2^32 (deterministic formula, so the
+    * oracle generator interpolates the same values), each < 2^32 so
+    * g·C < 2^62 never overflows — the [[MinhashMixes]] contract.
+    */
+  val VerifyMixes: Array[Long] =
+    Array.tabulate(16)(j => (2654435761L * (2 * j + 3)) % 4294967296L | 1L)
+
+  /** d29's UNTRUNCATED signature: the first `n` byte-k-gram min-hashes as
+    * raw values mod P — indexes 0–3 are exactly [[byteMinhash]]'s four
+    * minima BEFORE the 15-bit truncation (packing the first four mod 2^15
+    * reproduces the m10 signature bit-for-bit — spec-pinned), indexes
+    * 4–19 are the [[VerifyMixes]] sketch the verify pre-gate compares at
+    * FULL resolution. Keeping the values raw is what makes the block-key
+    * width a JOIN-TIME knob (truncate with `% 2^w` at key build — higher
+    * widths strictly refine lower, the round-16 verdict's d07 discipline)
+    * instead of a baked 60-bit layout. One rolling byte scan per row
+    * regardless of n. Null when the payload has fewer than k bytes.
+    */
+  def byteMinhashArr(s: UTF8String, k: Int, n: Int): ArrayData = {
+    require(k >= 1 && k <= 64, s"byte gram width $k out of range [1, 64]")
+    require(n >= 1 && n <= MinhashMixes.length + VerifyMixes.length,
+      s"minhash count $n out of range [1, 20]")
+    val bytes = s.getBytes
+    val len = bytes.length
+    if (len < k) return null
+    val mixes = new Array[Long](n)
+    var b = 0
+    while (b < n) {
+      mixes(b) = if (b < MinhashMixes.length) MinhashMixes(b)
+        else VerifyMixes(b - MinhashMixes.length)
+      b += 1
+    }
+    val mins = Array.fill(n)(Long.MaxValue)
+    var i = 0
+    while (i + k <= len) {
+      var g = 0L
+      var j = 0
+      while (j < k) { g = (g * 31 + (bytes(i + j) & 0xff)) % P; j += 1 }
+      b = 0
+      while (b < n) {
+        val v = g * mixes(b) % P
+        if (v < mins(b)) mins(b) = v
+        b += 1
+      }
+      i += 1
+    }
+    ArrayData.toArrayData(mins)
+  }
+
   /** t21's profile-scoring kernel: the count of n-gram POSITIONS of `s`
     * whose n-byte window equals any member of `grams` (a small literal
     * profile set — all members must share one byte width n ≤ 8). One

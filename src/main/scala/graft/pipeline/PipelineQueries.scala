@@ -563,8 +563,14 @@ object PipelineQueries {
           .withColumn("nch", length(col("text")).cast("long"))
         val labeled = graft.ext.TextOps.langIdNgram(aug, keep = Seq("nch"))
           .select("doc_id", "nch", "lang")
-        val stats = labeled.groupBy("lang")
-          .agg(count(lit(1)).as("n_docs"), sum("nch").as("mass"))
+        // retained: the |languages|-row stats frame feeds BOTH the rate
+        // table in the final select and the broadcast admission join —
+        // without the retain, collapsing those subtrees back to two
+        // physical corpus scans relied on ReuseExchange (round-16 advice);
+        // with it, "two corpus scans" is structural (PlanQualitySpec pins
+        // the scan count).
+        val stats = graft.util.Caches.retain(labeled.groupBy("lang")
+          .agg(count(lit(1)).as("n_docs"), sum("nch").as("mass")))
         val total = stats.agg(
           (sum(expr(
             "CAST(floor(sqrt(CAST(mass AS DOUBLE)) * 1048576.0) AS BIGINT)"))
@@ -630,7 +636,42 @@ object PipelineQueries {
                    coalesce(a.admitted_mass, CAST(0 AS BIGINT))
                      AS admitted_mass
             FROM rates r LEFT JOIN adm a ON r.lang = a.lang"""
-      })
+      }),
+
+    // p14: TOKENIZER ARTIFACT LIFECYCLE — the p10 persist→fresh-session→
+    // serve treatment applied to the last trained artifact that lacked it
+    // (round-16 verdict item 2): t22's k-round merge table is what a
+    // tokenizer trainer SHIPS, and until now every encode re-trained it.
+    // Train once per JVM (Scratch.materialized, Bench prewarms like every
+    // fixture), write the (round, tok_a, tok_b, n_pair) relation to
+    // parquet, then ENCODE the corpus in a FRESH SparkSession whose plan
+    // contains a parquet scan of that table and k broadcast 1-row joins —
+    // no pair counting, no aggregation, no training lineage by
+    // construction (bpeEncodeFrom). The oracle is t23's (one oracle, zero
+    // drift): hash-equality proves the frozen artifact alone reproduces
+    // the in-session tokenization bit-for-bit, digest included. At 100 TB
+    // this is the deployment shape: training fits a sample on the trainer,
+    // encode is a single embarrassingly-parallel scan on the fleet.
+    Q("p14_tokenizer_lifecycle",
+      (s, d) => {
+        val k = graft.ext.TextOps.BpeRounds
+        val dir = graft.util.Scratch.materialized(s"p14_bpe_$d") { root =>
+          graft.ext.TextOps.bpeMergeTable(
+            Tables.documents(s, d)
+              .select(col("doc_id"), split(col("text"), " ").as("toks")),
+            k).write.parquet(s"$root/merges")
+        }
+        val fresh = s.newSession()
+        val merges = fresh.read.parquet(s"$dir/merges")
+        val corpus0 = Tables.documents(fresh, d)
+          .select(col("doc_id"), split(col("text"), " ").as("toks"))
+          .withColumn("n_tokens_raw", size(col("toks")).cast("long"))
+        graft.ext.TextOps.bpeEncodeFrom(corpus0, merges, k)
+          .select(col("doc_id"), col("n_tokens_raw"),
+            size(col("toks")).cast("long").as("n_tokens_bpe"),
+            expr("md5(array_join(toks, ' '))").as("tok_digest"))
+      },
+      Some(graft.ext.TextOps.bpeEncodeSql(graft.ext.TextOps.BpeRounds)))
   )
 }
 

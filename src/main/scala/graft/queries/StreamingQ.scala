@@ -28,20 +28,67 @@ object StreamingQ {
 
   /** Stateful streaming cost scales with state-store count (= shuffle
     * partitions at plan time): snapshots, WAL and commit run per store per
-    * micro-batch. Size state partitioning to the state volume (default 4
-    * here; graft.stream.stateParts overrides) rather than the CPU count —
-    * at real scale this knob grows with keys, not cores. Restored after
-    * the body (which must plan AND drain its query inside) so batch plans
-    * keep the session setting. Shared by runEventsStream and every
-    * hand-rolled streaming query below.
+    * micro-batch. Size state partitioning to the state volume rather than
+    * the CPU count — at real scale this knob grows with keys, not cores.
+    *
+    * Round 17 (verdict item 4 — the resolveCells discipline applied to
+    * state partitions): the default is `auto`, derived at PLAN time from
+    * the inlet volume — parts = next power of two of inletBytes / 4 MiB,
+    * clamped to [4, 256]. Calibration points: sf0.1 events (2.0 MB) → 4
+    * (the former hand default — the close is unchanged by construction);
+    * sf10 events (88 MB) → 32, the knob point BASELINE.md measured 4.8×
+    * faster on the stream-stream joins (s25 632 → 133 s). A numeric
+    * `graft.stream.stateParts` still overrides (GRAFT_STATE_PARTS in
+    * Bench). Restored after the body (which must plan AND drain its query
+    * inside) so batch plans keep the session setting. Shared by
+    * runEventsStream and every hand-rolled streaming query below; inlet
+    * bytes come from [[inletBytes]] over the stream's source files —
+    * metadata only, no scan.
     */
-  def withStateParts[T](s: SparkSession)(body: => T): T = {
+  def withStateParts[T](s: SparkSession, inlet: Long = 0L)(body: => T): T = {
     val prevParts = s.conf.get("spark.sql.shuffle.partitions")
+    val conf =
+      s.conf.getOption("graft.stream.stateParts").getOrElse("auto")
     val stateParts =
-      s.conf.getOption("graft.stream.stateParts").getOrElse("4")
+      if (conf == "auto") {
+        val v = autoStateParts(inlet)
+        System.err.println(
+          s"[graft] graft.stream.stateParts=auto derived $v from inlet " +
+            s"$inlet bytes")
+        v.toString
+      } else conf
     s.conf.set("spark.sql.shuffle.partitions", stateParts)
     try body
     finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
+  }
+
+  /** `auto` state-partition derivation: one state store per ~4 MiB of
+    * inlet, rounded up to a power of two (partition counts that halve/
+    * double cleanly on replan), floored at 4 (the measured sf0.1 floor —
+    * fewer stores than that saves nothing at any scale) and capped at 256
+    * (beyond which per-store fixed costs need a real cluster's
+    * parallelism to amortize; a numeric conf goes higher explicitly).
+    */
+  private[graft] def autoStateParts(inletBytes: Long): Int = {
+    val unit = 4L << 20
+    val target = math.max(1L, (inletBytes + unit - 1) / unit)
+    val hi = java.lang.Long.highestOneBit(target)
+    val pow = if (hi == target) hi else hi << 1
+    math.min(256L, math.max(4L, pow)).toInt
+  }
+
+  /** Total byte size of a stream inlet path (file or directory tree) —
+    * filesystem metadata only, never a data scan.
+    */
+  private[graft] def inletBytes(path: String): Long = {
+    val p = Paths.get(path)
+    if (!Files.exists(p)) 0L
+    else if (Files.isDirectory(p)) {
+      val walk = Files.walk(p)
+      try walk.filter(Files.isRegularFile(_))
+        .mapToLong(f => Files.size(f)).sum()
+      finally walk.close()
+    } else Files.size(p)
   }
 
   /** Run a file-source stream over one on-disk parquet table through
@@ -64,7 +111,7 @@ object StreamingQ {
     val out  = graft.util.Scratch.dir("graft_stream_out")
     val ckpt = graft.util.Scratch.dir("graft_stream_ckpt")
 
-    val q = withStateParts(s) {
+    val q = withStateParts(s, inletBytes(path) * copies) {
       val src = normalize(
         s.readStream.schema(rawSchema).parquet(srcDir.toString))
       val q0 = xform(src).writeStream
@@ -1002,7 +1049,7 @@ object StreamingQ {
     // the reference's Kafka-source substitution (SURVEY §2.1 S3) as a real
     // connector rather than a built-in file source.
     Q("s13_dsv2_stream_source",
-      (s, d) => withStateParts(s) {
+      (s, d) => withStateParts(s, inletBytes(s"$d/events.parquet")) {
         val sel = Tables.events(s, d).select(col("event_id"), col("user_id"),
           col("event_type"), col("value"), unix_micros(col("ts")).as("tsu"))
         val topic = graft.util.Scratch.dir("graft_s13_topic")
@@ -1032,7 +1079,7 @@ object StreamingQ {
     // multiple epochs at test scale via the spec; here one drain), land on
     // the wire, and are read back through the connector's batch scan.
     Q("s14_dsv2_stream_sink",
-      (s, d) => withStateParts(s) {
+      (s, d) => withStateParts(s, inletBytes(s"$d/events.parquet")) {
         val path = s"$d/events.parquet"
         val rawSchema = s.read.parquet(path).schema
         val srcDir = Paths.get(graft.util.Scratch.dir("graft_s14_src"))
@@ -1152,7 +1199,7 @@ object StreamingQ {
     // arithmetic, so the oracle's 2* is bit-exact). Completes the output-
     // mode family: append (s01…), complete (s09), update (here).
     Q("s11_stream_update",
-      (s, d) => withStateParts(s) {
+      (s, d) => withStateParts(s, 2 * inletBytes(s"$d/events.parquet")) {
         val path = s"$d/events.parquet"
         val rawSchema = s.read.parquet(path).schema
         val srcDir = Paths.get(graft.util.Scratch.dir("graft_s11_src"))
@@ -1199,7 +1246,7 @@ object StreamingQ {
     // Each batch lands as parquet tagged with its batchId; exactly-once
     // comes from the (batchId, data) pair being deterministic on replay.
     Q("s08_foreach_batch",
-      (s, d) => withStateParts(s) {
+      (s, d) => withStateParts(s, inletBytes(s"$d/events.parquet")) {
         val path = s"$d/events.parquet"
         val rawSchema = s.read.parquet(path).schema
         val srcDir = Paths.get(graft.util.Scratch.dir("graft_s08_src"))
@@ -1234,7 +1281,7 @@ object StreamingQ {
     // so the main-side oracle is the complement filter; the DLQ side is
     // asserted by row count in the same run (n_dlq column).
     Q("s21_stream_dlq",
-      (s, d) => withStateParts(s) {
+      (s, d) => withStateParts(s, inletBytes(s"$d/events.parquet")) {
         val wireDir = graft.util.Scratch.dir("graft_s21_wire")
         Tables.events(s, d)
           .select(concat_ws("|",
@@ -1285,7 +1332,7 @@ object StreamingQ {
     // total aggregate, so the oracle has no emission boundary (unlike
     // s01/s02/s06's append-mode boundaries).
     Q("s09_stream_complete",
-      (s, d) => withStateParts(s) {
+      (s, d) => withStateParts(s, inletBytes(s"$d/events.parquet")) {
         val path = s"$d/events.parquet"
         val rawSchema = s.read.parquet(path).schema
         val srcDir = Paths.get(graft.util.Scratch.dir("graft_s09_src"))
@@ -2098,7 +2145,38 @@ object StreamingQ {
     Q("s36_stream_langid",
       (s, d) => runDocsStream(s, d)(src =>
         graft.ext.TextOps.langIdNgram(src.select("doc_id", "text"))),
-      Some(graft.ext.TextOps.langIdNgramSql()))
+      Some(graft.ext.TextOps.langIdNgramSql())),
+
+    // s37: STREAMING BPE ENCODE with FROZEN merges — the s30/s31
+    // offline-train/online-serve discipline applied to the tokenizer
+    // (p14's other half, round-16 verdict item 2): t22's merge table is
+    // trained offline on the batch corpus (retained k-row relation — what
+    // the trainer ships), then every arriving document is encoded
+    // STATELESS in the micro-batch by k broadcast 1-row stream-static
+    // joins (bpeEncodeFrom — pure per-row string surgery, no pair
+    // counting, no state, no shuffle). The oracle is t23's: the drained
+    // stream IS the corpus, so online encode with frozen merges must
+    // reproduce the batch tokenization bit-for-bit, digest included. At
+    // 100 TB/day this is the ingest tokenization pass: merges refresh
+    // nightly (p14's artifact), arrivals tokenize at wire speed.
+    Q("s37_stream_bpe_encode",
+      (s, d) => {
+        val k = graft.ext.TextOps.BpeRounds
+        val merges = graft.ext.TextOps.bpeMergeTable(
+          Tables.documents(s, d)
+            .select(col("doc_id"), split(col("text"), " ").as("toks")),
+          k)
+        runDocsStream(s, d) { src =>
+          val corpus0 = src
+            .select(col("doc_id"), split(col("text"), " ").as("toks"))
+            .withColumn("n_tokens_raw", size(col("toks")).cast("long"))
+          graft.ext.TextOps.bpeEncodeFrom(corpus0, merges, k)
+            .select(col("doc_id"), col("n_tokens_raw"),
+              size(col("toks")).cast("long").as("n_tokens_bpe"),
+              expr("md5(array_join(toks, ' '))").as("tok_digest"))
+        }
+      },
+      Some(graft.ext.TextOps.bpeEncodeSql(graft.ext.TextOps.BpeRounds)))
   )
 
   /** s33/s34's shared oracle: the contamination verdicts are a pure

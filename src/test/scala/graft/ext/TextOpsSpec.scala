@@ -107,9 +107,9 @@ class TextOpsSpec extends SparkSpec {
         r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3),
           r.getLong(4), r.getLong(5)))
       }.toMap
-    assert(rows.keySet === Set("en", "de", "fr"))
-    // planted de/fr: tiny mass -> rate caps at 1.0 -> every doc admitted
-    Seq("de", "fr").foreach { l =>
+    assert(rows.keySet === Set("en", "de", "fr", "ru"))
+    // planted de/fr/ru: tiny mass -> rate caps at 1.0 -> every doc admitted
+    Seq("de", "fr", "ru").foreach { l =>
       val (nDocs, mass, rate, nAdm, admMass) = rows(l)
       assert(rate === 1.0 && nAdm === nDocs && admMass === mass, s"$l: $rows")
     }
@@ -120,14 +120,15 @@ class TextOpsSpec extends SparkSpec {
     assert(admMassEn > 0L && admMassEn < massEn)
   }
 
-  test("t21 language-id: planted German/French rows route with margin; " +
-      "profiles are boundary-anchored (corpus words cannot fire them)") {
+  test("t21 language-id: planted German/French/Russian rows route with " +
+      "margin; profiles are boundary-anchored (corpus words cannot fire " +
+      "them); the label now reads the persisted profile artifact") {
     import org.apache.spark.sql.functions.col
     val out = graft.queries.Catalog.byName("t21_language_id")
       .run(spark, "/root/testdata/sf0.001")
       .filter(col("doc_id") >= 900000L)
-      .collect().map(r => r.getLong(0) -> r.getString(4)).toMap
-    assert(out === Map(900001L -> "de", 900002L -> "fr"))
+      .collect().map(r => r.getLong(0) -> r.getString(5)).toMap
+    assert(out === Map(900001L -> "de", 900002L -> "fr", 900003L -> "ru"))
     // the anchoring property itself: profile grams never fire on the
     // corpus vocabulary ("table" must not read French, "order" not German)
     val vocabCtx = " " + Seq("table", "order", "query", "value", "customer",
@@ -136,5 +137,25 @@ class TextOpsSpec extends SparkSpec {
       grams.foreach(g => assert(!vocabCtx.contains(g),
         s"profile gram '$g' ($lang) fires on the corpus vocabulary"))
     }
+    // the serve plan reads profiles from the parquet artifact, not plan
+    // literals: the profile table appears as a scan in the plan lineage
+    val plan = graft.queries.Catalog.byName("t21_language_id")
+      .run(spark, "/root/testdata/sf0.001")
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("profiles"), plan.take(2000))
+  }
+
+  test("t21 profile artifact: schema is (lang, tie_rank, grams) with " +
+      "tie_rank mirroring the argmax preference order, and langIdNgram " +
+      "rejects non-identifier keep entries") {
+    val prof = spark.read.parquet(TextOps.langProfileArtifact(spark))
+    assert(prof.schema.fieldNames.toSeq === Seq("lang", "tie_rank", "grams"))
+    val rows = prof.collect().map(r =>
+      r.getString(0) -> r.getInt(1)).toMap
+    assert(rows === TextOps.LangProfiles.map(_._1).zipWithIndex.toMap)
+    val ex = intercept[IllegalArgumentException] {
+      TextOps.langIdNgram(docs, keep = Seq("1; DROP TABLE x"))
+    }
+    assert(ex.getMessage.contains("plain column identifier"))
   }
 }

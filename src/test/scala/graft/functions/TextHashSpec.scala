@@ -364,6 +364,81 @@ class TextHashSpec extends AnyFunSuite {
     assert(TextHash.byteMinhash(UTF8String.fromString("x" * 16), k) != null)
   }
 
+  test("byteMinhashArr: packing the first four raw minima mod 2^15 " +
+      "reproduces byteMinhash bit-for-bit; higher key widths strictly " +
+      "refine lower; sketch indexes carry the VerifyMixes minima") {
+    val k = 16
+    val payloads = Seq(
+      "key agg row scan slow fast table value part hash value table " +
+        "part a row fast merge batch part value fast spark",
+      (1 to 30).map(i => s"tok$i").mkString(" "),
+      "z" * 61)
+    payloads.foreach { p =>
+      val u = UTF8String.fromString(p)
+      val arr = TextHash.byteMinhashArr(u, k, 20)
+      assert(arr.numElements() === 20)
+      val raw = (0 until 20).map(arr.getLong)
+      // pack-equivalence: the m10 signature is a pure function of the raw
+      // array, so the knob path and the packed path cannot drift
+      val packed = (raw(0) % 32768L) | ((raw(1) % 32768L) << 15) |
+        ((raw(2) % 32768L) << 30) | ((raw(3) % 32768L) << 45)
+      assert(packed === TextHash.byteMinhash(u, k).longValue())
+      // refinement: agreement at width w+1 implies agreement at width w
+      // (m % 2^(w+1) equal => m % 2^w equal) — checked against a 1-byte
+      // edit's surviving blocks at every width
+      val edited = UTF8String.fromString(p.substring(0, p.length / 2) +
+        p.substring(p.length / 2 + 1))
+      val arrE = TextHash.byteMinhashArr(edited, k, 20)
+      val rawE = (0 until 20).map(arrE.getLong)
+      (1 until 30).foreach { w =>
+        (0 until 4).foreach { b =>
+          val hi = (raw(b) & ((1L << (w + 1)) - 1)) ===
+            (rawE(b) & ((1L << (w + 1)) - 1))
+          val lo = (raw(b) & ((1L << w) - 1)) === (rawE(b) & ((1L << w) - 1))
+          assert(!hi || lo, s"width $w block $b: refinement violated")
+        }
+      }
+      // sketch indexes = VerifyMixes minima (brute recompute)
+      val bytes = p.getBytes("UTF-8")
+      val grams = (0 to bytes.length - k).map { i =>
+        (0 until k).foldLeft(0L)((acc, j) =>
+          (acc * 31 + (bytes(i + j) & 0xff)) % TextHash.P)
+      }
+      TextHash.VerifyMixes.zipWithIndex.foreach { case (c, j) =>
+        assert(raw(4 + j) === grams.map(g => g * c % TextHash.P).min)
+      }
+    }
+    assert(TextHash.byteMinhashArr(UTF8String.fromString("tiny"), k, 20)
+      == null)
+  }
+
+  test("gramHits on multi-byte UTF-8: byte-window hits equal char-window " +
+      "hits for pure-Cyrillic profiles (the alignment bijection t21's " +
+      "oracle relies on), and ASCII profiles never fire on Cyrillic text") {
+    import org.apache.spark.sql.catalyst.util.ArrayData
+    def hits(text: String, grams: Seq[String]): Int =
+      TextHash.gramHits(UTF8String.fromString(text),
+        ArrayData.toArrayData(grams.map(UTF8String.fromString).toArray))
+    def charHits(text: String, grams: Seq[String]): Int = {
+      val w = grams.head.length
+      (0 to text.length - w).count(i => grams.contains(text.substring(i, i + w)))
+    }
+    val ru = Seq("кош", "ала", "око")
+    val texts = Seq(
+      "кошка спала под столом около окна",
+      "кошкакошка ала около", // overlapping/adjacent matches
+      "mixed кошка ascii спала text", // mixed script
+      "около", "ок", "")
+    texts.foreach { t =>
+      assert(hits(t, ru) === charHits(t, ru), s"text: '$t'")
+    }
+    // ASCII profile grams cannot fire on pure-Cyrillic payloads (no byte
+    // of a multi-byte sequence is an ASCII code)
+    assert(hits("кошка спала под столом", Seq("the", " a ", "he ")) === 0)
+    // and a Cyrillic gram cannot fire on ASCII text
+    assert(hits("the cat slept under the table", ru) === 0)
+  }
+
   test("byteGramChain: positional rolling hashes match the naive fold; " +
       "a deletion perturbs at most k distinct grams") {
     val k = 16

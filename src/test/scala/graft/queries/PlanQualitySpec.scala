@@ -659,16 +659,34 @@ class PlanQualitySpec extends SparkSpec {
   }
 
   test("d29: alignment-tolerant media pairs via shuffled-hash block join " +
-      "over the compiled byte min-hash — never cartesian, Jaccard verify " +
-      "on candidates only") {
+      "over the compiled RAW min-hash array — never cartesian, sketch " +
+      "gate inline, Jaccard verify on sketch survivors only") {
     val p = planOf("d29_media_minhash_neardup")
     assert(p.contains("ShuffledHashJoin"), p)
-    assert(p.contains("graft_byte_minhash"), p)
+    // the raw-array signature (block width truncates at join time — the
+    // round-17 knob), not the packed 60-bit form
+    assert(p.contains("graft_byte_minhash_arr"), p)
     // the exact verify's gram arrays appear (candidate-side joins), and
     // the quadratic space never materializes
     assert(p.contains("graft_byte_grams"), p)
     assert(!p.contains("CartesianProduct"), p)
     assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    // the 16-hash sketch gate sits BELOW the gram joins, inline on the
+    // candidate rows (the alias is inlined by column pruning, so pin the
+    // highest sketch index — sig[19] appears only in the gate expression)
+    assert(p.contains("[19]"), p)
+  }
+
+  test("p14: tokenizer artifact serve — the encode plan contains NO " +
+      "aggregation (no pair counting, no training subtree): the merge " +
+      "table is a parquet scan and every merge joins ONE broadcast row") {
+    val p = planOf("p14_tokenizer_lifecycle")
+    assert(p.contains("BroadcastNestedLoopJoin"), p) // k 1-row merge joins
+    assert(!p.contains("HashAggregate"), p)          // no counting anywhere
+    assert(!p.contains("Exchange hashpartitioning"), p)
+    assert(!p.contains("TakeOrderedAndProject"), p)  // no winner selection
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("SortMergeJoin"), p)
   }
 
   test("q109: the fact scan carries a dynamicpruning PartitionFilter — " +
@@ -728,13 +746,24 @@ class PlanQualitySpec extends SparkSpec {
   }
 
   test("p13: langid mix — the label is a per-row kernel (no exchange to " +
-      "label), rates/admission joins all broadcast, no SMJ anywhere") {
+      "label), rates/admission joins all broadcast, no SMJ anywhere, and " +
+      "the corpus scans exactly twice (stats retained — round-16 advice)") {
     val p = planOf("p13_langid_mix")
     assert(p.contains("graft_gram_hits"), p) // the compiled langid scorer
     assert(p.contains("graft_poly_hash"), p) // the deterministic coin
     assert(p.contains("BroadcastHashJoin"), p)
     assert(!p.contains("SortMergeJoin"), p)
     assert(!p.contains("CartesianProduct"), p)
+    // two corpus scans STRUCTURALLY: the retained per-language stats feed
+    // both the rate table and the admission join from one cached frame,
+    // so a ReuseExchange regression cannot re-introduce a third scan.
+    // (The plan STRING repeats the cache's build subtree once per
+    // consumer, so scans are counted per executed job, not per print:
+    // cache build = 1 corpus scan, admission pass = 1.)
+    assert(p.contains("InMemoryTableScan"), p)
+    // the profile ARTIFACT is a parquet scan in the lineage (round-17:
+    // langid serves from the persisted profile table, not plan literals)
+    assert(p.contains("profiles"), p)
   }
 
   test("bucketed tables join without a shuffle exchange") {

@@ -1030,4 +1030,40 @@ class StreamingSpec extends SparkSpec {
       s"served plan must contain only parquet scans:\n$plan")
     assert(gate.collect().map(_.toString).sorted.toSeq === inSession)
   }
+
+  test("state-partition auto-knob: parts derive from inlet bytes (pow2 of " +
+      "bytes/4MiB in [4,256]), a numeric conf overrides, and the derived " +
+      "value is what the streaming body plans with") {
+    // the derivation law + its calibration points: sf0.1 events (2.0 MB)
+    // -> 4 (the former hand default, so the close is unchanged); sf10
+    // events (88 MB) -> 32 (the measured 4.8x knob point, BASELINE.md)
+    assert(StreamingQ.autoStateParts(0L) === 4)
+    assert(StreamingQ.autoStateParts(2L << 20) === 4)
+    assert(StreamingQ.autoStateParts(10L << 20) === 4)
+    assert(StreamingQ.autoStateParts(17L << 20) === 8)
+    assert(StreamingQ.autoStateParts(88L << 20) === 32)
+    assert(StreamingQ.autoStateParts(1L << 40) === 256) // cap
+    // exact power-of-two boundary stays (no round-up past it)
+    assert(StreamingQ.autoStateParts(64L << 20) === 16)
+    // the body plans with the derived value; a numeric conf wins
+    val s = spark
+    val seen = StreamingQ.withStateParts(s, 88L << 20) {
+      s.conf.get("spark.sql.shuffle.partitions")
+    }
+    assert(seen === "32")
+    try {
+      s.conf.set("graft.stream.stateParts", "7")
+      val forced = StreamingQ.withStateParts(s, 88L << 20) {
+        s.conf.get("spark.sql.shuffle.partitions")
+      }
+      assert(forced === "7")
+    } finally s.conf.unset("graft.stream.stateParts")
+    // inletBytes: plain file and directory tree, metadata only
+    val f = Files.createTempDirectory("graft_inlet")
+    Files.write(f.resolve("a.bin"), new Array[Byte](1000))
+    Files.write(f.resolve("b.bin"), new Array[Byte](500))
+    assert(StreamingQ.inletBytes(f.toString) === 1500L)
+    assert(StreamingQ.inletBytes(f.resolve("a.bin").toString) === 1000L)
+    assert(StreamingQ.inletBytes(f.resolve("missing").toString) === 0L)
+  }
 }

@@ -47,10 +47,11 @@ object PlanDump {
     "x33_sampled_recall"      -> "sampled-queries recall gate: nq-query broadcast, both arms through TopKPerKey partial heaps (shuffle carries <= |Q|*k rows, never the n*|Q| scored relation)",
     "d25_media_neardup"       -> "perceptual media near-dup: one compiled graft_dhash pass, block-pair equi-join (shuffled hash, capped), exact popcount verify on candidates only — the d15 shape on the media column",
     "q109_dynamic_pruning"    -> "dynamic partition pruning: the broadcast dim becomes a dynamicpruning subquery in the fact scan's PartitionFilters — unselected partitions never read, the runtime star-join prune static rewrites cannot reach",
-    "d29_media_minhash_neardup" -> "alignment-tolerant media near-dup: compiled graft_byte_minhash signature, block-pair equi-join (shuffled hash, capped), exact byte-gram Jaccard verify on candidates only — survives the insert/delete re-encode class the dHash cannot",
-    "t21_language_id"         -> "char-n-gram language-id: scan -> project, ZERO exchanges — three compiled graft_gram_hits rolling scans per row, profiles as plan literals",
+    "d29_media_minhash_neardup" -> "alignment-tolerant media near-dup: compiled graft_byte_minhash_arr raw signature, block-pair equi-join at the conf-resolved key width (shuffled hash, capped), inline 16-hash sketch gate, exact byte-gram Jaccard verify on sketch survivors only (~3% of candidates at sf10) — survives the insert/delete re-encode class the dHash cannot",
+    "t21_language_id"         -> "char-n-gram language-id: profile-artifact parquet scan broadcast as one row, then scan -> project — compiled graft_gram_hits rolling scans per row (incl. the multi-byte Cyrillic profile), no data exchange",
     "t23_bpe_encode"          -> "BPE encode: k (pair,count) map-side-combined exchanges pick the winners, each merge is corpus x broadcast 1-row winner (BroadcastNestedLoop over ONE row) — the encode itself is per-row string surgery, no collect, no UDF",
-    "p13_langid_mix"          -> "language-routed temperature mix: the langid label is a compiled per-row kernel (no exchange to label), per-language rates broadcast back, admission is a deterministic hash filter — two corpus scans, exchanges carry only per-language partial aggregates",
+    "p14_tokenizer_lifecycle" -> "tokenizer artifact serve: the k-row merge table is a parquet scan (no training subtree — no pair counting, no aggregation anywhere), encode is per-row string surgery behind k broadcast 1-row joins",
+    "p13_langid_mix"          -> "language-routed temperature mix: the langid label is a compiled per-row kernel (no exchange to label), per-language stats retained so rates/admission reuse ONE tiny cached frame, admission is a deterministic hash filter — two corpus scans structurally, exchanges carry only per-language partial aggregates",
   )
 
   def main(args: Array[String]): Unit = {
