@@ -307,22 +307,48 @@ object Bench {
     // a 4× on a 0.1 s query is scheduler noise, not an outlier). Both
     // readings land in `requeried`; the final per-query number is the min
     // over all runs (the same discipline min-of-2 already applies).
+    // Round 18 (verdict item 7): the re-probe reference is whichever
+    // committed artifact matches the RUN — sf directory (path-normalized:
+    // stamps are absolute, invocations may be relative) AND knob mode
+    // (auto_knobs; absent in pre-r17 artifacts = false). The sf0.1 close
+    // keeps reading BENCH_FULL.json; the two sf10 checkpoints re-probe
+    // against their own committed references instead of silently skipping.
     val committed: Map[String, Double] =
       if (only.isDefined || injectFail.nonEmpty) Map.empty
       else try {
-        val txt = new String(java.nio.file.Files.readAllBytes(
-          java.nio.file.Paths.get("BENCH_FULL.json")), "UTF-8")
-        if (!txt.contains(s""""sf":"$sfDir"""")) Map.empty
-        else {
-          val qstart = txt.indexOf("\"queries\":{")
-          if (qstart < 0) Map.empty
-          else {
-            val body = txt.substring(qstart + 11, txt.indexOf("}", qstart))
-            "\"([A-Za-z0-9_]+)\":(-?[0-9][0-9.Ee+-]*)".r
-              .findAllMatchIn(body)
-              .map(m => m.group(1) -> m.group(2).toDouble).toMap
-          }
-        }
+        def absSf(p: String): String =
+          java.nio.file.Paths.get(p).toAbsolutePath.normalize.toString
+        val runSf = absSf(sfDir)
+        val candidates =
+          Seq("BENCH_FULL.json", "BENCH_SF10_AUTO.json", "BENCH_SF10.json",
+            "BENCH_SF1.json")
+        candidates.iterator.flatMap { f =>
+          try {
+            val path = java.nio.file.Paths.get(f)
+            if (!java.nio.file.Files.exists(path)) Iterator.empty
+            else {
+              val txt = new String(
+                java.nio.file.Files.readAllBytes(path), "UTF-8")
+              val sfStamp = "\"sf\":\"([^\"]+)\"".r.findFirstMatchIn(txt)
+                .map(_.group(1))
+              val autoStamp = txt.contains("\"auto_knobs\":true")
+              if (!sfStamp.exists(s => absSf(s) == runSf) ||
+                  autoStamp != autoKnobs) Iterator.empty
+              else {
+                val qstart = txt.indexOf("\"queries\":{")
+                if (qstart < 0) Iterator.empty
+                else {
+                  val body =
+                    txt.substring(qstart + 11, txt.indexOf("}", qstart))
+                  Iterator.single(
+                    "\"([A-Za-z0-9_]+)\":(-?[0-9][0-9.Ee+-]*)".r
+                      .findAllMatchIn(body)
+                      .map(m => m.group(1) -> m.group(2).toDouble).toMap)
+                }
+              }
+            }
+          } catch { case scala.util.control.NonFatal(_) => Iterator.empty }
+        }.nextOption().getOrElse(Map.empty)
       } catch { case scala.util.control.NonFatal(_) =>
         Map.empty[String, Double] }
     val ratios = results.flatMap { case (k, v) =>

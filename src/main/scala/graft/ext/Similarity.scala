@@ -348,25 +348,38 @@ object Similarity {
     // unchanged by construction: every downstream stage is order-free
     // (the partition-stability specs pin exactly this).
     // Two guards: splits < cores (a well-split corpus never repartitions)
-    // AND at least a split's worth of bytes (32 MiB): below that, the
-    // extra exchange plus 32-task scheduling per pass is pure overhead —
-    // measured at sf0.1 (0.55 MB corpus) the unconditional floor inflated
-    // x15/x30 by ~0.3-0.6 s each, while the 60 MB sf10 corpus is the case
-    // that needs it (1 → ~25 cores, BASELINE.md round-15).
+    // AND enough per-pass WORK to amortize the exchange. Round 18 re-drew
+    // the work bound: the round-15 guard was bytes ≥ 32 MiB, a pure-IO
+    // proxy — but a seeding pass is CPU-bound kernel work ∝ bytes·k
+    // (each row scans O(k) candidates), so a 30 MB corpus at auto-k=782
+    // sat under the byte bar while carrying ~800× the flops the bar was
+    // calibrated for. Measured at the sf10-auto checkpoint: the ENTIRE
+    // k-means|| chain ran on ONE task (the parquet file is a single
+    // 30 MB split) and x15 cost 322 s where the same passes run ~32-way
+    // in seconds. The bound is now bytes·k ≥ 32 MiB·8 (identical trigger
+    // to round-15's at the k=8 declared default, so every measured small
+    // point is unchanged; any auto-k corpus crosses it at ~0.3 MB): at
+    // the boundary a pass is ~1 GFLOP single-task, where the one-time
+    // exchange (~0.1-0.3 s) pays for itself in the first pass.
     // Split count via the file-index estimate (Tables.estimatedSplits),
     // NOT e0.rdd.getNumPartitions — .rdd compiles the physical plan once
     // per BUILD (round-15 advice item 5). estimate 0 = no file relation
     // (unknown layout) → leave it alone, same as the well-split case.
-    val floored =
-      if (mode == SeedMode.Modulo) e0
-      else {
-        val par = emb.sparkSession.sparkContext.defaultParallelism
-        val bytes = emb.queryExecution.optimizedPlan.stats.sizeInBytes
-        val splits = graft.sources.Tables.estimatedSplits(e0)
-        if (bytes >= (32L << 20) && splits > 0 && splits < par)
-          e0.repartition(par)
-        else e0
-      }
+    // Round 18: the floor now covers Modulo too — modulo's iters+1 assign
+    // passes carry the SAME bytes·k kernel work (x11 at sf10-auto: 18.7 s
+    // single-task where the bound-triggered repartition runs them 32-way).
+    // Modulo stays unretained (the round-10 contract), so each of its ~3
+    // passes re-pays the exchange — ~0.3 s each on a 30 MB corpus, noise
+    // against the 10-30× kernel win, and below the bound nothing changes.
+    val floored = {
+      val par = emb.sparkSession.sparkContext.defaultParallelism
+      val bytes = emb.queryExecution.optimizedPlan.stats.sizeInBytes
+      val splits = graft.sources.Tables.estimatedSplits(e0)
+      if (bytes * k >= BigInt(32L << 20) * 8 && splits > 0 &&
+          splits < par)
+        e0.repartition(par)
+      else e0
+    }
     lloydOverMode(if (mode != SeedMode.Modulo)
       graft.util.Caches.retain(floored) else floored, k, iters, mode)
   }

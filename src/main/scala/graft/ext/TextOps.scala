@@ -68,7 +68,23 @@ object TextOps {
     "fr" -> Seq(" le", " la", " de", "de ", " et", "et ", " il", "il ",
       " au", " ou", "ou ", "ait"),
     "ru" -> Seq("кош", "ала", "соб", "бег", "дет", "игр", "сто", "око",
-      "ыла", "дом"))
+      "ыла", "дом"),
+    // Round 18 (verdict item 5): the CJK script class — NO word
+    // boundaries, so the space-anchored gram assumption degenerates and
+    // the profile unit drops to character BIGRAMS (2 chars = 6 UTF-8
+    // bytes, inside graft_gram_hits' 8-byte pack; a CJK TRIGRAM is 9
+    // bytes and would refuse). Alignment bijection holds as for
+    // Cyrillic: every han/hiragana char is a 3-byte sequence whose lead
+    // byte is 0xE4-0xE9/0xE3, a misaligned byte window starts with a
+    // continuation byte (0x80-0xBF), so byte-window hits == char-window
+    // hits on any input (TextHashSpec pins the mixed-script case).
+    // zh grams are pure han function bigrams; ja grams are pure
+    // HIRAGANA inflection bigrams — the two scripts are byte-disjoint
+    // here, so a zh text can never fire ja and vice versa.
+    "zh" -> Seq("我们", "他们", "这个", "一个", "是一", "了一",
+      "人的", "中的"),
+    "ja" -> Seq("した", "てい", "いた", "って", "んで", "です",
+      "ます", "こと", "のは", "から"))
 
   /** t21's planted rows (the d14 discipline): one genuinely German, one
     * genuinely French and one genuinely Russian sentence, so the non-en
@@ -84,7 +100,17 @@ object TextOps {
     (900002L, "le chat dormait sous la table et le chien courait dans " +
       "le jardin pendant que les enfants jouaient"),
     (900003L, "кошка спала под столом и собака бегала по саду около " +
-      "дома пока дети играли у окна"))
+      "дома пока дети играли у окна"),
+    // The CJK witnesses (round 18): the zh plant is pure han (routes zh
+    // with margin ≥ 7 vs every other profile's 0 — no hiragana, so s_ja
+    // is structurally 0); the ja plant is pure hiragana (s_zh
+    // structurally 0, routes ja via the tie-order tail with margin ≥ 8).
+    // Neither contains a space — the no-word-boundary script class the
+    // boundary-anchored Latin profiles cannot represent.
+    (900004L, "我们的猫在桌子下面睡觉他们的狗在花园里跑这个孩子拿着" +
+      "一个球玩了一会儿大人的笑声从院子中的树下传来"),
+    (900005L, "ねこはつくえのしたでねむっていたいぬはにわをはしって" +
+      "いたこどもたちはまどのそばであそんでいました"))
 
   /** `['a','b',...]` literal builder for t21's oracle SQL (grams contain
     * no quotes). The engine side no longer inlines profile literals — it
@@ -122,7 +148,10 @@ object TextOps {
     * scorer is a reader). Returns the parquet path.
     */
   def langProfileArtifact(s: org.apache.spark.sql.SparkSession): String = {
-    val dir = graft.util.Scratch.materialized("langprof_v1") { root =>
+    // v2: +zh/+ja rows (round 18). The key names the CONTENT version —
+    // Scratch persists across sessions in one run, so a content change
+    // without a key bump would serve the stale table to a warm JVM.
+    val dir = graft.util.Scratch.materialized("langprof_v2") { root =>
       langProfileFrame(s).write.parquet(s"$root/profiles")
     }
     s"$dir/profiles"
@@ -130,7 +159,8 @@ object TextOps {
 
   /** t21/s36's shared scorer: per-profile trigram hit counts + the argmax
     * label (tie order = [[LangProfiles]] sequence order: en > de > fr >
-    * ru) over any (doc_id, text) relation — stateless scan → project, so
+    * ru > zh > ja) over any (doc_id, text) relation — stateless scan →
+    * project, so
     * the batch query and the streaming twin are the same transform.
     * `keep` propagates extra input columns (p13 carries the per-doc mass
     * through without a self-join); entries must be plain column
@@ -225,15 +255,23 @@ object TextOps {
     * k-th winner is reported, never applied); t23 consumes the encoded
     * corpus itself (`mergeThrough` = k).
     */
-  private def bpeCtes(k: Int, mergeThrough: Int): Seq[String] = {
-    def mergeExpr(t: String): String =
-      s"""string_split(trim(replace(
-            ' ' || array_to_string(toks, '  ') || ' ',
-            ' ' || $t.a || '  ' || $t.b || ' ',
-            ' ' || $t.a || '_' || $t.b || ' ')), '  ')"""
+  /** The DuckDB merge-application expression over a 1-row winner CTE `t`
+    * — the oracle twin of [[applyMerge]], shared by the training chain
+    * ([[bpeCtes]]) and the sampled-train/full-encode chain
+    * ([[bpeSampledEncodeSql]]).
+    */
+  private def duckMergeExpr(t: String): String =
+    s"""string_split(trim(replace(
+          ' ' || array_to_string(toks, '  ') || ' ',
+          ' ' || $t.a || '  ' || $t.b || ' ',
+          ' ' || $t.a || '_' || $t.b || ' ')), '  ')"""
+
+  private def bpeCtes(k: Int, mergeThrough: Int,
+      src: String = "documents"): Seq[String] = {
+    def mergeExpr(t: String): String = duckMergeExpr(t)
     val ctes = new scala.collection.mutable.ArrayBuffer[String]
     ctes += "c1 AS (SELECT doc_id, string_split(text, ' ') AS toks " +
-      "FROM documents)"
+      s"FROM $src)"
     (1 to k).foreach { r =>
       ctes += s"""p$r AS (SELECT toks[i] AS a, toks[i + 1] AS b,
                          count(*) AS n_pair
@@ -331,12 +369,36 @@ object TextOps {
     * ORDER is pinned by the artifact itself, not by row order.
     */
   def bpeEncodeFrom(corpus0: DataFrame, merges: DataFrame,
-      k: Int): DataFrame =
+      k: Int): DataFrame = {
+    // Validate the artifact BEFORE folding (round-18, ADVICE medium):
+    // applyMerge crossJoins each round's 1-row winner, so a round MISSING
+    // from the table (artifact trained with a smaller k, truncated
+    // parquet, or a duplicate round row) would silently annihilate or
+    // duplicate the whole corpus — the worst failure shape for the
+    // externally-loaded-artifact path p14/s37 advertise as the deployment
+    // form. The check is one bounded O(k) aggregate over the k-row
+    // artifact (the reclusterGreedyLocal metadata-collect discipline,
+    // never corpus data); failing loudly here beats returning an empty
+    // result downstream.
+    val perRound = merges.filter(col("round").between(1, k))
+      .groupBy("round").agg(count(lit(1)).as("n"))
+      .collect()
+      .map(r => r.getAs[Number]("round").intValue() ->
+        r.getAs[Number]("n").longValue()).toMap
+    val missing = (1 to k).filterNot(perRound.contains)
+    val dup = perRound.filter(_._2 > 1).keys.toSeq.sorted
+    require(missing.isEmpty && dup.isEmpty,
+      s"bpeEncodeFrom: frozen merge table does not cover rounds 1..$k " +
+        s"exactly once (missing=${missing.mkString(",")} " +
+        s"duplicated=${dup.mkString(",")}): refusing to encode — a " +
+        "missing round's empty winner would cross-join the corpus to " +
+        "zero rows; re-train the artifact or encode at its actual k")
     (1 to k).foldLeft(corpus0) { (corpus, r) =>
       applyMerge(corpus,
         merges.filter(col("round") === r)
           .select(col("tok_a").as("a"), col("tok_b").as("b")))
     }
+  }
 
   /** t23's oracle: the corpus after ALL k merges, per-doc token counts
     * before/after plus a digest of the full token sequence (so the gate
@@ -350,6 +412,56 @@ object TextOps {
                CAST(len(c.toks) AS BIGINT) AS n_tokens_bpe,
                md5(array_to_string(c.toks, ' ')) AS tok_digest
         FROM c${k + 1} c JOIN raw r ON c.doc_id = r.doc_id"""
+
+  /** The BPE k-SCALING LAW, bounded (round-18 verdict item 4). Training
+    * is one corpus-rewrite pass PER MERGE ([[bpeRounds]]): O(k) corpus
+    * passes — the one tokenizer stage whose cost multiplies with the
+    * merge count, and at a production k of 10⁴–10⁵ the full-corpus form
+    * is unrunnable at 100 TB. The production shape bounds it: train the
+    * merge table on a BOUNDED DETERMINISTIC SAMPLE (the q68/q72
+    * content-hash coin — a pure function of doc_id both engines replay,
+    * no RNG), then encode the FULL corpus from the frozen artifact
+    * ([[bpeEncodeFrom]]: one scan + k broadcast 1-row joins, zero
+    * aggregation). Sample size, not corpus size, now drives training
+    * cost; p15 gates the whole lifecycle against the unrolled oracle.
+    */
+  val BpeSampleMicros = 500000L // 50% — ≥250 sample docs at gate scale
+
+  /** The sampling coin, engine side (`doc_id`-keyed: 'bpesample|' salts
+    * the stream so composing with q68/p09/p13's coins never reuses one).
+    */
+  def bpeSampleCoin: org.apache.spark.sql.Column =
+    pmod(expr("graft_poly_hash(md5(concat('bpesample|', " +
+      "CAST(doc_id AS STRING))))"), lit(1000000L)) < lit(BpeSampleMicros)
+
+  def bpeSampleCoinSql: String =
+    graft.ext.PortableHash.duckPoly(
+      "md5('bpesample|' || CAST(doc_id AS VARCHAR))") +
+      s" % 1000000 < $BpeSampleMicros"
+
+  /** p15's oracle: train chain (c/p/t CTEs) over the SAMPLE, encode chain
+    * (e CTEs) over the FULL corpus applying the sample-trained winners in
+    * round order — t23's output shape, so the report pins the actual
+    * tokenization of every corpus row under the sampled artifact.
+    */
+  def bpeSampledEncodeSql(k: Int): String = {
+    val enc = (1 to k).map { r =>
+      s"""e${r + 1} AS (SELECT doc_id, ${duckMergeExpr(s"t$r")} AS toks
+            FROM e$r, t$r)"""
+    }.mkString(",\n")
+    s"""WITH samp AS (SELECT doc_id, text FROM documents
+                      WHERE $bpeSampleCoinSql),
+          ${bpeCtes(k, k - 1, src = "samp").mkString(",\n")},
+          e1 AS (SELECT doc_id, string_split(text, ' ') AS toks
+                 FROM documents),
+          raw AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tokens_raw
+                  FROM e1),
+          $enc
+        SELECT c.doc_id, r.n_tokens_raw,
+               CAST(len(c.toks) AS BIGINT) AS n_tokens_bpe,
+               md5(array_to_string(c.toks, ' ')) AS tok_digest
+        FROM e${k + 1} c JOIN raw r ON c.doc_id = r.doc_id"""
+  }
 
   /** Language-ID: argmax of per-language stopword hit counts with a fixed
     * preference order (ties → earlier language; zero hits → 'und').

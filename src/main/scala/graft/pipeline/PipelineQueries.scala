@@ -655,7 +655,10 @@ object PipelineQueries {
     Q("p14_tokenizer_lifecycle",
       (s, d) => {
         val k = graft.ext.TextOps.BpeRounds
-        val dir = graft.util.Scratch.materialized(s"p14_bpe_$d") { root =>
+        // The key folds the ROUND COUNT in (round-18, the round-17
+        // verdict's standing note): if BpeRounds ever goes conf-driven, a
+        // warm JVM must not serve a k-round artifact to a k'-round encode.
+        val dir = graft.util.Scratch.materialized(s"p14_bpe_${k}_$d") { root =>
           graft.ext.TextOps.bpeMergeTable(
             Tables.documents(s, d)
               .select(col("doc_id"), split(col("text"), " ").as("toks")),
@@ -671,7 +674,48 @@ object PipelineQueries {
             size(col("toks")).cast("long").as("n_tokens_bpe"),
             expr("md5(array_join(toks, ' '))").as("tok_digest"))
       },
-      Some(graft.ext.TextOps.bpeEncodeSql(graft.ext.TextOps.BpeRounds)))
+      Some(graft.ext.TextOps.bpeEncodeSql(graft.ext.TextOps.BpeRounds))),
+
+    // p15: SAMPLED tokenizer training — the k-SCALING LAW p14 leaves
+    // unbounded, closed (round-18 verdict item 4): training is one
+    // corpus-rewrite pass PER MERGE, so a production merge count
+    // (10⁴–10⁵) over the full corpus is the stage that cannot scale.
+    // Here the merge table trains on a bounded deterministic sample
+    // (content-hash coin, the q68/q72 discipline — both engines replay
+    // it bit-for-bit), persists like p14's artifact, and the FULL corpus
+    // is encoded from it in a fresh session — one scan + k broadcast
+    // 1-row joins, no aggregation anywhere in the serve plan. Sample
+    // size, not corpus size, now drives training cost; the oracle
+    // unrolls the same sampled train chain + full-corpus encode chain,
+    // so hash-equality pins the whole lifecycle including WHICH merges
+    // the sample learns. bpeEncodeFrom's artifact validation guards the
+    // degenerate-sample case (a round with no surviving pair refuses
+    // loudly instead of annihilating the corpus).
+    Q("p15_tokenizer_sampled",
+      (s, d) => {
+        graft.functions.GraftFunctions.register(s)
+        val k = graft.ext.TextOps.BpeRounds
+        val dir = graft.util.Scratch.materialized(s"p15_bpe_${k}_$d") {
+          root =>
+            graft.ext.TextOps.bpeMergeTable(
+              Tables.documents(s, d)
+                .filter(graft.ext.TextOps.bpeSampleCoin)
+                .select(col("doc_id"), split(col("text"), " ").as("toks")),
+              k).write.parquet(s"$root/merges")
+        }
+        val fresh = s.newSession()
+        graft.functions.GraftFunctions.register(fresh)
+        val merges = fresh.read.parquet(s"$dir/merges")
+        val corpus0 = Tables.documents(fresh, d)
+          .select(col("doc_id"), split(col("text"), " ").as("toks"))
+          .withColumn("n_tokens_raw", size(col("toks")).cast("long"))
+        graft.ext.TextOps.bpeEncodeFrom(corpus0, merges, k)
+          .select(col("doc_id"), col("n_tokens_raw"),
+            size(col("toks")).cast("long").as("n_tokens_bpe"),
+            expr("md5(array_join(toks, ' '))").as("tok_digest"))
+      },
+      Some(graft.ext.TextOps.bpeSampledEncodeSql(
+        graft.ext.TextOps.BpeRounds)))
   )
 }
 

@@ -45,7 +45,12 @@ object StreamingQ {
     * bytes come from [[inletBytes]] over the stream's source files —
     * metadata only, no scan.
     */
-  def withStateParts[T](s: SparkSession, inlet: Long = 0L)(body: => T): T = {
+  def withStateParts[T](s: SparkSession, inlet: Long)(body: => T): T = {
+    // No default for `inlet` (round-18, ADVICE low): with a silent 0L a
+    // future streaming query that forgot to pass its inlet volume would
+    // get the 4-partition sf0.1 floor AT ANY SCALE with nothing but a
+    // stderr line to notice it by. Every caller derives its inlet from
+    // the source path (metadata only), so demanding it costs nothing.
     val prevParts = s.conf.get("spark.sql.shuffle.partitions")
     val conf =
       s.conf.getOption("graft.stream.stateParts").getOrElse("auto")

@@ -83,8 +83,55 @@ object Caches {
     * text share it only through this method — callers that rely on
     * cross-query CacheManager dedup should keep using retain.
     */
+  // GRAFT_CACHE_DEBUG=1: log each memo lookup (hit/miss + plan-key hash +
+  // head of the canonical plan) to stderr — the attribution tool for "why
+  // did this training chain re-run?" (round-18: the sf10-auto x-family).
+  private val debug = sys.env.get("GRAFT_CACHE_DEBUG").contains("1")
+
+  /** The memo key: canonicalized analyzed plan, with every embedded
+    * checkpoint's PHYSICAL metadata erased first.
+    *
+    * localCheckpoint captures the physical plan's outputOrdering /
+    * outputPartitioning into the LogicalRDD node, and those fields hold
+    * AttributeReferences that plan canonicalization does NOT normalize
+    * (it normalizes `output` positionally; the ordering/partitioning
+    * expressions keep whatever exprIds the analyzer assigned). When the
+    * same checkpoint appears twice in one query (every k-means|| round:
+    * the candidate relation feeds both the union and the broadcast
+    * centroid aggregate), DeduplicateRelations re-instances it with FRESH
+    * exprIds per construction — so two builds of the IDENTICAL query
+    * produced unequal canonical plans, every chained-checkpoint lookup
+    * missed, and the whole seeding chain re-trained per query and per
+    * warm run (the round-18 sf10-auto finding: six IVF-PQ-family queries
+    * each paying ~320 s for what should be ONE training). The rdd (part
+    * of LogicalRDD equality) still distinguishes different checkpoints;
+    * values are independent of the erased metadata by construction.
+    */
+  private def memoKey(df: DataFrame)
+      : (SparkSession,
+         org.apache.spark.sql.catalyst.plans.logical.LogicalPlan) = {
+    val norm = df.queryExecution.analyzed.transformUp {
+      case l: org.apache.spark.sql.execution.LogicalRDD =>
+        new org.apache.spark.sql.execution.LogicalRDD(
+          l.output, l.rdd,
+          org.apache.spark.sql.catalyst.plans.physical.UnknownPartitioning(0),
+          Nil, l.isStreaming, l.stream)(
+          df.sparkSession
+            .asInstanceOf[org.apache.spark.sql.classic.SparkSession],
+          None, None)
+    }
+    (df.sparkSession, norm.canonicalized)
+  }
+
   def retainCheckpointed(df: DataFrame): DataFrame = {
-    val key = (df.sparkSession, df.queryExecution.analyzed.canonicalized)
+    val key = memoKey(df)
+    if (debug) {
+      val hit = synchronized(checkpointed.contains(key))
+      System.err.println(s"[graft-cache] ${if (hit) "HIT " else "MISS"} " +
+        s"key=${Integer.toHexString(key._2.hashCode)} " +
+        key._2.nodeName + " " +
+        key._2.toString.linesIterator.take(1).mkString.take(120))
+    }
     // A memoized frame from a STOPPED session would fail at action time
     // ("SparkContext has been shut down") — unlike retain, which always
     // returned the caller's live df. EVICT dead-session entries at lookup

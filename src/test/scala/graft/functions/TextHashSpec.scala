@@ -439,6 +439,41 @@ class TextHashSpec extends AnyFunSuite {
     assert(hits("the cat slept under the table", ru) === 0)
   }
 
+  test("gramHits on CJK (round 18): byte-window hits equal char-window " +
+      "hits for 3-byte-per-char han/hiragana BIGRAM profiles — the " +
+      "no-word-boundary script class — including mixed-script text, " +
+      "and the zh/ja profiles are byte-disjoint across scripts") {
+    import org.apache.spark.sql.catalyst.util.ArrayData
+    def hits(text: String, grams: Seq[String]): Int =
+      TextHash.gramHits(UTF8String.fromString(text),
+        ArrayData.toArrayData(grams.map(UTF8String.fromString).toArray))
+    def charHits(text: String, grams: Seq[String]): Int = {
+      val w = grams.head.length
+      (0 to text.length - w).count(i => grams.contains(text.substring(i, i + w)))
+    }
+    val profiles = graft.ext.TextOps.LangProfiles.toMap
+    val zh = profiles("zh")
+    val ja = profiles("ja")
+    val plants = graft.ext.TextOps.LangPlants.toMap
+    val zhPlant = plants(900004L)
+    val jaPlant = plants(900005L)
+    val texts = Seq(zhPlant, jaPlant,
+      "我们我们他们",                       // adjacent/overlapping han
+      "mixed 我们 ascii 他们 text",         // CJK + 1-byte chars
+      "кошка 我们 спала した mixed widths", // 2-byte + 3-byte + 1-byte
+      "一个", "一", "")
+    for (t <- texts; p <- Seq(zh, ja))
+      assert(hits(t, p) === charHits(t, p), s"text: '$t'")
+    // the planted routing margins (the LangPlants contract): each plant
+    // fires its own profile with real margin and the other CJK profile
+    // not at all (han vs hiragana are byte-disjoint ranges here)
+    assert(hits(zhPlant, zh) >= 6 && hits(zhPlant, ja) === 0)
+    assert(hits(jaPlant, ja) >= 6 && hits(jaPlant, zh) === 0)
+    // ASCII/Cyrillic profiles never fire on CJK text and vice versa
+    assert(hits(zhPlant, Seq("the", " a ", "he ")) === 0)
+    assert(hits(jaPlant, Seq("кош", "ала", "око")) === 0)
+  }
+
   test("byteGramChain: positional rolling hashes match the naive fold; " +
       "a deletion perturbs at most k distinct grams") {
     val k = 16

@@ -362,7 +362,8 @@ class PlanQualitySpec extends SparkSpec {
     val out  = graft.util.Scratch.dir("graft_s27_out")
     val ckpt = graft.util.Scratch.dir("graft_s27_ckpt")
     val schema = s.read.parquet(s"$sf/events.parquet").schema
-    val q = StreamingQ.withStateParts(s) {
+    val q = StreamingQ.withStateParts(s,
+        StreamingQ.inletBytes(src.toString)) {
       val stream = Tables.normalizeEvents(
         s.readStream.schema(schema).parquet(src.toString))
       val q0 = StreamingQ.firstSeenXform(s)(stream).writeStream
@@ -673,8 +674,11 @@ class PlanQualitySpec extends SparkSpec {
     assert(!p.contains("BroadcastNestedLoopJoin"), p)
     // the 16-hash sketch gate sits BELOW the gram joins, inline on the
     // candidate rows (the alias is inlined by column pruning, so pin the
-    // highest sketch index — sig[19] appears only in the gate expression)
-    assert(p.contains("[19]"), p)
+    // highest sketch index ON THE SIGNATURE ATTRIBUTE — a bare "[19]"
+    // could match unrelated plan ids (round-18 ADVICE): the gate is the
+    // only expression indexing sh_a at the last sketch position, and it
+    // renders as sh_a#<exprId>[19]
+    assert("""sh_a#\d+\[19\]""".r.findFirstIn(p).isDefined, p)
   }
 
   test("p14: tokenizer artifact serve — the encode plan contains NO " +

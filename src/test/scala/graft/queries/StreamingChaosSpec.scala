@@ -99,7 +99,7 @@ class StreamingChaosSpec extends SparkSpec {
     val (srcDir, rawSchema) = eventsSplit
     def run(out: String, ckpt: String, kill: Option[Int]): Boolean = {
       def body: Boolean = {
-        StreamingQ.withStateParts(s) {
+        StreamingQ.withStateParts(s, StreamingQ.inletBytes(srcDir)) {
           val src = Tables.normalizeEvents(
             s.readStream.schema(rawSchema)
               .option("maxFilesPerTrigger", 1).parquet(srcDir))
@@ -198,7 +198,7 @@ class StreamingChaosSpec extends SparkSpec {
       xform: DataFrame => DataFrame, out: String, ckpt: String,
       kill: Option[Int]): Boolean =
     StreamingQ.withRocksDb(s) {
-      StreamingQ.withStateParts(s) {
+      StreamingQ.withStateParts(s, StreamingQ.inletBytes(srcDir)) {
         val boom = udf((id: Long) => { ChaosGate.hit(); true })
         val src0 = s.readStream.schema(schema)
           .option("maxFilesPerTrigger", 1).parquet(srcDir)
@@ -451,7 +451,7 @@ class StreamingChaosSpec extends SparkSpec {
       .repartition(6).write.mode("overwrite").text(topic)
 
     def drain(out: String, ckpt: String, kill: Option[Int]): Boolean =
-      StreamingQ.withStateParts(s) {
+      StreamingQ.withStateParts(s, StreamingQ.inletBytes(topic)) {
         val src = s.readStream.format("graft-wire").schema(sel.schema)
           .option("maxFilesPerTrigger", 1).load(topic)
         val piped = (if (kill.isDefined) gate(src) else src)
@@ -491,7 +491,7 @@ class StreamingChaosSpec extends SparkSpec {
     val (srcDir, rawSchema) = eventsSplit
 
     def drain(topic: String, ckpt: String, kill: Option[Int]): Boolean =
-      StreamingQ.withStateParts(s) {
+      StreamingQ.withStateParts(s, StreamingQ.inletBytes(srcDir)) {
         val src = Tables.normalizeEvents(
           s.readStream.schema(rawSchema)
             .option("maxFilesPerTrigger", 1).parquet(srcDir))

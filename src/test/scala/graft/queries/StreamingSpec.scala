@@ -557,7 +557,7 @@ class StreamingSpec extends SparkSpec {
     addFile("b", 1700000060000L, Seq(2L, 3L, 5L))
 
     val got = StreamingQ.withRocksDb(s) {
-      StreamingQ.withStateParts(s) {
+      StreamingQ.withStateParts(s, StreamingQ.inletBytes(srcDir)) {
         val q = StreamingQ.nearDupXform(s)(
           s.readStream.schema(docs.schema)
             .option("maxFilesPerTrigger", 1).parquet(srcDir))
@@ -614,7 +614,7 @@ class StreamingSpec extends SparkSpec {
     addFile("b", 1700000060000L, Seq(1L, 3L)) // smaller partner later
 
     val got = StreamingQ.withRocksDb(s) {
-      StreamingQ.withStateParts(s) {
+      StreamingQ.withStateParts(s, StreamingQ.inletBytes(srcDir)) {
         val q = StreamingQ.nearDupXform(s)(
           s.readStream.schema(docs.schema)
             .option("maxFilesPerTrigger", 1).parquet(srcDir))
@@ -660,7 +660,7 @@ class StreamingSpec extends SparkSpec {
     }
 
     val got = StreamingQ.withRocksDb(s) {
-      StreamingQ.withStateParts(s) {
+      StreamingQ.withStateParts(s, StreamingQ.inletBytes(srcDir)) {
         val q = StreamingQ.nearDupXform(s)(
           s.readStream.schema(docs.schema)
             .option("maxFilesPerTrigger", 1).parquet(srcDir))
@@ -717,7 +717,7 @@ class StreamingSpec extends SparkSpec {
     addFile("b", 1700000060000L, Seq(6L))
 
     val got = StreamingQ.withRocksDb(s) {
-      StreamingQ.withStateParts(s) {
+      StreamingQ.withStateParts(s, StreamingQ.inletBytes(srcDir)) {
         val strq = StreamingQ.knnAdmitXform(s, q)(
           s.readStream.schema(vecs.schema)
             .option("maxFilesPerTrigger", 1).parquet(srcDir))
@@ -773,7 +773,7 @@ class StreamingSpec extends SparkSpec {
         addFile("b", 1700000060000L, emb.filter(col("vec_id") % 2 === 1))
       } else addFile("all", 1700000000000L, emb)
       StreamingQ.withRocksDb(s) {
-        StreamingQ.withStateParts(s) {
+        StreamingQ.withStateParts(s, StreamingQ.inletBytes(srcDir)) {
           val strq = StreamingQ.ivfPqServeXform(
               s, assignCents, cv1, cbAll, probes)(
               s.readStream.schema(emb.schema)
@@ -820,7 +820,7 @@ class StreamingSpec extends SparkSpec {
         addFile("b", 1700000060000L, emb.filter(col("vec_id") % 2 === 1))
       } else addFile("all", 1700000000000L, emb)
       StreamingQ.withRocksDb(s) {
-        StreamingQ.withStateParts(s) {
+        StreamingQ.withStateParts(s, StreamingQ.inletBytes(srcDir)) {
           val strq = StreamingQ.ivfPqServeXform(
               s, assignCents, cv1, cbAll, probes)(
               s.readStream.schema(emb.schema)

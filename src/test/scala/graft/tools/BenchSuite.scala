@@ -16,6 +16,13 @@ object BenchSuite {
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // Same session-conf injection as BenchOne ("k=v;k=v"), so suite
+    // slices can run at the production knobs (e.g. kmeansCells=auto for
+    // the round-18 sf10-auto x-family check).
+    sys.env.get("GRAFT_CONF").foreach(_.split(";").filter(_.contains("="))
+      .foreach { kv =>
+        val Array(k, v) = kv.split("=", 2); spark.conf.set(k, v)
+      })
     spark.read.parquet(sfDir + "/documents.parquet").count()
     val picked = SparkEntry.queries.filter { case (n, _) =>
       prefixes.exists(n.startsWith)
