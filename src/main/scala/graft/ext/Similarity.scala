@@ -322,6 +322,15 @@ object Similarity {
       pp: Boolean): DataFrame =
     kmeansAssignMode(emb, k, iters, SeedMode.fromPp(pp, k))
 
+  /** The shared assignment-work bound: a corpus pass is CPU-bound kernel
+    * work ∝ bytes·k, and below this much of it a repartition's exchange
+    * costs more than the parallelism buys (calibrated so the k=8
+    * declared default triggers exactly where round-15's 32 MiB byte bar
+    * did). Shared by the batch floor below and the streaming serve floor
+    * (StreamingQ.streamAssignFloor) so the two scale rules can't drift.
+    */
+  private[graft] val AssignFloorWork: BigInt = BigInt(32L << 20) * 8
+
   private[graft] def kmeansAssignMode(emb: DataFrame, k: Int, iters: Int,
       mode: SeedMode): DataFrame = {
     graft.functions.GraftFunctions.register(emb.sparkSession)
@@ -375,8 +384,7 @@ object Similarity {
       val par = emb.sparkSession.sparkContext.defaultParallelism
       val bytes = emb.queryExecution.optimizedPlan.stats.sizeInBytes
       val splits = graft.sources.Tables.estimatedSplits(e0)
-      if (bytes * k >= BigInt(32L << 20) * 8 && splits > 0 &&
-          splits < par)
+      if (bytes * k >= AssignFloorWork && splits > 0 && splits < par)
         e0.repartition(par)
       else e0
     }

@@ -909,14 +909,26 @@ object StreamingQ {
   def ivfPqServeXform(s: SparkSession, assignCents: DataFrame,
       cv1: DataFrame, cbAll: DataFrame, probes: DataFrame, m: Int = 4,
       subDim: Int = 16,
-      shortK: Int = graft.ext.Similarity.Serve.ShortK)(
+      shortK: Int = graft.ext.Similarity.Serve.ShortK,
+      floorParts: Int = 1)(
       src: DataFrame): DataFrame = {
     import s.implicits._
     graft.functions.GraftFunctions.register(s)
     val adc = (0 until m)
       .map(s2 => expr(graft.ext.Similarity.adcTermExpr(s2, subDim)))
       .reduce(_ + _)
-    src.select(col("vec_id"),
+    // The streaming twin of the batch assignment floor (round 18): each
+    // arrival pays an O(k·dim) compiled argmin, and a micro-batch's
+    // parallelism is its SOURCE split count — at sf10-auto the 30 MB
+    // single-split inlet ran the whole 200k-arrival assignment on ONE
+    // task (measured: s31 addBatch 22.8 s of a 23.1 s trigger; state
+    // commit ~1%). Callers pass floorParts = streamAssignFloor(...)
+    // (same bytes·k work bound as the batch floor; 1 below it = today's
+    // plan, no exchange added at gate scale). Values are unchanged: ADC
+    // scores are per-row and the shortlist ranks by (adc, vec_id) —
+    // order-free, the chaos specs pin restart equality over this path.
+    val arrivals = if (floorParts > 1) src.repartition(floorParts) else src
+    arrivals.select(col("vec_id"),
         expr("transform(embedding, ex -> CAST(ex AS DOUBLE))").as("e"))
       .crossJoin(broadcast(assignCents))
       .withColumn("best", expr(graft.ext.Similarity.bestCellExpr))
@@ -934,6 +946,18 @@ object StreamingQ {
         TimeMode.None(), OutputMode.Append())
       .toDF()
   }
+
+  /** floorParts for [[ivfPqServeXform]]: the session parallelism when the
+    * per-batch assignment work (inlet bytes × k cells — the same
+    * CPU-bound proxy as the batch floor, Similarity.kmeansAssignMode)
+    * crosses the shared bound, else 1 (no exchange). Inlet bytes come
+    * from source-file metadata at plan time.
+    */
+  private[graft] def streamAssignFloor(s: SparkSession, inlet: Long,
+      k: Int): Int =
+    if (BigInt(inlet) * k >= graft.ext.Similarity.AssignFloorWork)
+      s.sparkContext.defaultParallelism
+    else 1
 
   /** Scope the RocksDB state-store provider (the transformWithState
     * requirement and the honest 100 TB backend) around `body`.
@@ -1794,8 +1818,11 @@ object StreamingQ {
         val assignCents = graft.ext.Similarity.kmeansTrainedCentroids(
           emb, serve.K1Default, serve.Iters, pp = serve.Pp)
         val (qset, probes) = graft.ext.Similarity.ivfPqQueryProbes(a1, cv1)
+        val k1 = graft.ext.Dedup.resolveCells(emb, serve.K1Default)
         val admitted = runFileStream(s, s"$d/embeddings.parquet")(
-          ivfPqServeXform(s, assignCents, cv1, cbAll, probes))
+          ivfPqServeXform(s, assignCents, cv1, cbAll, probes,
+            floorParts = streamAssignFloor(s,
+              inletBytes(s"$d/embeddings.parquet"), k1)))
         val short = admitted.withColumn("rn", row_number().over(
             Window.partitionBy("q_id").orderBy(col("adc"), col("vec_id"))))
           .filter(col("rn") <= serve.ShortK).select("q_id", "vec_id", "c1")
@@ -1906,8 +1933,11 @@ object StreamingQ {
         val assignCents = graft.ext.Similarity.kmeansTrainedCentroids(
           emb, serve.K1Default, serve.Iters, pp = serve.Pp)
         val (qset, probes) = graft.ext.Similarity.ivfPqQueryProbes(a1, cv1)
+        val k1 = graft.ext.Dedup.resolveCells(emb, serve.K1Default)
         val admitted = runFileStream(s, s"$d/embeddings.parquet")(src =>
-          ivfPqServeXform(s, assignCents, cv1, cbAll, probes)(
+          ivfPqServeXform(s, assignCents, cv1, cbAll, probes,
+            floorParts = streamAssignFloor(s,
+              inletBytes(s"$d/embeddings.parquet"), k1))(
             src.filter(col("label") === target)))
         val short = admitted.withColumn("rn", row_number().over(
             Window.partitionBy("q_id").orderBy(col("adc"), col("vec_id"))))
