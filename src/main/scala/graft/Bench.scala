@@ -36,6 +36,13 @@ object Bench {
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    // Artifacts stamp the ABSOLUTE sf path (round-19, ADVICE r18): a
+    // relative invocation once produced a committed stamp
+    // ("benchdata/sf10") that the re-probe could only resolve from the
+    // repo root. Reads stay suffix-matched for old artifacts.
+    val sfStamp =
+      try java.nio.file.Paths.get(sfDir).toAbsolutePath.normalize.toString
+      catch { case scala.util.control.NonFatal(_) => sfDir }
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -180,9 +187,55 @@ object Bench {
       else if (graft.util.Scratch.setRoot("/dev/shm"))
         graft.util.Scratch.currentRoot
       else graft.util.Scratch.currentRoot
+    // MEMORY-bandwidth probe (round 19): the r19 close read a UNIFORM
+    // +15% vs the r17 close at MATCHED single-thread, parallel, and IO
+    // calibration, and a same-box tree A/B proved the code innocent
+    // (BASELINE.md r19) — the missing signal is DRAM bandwidth. Spark's
+    // scan/shuffle/state work is memory-streaming; the xorshift probes
+    // are register-only and the IO probe is syscall-bound, so a
+    // bandwidth-stealing neighbor (or a host-level frequency/NUMA state
+    // change) moves every query and no probe. This probe streams a
+    // 256 MiB long array (>> LLC, so every pass is DRAM traffic) on
+    // `cpus` threads over disjoint slices, 4 passes, sums folded into
+    // the elapsed nanos against DCE; min of 2 after one untimed
+    // warm-up (page-fault + JIT amortization), the parallel probe's
+    // discipline. Informational this round (no drift gate until a
+    // cross-day band exists): read calib_mem_start ABSOLUTES when two
+    // runs' totals disagree at matched CPU calib.
+    def calibrateMemOnce(arr: Array[Long]): Double = {
+      val n = math.max(1, cpus.toInt)
+      val sink = new java.util.concurrent.atomic.AtomicLong(0L)
+      val t0 = System.nanoTime()
+      val threads = (0 until n).map { t =>
+        new Thread(() => {
+          val chunk = arr.length / n
+          val lo = t * chunk
+          val hi = if (t == n - 1) arr.length else lo + chunk
+          var s = 0L
+          var pass = 0
+          while (pass < 4) {
+            var i = lo
+            while (i < hi) { s += arr(i); i += 1 }
+            pass += 1
+          }
+          sink.addAndGet(s)
+        })
+      }
+      threads.foreach(_.start()); threads.foreach(_.join())
+      val dt = System.nanoTime() - t0 + (sink.get() & 1)
+      math.round(dt / 1e9 * 1000.0) / 1000.0
+    }
+    def calibrateMem(): Double = {
+      val arr = new Array[Long](32 << 20) // 256 MiB
+      java.util.Arrays.fill(arr, 0x9e3779b97f4a7c15L)
+      calibrateMemOnce(arr) // untimed warm-up
+      val v = math.min(calibrateMemOnce(arr), calibrateMemOnce(arr))
+      v
+    }
     val calibStart = calibrate()
     val calibParStart = calibratePar()
     val calibIoStart = calibrateIo()
+    val calibMemStart = calibrateMem()
     val loadStart = loadAvg()
     sys.env.get("GRAFT_STATE_PARTS")
       .foreach(v => spark.conf.set("graft.stream.stateParts", v))
@@ -308,17 +361,23 @@ object Bench {
     // readings land in `requeried`; the final per-query number is the min
     // over all runs (the same discipline min-of-2 already applies).
     // Round 18 (verdict item 7): the re-probe reference is whichever
-    // committed artifact matches the RUN — sf directory (path-normalized:
-    // stamps are absolute, invocations may be relative) AND knob mode
+    // committed artifact matches the RUN — sf directory AND knob mode
     // (auto_knobs; absent in pre-r17 artifacts = false). The sf0.1 close
     // keeps reading BENCH_FULL.json; the two sf10 checkpoints re-probe
     // against their own committed references instead of silently skipping.
+    // Round 19 (ADVICE r18): committed stamps predating the absolute-stamp
+    // rule are RELATIVE ("benchdata/sf10"), so absolutizing the stored
+    // stamp against the process CWD made matching launch-directory-
+    // dependent. Match on the last two path segments instead — a
+    // CWD-independent key that distinguishes every data dir this project
+    // uses (testdata/sf0.1, benchdata/sf1, benchdata/sf10).
     val committed: Map[String, Double] =
       if (only.isDefined || injectFail.nonEmpty) Map.empty
       else try {
-        def absSf(p: String): String =
-          java.nio.file.Paths.get(p).toAbsolutePath.normalize.toString
-        val runSf = absSf(sfDir)
+        def sfKey(p: String): String =
+          p.replace('\\', '/').split('/').filter(_.nonEmpty)
+            .takeRight(2).mkString("/")
+        val runSf = sfKey(sfDir)
         val candidates =
           Seq("BENCH_FULL.json", "BENCH_SF10_AUTO.json", "BENCH_SF10.json",
             "BENCH_SF1.json")
@@ -332,7 +391,7 @@ object Bench {
               val sfStamp = "\"sf\":\"([^\"]+)\"".r.findFirstMatchIn(txt)
                 .map(_.group(1))
               val autoStamp = txt.contains("\"auto_knobs\":true")
-              if (!sfStamp.exists(s => absSf(s) == runSf) ||
+              if (!sfStamp.exists(s => sfKey(s) == runSf) ||
                   autoStamp != autoKnobs) Iterator.empty
               else {
                 val qstart = txt.indexOf("\"queries\":{")
@@ -422,6 +481,7 @@ object Bench {
     val loadEnd = loadAvg()
     val calibEnd = calibrate()
     val calibParEnd = calibratePar()
+    val calibMemEnd = calibrateMem()
     // calib_ratio: end-probe time over start-probe time. ~1.0 on a box whose
     // background load held steady; >1 means the run got slower mid-flight
     // (round-6: 1.78× — neighbors, not regressions). Contention is judged
@@ -488,6 +548,7 @@ object Bench {
       s""""load_avg_end":$loadEnd,"calib_sec_start":$calibStart,""" +
       s""""calib_sec_end":$calibEnd,"calib_ratio":$calibRatio,""" +
       s""""calib_par_start":$calibParStart,"calib_par_end":$calibParEnd,""" +
+      s""""calib_mem_start":$calibMemStart,"calib_mem_end":$calibMemEnd,""" +
       s""""calib_io_start":$calibIoStart,"calib_io_end":$calibIoEnd,""" +
       s""""calib_io_ratio":$calibIoRatio,"io_drifted":$ioDrifted,""" +
       s""""scratch":"$scratchRoot",""" +
@@ -501,7 +562,7 @@ object Bench {
       s""""waited_sec":$waitedSec,""" +
       s""""n_failed":${failed.size},"failed":$failedJson"""
     val fullLine =
-      s"""{"metric":"total","value":$total,"unit":"sec",$prov,"queries":$qs,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec",$prov,"queries":$qs,"sf":"$sfStamp"}"""
     // The harness records only the last ~2000 chars of stdout; a 180+-query
     // map (~5.7 KB) can never fit. Three outputs, least→most compact:
     //   1. BENCH_FULL.json on disk — the complete per-query map;
@@ -530,7 +591,7 @@ object Bench {
     val slowest = finalResults.toSeq.sortBy(-_._2).take(30)
       .map { case (k, v) => s"\"$k\":${r3(v)}" }
     val compactQs = (suites ++ slowest).mkString("{", ",", "}")
-    println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","n_queries":${finalResults.size},$prov,"queries":$compactQs,"detail":"$detailFile","sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","n_queries":${finalResults.size},$prov,"queries":$compactQs,"detail":"$detailFile","sf":"$sfStamp"}""")
     System.out.flush()
     // halt() skips JVM shutdown hooks, so run Scratch's recursive-delete
     // explicitly — otherwise every bench invocation leaks its sink/roundtrip

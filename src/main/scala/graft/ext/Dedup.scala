@@ -1037,7 +1037,10 @@ object Dedup {
     val conf = df.sparkSession.conf.get(KmeansCellsKey, default.toString)
     val k =
       if (conf == "auto") {
-        val n = df.count(); val v = autoCells(n); logDerived(KmeansCellsKey, n, v); v
+        // memoCount (round-19, ADVICE r18): a composed query resolves the
+        // same corpus plan several times; one counting scan, not three.
+        val n = graft.util.Caches.memoCount(df)
+        val v = autoCells(n); logDerived(KmeansCellsKey, n, v); v
       } else conf.toInt
     // The 65536 ceiling is a NAMED refuse-with-message contract (round-15
     // verdict item 7), not a driver-flops bound: the k-means|| recluster
@@ -1061,7 +1064,8 @@ object Dedup {
     val conf = df.sparkSession.conf.get(HyperplaneBitsKey, default.toString)
     val bits =
       if (conf == "auto") {
-        val n = df.count(); val v = autoBits(n); logDerived(HyperplaneBitsKey, n, v); v
+        val n = graft.util.Caches.memoCount(df)
+        val v = autoBits(n); logDerived(HyperplaneBitsKey, n, v); v
       } else conf.toInt
     require(bits >= 1 && bits <= 30,
       s"$HyperplaneBitsKey=$bits out of range [1, 30]; cells = 2^bits " +

@@ -926,7 +926,10 @@ object StreamingQ {
     // (same bytes·k work bound as the batch floor; 1 below it = today's
     // plan, no exchange added at gate scale). Values are unchanged: ADC
     // scores are per-row and the shortlist ranks by (adc, vec_id) —
-    // order-free, the chaos specs pin restart equality over this path.
+    // order-free. The s31 chaos spec runs its crash+restart leg at
+    // floorParts=4 and asserts rank equality against an UNfloored clean
+    // run, pinning both restart recovery over this exchange and
+    // floor-invariance of the declared output.
     val arrivals = if (floorParts > 1) src.repartition(floorParts) else src
     arrivals.select(col("vec_id"),
         expr("transform(embedding, ex -> CAST(ex AS DOUBLE))").as("e"))

@@ -63,6 +63,38 @@ object Caches {
       (SparkSession,
        org.apache.spark.sql.catalyst.plans.logical.LogicalPlan), DataFrame]
 
+  // Memoized row counts, same key discipline (round-19, ADVICE r18):
+  // every `auto` knob resolution (kmeansCells, hyperplaneBits, the
+  // streaming assignment floor) sizes itself with a full df.count(), and
+  // a composed query resolves the SAME corpus plan several times (s31
+  // constructs ivfPqIndex + kmeansTrainedCentroids + the floor = three
+  // counts of one 100 TB scan). A count is a pure function of the plan,
+  // so the memo can never serve a wrong value to an unchanged plan; a
+  // MUTATED external table re-read under the same plan text is already
+  // outside the engine's one-session corpus contract (retainCheckpointed
+  // makes the same assumption, more strongly).
+  private val counted =
+    scala.collection.mutable.HashMap.empty[
+      (SparkSession,
+       org.apache.spark.sql.catalyst.plans.logical.LogicalPlan), Long]
+
+  /** df.count(), memoized per (session, normalized canonical plan). The
+    * count job runs OUTSIDE the monitor (it can be a full corpus scan);
+    * a concurrent duplicate is resolved to one entry under the lock.
+    */
+  def memoCount(df: DataFrame): Long = {
+    val key = memoKey(df)
+    synchronized {
+      counted.filterInPlace((k, _) => !k._1.sparkContext.isStopped)
+      counted.get(key)
+    } match {
+      case Some(n) => n
+      case None =>
+        val n = df.count()
+        synchronized(counted.getOrElseUpdate(key, n))
+    }
+  }
+
   /** Memoized LINEAGE-TRUNCATING retain: returns an eager
     * `localCheckpoint` of `df`, computed once per canonicalized plan.
     *
@@ -109,19 +141,42 @@ object Caches {
     */
   private def memoKey(df: DataFrame)
       : (SparkSession,
-         org.apache.spark.sql.catalyst.plans.logical.LogicalPlan) = {
-    val norm = df.queryExecution.analyzed.transformUp {
-      case l: org.apache.spark.sql.execution.LogicalRDD =>
-        new org.apache.spark.sql.execution.LogicalRDD(
-          l.output, l.rdd,
-          org.apache.spark.sql.catalyst.plans.physical.UnknownPartitioning(0),
-          Nil, l.isStreaming, l.stream)(
-          df.sparkSession
-            .asInstanceOf[org.apache.spark.sql.classic.SparkSession],
-          None, None)
+         org.apache.spark.sql.catalyst.plans.logical.LogicalPlan) =
+    (df.sparkSession, normalizeForKey(df).canonicalized)
+
+  /** The erasure above, isolated (round-19, ADVICE r18): the LogicalRDD
+    * re-instantiation matches Spark 4.1.2's 6+3-arg constructor and the
+    * classic.SparkSession cast — both Spark-internal surface that a
+    * version bump may reshape. The erasure is KEY-ONLY (the rdd stays in
+    * LogicalRDD equality, so a false HIT is impossible); therefore the
+    * safe degradation on any linkage/shape failure is to return the plan
+    * UN-normalized — a cache miss (the pre-r18 behavior: re-train instead
+    * of reuse), never a wrong value. CachesSpec pins the normalized-key
+    * HIT so an upgrade that silently lands in the fallback fails a test
+    * instead of silently regressing the sf10 training wall.
+    */
+  private[graft] def normalizeForKey(df: DataFrame)
+      : org.apache.spark.sql.catalyst.plans.logical.LogicalPlan =
+    try {
+      df.queryExecution.analyzed.transformUp {
+        case l: org.apache.spark.sql.execution.LogicalRDD =>
+          new org.apache.spark.sql.execution.LogicalRDD(
+            l.output, l.rdd,
+            org.apache.spark.sql.catalyst.plans.physical
+              .UnknownPartitioning(0),
+            Nil, l.isStreaming, l.stream)(
+            df.sparkSession
+              .asInstanceOf[org.apache.spark.sql.classic.SparkSession],
+            None, None)
+      }
+    } catch {
+      case e @ (_: LinkageError | _: MatchError | _: ClassCastException) =>
+        if (debug) System.err.println(
+          s"[graft-cache] memo-key normalization unavailable " +
+            s"(${e.getClass.getSimpleName}) — falling back to raw plan " +
+            "(cache misses, never wrong values)")
+        df.queryExecution.analyzed
     }
-    (df.sparkSession, norm.canonicalized)
-  }
 
   def retainCheckpointed(df: DataFrame): DataFrame = {
     val key = memoKey(df)
@@ -182,6 +237,7 @@ object Caches {
     seen.clear()
     checkpointed.values.foreach(unpersistCheckpoint)
     checkpointed.clear()
+    counted.clear()
   }
 
   def retainedCount: Int = synchronized(retained.size)

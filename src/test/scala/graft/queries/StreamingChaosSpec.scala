@@ -357,6 +357,14 @@ class StreamingChaosSpec extends SparkSpec {
     val (_, probes) = graft.ext.Similarity.ivfPqQueryProbes(a1, cv1)
     val xform = StreamingQ.ivfPqServeXform(
       s, assignCents, cv1, cbAll, probes)(_)
+    // The floored twin (round-19, ADVICE r18): floorParts=4 forces the
+    // repartition-before-stateful-op branch that sf10's work floor takes
+    // but gate-scale inlets never reach. The crashed+restarted run uses
+    // it; equality against the UNfloored clean run pins both restart
+    // recovery over the exchange and floor-invariance of the declared
+    // post-drain rank in one assert.
+    val xformFloored = StreamingQ.ivfPqServeXform(
+      s, assignCents, cv1, cbAll, probes, floorParts = 4)(_)
 
     def rank(p: String): Seq[String] = {
       val win = org.apache.spark.sql.expressions.Window
@@ -372,9 +380,10 @@ class StreamingChaosSpec extends SparkSpec {
 
     val out = Scratch.dir("graft_chaos_s31_out")
     val ckpt = Scratch.dir("graft_chaos_s31_ck")
-    assert(runSplit(dir, raw.schema, "vec_id", xform, out, ckpt, Some(2)),
+    assert(runSplit(dir, raw.schema, "vec_id", xformFloored, out, ckpt,
+        Some(2)),
       "s31: injected crash did not terminate the query")
-    runSplit(dir, raw.schema, "vec_id", xform, out, ckpt, None)
+    runSplit(dir, raw.schema, "vec_id", xformFloored, out, ckpt, None)
 
     val restarted = rank(out)
     assert(restarted.nonEmpty)

@@ -69,6 +69,43 @@ class CachesSpec extends SparkSpec {
     Caches.releaseAll()
   }
 
+  test("memo key erases checkpoint physical metadata: re-built plans " +
+      "over one checkpoint HIT (round-18 sf10 fix, pinned per ADVICE)") {
+    val s = spark
+    import s.implicits._
+    Caches.releaseAll()
+    // Reproduce the round-18 miss shape: a checkpoint whose LogicalRDD
+    // carries non-trivial captured physical metadata (HashPartitioning
+    // from the repartition, ordering from the sort), referenced TWICE in
+    // one query so DeduplicateRelations re-instances it with fresh
+    // exprIds per construction. Without the memo-key erasure, two builds
+    // of this identical query canonicalize unequal and every lookup
+    // misses (the six-query ~320 s/query sf10-auto retrain).
+    val ck = Seq((1L, 2.0), (2L, 4.0), (3L, 6.0)).toDF("id", "v")
+      .repartition(col("id")).sortWithinPartitions("id")
+      .localCheckpoint()
+    def build() = ck.union(ck.filter(col("id") > 0))
+      .groupBy("id").agg(sum("v").as("s"))
+    // The normalization itself must be ACTIVE (not the raw-plan
+    // fallback): normalized keys of two builds are canonically equal.
+    assert(Caches.normalizeForKey(build()).canonicalized ==
+           Caches.normalizeForKey(build()).canonicalized,
+      "normalizeForKey must produce a construction-stable key for " +
+        "checkpoint-embedding plans")
+    // And the public contract: the second identical build HITs. A Spark
+    // upgrade that reshapes LogicalRDD's constructor lands in the
+    // raw-plan fallback (miss, never wrong values) and fails here —
+    // the loud signal ADVICE asked for.
+    val a = Caches.retainCheckpointed(build())
+    val b = Caches.retainCheckpointed(build())
+    assert(a eq b,
+      "re-built checkpoint-embedding plans must memo-HIT " +
+        "(is memo-key normalization in the fallback path?)")
+    assert(a.orderBy("id").collect().map(_.getDouble(1)).toSeq
+      === Seq(4.0, 8.0, 12.0))
+    Caches.releaseAll()
+  }
+
   test("no naked .persist() remains in library code (grep-style audit)") {
     // Source-level guard for the review bar: every persist call in
     // src/main goes through Caches.retain or carries a matching unpersist
