@@ -239,6 +239,8 @@ object Bench {
     val loadStart = loadAvg()
     sys.env.get("GRAFT_STATE_PARTS")
       .foreach(v => spark.conf.set("graft.stream.stateParts", v))
+    sys.env.get("GRAFT_STREAM_PROVIDER")
+      .foreach(v => spark.conf.set("graft.stream.provider", v))
     // Production-knob mode (round-17 verdict item 6): GRAFT_BENCH_AUTO=1
     // resolves the two remaining FIXED-default training knobs the way a
     // deployment would (`auto` — corpus-derived), so a scale checkpoint

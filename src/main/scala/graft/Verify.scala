@@ -98,6 +98,29 @@ object Verify {
           }
         }
       }
+      // p15's byte budget (round 19): sampleBytes (numeric or auto) is a
+      // production knob whose micros conversion needs a corpus aggregate,
+      // so resolve it HERE — one sum(octet_length(text)) over the gate
+      // corpus — and fold the result into the gateable sampleMicros conf
+      // (which the engine's precedence and the oracle generator both
+      // read). Skipped when sampleMicros is already numeric.
+      val to = graft.ext.TextOps
+      val microsSet = spark.conf.getOption(to.BpeSampleMicrosKey)
+        .exists(_ != "auto")
+      spark.conf.getOption(to.BpeSampleBytesKey) match {
+        case Some(b) if !microsSet =>
+          val budget = if (b == "auto") to.BpeSampleBytesAuto else b.toLong
+          val total = spark.read.parquet(s"$sfDir/documents.parquet")
+            .agg(org.apache.spark.sql.functions.sum(
+              org.apache.spark.sql.functions.octet_length(
+                org.apache.spark.sql.functions.col("text"))).cast("long"))
+            .head.getLong(0)
+          val v = to.microsForBudget(budget, total)
+          System.err.println(s"[verify] ${to.BpeSampleBytesKey}=$b " +
+            s"resolved to sampleMicros=$v from corpus text bytes $total")
+          spark.conf.set(to.BpeSampleMicrosKey, v.toString)
+        case _ => ()
+      }
     }
     new java.io.File(outDir).mkdirs()
     SparkEntry.queries

@@ -974,6 +974,11 @@ object Dedup {
   private[graft] def confIsAuto(key: String): Boolean =
     knobValue(key).contains("auto")
 
+  /** Raw knob read for generators whose knobs aren't Int-valued (p15's
+    * byte budget) — same active/default-session resolution as confInt.
+    */
+  private[graft] def confStr(key: String): Option[String] = knobValue(key)
+
   /** Oracle-gate guard for the `auto` knob mode: `auto` derives its value
     * from a corpus count the standalone SQL string cannot see, so a gate
     * run with it set can only pass by coincidence (at sf0.1 the derived

@@ -427,30 +427,97 @@ object TextOps {
     */
   val BpeSampleMicros = 500000L // 50% — ≥250 sample docs at gate scale
 
+  /** Byte-budget sample sizing (round-19, verdict item 5). The 50%
+    * constant above is right for the 500-doc gate corpus and wrong as a
+    * production posture — a deployment budgets training TEXT BYTES (the
+    * unit the k-rewrite cost law is linear in), not a corpus fraction.
+    * Two confs, resolved in precedence order by
+    * [[resolveBpeSampleMicros]]:
+    *
+    *   - `spark.graft.bpe.sampleMicros` — the coin threshold directly
+    *     (numeric, 1..1e6). Gateable: a standalone oracle string embeds
+    *     it verbatim. `auto` is refused (nothing to derive it from).
+    *   - `spark.graft.bpe.sampleBytes` — the byte budget (numeric, or
+    *     `auto` = [[BpeSampleBytesAuto]]). PRODUCTION mode: micros =
+    *     clamp(1e6 · budget / corpusTextBytes) needs a corpus aggregate
+    *     a standalone oracle cannot run, so the oracle gate requires
+    *     Verify's pre-resolution (which folds the derived micros into
+    *     sampleMicros — the same knob-at-generation-time discipline as
+    *     kmeansCells=auto) and poisons the unrolled twin otherwise.
+    *   - neither set — the legacy 50% constant, round-over-round
+    *     continuity at the gate.
+    *
+    * The COIN itself is unchanged either way (hash(doc_id) % 1e6 <
+    * micros): sizing picks the threshold, never the hash, so a budget
+    * change re-draws a superset/subset — the q68/q72 determinism
+    * contract holds at every setting.
+    */
+  val BpeSampleMicrosKey = "spark.graft.bpe.sampleMicros"
+  val BpeSampleBytesKey = "spark.graft.bpe.sampleBytes"
+  val BpeSampleBytesAuto = 8L << 20 // 8 MiB of training text
+
+  /** micros for a byte budget over a corpus: proportional, floored at
+    * 1000 (0.1% — a sample must survive rounding) and capped at 1e6.
+    */
+  def microsForBudget(budgetBytes: Long, corpusTextBytes: Long): Long = {
+    require(budgetBytes > 0, s"$BpeSampleBytesKey=$budgetBytes must be > 0")
+    val frac = budgetBytes.toDouble / math.max(1L, corpusTextBytes)
+    math.min(1000000L, math.max(1000L, math.round(frac * 1e6)))
+  }
+
+  /** Resolve the coin threshold for `docs`' session (precedence above).
+    * The sampleBytes arm aggregates sum(octet_length(text)) — one
+    * metadata-light column scan at plan-build, the resolveCells
+    * discipline — and logs the derivation for provenance.
+    */
+  def resolveBpeSampleMicros(docs: DataFrame): Long = {
+    val conf = docs.sparkSession.conf
+    conf.getOption(BpeSampleMicrosKey).filter(_ != "auto") match {
+      case Some(m) =>
+        val v = m.toLong
+        require(v >= 1 && v <= 1000000L,
+          s"$BpeSampleMicrosKey=$v out of range [1, 1000000]")
+        v
+      case None => conf.getOption(BpeSampleBytesKey) match {
+        case None => BpeSampleMicros
+        case Some(b) =>
+          val budget = if (b == "auto") BpeSampleBytesAuto else b.toLong
+          val total = docs
+            .agg(sum(octet_length(col("text"))).cast("long")).head.getLong(0)
+          val v = microsForBudget(budget, total)
+          System.err.println(s"[graft] $BpeSampleBytesKey=$b resolved to " +
+            s"sampleMicros=$v from corpus text bytes $total")
+          v
+      }
+    }
+  }
+
   /** The sampling coin, engine side (`doc_id`-keyed: 'bpesample|' salts
     * the stream so composing with q68/p09/p13's coins never reuses one).
     */
-  def bpeSampleCoin: org.apache.spark.sql.Column =
+  def bpeSampleCoin(micros: Long = BpeSampleMicros)
+      : org.apache.spark.sql.Column =
     pmod(expr("graft_poly_hash(md5(concat('bpesample|', " +
-      "CAST(doc_id AS STRING))))"), lit(1000000L)) < lit(BpeSampleMicros)
+      "CAST(doc_id AS STRING))))"), lit(1000000L)) < lit(micros)
 
-  def bpeSampleCoinSql: String =
+  def bpeSampleCoinSql(micros: Long = BpeSampleMicros): String =
     graft.ext.PortableHash.duckPoly(
       "md5('bpesample|' || CAST(doc_id AS VARCHAR))") +
-      s" % 1000000 < $BpeSampleMicros"
+      s" % 1000000 < $micros"
 
   /** p15's oracle: train chain (c/p/t CTEs) over the SAMPLE, encode chain
     * (e CTEs) over the FULL corpus applying the sample-trained winners in
     * round order — t23's output shape, so the report pins the actual
     * tokenization of every corpus row under the sampled artifact.
     */
-  def bpeSampledEncodeSql(k: Int): String = {
+  def bpeSampledEncodeSql(k: Int,
+      micros: Long = BpeSampleMicros): String = {
     val enc = (1 to k).map { r =>
       s"""e${r + 1} AS (SELECT doc_id, ${duckMergeExpr(s"t$r")} AS toks
             FROM e$r, t$r)"""
     }.mkString(",\n")
     s"""WITH samp AS (SELECT doc_id, text FROM documents
-                      WHERE $bpeSampleCoinSql),
+                      WHERE ${bpeSampleCoinSql(micros)}),
           ${bpeCtes(k, k - 1, src = "samp").mkString(",\n")},
           e1 AS (SELECT doc_id, string_split(text, ' ') AS toks
                  FROM documents),

@@ -695,11 +695,18 @@ object PipelineQueries {
       (s, d) => {
         graft.functions.GraftFunctions.register(s)
         val k = graft.ext.TextOps.BpeRounds
-        val dir = graft.util.Scratch.materialized(s"p15_bpe_${k}_$d") {
+        // Byte-budget sizing (round 19): micros resolves from the conf
+        // precedence (sampleMicros > sampleBytes > legacy 50%), and the
+        // RESOLVED value keys the artifact — two budgets never share a
+        // merge table (the p14 warm-JVM discipline, now knob-aware).
+        val micros = graft.ext.TextOps.resolveBpeSampleMicros(
+          Tables.documents(s, d))
+        val dir = graft.util.Scratch.materialized(
+          s"p15_bpe_${k}_m${micros}_$d") {
           root =>
             graft.ext.TextOps.bpeMergeTable(
               Tables.documents(s, d)
-                .filter(graft.ext.TextOps.bpeSampleCoin)
+                .filter(graft.ext.TextOps.bpeSampleCoin(micros))
                 .select(col("doc_id"), split(col("text"), " ").as("toks")),
               k).write.parquet(s"$root/merges")
         }
@@ -714,8 +721,27 @@ object PipelineQueries {
             size(col("toks")).cast("long").as("n_tokens_bpe"),
             expr("md5(array_join(toks, ' '))").as("tok_digest"))
       },
-      Some(graft.ext.TextOps.bpeSampledEncodeSql(
-        graft.ext.TextOps.BpeRounds)))
+      Some {
+        // Oracle twin of the resolution precedence. sampleMicros numeric →
+        // embed it; neither conf set → the legacy constant; sampleBytes
+        // set without a numeric sampleMicros → the budget→micros
+        // conversion needs a corpus aggregate a standalone SQL string
+        // cannot run, so poison the unrolled twin loudly (Verify's
+        // pre-resolution folds the derived value into sampleMicros first,
+        // exactly as it does for kmeansCells=auto).
+        val to = graft.ext.TextOps
+        val micros = graft.ext.Dedup.confStr(to.BpeSampleMicrosKey)
+          .filter(_ != "auto")
+        val bytes = graft.ext.Dedup.confStr(to.BpeSampleBytesKey)
+        if (graft.ext.Dedup.confStr(to.BpeSampleMicrosKey).contains("auto"))
+          s"SELECT error('${to.BpeSampleMicrosKey}=auto has no derivation " +
+            "source: set a numeric threshold or use sampleBytes')"
+        else if (micros.isEmpty && bytes.isDefined)
+          s"SELECT error('${to.BpeSampleBytesKey} is a production mode: " +
+            "the oracle gate requires the resolved sampleMicros numeric')"
+        else to.bpeSampledEncodeSql(to.BpeRounds,
+          micros.map(_.toLong).getOrElse(to.BpeSampleMicros))
+      })
   )
 }
 

@@ -102,6 +102,39 @@ object StreamingQ {
     * simulation for dedup ops); `normalize` adapts the raw on-disk schema
     * (the events table's drifting timestamp forms).
     */
+  /** Scope the state-store BACKEND for one streaming query, driven by
+    * `graft.stream.provider` (GRAFT_STREAM_PROVIDER in Bench):
+    * `hdfs` (default — Spark's HDFSBackedStateStoreProvider, all state
+    * on-heap, full-file delta per commit) or `rocksdb` (RocksDB provider
+    * + changelog checkpointing — native-memory state, append-only
+    * changelog per commit). The r18 verdict's remaining scale lever: the
+    * stream-stream join family's sf10 cost is the HDFS provider's
+    * serialize-per-commit constant (s07/s10/s24/s25 = 39% of the
+    * sf10-auto wall), and ChangelogSpec already pins provider-agnostic
+    * results; this knob lets the bench MEASURE the swap at scale instead
+    * of guessing. Restores prior conf values on exit, so queries that
+    * pin their own provider (withRocksDb for transformWithState) compose.
+    */
+  def withStreamProvider[T](s: SparkSession)(body: => T): T = {
+    val prov = s.conf.getOption("graft.stream.provider").getOrElse("hdfs")
+    if (prov != "rocksdb") body
+    else {
+      val pk = "spark.sql.streaming.stateStore.providerClass"
+      val ck = "spark.sql.streaming.stateStore.rocksdb." +
+        "changelogCheckpointing.enabled"
+      val prevP = s.conf.getOption(pk)
+      val prevC = s.conf.getOption(ck)
+      s.conf.set(pk, "org.apache.spark.sql.execution.streaming.state." +
+        "RocksDBStateStoreProvider")
+      s.conf.set(ck, "true")
+      try body
+      finally {
+        prevP.fold(s.conf.unset(pk))(s.conf.set(pk, _))
+        prevC.fold(s.conf.unset(ck))(s.conf.set(ck, _))
+      }
+    }
+  }
+
   def runFileStream(s: SparkSession, path: String, copies: Int = 1,
       normalize: DataFrame => DataFrame = identity)(
       xform: DataFrame => DataFrame): DataFrame = {
@@ -116,7 +149,7 @@ object StreamingQ {
     val out  = graft.util.Scratch.dir("graft_stream_out")
     val ckpt = graft.util.Scratch.dir("graft_stream_ckpt")
 
-    val q = withStateParts(s, inletBytes(path) * copies) {
+    val q = withStreamProvider(s) { withStateParts(s, inletBytes(path) * copies) {
       val src = normalize(
         s.readStream.schema(rawSchema).parquet(srcDir.toString))
       val q0 = xform(src).writeStream
@@ -128,7 +161,7 @@ object StreamingQ {
         .start()
       q0.awaitTermination() // restore only after batches planned + drained
       q0
-    }
+    } }
     if (sys.env.contains("GRAFT_STREAM_DEBUG"))
       q.recentProgress.foreach(p => println(
         s"[stream] batch=${p.batchId} rows=${p.numInputRows} ${p.durationMs}" +

@@ -148,6 +148,36 @@ class TextOpsSpec extends SparkSpec {
     assert(plan.contains("profiles"), plan.take(2000))
   }
 
+  test("BPE sample sizing: microsForBudget math and the conf precedence " +
+      "(sampleMicros > sampleBytes > legacy 50%)") {
+    // proportional with floor/cap
+    assert(TextOps.microsForBudget(50, 100) === 500000L)
+    assert(TextOps.microsForBudget(1, 100) === 10000L)
+    assert(TextOps.microsForBudget(200, 100) === 1000000L) // capped
+    assert(TextOps.microsForBudget(1, 10000000) === 1000L) // floored
+    intercept[IllegalArgumentException](TextOps.microsForBudget(0, 100))
+    // precedence on a live session: text totals 40 bytes over 4 docs
+    val d = docs.sparkSession.range(0, 4)
+      .selectExpr("id AS doc_id", "repeat('x', 10) AS text")
+    val conf = spark.conf
+    def clear(): Unit = {
+      conf.unset(TextOps.BpeSampleMicrosKey)
+      conf.unset(TextOps.BpeSampleBytesKey)
+    }
+    clear()
+    assert(TextOps.resolveBpeSampleMicros(d) === TextOps.BpeSampleMicros)
+    conf.set(TextOps.BpeSampleBytesKey, "20") // half the 40-byte corpus
+    assert(TextOps.resolveBpeSampleMicros(d) === 500000L)
+    conf.set(TextOps.BpeSampleMicrosKey, "123456") // numeric wins
+    assert(TextOps.resolveBpeSampleMicros(d) === 123456L)
+    conf.set(TextOps.BpeSampleMicrosKey, "2000000")
+    intercept[IllegalArgumentException](TextOps.resolveBpeSampleMicros(d))
+    clear()
+    conf.set(TextOps.BpeSampleBytesKey, "auto") // 8 MiB >> 40 B -> cap
+    assert(TextOps.resolveBpeSampleMicros(d) === 1000000L)
+    clear()
+  }
+
   test("t21 profile artifact: schema is (lang, tie_rank, grams) with " +
       "tie_rank mirroring the argmax preference order, and langIdNgram " +
       "rejects non-identifier keep entries") {
