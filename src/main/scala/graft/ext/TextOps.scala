@@ -84,7 +84,23 @@ object TextOps {
     "zh" -> Seq("我们", "他们", "这个", "一个", "是一", "了一",
       "人的", "中的"),
     "ja" -> Seq("した", "てい", "いた", "って", "んで", "です",
-      "ます", "こと", "のは", "から"))
+      "ます", "こと", "のは", "から"),
+    // Round 19 (verdict item 6): hangul — the remaining major script
+    // class: SPACE-DELIMITED (unlike zh/ja) but agglutinative, with
+    // 3-byte characters. Because the language marks function morphology
+    // as SUFFIXES (particles/verb endings) before each space, the
+    // boundary-anchored unit comes back — but a 3-hangul-char trigram is
+    // 9 bytes (refused by the 8-byte pack), so the unit is 2 syllables +
+    // the TRAILING boundary space: char width 3, byte width 3+3+1 = 7,
+    // uniform across the profile as the kernel requires. Alignment
+    // bijection as for the other multi-byte scripts: hangul syllables
+    // (U+AC00-U+D7A3) are 3-byte sequences with lead byte 0xEA-0xED —
+    // byte-disjoint from hiragana (0xE3) and the han grams (0xE4-0xE9)
+    // above — and a misaligned byte window starts with a continuation
+    // byte (0x80-0xBF), never a lead byte, so byte-window hits equal
+    // char-window hits on any input (TextHashSpec pins it).
+    "ko" -> Seq("니다 ", "에서 ", "지만 ", "하고 ", "는데 ",
+      "으로 ", "까지 ", "부터 ", "들은 ", "에게 "))
 
   /** t21's planted rows (the d14 discipline): one genuinely German, one
     * genuinely French and one genuinely Russian sentence, so the non-en
@@ -110,7 +126,16 @@ object TextOps {
     (900004L, "我们的猫在桌子下面睡觉他们的狗在花园里跑这个孩子拿着" +
       "一个球玩了一会儿大人的笑声从院子中的树下传来"),
     (900005L, "ねこはつくえのしたでねむっていたいぬはにわをはしって" +
-      "いたこどもたちはまどのそばであそんでいました"))
+      "いたこどもたちはまどのそばであそんでいました"),
+    // The hangul witness (round 19): natural spacing, suffix morphology
+    // mid-text (a sentence-FINAL ending can never fire a trailing-space
+    // gram — the two 니다-hits below are mid-text by construction).
+    // Routes ko with margin 9 (에서×3, 니다×2, 지만/들은/부터/까지 ×1)
+    // vs every other profile's structural 0, and ko grams fire 0 on all
+    // five other plants (measured before freezing, the d14 discipline).
+    (900006L, "고양이는 탁자 아래에서 잠을 잤습니다 하지만 개는 " +
+      "정원에서 뛰었고 아이들은 창문 옆에서 놀았습니다 아침부터 " +
+      "저녁까지 모두가 행복했습니다"))
 
   /** `['a','b',...]` literal builder for t21's oracle SQL (grams contain
     * no quotes). The engine side no longer inlines profile literals — it
@@ -148,10 +173,10 @@ object TextOps {
     * scorer is a reader). Returns the parquet path.
     */
   def langProfileArtifact(s: org.apache.spark.sql.SparkSession): String = {
-    // v2: +zh/+ja rows (round 18). The key names the CONTENT version —
-    // Scratch persists across sessions in one run, so a content change
-    // without a key bump would serve the stale table to a warm JVM.
-    val dir = graft.util.Scratch.materialized("langprof_v2") { root =>
+    // v3: +ko row (round 19; v2 added zh/ja). The key names the CONTENT
+    // version — Scratch persists across sessions in one run, so a content
+    // change without a key bump would serve the stale table to a warm JVM.
+    val dir = graft.util.Scratch.materialized("langprof_v3") { root =>
       langProfileFrame(s).write.parquet(s"$root/profiles")
     }
     s"$dir/profiles"
@@ -159,7 +184,7 @@ object TextOps {
 
   /** t21/s36's shared scorer: per-profile trigram hit counts + the argmax
     * label (tie order = [[LangProfiles]] sequence order: en > de > fr >
-    * ru > zh > ja) over any (doc_id, text) relation — stateless scan →
+    * ru > zh > ja > ko) over any (doc_id, text) relation — stateless scan →
     * project, so
     * the batch query and the streaming twin are the same transform.
     * `keep` propagates extra input columns (p13 carries the per-doc mass

@@ -476,6 +476,45 @@ class TextHashSpec extends AnyFunSuite {
     assert(hits(jaPlant, Seq("кош", "ала", "око")) === 0)
   }
 
+  test("gramHits on hangul (round 19): byte-window hits equal char-window " +
+      "hits for the 7-byte suffix+boundary grams (2 syllables + trailing " +
+      "space), the ko plant routes with the documented margin, and the " +
+      "hangul/hiragana/han scripts are mutually byte-disjoint") {
+    import org.apache.spark.sql.catalyst.util.ArrayData
+    def hits(text: String, grams: Seq[String]): Int =
+      TextHash.gramHits(UTF8String.fromString(text),
+        ArrayData.toArrayData(grams.map(UTF8String.fromString).toArray))
+    def charHits(text: String, grams: Seq[String]): Int = {
+      val w = grams.head.length
+      (0 to text.length - w).count(i =>
+        grams.contains(text.substring(i, i + w)))
+    }
+    val profiles = graft.ext.TextOps.LangProfiles.toMap
+    val ko = profiles("ko")
+    // the unit's shape contract: char width 3, byte width 7 (3+3+1) —
+    // uniform, inside the kernel's 8-byte pack
+    assert(ko.forall(_.length === 3))
+    assert(ko.forall(_.getBytes("UTF-8").length === 7))
+    val plants = graft.ext.TextOps.LangPlants.toMap
+    val koPlant = plants(900006L)
+    val texts = Seq(koPlant,
+      "니다 니다 니다",                     // adjacent boundary grams
+      "mixed 에서 ascii 까지 text",         // hangul + 1-byte chars
+      "кошка 에서 спала した 我们 widths",  // 2B + 3B scripts mixed
+      "에서", "에", "")
+    for (t <- texts)
+      assert(hits(t, ko) === charHits(t, ko), s"text: '$t'")
+    // the planted routing margin (the LangPlants contract, measured
+    // before freezing): ko fires 9, every other profile is structurally 0
+    assert(hits(koPlant, ko) >= 9)
+    for ((lang, grams) <- profiles if lang != "ko")
+      assert(hits(koPlant, grams) === 0, s"profile $lang on the ko plant")
+    // and ko grams fire on no other plant (byte-disjoint scripts: hangul
+    // leads 0xEA-0xED vs hiragana 0xE3 / han 0xE4-0xE9 / Cyrillic 0xD0+)
+    for ((id, t) <- plants if id != 900006L)
+      assert(hits(t, ko) === 0, s"ko grams on plant $id")
+  }
+
   test("byteGramChain: positional rolling hashes match the naive fold; " +
       "a deletion perturbs at most k distinct grams") {
     val k = 16
