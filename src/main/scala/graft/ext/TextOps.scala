@@ -100,7 +100,19 @@ object TextOps {
     // byte (0x80-0xBF), never a lead byte, so byte-window hits equal
     // char-window hits on any input (TextHashSpec pins it).
     "ko" -> Seq("니다 ", "에서 ", "지만 ", "하고 ", "는데 ",
-      "으로 ", "까지 ", "부터 ", "들은 ", "에게 "))
+      "으로 ", "까지 ", "부터 ", "들은 ", "에게 "),
+    // Round 19 (the last remaining script class): Arabic — 2-byte
+    // letters (leads 0xD8-0xDB, disjoint from Cyrillic's 0xD0-0xD1 and
+    // every 3-byte class above), space-delimited with PREFIX morphology
+    // (the definite article ال and the particle set attach at word
+    // START), so the boundary anchor flips to a LEADING space:
+    // space + 2 letters = char width 3, byte width 1+2+2 = 5, uniform.
+    // RTL is a display property only — storage is logical order, so
+    // byte/char windows slide identically. A byte window matching a
+    // gram starts at a genuine 0x20 (a continuation byte is >= 0x80),
+    // hence char-aligned: the alignment bijection holds as everywhere.
+    "ar" -> Seq(" ال", " في", " من", " عن", " مع",
+      " كا", " وا", " بي", " قر", " تح"))
 
   /** t21's planted rows (the d14 discipline): one genuinely German, one
     * genuinely French and one genuinely Russian sentence, so the non-en
@@ -135,7 +147,15 @@ object TextOps {
     // five other plants (measured before freezing, the d14 discipline).
     (900006L, "고양이는 탁자 아래에서 잠을 잤습니다 하지만 개는 " +
       "정원에서 뛰었고 아이들은 창문 옆에서 놀았습니다 아침부터 " +
-      "저녁까지 모두가 행복했습니다"))
+      "저녁까지 모두가 행복했습니다"),
+    // The Arabic witness (round 19): prefix morphology after natural
+    // spaces — the sentence-INITIAL ال can never fire a leading-space
+    // gram, so all six ال-hits below are mid-text by construction.
+    // Routes ar with margin 13 (ال×6, تح/وا/في/بي/كا/قر/من ×1) vs every
+    // other profile's structural 0, and ar grams fire 0 on all six
+    // other plants (measured before freezing).
+    (900007L, "القطة نامت تحت الطاولة والكلب ركض في الحديقة بينما " +
+      "كان الأطفال يلعبون قرب النافذة من الصباح حتى المساء"))
 
   /** `['a','b',...]` literal builder for t21's oracle SQL (grams contain
     * no quotes). The engine side no longer inlines profile literals — it
@@ -173,10 +193,11 @@ object TextOps {
     * scorer is a reader). Returns the parquet path.
     */
   def langProfileArtifact(s: org.apache.spark.sql.SparkSession): String = {
-    // v3: +ko row (round 19; v2 added zh/ja). The key names the CONTENT
-    // version — Scratch persists across sessions in one run, so a content
-    // change without a key bump would serve the stale table to a warm JVM.
-    val dir = graft.util.Scratch.materialized("langprof_v3") { root =>
+    // v4: +ar row (round 19, which also added ko; v2 added zh/ja). The
+    // key names the CONTENT version — Scratch persists across sessions in
+    // one run, so a content change without a key bump would serve the
+    // stale table to a warm JVM.
+    val dir = graft.util.Scratch.materialized("langprof_v4") { root =>
       langProfileFrame(s).write.parquet(s"$root/profiles")
     }
     s"$dir/profiles"
@@ -184,7 +205,7 @@ object TextOps {
 
   /** t21/s36's shared scorer: per-profile trigram hit counts + the argmax
     * label (tie order = [[LangProfiles]] sequence order: en > de > fr >
-    * ru > zh > ja > ko) over any (doc_id, text) relation — stateless scan →
+    * ru > zh > ja > ko > ar) over any (doc_id, text) relation — stateless scan →
     * project, so
     * the batch query and the streaming twin are the same transform.
     * `keep` propagates extra input columns (p13 carries the per-doc mass

@@ -107,10 +107,10 @@ class TextOpsSpec extends SparkSpec {
         r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3),
           r.getLong(4), r.getLong(5)))
       }.toMap
-    assert(rows.keySet === Set("en", "de", "fr", "ru", "zh", "ja", "ko"))
+    assert(rows.keySet === Set("en", "de", "fr", "ru", "zh", "ja", "ko", "ar"))
     // planted non-en rows (incl. the r18 CJK + r19 hangul witnesses):
     // tiny mass -> rate caps at 1.0 -> every doc admitted
-    Seq("de", "fr", "ru", "zh", "ja", "ko").foreach { l =>
+    Seq("de", "fr", "ru", "zh", "ja", "ko", "ar").foreach { l =>
       val (nDocs, mass, rate, nAdm, admMass) = rows(l)
       assert(rate === 1.0 && nAdm === nDocs && admMass === mass, s"$l: $rows")
     }
@@ -131,7 +131,8 @@ class TextOpsSpec extends SparkSpec {
       .collect()
       .map(r => r.getLong(0) -> r.getAs[String]("lang")).toMap
     assert(out === Map(900001L -> "de", 900002L -> "fr", 900003L -> "ru",
-      900004L -> "zh", 900005L -> "ja", 900006L -> "ko"))
+      900004L -> "zh", 900005L -> "ja", 900006L -> "ko",
+      900007L -> "ar"))
     // the anchoring property itself: profile grams never fire on the
     // corpus vocabulary ("table" must not read French, "order" not German)
     val vocabCtx = " " + Seq("table", "order", "query", "value", "customer",

@@ -515,6 +515,42 @@ class TextHashSpec extends AnyFunSuite {
       assert(hits(t, ko) === 0, s"ko grams on plant $id")
   }
 
+  test("gramHits on Arabic (round 19): byte-window hits equal char-window " +
+      "hits for the 5-byte leading-space+2-letter grams (prefix " +
+      "morphology flips the boundary anchor), RTL storage is logical " +
+      "order, and the 2-byte script is disjoint from every other profile") {
+    import org.apache.spark.sql.catalyst.util.ArrayData
+    def hits(text: String, grams: Seq[String]): Int =
+      TextHash.gramHits(UTF8String.fromString(text),
+        ArrayData.toArrayData(grams.map(UTF8String.fromString).toArray))
+    def charHits(text: String, grams: Seq[String]): Int = {
+      val w = grams.head.length
+      (0 to text.length - w).count(i =>
+        grams.contains(text.substring(i, i + w)))
+    }
+    val profiles = graft.ext.TextOps.LangProfiles.toMap
+    val ar = profiles("ar")
+    // shape contract: char width 3, byte width 5 (1+2+2)
+    assert(ar.forall(_.length === 3))
+    assert(ar.forall(_.getBytes("UTF-8").length === 5))
+    val plants = graft.ext.TextOps.LangPlants.toMap
+    val arPlant = plants(900007L)
+    val texts = Seq(arPlant,
+      "في في في",                        // adjacent boundary grams
+      "mixed في ascii من text",          // Arabic + 1-byte chars
+      "кошка في спала した 에서 mix",    // 2B + 3B scripts mixed
+      "في", " في", "")
+    for (t <- texts)
+      assert(hits(t, ar) === charHits(t, ar), s"text: '$t'")
+    // the planted routing margin (measured before freezing): ar fires 13,
+    // every other profile is structurally 0, and vice versa
+    assert(hits(arPlant, ar) >= 13)
+    for ((lang, grams) <- profiles if lang != "ar")
+      assert(hits(arPlant, grams) === 0, s"profile $lang on the ar plant")
+    for ((id, t) <- plants if id != 900007L)
+      assert(hits(t, ar) === 0, s"ar grams on plant $id")
+  }
+
   test("byteGramChain: positional rolling hashes match the naive fold; " +
       "a deletion perturbs at most k distinct grams") {
     val k = 16
