@@ -516,14 +516,28 @@ object TextOps {
     * metadata-light column scan at plan-build, the resolveCells
     * discipline — and logs the derivation for provenance.
     */
+  /** Parse-and-validate a numeric sampleMicros conf value — the ONE
+    * implementation shared by the engine resolution and the p15 oracle
+    * arm, so both sides refuse identically (ADVICE r19: the oracle arm
+    * embedded a raw `.toLong`, so an out-of-range value generated a
+    * full-corpus oracle while the engine refused).
+    */
+  def parseBpeSampleMicros(raw: String): Long = {
+    val v =
+      try raw.toLong
+      catch {
+        case _: NumberFormatException => throw new IllegalArgumentException(
+          s"$BpeSampleMicrosKey='$raw' is not a number (or 'auto')")
+      }
+    require(v >= 1 && v <= 1000000L,
+      s"$BpeSampleMicrosKey=$v out of range [1, 1000000]")
+    v
+  }
+
   def resolveBpeSampleMicros(docs: DataFrame): Long = {
     val conf = docs.sparkSession.conf
     conf.getOption(BpeSampleMicrosKey).filter(_ != "auto") match {
-      case Some(m) =>
-        val v = m.toLong
-        require(v >= 1 && v <= 1000000L,
-          s"$BpeSampleMicrosKey=$v out of range [1, 1000000]")
-        v
+      case Some(m) => parseBpeSampleMicros(m)
       case None => conf.getOption(BpeSampleBytesKey) match {
         case None => BpeSampleMicros
         case Some(b) =>

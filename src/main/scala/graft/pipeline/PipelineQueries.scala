@@ -740,7 +740,7 @@ object PipelineQueries {
           s"SELECT error('${to.BpeSampleBytesKey} is a production mode: " +
             "the oracle gate requires the resolved sampleMicros numeric')"
         else to.bpeSampledEncodeSql(to.BpeRounds,
-          micros.map(_.toLong).getOrElse(to.BpeSampleMicros))
+          micros.map(to.parseBpeSampleMicros).getOrElse(to.BpeSampleMicros))
       })
   )
 }

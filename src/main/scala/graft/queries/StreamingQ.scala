@@ -117,6 +117,14 @@ object StreamingQ {
     */
   def withStreamProvider[T](s: SparkSession)(body: => T): T = {
     val prov = s.conf.getOption("graft.stream.provider").getOrElse("hdfs")
+    // Unknown values must refuse, not silently measure the default: a
+    // typo'd GRAFT_STREAM_PROVIDER ("rocksDB", "rocks") would otherwise
+    // run hdfs while the operator believes they measured the swap — a
+    // misattribution on the very measurement this knob exists for
+    // (ADVICE r19).
+    require(prov == "hdfs" || prov == "rocksdb",
+      s"graft.stream.provider='$prov' (GRAFT_STREAM_PROVIDER in Bench) " +
+        "must be 'hdfs' or 'rocksdb'")
     if (prov != "rocksdb") body
     else {
       val pk = "spark.sql.streaming.stateStore.providerClass"

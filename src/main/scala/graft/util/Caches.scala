@@ -75,17 +75,33 @@ object Caches {
   // makes the same assumption, more strongly).
   private val counted =
     scala.collection.mutable.HashMap.empty[
-      (SparkSession,
-       org.apache.spark.sql.catalyst.plans.logical.LogicalPlan), Long]
+      ((SparkSession,
+        org.apache.spark.sql.catalyst.plans.logical.LogicalPlan),
+       Int), Long]
 
-  /** df.count(), memoized per (session, normalized canonical plan). The
-    * count job runs OUTSIDE the monitor (it can be a full corpus scan);
-    * a concurrent duplicate is resolved to one entry under the lock.
+  /** df.count(), memoized per (session, normalized canonical plan,
+    * file-index fingerprint). The count job runs OUTSIDE the monitor (it
+    * can be a full corpus scan); a concurrent duplicate is resolved to
+    * one entry under the lock.
+    *
+    * The fingerprint (round-20, ADVICE r19): a parquet/scratch path
+    * OVERWRITTEN with different data within one session (the
+    * shared-session spec-suite shape) re-reads under identical plan text,
+    * and a plan-only key would serve the stale count into
+    * resolveCells/resolveBits — silently changing derived
+    * kmeansCells/hyperplaneBits. Spark stamps a fresh write-UUID into
+    * every part-file name, so `df.inputFiles` (driver-side metadata the
+    * freshly-built plan has already listed) changes on ANY rewrite of a
+    * scanned path; hashing the sorted listing makes the rewritten plan
+    * MISS instead. Plans with no file sources hash an empty listing and
+    * keep the pure plan-key behavior.
     */
   def memoCount(df: DataFrame): Long = {
-    val key = memoKey(df)
+    val filesFp = java.util.Arrays.hashCode(
+      df.inputFiles.sorted.asInstanceOf[Array[AnyRef]])
+    val key = (memoKey(df), filesFp)
     synchronized {
-      counted.filterInPlace((k, _) => !k._1.sparkContext.isStopped)
+      counted.filterInPlace((k, _) => !k._1._1.sparkContext.isStopped)
       counted.get(key)
     } match {
       case Some(n) => n

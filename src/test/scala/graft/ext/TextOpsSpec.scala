@@ -177,6 +177,15 @@ class TextOpsSpec extends SparkSpec {
     conf.set(TextOps.BpeSampleBytesKey, "auto") // 8 MiB >> 40 B -> cap
     assert(TextOps.resolveBpeSampleMicros(d) === 1000000L)
     clear()
+    // Shared parse-and-validate (ADVICE r19): engine and p15 oracle arm
+    // refuse identically — out-of-range and non-numeric both name the key.
+    assert(TextOps.parseBpeSampleMicros("123456") === 123456L)
+    val over = intercept[IllegalArgumentException](
+      TextOps.parseBpeSampleMicros("2000000"))
+    assert(over.getMessage.contains(TextOps.BpeSampleMicrosKey))
+    val nan = intercept[IllegalArgumentException](
+      TextOps.parseBpeSampleMicros("half"))
+    assert(nan.getMessage.contains(TextOps.BpeSampleMicrosKey))
   }
 
   test("t21 profile artifact: schema is (lang, tie_rank, grams) with " +

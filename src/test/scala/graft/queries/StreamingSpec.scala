@@ -1066,4 +1066,16 @@ class StreamingSpec extends SparkSpec {
     assert(StreamingQ.inletBytes(f.resolve("a.bin").toString) === 1000L)
     assert(StreamingQ.inletBytes(f.resolve("missing").toString) === 0L)
   }
+
+  test("withStreamProvider refuses unknown provider values loudly " +
+      "(ADVICE r19: a typo'd knob must not silently measure hdfs)") {
+    val s = spark
+    assert(StreamingQ.withStreamProvider(s)(41 + 1) === 42) // default hdfs
+    try {
+      s.conf.set("graft.stream.provider", "rocksDB") // wrong case
+      val ex = intercept[IllegalArgumentException](
+        StreamingQ.withStreamProvider(s)(0))
+      assert(ex.getMessage.contains("GRAFT_STREAM_PROVIDER"))
+    } finally s.conf.unset("graft.stream.provider")
+  }
 }

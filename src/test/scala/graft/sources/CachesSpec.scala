@@ -106,6 +106,26 @@ class CachesSpec extends SparkSpec {
     Caches.releaseAll()
   }
 
+  test("memoCount misses when a scanned path is rewritten in-session " +
+      "(file-index fingerprint in the memo key)") {
+    // ADVICE r19 (Caches.scala): a plan-only memo key served a stale count
+    // to resolveCells/resolveBits after a fixture rewrite under identical
+    // plan text. The key now folds in a hash of df.inputFiles; Spark's
+    // per-write part-file UUIDs make any overwrite change that listing.
+    val s = spark
+    import s.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_memo_fp")
+      .toString
+    (1L to 5L).toDF("id").write.mode("overwrite").parquet(dir)
+    assert(Caches.memoCount(s.read.parquet(dir)) === 5L)
+    (1L to 9L).toDF("id").write.mode("overwrite").parquet(dir)
+    assert(Caches.memoCount(s.read.parquet(dir)) === 9L,
+      "rewritten path must MISS the count memo, not serve the stale 5")
+    // No file source in the plan → empty listing → plan-key behavior.
+    val mem = s.range(7).toDF()
+    assert(Caches.memoCount(mem) === 7L && Caches.memoCount(mem) === 7L)
+  }
+
   test("no naked .persist() remains in library code (grep-style audit)") {
     // Source-level guard for the review bar: every persist call in
     // src/main goes through Caches.retain or carries a matching unpersist
