@@ -942,6 +942,70 @@ case class GramHitsExpr(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** Gram → big-endian packed long (TextHash.packGram) — the merged
+  * language-id artifact's plan-time pre-pack (round 20). string → bigint.
+  */
+case class PackGramExpr(child: Expression) extends UnaryExpression {
+  override def checkInputDataTypes():
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (child.dataType == StringType)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      s"$prettyName expects a string argument, got ${child.dataType.simpleString}")
+  override def dataType: DataType = LongType
+  override def prettyName: String = "graft_pack_gram"
+  protected override def nullSafeEval(input: Any): Any =
+    TextHash.packGram(
+      input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.TextHash.packGram($c)")
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** t21's merged all-languages profile scorer (TextHash.gramHitsAll):
+  * (text string, profs array<struct<w int, packed array<bigint>,
+  * li array<int>>>, nlangs intlit) → array<int> of per-language hit
+  * counts. One rolling byte scan per DISTINCT gram width — flat in
+  * language count; see the kernel's scaladoc for the scale law.
+  */
+case class GramHitsAllExpr(left: Expression, right: Expression, nlangs: Int)
+    extends BinaryExpression {
+  require(nlangs >= 1 && nlangs <= 4096,
+    s"graft_gram_hits_all nlangs=$nlangs out of range [1, 4096]")
+  override def checkInputDataTypes():
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    val profOk = right.dataType match {
+      case ArrayType(st: StructType, _) => st.length == 3 &&
+        st(0).dataType == IntegerType &&
+        st(1).dataType.isInstanceOf[ArrayType] &&
+        st(1).dataType.asInstanceOf[ArrayType].elementType == LongType &&
+        st(2).dataType.isInstanceOf[ArrayType] &&
+        st(2).dataType.asInstanceOf[ArrayType].elementType == IntegerType
+      case _ => false
+    }
+    if (left.dataType == StringType && profOk)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      s"$prettyName expects (string, array<struct<int, array<bigint>, " +
+        s"array<int>>>), got (${left.dataType.simpleString}, " +
+        s"${right.dataType.simpleString})")
+  }
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override def prettyName: String = "graft_gram_hits_all"
+  protected override def nullSafeEval(s: Any, profs: Any): Any =
+    TextHash.gramHitsAll(
+      s.asInstanceOf[org.apache.spark.unsafe.types.UTF8String],
+      profs.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData],
+      nlangs)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (s, g) =>
+      s"graft.functions.TextHash.gramHitsAll($s, $g, $nlangs)")
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
 /** Positional byte-k-gram rolling hashes (TextHash.byteGramChain) — the
   * byte-level twin of graft_gram_chain; d29's exact Jaccard verify input.
   */
@@ -1120,6 +1184,10 @@ object GraftFunctions {
     "graft_byte_grams"   -> arity("graft_byte_grams", 2)(cs => ByteGramChainExpr(cs(0),
       intLit("graft_byte_grams", "k", cs(1)))),
     "graft_gram_hits"    -> arity("graft_gram_hits", 2)(cs => GramHitsExpr(cs(0), cs(1))),
+    "graft_pack_gram"    -> arity("graft_pack_gram", 1)(cs => PackGramExpr(cs.head)),
+    "graft_gram_hits_all" -> arity("graft_gram_hits_all", 3)(cs =>
+      GramHitsAllExpr(cs(0), cs(1),
+        intLit("graft_gram_hits_all", "nlangs", cs(2)))),
     "graft_thumb"        -> arity("graft_thumb", 2)(cs => ThumbHexExpr(cs(0), cs(1))),
     "graft_hex_tiles"    -> arity("graft_hex_tiles", 2)(cs => HexTilesExpr(cs(0), cs(1))),
     "graft_block_scrub"  -> arity("graft_block_scrub", 1)(cs => BlockScrubExpr(cs.head)),

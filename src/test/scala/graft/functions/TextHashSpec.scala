@@ -551,6 +551,54 @@ class TextHashSpec extends AnyFunSuite {
       assert(hits(t, ar) === 0, s"ar grams on plant $id")
   }
 
+  test("gramHitsAll (round 20): the merged multi-width kernel equals " +
+      "per-language gramHits on every shipped profile and plant, and a " +
+      "gram shared by two languages scores both") {
+    import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+    import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+    def packed(g: String): Long = {
+      val b = g.getBytes("UTF-8")
+      b.foldLeft(0L)((v, x) => (v << 8) | (x & 0xff))
+    }
+    // the langIdNgram artifact derivation, in miniature: group langs'
+    // grams by byte width, sort each width's (packed, langIdx) pairs
+    def profsOf(profiles: Seq[(String, Seq[String])]): ArrayData = {
+      val byW = profiles.zipWithIndex
+        .flatMap { case ((_, gs), li) =>
+          gs.map(g => (g.getBytes("UTF-8").length, packed(g), li)) }
+        .groupBy(_._1).toSeq.sortBy(_._1)
+      new GenericArrayData(byW.map { case (w, entries) =>
+        val sorted = entries.map(e => (e._2, e._3)).sorted
+        new GenericInternalRow(Array[Any](w,
+          new GenericArrayData(sorted.map(_._1).toArray),
+          new GenericArrayData(sorted.map(_._2).toArray)))
+      }.toArray[Any])
+    }
+    def hits1(text: String, grams: Seq[String]): Int =
+      TextHash.gramHits(UTF8String.fromString(text),
+        ArrayData.toArrayData(grams.map(UTF8String.fromString).toArray))
+    val profiles = graft.ext.TextOps.LangProfiles
+    val profs = profsOf(profiles)
+    val texts = graft.ext.TextOps.LangPlants.map(_._2) ++ Seq(
+      "the cat sat on the mat and the dog ran in the garden",
+      "кошка die katze le chat 我们 した 에서 في mixed everything",
+      "tiny", "a", "")
+    for (t <- texts) {
+      val all = TextHash.gramHitsAll(UTF8String.fromString(t), profs,
+        profiles.length)
+      profiles.zipWithIndex.foreach { case ((lang, grams), i) =>
+        assert(all.getInt(i) === hits1(t, grams),
+          s"lang $lang on text '${t.take(30)}'")
+      }
+    }
+    // duplicate gram across languages: both score it (a deployment's
+    // profile table may legally share grams)
+    val dup = Seq("aa" -> Seq("the", "xyz"), "bb" -> Seq("the", "qqq"))
+    val all = TextHash.gramHitsAll(
+      UTF8String.fromString("the theme and the rest"), profsOf(dup), 2)
+    assert(all.getInt(0) === 3 && all.getInt(1) === 3)
+  }
+
   test("byteGramChain: positional rolling hashes match the naive fold; " +
       "a deletion perturbs at most k distinct grams") {
     val k = 16
