@@ -926,27 +926,50 @@ object TextOps {
     */
   def trigramFamiliarity(docs: DataFrame, buckets: Long): DataFrame = {
     graft.functions.GraftFunctions.register(docs.sparkSession)
+    // Round 20 (guide §2.3/§4 — shuffle/probe fewer bytes, codegen the hot
+    // path): the gram feed is one compiled graft_gram_buckets pass per row
+    // (bucket longs, bit-identical to pmod(graft_poly_hash(gram), m)) —
+    // no per-position UTF8String gram materializes anywhere any more.
     def tris(df: DataFrame) = df
       .filter(length(col("text")) >= 3)
-      .select(col("doc_id"), expr("graft_char_grams(text, 3)"))
       .select(col("doc_id"),
-        pmod(expr("graft_poly_hash(g)"), lit(buckets)).as("b"))
+        explode(expr(s"graft_gram_buckets(text, 3, $buckets)")).as("b"))
     val model = tris(docs).groupBy("b").agg(count(lit(1)).as("c"))
-    // Over-threshold models hint shuffle_hash explicitly (not just "no
-    // broadcast hint"): the planner's size ESTIMATE for an aggregate can
-    // stay under autoBroadcastJoinThreshold even when the true bucket table
-    // is huge, so the absence of a hint would still auto-broadcast. Hash
-    // buckets are near-uniform, so a shuffled hash join has no skew risk
-    // and beats sort-merge (no sort on 2^20+ buckets).
-    val sized =
-      if (buckets <= lmBroadcastMaxBuckets) broadcast(model)
-      else model.hint("shuffle_hash")
-    tris(docs).join(sized, "b")
-      .groupBy("doc_id")
-      .agg(count(lit(1)).as("n_tris"), sum("c").as("familiarity"))
-      .select(col("doc_id"), col("n_tris"), col("familiarity"),
-        (col("familiarity").cast("double") / col("n_tris"))
-          .as("mean_freq"))
+    if (buckets <= lmBroadcastMaxBuckets) {
+      // Broadcastable model (t18's path): merge it into ONE row of sorted
+      // parallel (bucket, count) arrays and score each document with a
+      // single compiled graft_lm_familiarity pass — replaces
+      // explode → broadcast-hash-join → per-doc re-aggregation (500M
+      // probe rows and a doc_id exchange at sf10) with a per-row kernel
+      // and ZERO post-model exchanges. Values are identical: the join was
+      // inner on a model built FROM the same corpus, so every probe gram
+      // hits, and (n_tris, familiarity) are exact int64 sums.
+      val modelRow = model
+        .agg(expr("array_sort(collect_list(struct(b, c)))").as("t"))
+        .select(expr("transform(t, x -> x.b)").as("bs"),
+          expr("transform(t, x -> x.c)").as("cs"))
+      docs.filter(length(col("text")) >= 3)
+        .crossJoin(broadcast(modelRow))
+        .select(col("doc_id"),
+          expr(s"graft_lm_familiarity(text, 3, $buckets, bs, cs)").as("f"))
+        .select(col("doc_id"), col("f.n_tris").as("n_tris"),
+          col("f.familiarity").as("familiarity"),
+          (col("f.familiarity").cast("double") / col("f.n_tris"))
+            .as("mean_freq"))
+    } else {
+      // Over-threshold models hint shuffle_hash explicitly (not just "no
+      // broadcast hint"): the planner's size ESTIMATE for an aggregate can
+      // stay under autoBroadcastJoinThreshold even when the true bucket
+      // table is huge, so the absence of a hint would still auto-broadcast.
+      // Hash buckets are near-uniform, so a shuffled hash join has no skew
+      // risk and beats sort-merge (no sort on 2^20+ buckets).
+      tris(docs).join(model.hint("shuffle_hash"), "b")
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_tris"), sum("c").as("familiarity"))
+        .select(col("doc_id"), col("n_tris"), col("familiarity"),
+          (col("familiarity").cast("double") / col("n_tris"))
+            .as("mean_freq"))
+    }
   }
 }
 

@@ -1006,6 +1006,78 @@ case class GramHitsAllExpr(left: Expression, right: Expression, nlangs: Int)
     copy(left = newLeft, right = newRight)
 }
 
+/** Char-n-gram model buckets (TextHash.gramBuckets) — t18's model-build
+  * feed: one compiled pass per row, no per-position UTF8String. Null when
+  * the text has < n codepoints.
+  */
+case class GramBucketsExpr(child: Expression, n: Int, m: Long)
+    extends UnaryExpression {
+  require(n >= 1 && n <= 64, s"graft_gram_buckets n=$n out of range [1, 64]")
+  require(m >= 1, s"graft_gram_buckets m=$m must be positive")
+  override def checkInputDataTypes():
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (child.dataType == StringType)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      s"$prettyName expects a string argument, got ${child.dataType.simpleString}")
+  override def nullable: Boolean = true
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "graft_gram_buckets"
+  protected override def nullSafeEval(input: Any): Any =
+    TextHash.gramBuckets(
+      input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String], n, m)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => s"""
+      ${ev.value} = graft.functions.TextHash.gramBuckets($c, $n, ${m}L);
+      if (${ev.value} == null) { ${ev.isNull} = true; }
+    """)
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** Whole-document trigram-LM scoring (TextHash.lmFamiliarity) — t18's
+  * probe: per char-n-gram bucket, binary-search the broadcast SORTED model
+  * array, accumulate (n_tris, familiarity). Null when the text has < n
+  * codepoints (the exploded twin emitted no rows for such docs).
+  */
+case class LmFamiliarityExpr(first: Expression, second: Expression,
+    third: Expression, n: Int, m: Long)
+    extends TernaryExpression {
+  require(n >= 1 && n <= 64, s"graft_lm_familiarity n=$n out of range [1, 64]")
+  require(m >= 1, s"graft_lm_familiarity m=$m must be positive")
+  override def checkInputDataTypes():
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    def longArr(e: Expression) = e.dataType match {
+      case ArrayType(LongType, _) => true
+      case _ => false
+    }
+    if (first.dataType == StringType && longArr(second) && longArr(third))
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      s"$prettyName expects (string, array<bigint>, array<bigint>), got " +
+        s"(${first.dataType.simpleString}, ${second.dataType.simpleString}, " +
+        s"${third.dataType.simpleString})")
+  }
+  override def nullable: Boolean = true
+  override def dataType: DataType = StructType(Seq(
+    StructField("n_tris", LongType, nullable = false),
+    StructField("familiarity", LongType, nullable = false)))
+  override def prettyName: String = "graft_lm_familiarity"
+  protected override def nullSafeEval(s: Any, bs: Any, cs: Any): Any =
+    TextHash.lmFamiliarity(
+      s.asInstanceOf[org.apache.spark.unsafe.types.UTF8String], n, m,
+      bs.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData],
+      cs.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (s, bs, cs) => s"""
+      ${ev.value} = graft.functions.TextHash.lmFamiliarity($s, $n, ${m}L, $bs, $cs);
+      if (${ev.value} == null) { ${ev.isNull} = true; }
+    """)
+  override protected def withNewChildrenInternal(newFirst: Expression,
+      newSecond: Expression, newThird: Expression): Expression =
+    copy(first = newFirst, second = newSecond, third = newThird)
+}
+
 /** Positional byte-k-gram rolling hashes (TextHash.byteGramChain) — the
   * byte-level twin of graft_gram_chain; d29's exact Jaccard verify input.
   */
@@ -1188,6 +1260,14 @@ object GraftFunctions {
     "graft_gram_hits_all" -> arity("graft_gram_hits_all", 3)(cs =>
       GramHitsAllExpr(cs(0), cs(1),
         intLit("graft_gram_hits_all", "nlangs", cs(2)))),
+    "graft_gram_buckets" -> arity("graft_gram_buckets", 3)(cs =>
+      GramBucketsExpr(cs(0),
+        intLit("graft_gram_buckets", "n", cs(1)),
+        intLit("graft_gram_buckets", "m", cs(2)).toLong)),
+    "graft_lm_familiarity" -> arity("graft_lm_familiarity", 5)(cs =>
+      LmFamiliarityExpr(cs(0), cs(3), cs(4),
+        intLit("graft_lm_familiarity", "n", cs(1)),
+        intLit("graft_lm_familiarity", "m", cs(2)).toLong)),
     "graft_thumb"        -> arity("graft_thumb", 2)(cs => ThumbHexExpr(cs(0), cs(1))),
     "graft_hex_tiles"    -> arity("graft_hex_tiles", 2)(cs => HexTilesExpr(cs(0), cs(1))),
     "graft_block_scrub"  -> arity("graft_block_scrub", 1)(cs => BlockScrubExpr(cs.head)),

@@ -120,43 +120,125 @@ object TextHash {
     * (split on single spaces, empty tokens skipped, prefixes by codepoint),
     * returning (total grams, distinct grams, first 5 distinct grams in
     * UTF8-binary sort order joined with ','). Replaces a triple-evaluated
-    * interpreted flatten/transform gram array. Distinct grams are kept in a
-    * TreeSet of UTF8String — BYTE-wise order, identical to Spark
-    * `array_sort` on strings and DuckDB's default binary collation.
+    * interpreted flatten/transform gram array.
+    *
+    * Round 20 (guide §1.2 per-task work — t05 was the largest non-join
+    * sf10 entry at 48.9 s): the former form allocated a String + a
+    * StringBuilder copy + a UTF8String PER GRAM into a TreeSet (an
+    * O(log n) full string compare per insert). This form never leaves the
+    * UTF-8 byte array: a gram is an (offset, length) slice of the input,
+    * dedup is an open-addressed hash table over the slices (64-bit byte
+    * hash, true byte-compare on hash hit — exact, collision-safe), and
+    * the first-5 sample is a bounded insertion into a 5-slot array using
+    * the same unsigned-byte-then-length comparison as UTF8String.compareTo
+    * — byte-wise order, identical to the TreeSet form, Spark `array_sort`
+    * and DuckDB's default binary collation (t05 oracle hash unchanged).
+    * Zero allocation per gram; the only per-row allocations are the three
+    * table arrays and the output string.
     */
   def edgeNgramStats(s: UTF8String): org.apache.spark.sql.catalyst.InternalRow = {
-    val toks = s.toString.split(" ", -1)
+    val bytes = s.getBytes
+    val len = bytes.length
+    // pass 1: total gram count = Σ_token min(edgeMax, codepoints(token))
+    // (cheap leading-byte scan; upper-bounds the dedup table size)
     var total = 0
-    val set = new java.util.TreeSet[UTF8String]()
-    var ti = 0
-    while (ti < toks.length) {
-      val t = toks(ti)
-      if (t.nonEmpty) {
-        val maxI = math.min(edgeMax, t.codePointCount(0, t.length))
-        val sb = new java.lang.StringBuilder
-        var i = 0
-        var charIdx = 0
-        while (i < maxI) {
-          val cp = t.codePointAt(charIdx)
-          sb.appendCodePoint(cp)
-          charIdx += Character.charCount(cp)
-          set.add(UTF8String.fromString(sb.toString))
-          total += 1
-          i += 1
+    var i = 0
+    while (i < len) {
+      if (bytes(i) == ' ') i += 1
+      else {
+        var cp = 0
+        var j = i
+        while (j < len && bytes(j) != ' ') {
+          if (cp < edgeMax) cp += 1
+          j += UTF8String.numBytesForFirstByte(bytes(j))
+        }
+        total += cp
+        i = j
+      }
+    }
+    // open-addressed slice table (pow2, load <= 0.5; lens==0 marks empty —
+    // grams are never empty)
+    var cap = 8
+    while (cap < total * 2) cap <<= 1
+    val hs = new Array[Long](cap)
+    val offs = new Array[Int](cap)
+    val lns = new Array[Int](cap)
+    var nDistinct = 0
+    // bounded first-5 sample of the distinct grams, byte-ascending
+    val f5o = new Array[Int](5)
+    val f5l = new Array[Int](5)
+    var f5n = 0
+    // UTF8String.compareTo semantics: unsigned byte-wise, then length
+    def cmpSlice(o1: Int, l1: Int, o2: Int, l2: Int): Int = {
+      val m = math.min(l1, l2)
+      var k = 0
+      while (k < m) {
+        val d = (bytes(o1 + k) & 0xff) - (bytes(o2 + k) & 0xff)
+        if (d != 0) return d
+        k += 1
+      }
+      l1 - l2
+    }
+    def offer(off: Int, l: Int): Unit = {
+      var h = 1125899906842597L
+      var k = off
+      val end = off + l
+      while (k < end) { h = h * 31 + (bytes(k) & 0xff); k += 1 }
+      var slot = ((h ^ (h >>> 32)) & (cap - 1)).toInt
+      var isNew = false
+      var done = false
+      while (!done) {
+        if (lns(slot) == 0) {
+          hs(slot) = h; offs(slot) = off; lns(slot) = l
+          isNew = true; done = true
+        } else if (hs(slot) == h && lns(slot) == l &&
+            cmpSlice(offs(slot), l, off, l) == 0) {
+          done = true
+        } else slot = (slot + 1) & (cap - 1)
+      }
+      if (isNew) {
+        nDistinct += 1
+        if (f5n < 5 || cmpSlice(off, l, f5o(f5n - 1), f5l(f5n - 1)) < 0) {
+          var p = if (f5n < 5) f5n else 4
+          while (p > 0 && cmpSlice(off, l, f5o(p - 1), f5l(p - 1)) < 0) {
+            f5o(p) = f5o(p - 1); f5l(p) = f5l(p - 1); p -= 1
+          }
+          f5o(p) = off; f5l(p) = l
+          if (f5n < 5) f5n += 1
         }
       }
-      ti += 1
     }
-    val first5 = new java.lang.StringBuilder
-    val it = set.iterator()
-    var n = 0
-    while (it.hasNext && n < 5) {
-      if (n > 0) first5.append(',')
-      first5.append(it.next().toString)
-      n += 1
+    i = 0
+    while (i < len) {
+      if (bytes(i) == ' ') i += 1
+      else {
+        var cp = 0
+        var j = i
+        while (j < len && bytes(j) != ' ' && cp < edgeMax) {
+          j += UTF8String.numBytesForFirstByte(bytes(j))
+          cp += 1
+          offer(i, j - i)
+        }
+        while (j < len && bytes(j) != ' ') {
+          j += UTF8String.numBytesForFirstByte(bytes(j))
+        }
+        i = j
+      }
+    }
+    var outLen = if (f5n > 0) f5n - 1 else 0
+    var q = 0
+    while (q < f5n) { outLen += f5l(q); q += 1 }
+    val out = new Array[Byte](outLen)
+    var w = 0
+    q = 0
+    while (q < f5n) {
+      if (q > 0) { out(w) = ','; w += 1 }
+      System.arraycopy(bytes, f5o(q), out, w, f5l(q))
+      w += f5l(q)
+      q += 1
     }
     new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
-      Array[Any](total, set.size, UTF8String.fromString(first5.toString)))
+      Array[Any](total, nDistinct, UTF8String.fromBytes(out)))
   }
 
   /** DISTINCT word-5-gram poly-chain hashes in one pass (d08 hot path):
@@ -208,6 +290,92 @@ object TextHash {
       i += 1
     }
     new GenericArrayData(out)
+  }
+
+  /** Codepoints of `s`, decoded once — shared by the char-n-gram kernels
+    * below (poly-hash semantics are codepoint-addressed, matching
+    * `substring`/`ascii` in both engines).
+    */
+  private def codePointsOf(s: UTF8String): Array[Int] = {
+    val str = s.toString
+    val out = new Array[Int](str.codePointCount(0, str.length))
+    var ci = 0
+    var k = 0
+    while (ci < str.length) {
+      val cp = str.codePointAt(ci)
+      out(k) = cp
+      k += 1
+      ci += Character.charCount(cp)
+    }
+    out
+  }
+
+  /** Char-n-gram model buckets in one pass (t18 model-build hot path):
+    * element i = pmod(polyHash(substring(s, i+1, n)), m) — bit-identical
+    * to the exploded `pmod(graft_poly_hash(g), m)` over
+    * [[CharGramsExpr]]'s grams it replaces (acc stays in [0, P), so % m is
+    * pmod), without allocating a UTF8String per position. Null when the
+    * text has < n codepoints (no n-grams — the generator twin emitted no
+    * rows there).
+    */
+  def gramBuckets(s: UTF8String, n: Int, m: Long): ArrayData = {
+    val cps = codePointsOf(s)
+    if (cps.length < n) return null
+    val out = new Array[Long](cps.length - n + 1)
+    var i = 0
+    val last = cps.length - n
+    while (i <= last) {
+      var acc = 0L
+      var j = 0
+      while (j < n) { acc = (acc * 31 + cps(i + j)) % P; j += 1 }
+      out(i) = acc % m
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  /** Whole-document trigram-LM scoring in one pass (t18 probe hot path):
+    * for each char-n-gram position, bucket as [[gramBuckets]], then a
+    * binary search into the SORTED model bucket array `bs` (counts
+    * parallel in `cs`); a hit contributes (1, count) to
+    * (n_tris, familiarity). Replaces explode → broadcast-hash-join →
+    * per-doc re-aggregation: same (doc, n_tris, familiarity) values —
+    * the join was inner on a model built FROM the same corpus, so every
+    * probe gram hits, and summation order is irrelevant for exact int64
+    * counts. Null when the text has < n codepoints (the generator twin
+    * emitted no rows, so the doc was absent from the join result — the
+    * caller filters those out identically).
+    */
+  def lmFamiliarity(s: UTF8String, n: Int, m: Long, bs: ArrayData,
+      cs: ArrayData): org.apache.spark.sql.catalyst.InternalRow = {
+    val cps = codePointsOf(s)
+    if (cps.length < n) return null
+    val sz = bs.numElements()
+    var nt = 0L
+    var fam = 0L
+    var i = 0
+    val last = cps.length - n
+    while (i <= last) {
+      var acc = 0L
+      var j = 0
+      while (j < n) { acc = (acc * 31 + cps(i + j)) % P; j += 1 }
+      val b = acc % m
+      var lo = 0
+      var hi = sz - 1
+      while (lo <= hi) {
+        val mid = (lo + hi) >>> 1
+        val v = bs.getLong(mid)
+        if (v == b) {
+          nt += 1
+          fam += cs.getLong(mid)
+          lo = hi + 1 // found; exit
+        } else if (v < b) lo = mid + 1
+        else hi = mid - 1
+      }
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      Array[Any](nt, fam))
   }
 
   /** Winnowing anchor selection (Schleimer/Wilkerson/Aiken, SIGMOD 2003) in

@@ -2,7 +2,7 @@ package graft.queries
 
 import java.nio.file.{Files, Paths}
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode, StatefulProcessor, TTLConfig, TimeMode, TimerValues, Trigger}
 
@@ -160,7 +160,15 @@ object StreamingQ {
     val q = withStreamProvider(s) { withStateParts(s, inletBytes(path) * copies) {
       val src = normalize(
         s.readStream.schema(rawSchema).parquet(srcDir.toString))
-      val q0 = xform(src).writeStream
+      val xformed = xform(src)
+      // Dev-only plan evidence (round 20): the streaming transform's
+      // pre-execution plan — join strategy, watermark nodes, state
+      // operators — for the plans/ dumps the optimization rounds commit.
+      // Never set in Bench/Verify paths; the timed run is unaffected.
+      if (sys.env.contains("GRAFT_STREAM_EXPLAIN"))
+        println(xformed.queryExecution.explainString(
+          org.apache.spark.sql.execution.FormattedMode))
+      val q0 = xformed.writeStream
         .format("parquet")
         .outputMode("append")
         .option("checkpointLocation", ckpt)
@@ -2122,36 +2130,69 @@ object StreamingQ {
 
     // s25: stream-stream FULL OUTER interval join — s10's outer-emission
     // semantics on BOTH sides, completing the join-type family (inner
-    // s07, left outer s10, left semi s24, full outer here). Deliberately
-    // NOT day-bucketed (round 20): the rewrite explodes one side into 2
-    // covering buckets, and in a FULL outer join an exploded row's
-    // unmatched copy would emit its own null-padded row (copies can even
-    // disagree — one matched, one not) — no post-filter can reconstruct
-    // "neither copy matched" locally. The price is this query keeps the
-    // unbucketed probe-scan cost; at 100 TB a deployment needing fast
-    // full-outer splits it into inner (bucketed) + two anti sides
-    // offline. Outer rows
+    // s07, left outer s10, left semi s24, full outer here). Outer rows
     // emit only once the watermark proves no match can arrive: an
     // unmatched signup needs wm past sts + 24h (its whole match window);
     // an unmatched purchase needs wm past pts (no future signup can have
     // sts <= pts). Rows whose windows are still open when the source
     // drains stay in state and are withheld — the oracle encodes both
     // boundaries explicitly under the min-of-watermarks policy.
+    //
+    // Round 20, day-bucketed as TWO outer joins (guide §2.4/§3 — cut the
+    // probe-candidate scans, the family's measured sf10 cost): a single
+    // bucketed full outer is WRONG (an exploded side's unmatched copy
+    // would emit its own null row; copies can even disagree — one
+    // matched, one not), but full outer ≡ left outer ∪ right-side
+    // unmatched, and EACH half buckets exactly with its outer side
+    // unexploded:
+    //   A: signups LEFT OUTER exploded-purchases — matched pairs (each
+    //      true pair meets in exactly ONE bucket) + one null row per
+    //      unmatched signup (left side unexploded, s10's proven shape);
+    //   B: exploded-signups RIGHT OUTER purchases, filtered to the
+    //      signup-null rows — one null row per unmatched purchase
+    //      (right side unexploded; matched pairs re-found here are
+    //      dropped by the filter, so no duplicates).
+    // Both joins run in ONE streaming query under a union (Spark 4
+    // multiple-stateful-operator support); all four watermark nodes see
+    // the same two event-time maxima, so the global min-policy watermark
+    // — and with it both joins' null-emission boundaries — is IDENTICAL
+    // to the single-join form's. Results are bit-identical; the oracle
+    // is unchanged.
     Q("s25_stream_full_outer_join",
       (s, d) => runEventsStream(s, d) { src =>
         val cutoff = "2024-01-16 00:00:00"
-        val signups = src.filter(col("event_type") === "signup" &&
-            col("ts") < to_timestamp(lit(cutoff)))
-          .select((col("user_id") % 200).as("sk"), col("ts").as("sts"))
-          .withWatermark("sts", "0 seconds")
-        val purchases = src.filter(col("event_type") === "purchase" &&
-            col("ts") < to_timestamp(lit(cutoff)))
-          .select((col("user_id") % 200).as("pk"), col("ts").as("pts"))
-          .withWatermark("pts", "0 seconds")
-        signups.join(purchases,
-          expr("sk = pk AND pts >= sts AND pts <= sts + interval 24 hours"),
-          "full_outer")
+        def signups(k: String, t: String, b: Column => Column) =
+          src.filter(col("event_type") === "signup" &&
+              col("ts") < to_timestamp(lit(cutoff)))
+            .select((col("user_id") % 200).as(k), col("ts").as(t),
+              b(col("ts")).as(s"${k}b"))
+            .withWatermark(t, "0 seconds")
+        def purchases(k: String, t: String, b: Column => Column) =
+          src.filter(col("event_type") === "purchase" &&
+              col("ts") < to_timestamp(lit(cutoff)))
+            .select((col("user_id") % 200).as(k), col("ts").as(t),
+              b(col("ts")).as(s"${k}b"))
+            .withWatermark(t, "0 seconds")
+        val one = (ts: Column) => to_date(ts)
+        val two = (ts: Column) =>
+          explode(array(to_date(ts), date_sub(to_date(ts), 1)))
+        val twoUp = (ts: Column) =>
+          explode(array(to_date(ts), date_add(to_date(ts), 1)))
+        val left = signups("sk", "sts", one)
+          .join(purchases("pk", "pts", two),
+            expr("sk = pk AND skb = pkb AND " +
+              "pts >= sts AND pts <= sts + interval 24 hours"),
+            "left_outer")
           .select("sk", "sts", "pk", "pts")
+        val rightNulls = signups("sk2", "sts2", twoUp)
+          .join(purchases("pk2", "pts2", one),
+            expr("sk2 = pk2 AND sk2b = pk2b AND " +
+              "pts2 >= sts2 AND pts2 <= sts2 + interval 24 hours"),
+            "right_outer")
+          .filter(col("sk2").isNull)
+          .select(col("sk2").as("sk"), col("sts2").as("sts"),
+            col("pk2").as("pk"), col("pts2").as("pts"))
+        left.unionByName(rightNulls)
       },
       Some("""WITH s AS (SELECT user_id % 200 AS sk, ts AS sts FROM events
                          WHERE event_type = 'signup'

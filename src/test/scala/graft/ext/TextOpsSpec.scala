@@ -34,15 +34,26 @@ class TextOpsSpec extends SparkSpec {
     assert(fFine(1L) === fFine(2L))
   }
 
-  test("trigram LM: fallback path plans a non-broadcast join") {
+  test("trigram LM: broadcastable model scores via the compiled kernel, " +
+      "over-threshold model falls back to a non-broadcast join") {
     def joins(df: org.apache.spark.sql.DataFrame): String =
       df.queryExecution.executedPlan.toString
     val small = joins(TextOps.trigramFamiliarity(docs, 65536L))
     val big = joins(
       TextOps.trigramFamiliarity(docs, TextOps.lmBroadcastMaxBuckets * 4))
-    assert(small.contains("BroadcastHashJoin"),
-      s"small-bucket model must broadcast:\n$small")
-    assert(!big.contains("BroadcastHashJoin"),
+    // round 20: the small-bucket path is ONE graft_lm_familiarity pass per
+    // row against a broadcast 1-row sorted-model artifact (the documented
+    // broadcast-scalar crossJoin pattern) — no probe-side explode, no
+    // per-doc re-aggregation, no join on b at all
+    assert(small.contains("graft_lm_familiarity"),
+      s"small-bucket model must score via the kernel:\n$small")
+    assert(small.contains("BroadcastExchange"),
+      s"small-bucket model row must broadcast:\n$small")
+    assert(!small.contains("SortMergeJoin") &&
+      !small.contains("ShuffledHashJoin"),
+      s"small-bucket path must not shuffle-join:\n$small")
+    assert(!big.contains("BroadcastHashJoin") &&
+      !big.contains("graft_lm_familiarity"),
       s"over-threshold model must NOT broadcast:\n$big")
   }
 

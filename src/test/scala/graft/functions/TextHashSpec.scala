@@ -621,6 +621,118 @@ class TextHashSpec extends AnyFunSuite {
     assert((b diff a).size <= k - 1, "and creates <= k-1 new grams")
     assert(TextHash.byteGramChain(UTF8String.fromString("short"), k) == null)
   }
+  // ---- round 20: byte-level edge-ngram kernel parity -------------------
+
+  /** The pre-round-20 TreeSet form, kept verbatim as the reference. */
+  private def refEdgeNgrams(s: String): (Int, Int, String) = {
+    val toks = s.split(" ", -1)
+    var total = 0
+    val set = new java.util.TreeSet[UTF8String]()
+    for (t <- toks if t.nonEmpty) {
+      val maxI = math.min(TextHash.edgeMax, t.codePointCount(0, t.length))
+      val sb = new java.lang.StringBuilder
+      var i = 0
+      var charIdx = 0
+      while (i < maxI) {
+        val cp = t.codePointAt(charIdx)
+        sb.appendCodePoint(cp)
+        charIdx += Character.charCount(cp)
+        set.add(UTF8String.fromString(sb.toString))
+        total += 1
+        i += 1
+      }
+    }
+    val it = set.iterator()
+    val first5 = new scala.collection.mutable.ArrayBuffer[String]
+    while (it.hasNext && first5.size < 5) first5 += it.next().toString
+    (total, set.size, first5.mkString(","))
+  }
+
+  test("edgeNgramStats (round 20): the zero-allocation byte-slice kernel " +
+      "equals the TreeSet form on ASCII, multi-byte, supplementary, " +
+      "empty-token and shared-prefix inputs") {
+    val texts = Seq(
+      "", " ", "   ", "a", "a b c", "hello world", "hello help helm hex",
+      "the the the", "a ab abc abcd abcde abcdef",
+      "trés café naïve über",            // 2-byte codepoints inside prefixes
+      "中文字符 中文 中", "кошка спала на ковре",
+      "😀emoji 😀e", // supplementary (4-byte) leading
+      "x  y   z ", " leading", "trailing ",
+      "zz zy zx zw zv zu zt zs zr zq zp zo zn zm zl zk zj zi zh zg",
+      "same same same different diff",
+      "longtokenwithmanychars anotherlongtoken")
+    for (t <- texts) {
+      val r = TextHash.edgeNgramStats(u(t))
+      val (total, uniq, first5) = refEdgeNgrams(t)
+      assert(r.getInt(0) === total, s"n_grams for '$t'")
+      assert(r.getInt(1) === uniq, s"n_uniq_grams for '$t'")
+      assert(r.getUTF8String(2).toString === first5, s"first5 for '$t'")
+    }
+  }
+
+  test("edgeNgramStats first-5 order is UTF8-binary (multi-byte sorts " +
+      "after ASCII), matching the TreeSet/array_sort/DuckDB collation") {
+    // 'é' (0xC3 0xA9) must sort after every ASCII gram; 6+ distinct grams
+    // force the bounded-selection path to evict correctly
+    val t = "é z y x w v u"
+    val r = TextHash.edgeNgramStats(u(t))
+    val (total, uniq, first5) = refEdgeNgrams(t)
+    assert((r.getInt(0), r.getInt(1), r.getUTF8String(2).toString) ===
+      ((total, uniq, first5)))
+    assert(r.getUTF8String(2).toString === "u,v,w,x,y")
+  }
+
+  // ---- round 20: t18 trigram-LM kernels ---------------------------------
+
+  private def refGrams(s: String, n: Int): Seq[String] = {
+    val cps = s.codePoints().toArray
+    if (cps.length < n) Seq.empty
+    else (0 to cps.length - n).map(i =>
+      new String(cps, i, n))
+  }
+
+  test("gramBuckets (round 20) equals pmod(polyHash(gram), m) over the " +
+      "exploded char-n-grams") {
+    val m = 64L
+    for (t <- Seq("", "ab", "abc", "hello world", "中文字符abc",
+        "aaaaaa", "trés café")) {
+      val got = Option(TextHash.gramBuckets(u(t), 3, m))
+        .map(_.toLongArray().toSeq)
+      val want = {
+        val g = refGrams(t, 3).map(s => refPoly(s) % m)
+        if (g.isEmpty) None else Some(g)
+      }
+      assert(got === want, s"text '$t'")
+    }
+  }
+
+  test("lmFamiliarity (round 20) equals the explode->join->agg form: " +
+      "per-doc (n_tris, familiarity) against a corpus-built model") {
+    import org.apache.spark.sql.catalyst.util.ArrayData
+    val m = 32L
+    val corpus = Seq("the cat sat", "the cat ran far", "dogs bark often",
+      "中文字符串测试", "ab")
+    // model: bucket -> count over ALL corpus grams (the groupBy twin)
+    val all = corpus.flatMap(t => refGrams(t, 3).map(g => refPoly(g) % m))
+    val model = all.groupBy(identity).map { case (b, xs) => b -> xs.size.toLong }
+    val sorted = model.toSeq.sortBy(_._1)
+    val bs = ArrayData.toArrayData(sorted.map(_._1).toArray)
+    val cs = ArrayData.toArrayData(sorted.map(_._2).toArray)
+    for (t <- corpus) {
+      val grams = refGrams(t, 3).map(g => refPoly(g) % m)
+      val r = TextHash.lmFamiliarity(u(t), 3, m, bs, cs)
+      if (grams.isEmpty) assert(r == null, s"'$t' has no grams")
+      else {
+        assert(r.getLong(0) === grams.size.toLong, s"n_tris for '$t'")
+        assert(r.getLong(1) === grams.map(model).sum, s"familiarity for '$t'")
+      }
+    }
+    // a probe gram whose bucket is NOT in the model contributes to neither
+    // count (the inner-join twin dropped that row)
+    val r = TextHash.lmFamiliarity(u("zzzzz"),
+      3, 1000000L, bs, cs)
+    assert(r.getLong(0) === 0L && r.getLong(1) === 0L)
+  }
 }
 
 class VecOpsSpec extends AnyFunSuite {
@@ -704,3 +816,4 @@ class VecOpsSpec extends AnyFunSuite {
       ArrayData.toArrayData(Array.empty[Long]), k) === 0)
   }
 }
+

@@ -389,15 +389,22 @@ class PlanQualitySpec extends SparkSpec {
     assert(s.read.parquet(out).count() > 0)
   }
 
-  test("t18: trigram-LM model is broadcast — scoring join never sort-merges") {
+  test("t18: trigram-LM scoring is one compiled pass over a broadcast " +
+      "1-row model — no probe explode, no scoring join, no per-doc " +
+      "re-aggregation") {
     val p = planOf("t18_trigram_lm")
-    // the 65536-bucket hashed-vocab model is bounded by construction, so it
-    // must reach the scoring join as a broadcast build side
-    assert(p.contains("BroadcastHashJoin"), p)
-    assert(!p.contains("SortMergeJoin"), p)
-    // exactly two hash exchanges: the model's bucket groupBy (≤2^16 rows
-    // after map-side combine) and the per-doc scoring aggregate
-    assert("Exchange hashpartitioning".r.findAllIn(p).size === 2, p)
+    // round 20: the 65536-bucket model merges into ONE row of sorted
+    // parallel (bucket, count) arrays, broadcast via the documented
+    // broadcast-scalar crossJoin pattern; every document is scored by a
+    // single graft_lm_familiarity projection
+    assert(p.contains("graft_lm_familiarity"), p)
+    assert(p.contains("BroadcastNestedLoopJoin BuildRight, Cross"), p)
+    assert(!p.contains("SortMergeJoin") && !p.contains("BroadcastHashJoin"),
+      p)
+    // exactly ONE hash exchange remains: the model's bucket groupBy (≤2^16
+    // rows after map-side combine); the old per-doc scoring aggregate — a
+    // corpus-scale doc_id exchange — is gone
+    assert("Exchange hashpartitioning".r.findAllIn(p).size === 1, p)
   }
 
   test("t19: mixture rates broadcast — document admission is shuffle-free") {
