@@ -952,6 +952,14 @@ object TextOps {
         .crossJoin(broadcast(modelRow))
         .select(col("doc_id"),
           expr(s"graft_lm_familiarity(text, 3, $buckets, bs, cs)").as("f"))
+        // Preserve the inner-join contract exactly (round-20 advice): the
+        // old explode→join form DROPPED a doc none of whose grams hit the
+        // model. With deterministic input that never happens (the model is
+        // built from the same corpus), but a non-deterministic caller
+        // (e.g. a sampled frame) could diverge the two scans — filter the
+        // all-miss rows so the kernel path never emits a (0, 0, null) row
+        // the join path wouldn't have.
+        .filter(col("f.n_tris") > 0)
         .select(col("doc_id"), col("f.n_tris").as("n_tris"),
           col("f.familiarity").as("familiarity"),
           (col("f.familiarity").cast("double") / col("f.n_tris"))

@@ -1200,6 +1200,29 @@ object GraftFunctions {
     * intLit raises. `maxN` covers the optional-trailing-arg forms
     * (graft_lsh_bucket's bits defaulting).
     */
+  /** Long-geometry variant of intLit: accepts a foldable INT or BIGINT
+    * literal. graft_gram_buckets / graft_lm_familiarity take a bucket
+    * count that is Long-ranged in the Scala API (TextOps.trigramFamiliarity
+    * signature); forcing it through intLit silently shrank the accepted
+    * range to Int (round-20 advice) — restore the full Long range here.
+    */
+  private def longLit(fn: String, arg: String, e: Expression): Long = {
+    def fail(got: String): Nothing =
+      throw new org.apache.spark.sql.AnalysisException(
+        "_LEGACY_ERROR_TEMP_3102",
+        Map("msg" ->
+          (s"$fn: argument <$arg> must be a foldable INT or BIGINT literal " +
+            s"(plan-time geometry, not per-row data); got $got")))
+    if (!e.foldable) fail(s"non-foldable expression ${e.sql}")
+    else if (e.dataType != IntegerType && e.dataType != LongType)
+      fail(s"type ${e.dataType.simpleString}")
+    else e.eval(null) match {
+      case i: Int  => i.toLong
+      case l: Long => l
+      case _ => fail("NULL")
+    }
+  }
+
   private def arity(fn: String, n: Int, maxN: Int = -1)(
       b: Seq[Expression] => Expression): Seq[Expression] => Expression = {
     val hi = if (maxN < 0) n else maxN
@@ -1263,11 +1286,11 @@ object GraftFunctions {
     "graft_gram_buckets" -> arity("graft_gram_buckets", 3)(cs =>
       GramBucketsExpr(cs(0),
         intLit("graft_gram_buckets", "n", cs(1)),
-        intLit("graft_gram_buckets", "m", cs(2)).toLong)),
+        longLit("graft_gram_buckets", "m", cs(2)))),
     "graft_lm_familiarity" -> arity("graft_lm_familiarity", 5)(cs =>
       LmFamiliarityExpr(cs(0), cs(3), cs(4),
         intLit("graft_lm_familiarity", "n", cs(1)),
-        intLit("graft_lm_familiarity", "m", cs(2)).toLong)),
+        longLit("graft_lm_familiarity", "m", cs(2)))),
     "graft_thumb"        -> arity("graft_thumb", 2)(cs => ThumbHexExpr(cs(0), cs(1))),
     "graft_hex_tiles"    -> arity("graft_hex_tiles", 2)(cs => HexTilesExpr(cs(0), cs(1))),
     "graft_block_scrub"  -> arity("graft_block_scrub", 1)(cs => BlockScrubExpr(cs.head)),

@@ -187,9 +187,20 @@ object StreamingQ {
   }
 
   def runEventsStream(s: SparkSession, d: String, copies: Int = 1)(
-      xform: DataFrame => DataFrame): DataFrame =
+      xform: DataFrame => DataFrame): DataFrame = {
+    // The day-bucketed stream-stream interval joins (s07/s10/s24/s25)
+    // decompose a ts-interval predicate into to_date equality buckets +
+    // the exact interval filter; that decomposition is only exact in a
+    // fixed-offset session timezone (under DST a matched pair spanning a
+    // spring-forward transition can land 2 calendar dates apart and miss
+    // both covering buckets). Every entry point pins UTC — refuse loudly
+    // if a future caller doesn't (round-20 advice).
+    require(s.conf.get("spark.sql.session.timeZone", "") == "UTC",
+      "runEventsStream requires spark.sql.session.timeZone=UTC: the " +
+        "day-bucketed interval joins assume a fixed-offset calendar")
     runFileStream(s, s"$d/events.parquet", copies,
       Tables.normalizeEvents)(xform)
+  }
 
   def runDocsStream(s: SparkSession, d: String)(
       xform: DataFrame => DataFrame): DataFrame =
