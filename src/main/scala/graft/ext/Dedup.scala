@@ -265,8 +265,12 @@ object Dedup {
     * Runs only on the candidate pairs — the quadratic space is never built.
     */
   def jaccardPairs(docs: DataFrame): DataFrame = {
+    // Round 21: fused distinct-token kernel (graft_distinct_tokens) — one
+    // pass, bit-identical array (first-occurrence order) to
+    // array_distinct(split(text, ' ')).
+    graft.functions.GraftFunctions.register(docs.sparkSession)
     val toks = graft.util.Caches.retain(docs.select(col("doc_id"),
-      array_distinct(split(col("text"), " ")).as("toks")))
+      expr("graft_distinct_tokens(text)").as("toks")))
     // |A∪B| = |A|+|B|-|A∩B| over the already-distinct token sets, so the
     // union ARRAY (an ~|A|+|B| string allocation per candidate pair, the
     // most expensive per-pair op) is never built — only the intersect
@@ -1895,8 +1899,11 @@ object DedupQueries {
     Q("d12_dedup_canonical",
       (s, d) => {
         import org.apache.spark.sql.expressions.Window
-        val norm = trim(regexp_replace(
-          regexp_replace(lower(col("text")), "[.,!?;:]", ""), " +", " "))
+        // Round 21: the normalization tail is t07's compiled byte pass
+        // (graft_norm_text over Spark's own lower() — see
+        // TextOps.normalize) instead of two java.util.regex passes.
+        graft.functions.GraftFunctions.register(s)
+        val norm = expr("graft_norm_text(lower(text))")
         Tables.documents(s, d)
           .select(col("doc_id"), md5(norm).as("canon_h"))
           .withColumn("survivor_id",
@@ -2030,9 +2037,12 @@ object DedupQueries {
     // container. Ratios are single IEEE divisions of exact set sizes.
     Q("d16_containment",
       (s, d) => {
+        graft.functions.GraftFunctions.register(s)
         val docs = Tables.documents(s, d)
+        // Round 21: same fused kernel as jaccardPairs — and the SAME plan
+        // text, so the Caches.retain entry is shared with d05's.
         val toks = graft.util.Caches.retain(docs.select(col("doc_id"),
-          array_distinct(split(col("text"), " ")).as("toks")))
+          expr("graft_distinct_tokens(text)").as("toks")))
         Dedup.lshPairs(docs)
           .join(toks.select(col("doc_id").as("doc_a"),
             col("toks").as("ta")), "doc_a")

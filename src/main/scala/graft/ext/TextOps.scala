@@ -27,13 +27,12 @@ object TextOps {
     s"(length(text) - length(replace(text, '$kw', ''))) / ${kw.length}"
 
   /** Stopword markers per language for the n-gram/stopword heuristic.
-    * Spaces delimit so substrings of other words don't fire.
+    * Spaces delimit so substrings of other words don't fire. Canonical
+    * list lives in TextHash (round 21 — the kernel and the oracle SQL
+    * share one source of truth, the qualityStops discipline).
     */
-  val langMarkers: Seq[(String, Seq[String])] = Seq(
-    "en" -> Seq(" the ", " a ", " of "),
-    "de" -> Seq(" der ", " und ", " das "),
-    "fr" -> Seq(" le ", " et ", " la "),
-    "es" -> Seq(" el ", " y ", " los "))
+  val langMarkers: Seq[(String, Seq[String])] =
+    graft.functions.TextHash.langMarkers
 
   /** t21's character-trigram profiles: boundary-anchored function-word
     * grams per language (the Cavnar–Trenkle discipline reduced to
@@ -369,13 +368,19 @@ object TextOps {
     * factored out so the in-session trainer ([[bpeRounds]]) and the
     * frozen-artifact encoder ([[bpeEncodeFrom]], p14/s37) share one body.
     */
-  private def applyMerge(corpus: DataFrame, winner: DataFrame): DataFrame =
+  private def applyMerge(corpus: DataFrame, winner: DataFrame): DataFrame = {
+    // Round 21 (guide §1.2 per-task work): the padded-replace chain
+    // (array_join → ~1 KB string → replace scan → trim → re-split) ran
+    // PER ROW PER ROUND across s37/p14/p15/t22/t23; graft_bpe_merge is
+    // the same greedy leftmost merge as ONE pass over the token array
+    // (unmerged tokens pass through by reference). Equivalence to the
+    // replace form is a TextHashSpec property test; empty winner tokens
+    // refuse loudly (the padded pattern would degenerate).
+    graft.functions.GraftFunctions.register(corpus.sparkSession)
     corpus.crossJoin(broadcast(winner))
-      .withColumn("toks", split(trim(expr(
-        "replace(concat(' ', array_join(toks, '  '), ' '), " +
-          "concat(' ', a, '  ', b, ' '), " +
-          "concat(' ', a, '_', b, ' '))")), "  "))
+      .withColumn("toks", expr("graft_bpe_merge(toks, a, b)"))
       .drop("a", "b", "n_pair", "round")
+  }
 
   /** Engine-side merge loop shared by t22/t23 (the exact twin of
     * [[bpeCtes]]): `corpus0` must carry a `toks` array column; extra
@@ -613,14 +618,20 @@ object TextOps {
     * preference order (ties → earlier language; zero hits → 'und').
     */
   def langId(docs: DataFrame): DataFrame = {
-    val scores = langMarkers.map { case (lang, kws) =>
-      lang -> kws.map(occurrences(col("text"), _)).reduce(_ + _)
-    }
-    val scored = scores.foldLeft(docs) { case (df, (lang, c)) =>
-      df.withColumn(s"s_$lang", c.cast("long"))
-    }
-    val best = scores.map(_._1).foldRight(lit("und"): Column) { (lang, elseC) =>
-      val isMax = scores.map(_._1).filter(_ != lang)
+    // Round 21 (guide §1.2 per-task work): the 12 per-keyword
+    // `length - length(replace(...))` passes — each rebuilding the full
+    // string per row — collapse into ONE compiled byte scan
+    // (graft_lang_scores; counts are exact, so the always-integer double
+    // division they replace is reproduced bit-for-bit).
+    graft.functions.GraftFunctions.register(docs.sparkSession)
+    val langs = langMarkers.map(_._1)
+    val scored = docs
+      .withColumn("_ls", expr("graft_lang_scores(text)"))
+      .select(col("*") +: langs.map(l =>
+        col(s"_ls.s_$l").as(s"s_$l")): _*)
+      .drop("_ls")
+    val best = langs.foldRight(lit("und"): Column) { (lang, elseC) =>
+      val isMax = langs.filter(_ != lang)
         .map(o => col(s"s_$lang") >= col(s"s_$o")).reduce(_ && _)
       when(col(s"s_$lang") > 0 && isMax, lit(lang)).otherwise(elseC)
     }
@@ -708,12 +719,21 @@ object TextOps {
   val bpeishPattern = "[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 ]"
 
   def tokenCounts(docs: DataFrame): DataFrame = {
-    val toks = expr(s"regexp_extract_all(text, '$bpeishPattern', 0)")
-    docs.select(
-      col("doc_id"),
-      size(toks).as("n_bpeish"),
-      size(array_distinct(toks)).as("n_uniq_bpeish"),
-      size(split(col("text"), " +")).as("n_ws_tokens"))
+    // Round 21 (guide §1.2 per-task work — the t05 cost shape, 18.8 s at
+    // sf10): ONE compiled byte scan (graft_bpeish_stats) replaces the
+    // regexp_extract_all match array (Java String conversion + one
+    // allocation per match) evaluated twice plus array_distinct's
+    // per-row UTF8String hash set plus the split(' +') array. Scanner
+    // semantics are the regex's exactly (greedy letter/digit runs, one
+    // codepoint otherwise, spaces skipped); values pinned bit-identical
+    // by the unchanged oracle hashes and TextHashSpec's property test.
+    graft.functions.GraftFunctions.register(docs.sparkSession)
+    docs
+      .select(col("doc_id"), expr("graft_bpeish_stats(text)").as("b"))
+      .select(col("doc_id"),
+        col("b.n_bpeish").as("n_bpeish"),
+        col("b.n_uniq_bpeish").as("n_uniq_bpeish"),
+        col("b.n_ws_tokens").as("n_ws_tokens"))
   }
 
   val tokenCountsSql: String =
@@ -827,13 +847,21 @@ object TextOps {
     * the text (0/1 — INTs, not booleans, so both engines stringify alike).
     */
   def normalize(docs: DataFrame): DataFrame = {
-    val norm = trim(regexp_replace(
-      regexp_replace(lower(col("text")), "[.,!?;:]", ""), " +", " "))
-    docs.select(
-      col("doc_id"),
-      length(norm).as("n_norm_chars"),
-      md5(norm).as("norm_h"),
-      when(norm === col("text"), 0).otherwise(1).as("changed"))
+    // Round 21 (guide §1.2 per-task work): the punct-delete + space-collapse
+    // + trim tail runs as ONE compiled byte pass (graft_norm_text) instead
+    // of two java.util.regex passes with their String materializations.
+    // Spark's own lower() stays in front so Unicode case mapping is
+    // bit-identical to the stock path; the tail patterns are pure ASCII.
+    // Shared with d12_dedup_canonical (same normalization).
+    graft.functions.GraftFunctions.register(docs.sparkSession)
+    val norm = expr("graft_norm_text(lower(text))")
+    docs
+      .select(col("doc_id"), col("text"), norm.as("n"))
+      .select(
+        col("doc_id"),
+        length(col("n")).as("n_norm_chars"),
+        md5(col("n")).as("norm_h"),
+        when(col("n") === col("text"), 0).otherwise(1).as("changed"))
   }
 
   val normalizeSql: String =
@@ -1013,9 +1041,12 @@ object TextQueries {
     // in as a broadcast scalar.
     Q("t08_doc_freq",
       (s, d) => {
+        graft.functions.GraftFunctions.register(s)
         val docs = Tables.documents(s, d)
         val n = docs.agg(count(lit(1)).as("n_docs"))
-        docs.select(explode(array_distinct(split(col("text"), " "))).as("tok"))
+        // Round 21: fused distinct-token kernel (one pass, no split array
+        // + per-row distinct set) — bit-identical element set and order.
+        docs.select(explode(expr("graft_distinct_tokens(text)")).as("tok"))
           .groupBy("tok").agg(count(lit(1)).as("df"))
           .crossJoin(broadcast(n))
           .filter(col("df") * 4 >= col("n_docs"))
@@ -1187,28 +1218,31 @@ object TextQueries {
       (s, d) => {
         // passages via the native codegen'd kernel (one byte scan per row;
         // the transform/sequence/slice HOF form re-evaluated its lambda
-        // body per element outside whole-stage codegen)
+        // body per element outside whole-stage codegen).
+        //
+        // Round 21 (guide §2.4 remove shuffles outright — the t18
+        // broadcast-model pattern): the lexicon collapses to ONE sorted
+        // broadcast row and each doc scrubs itself in one compiled pass
+        // (graft_scrub_passages: slice → binary search → byte-copy
+        // rebuild). The old form posexploded every segment of the corpus,
+        // broadcast-joined per segment, and RE-SHUFFLED them all by doc_id
+        // for an array_sort + HOF reassembly — 17.2 s at sf10, of which
+        // the per-doc rebuild exchange was the bulk. Segment order, empty
+        // segments and the concat_ws(" ") join are byte-identical (the
+        // kernel rebuilds from the same byte slices); oracle unchanged.
         graft.functions.GraftFunctions.register(s)
         val docs = Tables.documents(s, d)
-        val segArr = expr("graft_passages(text, 4)")
         val bp = docs
-          .select(explode(array_distinct(segArr)).as("seg"))
+          .select(explode(expr("graft_passages_distinct(text, 4)")).as("seg"))
           .groupBy("seg").agg(count(lit(1)).as("n_docs"))
           .filter(col("n_docs") >= 3)
-          .select("seg").withColumn("is_bp", lit(true))
-        docs.select(col("doc_id"), posexplode(segArr).as(Seq("idx", "seg")))
-          .join(broadcast(bp), Seq("seg"), "left_outer")
-          .select(col("doc_id"), col("idx"), col("seg"),
-            coalesce(col("is_bp"), lit(false)).as("is_bp"))
-          .groupBy("doc_id")
-          .agg(expr("array_sort(collect_list(struct(idx, seg, is_bp)))")
-            .as("a"))
+          .agg(expr("sort_array(collect_list(seg))").as("bps"))
+        docs.crossJoin(broadcast(bp))
           .select(col("doc_id"),
-            concat_ws(" ",
-              expr("transform(filter(a, x -> NOT x.is_bp), x -> x.seg)"))
-              .as("clean_text"),
-            expr("size(filter(a, x -> x.is_bp))").cast("long")
-              .as("n_removed"))
+            expr("graft_scrub_passages(text, 4, bps)").as("r"))
+          .select(col("doc_id"),
+            col("r.clean_text").as("clean_text"),
+            col("r.n_removed").as("n_removed"))
       },
       Some("""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t
                             FROM documents),
@@ -1244,15 +1278,31 @@ object TextQueries {
     // token-bucketed (q93's layout) with the same two exchanges.
     Q("t15_df_quality",
       (s, d) => {
-        val tokd = Tables.documents(s, d)
+        // Round 21 (the t18 broadcast-model pattern, guide §2.4): the df
+        // relation — already vocabulary-scale and broadcast — merges into
+        // ONE row of sorted parallel (token, df) arrays, and each doc
+        // scores its own distinct tokens in a single compiled pass
+        // (graft_tok_df), replacing the second corpus-scale explode +
+        // join + groupBy(doc_id) re-aggregation. A doc none of whose
+        // tokens hit the model would emit nothing under the old inner
+        // join; the n_toks > 0 filter preserves that contract exactly
+        // (never fires on deterministic input — the model is built FROM
+        // this corpus).
+        graft.functions.GraftFunctions.register(s)
+        val docs = Tables.documents(s, d)
+        val tokd = docs
           .select(col("doc_id"),
-            explode(array_distinct(split(col("text"), " "))).as("tok"))
-        val df = tokd.groupBy("tok").agg(count(lit(1)).as("df"))
-        tokd.join(broadcast(df), "tok")
-          .groupBy("doc_id")
-          .agg(count(lit(1)).as("n_toks"), sum("df").as("sum_df"))
-          .select(col("doc_id"), col("n_toks"),
-            (col("sum_df").cast("double") / col("n_toks")).as("mean_df"))
+            explode(expr("graft_distinct_tokens(text)")).as("tok"))
+        val model = tokd.groupBy("tok").agg(count(lit(1)).as("df"))
+          .agg(expr("array_sort(collect_list(struct(tok, df)))").as("t"))
+          .select(expr("transform(t, x -> x.tok)").as("ts"),
+            expr("transform(t, x -> x.df)").as("ds"))
+        docs.crossJoin(broadcast(model))
+          .select(col("doc_id"), expr("graft_tok_df(text, ts, ds)").as("f"))
+          .filter(col("f.n_toks") > 0)
+          .select(col("doc_id"), col("f.n_toks").as("n_toks"),
+            (col("f.sum_df").cast("double") / col("f.n_toks"))
+              .as("mean_df"))
       },
       Some("""WITH tokd AS (SELECT doc_id,
                                    unnest(list_distinct(
@@ -1322,17 +1372,25 @@ object TextQueries {
     // longs. Two map-side-combined exchanges.
     Q("t17_oov_rate",
       (s, d) => {
-        val occ = Tables.documents(s, d)
+        // Round 21 (the t18 broadcast-model pattern, guide §2.4): the
+        // top-K vocabulary becomes ONE sorted broadcast row and each doc
+        // counts its own occurrences + misses in a single compiled pass
+        // (graft_oov_stats), replacing the corpus-scale explode + left
+        // join + groupBy(doc_id). The left-join semantics (every doc
+        // emits; a vocab miss counts into n_oov) are the kernel's exactly.
+        graft.functions.GraftFunctions.register(s)
+        val docs = Tables.documents(s, d)
+        val occ = docs
           .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
         val vocab = occ.groupBy("tok").agg(count(lit(1)).as("n"))
           .orderBy(col("n").desc, col("tok")).limit(20)
-          .select(col("tok")).withColumn("iv", lit(true))
-        occ.join(broadcast(vocab), Seq("tok"), "left_outer")
-          .groupBy("doc_id")
-          .agg(count(lit(1)).as("n_tokens"),
-            sum(when(col("iv").isNull, 1L).otherwise(0L)).as("n_oov"))
-          .select(col("doc_id"), col("n_tokens"), col("n_oov"),
-            (col("n_oov").cast("double") / col("n_tokens")).as("oov_rate"))
+          .agg(expr("sort_array(collect_list(tok))").as("vs"))
+        docs.crossJoin(broadcast(vocab))
+          .select(col("doc_id"), expr("graft_oov_stats(text, vs)").as("o"))
+          .select(col("doc_id"),
+            col("o.n_tokens").as("n_tokens"), col("o.n_oov").as("n_oov"),
+            (col("o.n_oov").cast("double") / col("o.n_tokens"))
+              .as("oov_rate"))
       },
       Some("""WITH occ AS (SELECT doc_id,
                                   unnest(string_split(text, ' ')) AS tok

@@ -825,6 +825,282 @@ case class QualityStatsExpr(child: Expression)
     copy(child = newChild)
 }
 
+/** t03's token stats (TextHash.bpeishStats) — one byte scan replicating
+  * regexp_extract_all('[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 ]') counts + the
+  * whitespace-split size: struct(n_bpeish, n_uniq_bpeish, n_ws_tokens).
+  */
+case class BpeishStatsExpr(child: Expression)
+    extends UnaryExpression {
+  override def checkInputDataTypes():
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (child.dataType == StringType)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      s"$prettyName expects a string argument, got ${child.dataType.simpleString}")
+  override def dataType: DataType = StructType(Seq(
+    StructField("n_bpeish", IntegerType, nullable = false),
+    StructField("n_uniq_bpeish", IntegerType, nullable = false),
+    StructField("n_ws_tokens", IntegerType, nullable = false)))
+  override def prettyName: String = "graft_bpeish_stats"
+  protected override def nullSafeEval(input: Any): Any =
+    TextHash.bpeishStats(
+      input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.TextHash.bpeishStats($c)")
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** t14's passage scrub against a broadcast SORTED lexicon
+  * (TextHash.scrubPassages): struct(clean_text, n_removed). `w` is a
+  * plan-time constant (intLit-validated at registration).
+  */
+case class ScrubPassagesExpr(text: Expression, w: Int, bp: Expression)
+    extends BinaryExpression {
+  require(w >= 1, s"graft_scrub_passages w=$w must be >= 1")
+  override def left: Expression = text
+  override def right: Expression = bp
+  override def checkInputDataTypes():
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (text.dataType == StringType &&
+        (bp.dataType match {
+          case ArrayType(StringType, _) => true
+          case _ => false
+        }))
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      s"$prettyName expects (string, array<string>), got " +
+        s"(${text.dataType.simpleString}, ${bp.dataType.simpleString})")
+  override def dataType: DataType = StructType(Seq(
+    StructField("clean_text", StringType, nullable = false),
+    StructField("n_removed", LongType, nullable = false)))
+  override def prettyName: String = "graft_scrub_passages"
+  protected override def nullSafeEval(s: Any, b: Any): Any =
+    TextHash.scrubPassages(
+      s.asInstanceOf[org.apache.spark.unsafe.types.UTF8String], w,
+      b.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      (s, b) => s"graft.functions.TextHash.scrubPassages($s, $w, $b)")
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(text = newLeft, bp = newRight)
+}
+
+/** t15's per-doc df score against the broadcast model — parallel SORTED
+  * arrays ts (tokens, UTF8_BINARY order) / ds (document frequencies)
+  * (TextHash.tokDf): struct(n_toks, sum_df) over the row's DISTINCT
+  * tokens; model misses contribute nothing (the inner-join contract).
+  */
+case class TokDfExpr(text: Expression, ts: Expression, ds: Expression)
+    extends TernaryExpression {
+  override def first: Expression = text
+  override def second: Expression = ts
+  override def third: Expression = ds
+  override def checkInputDataTypes():
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    val ok = text.dataType == StringType &&
+      (ts.dataType match {
+        case ArrayType(StringType, _) => true
+        case _ => false
+      }) &&
+      (ds.dataType match {
+        case ArrayType(LongType, _) => true
+        case _ => false
+      })
+    if (ok)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      s"$prettyName expects (string, array<string>, array<bigint>), got " +
+        s"(${text.dataType.simpleString}, ${ts.dataType.simpleString}, " +
+        s"${ds.dataType.simpleString})")
+  }
+  override def dataType: DataType = StructType(Seq(
+    StructField("n_toks", LongType, nullable = false),
+    StructField("sum_df", LongType, nullable = false)))
+  override def prettyName: String = "graft_tok_df"
+  protected override def nullSafeEval(s: Any, a: Any, b: Any): Any =
+    TextHash.tokDf(
+      s.asInstanceOf[org.apache.spark.unsafe.types.UTF8String],
+      a.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData],
+      b.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      (s, a, b) => s"graft.functions.TextHash.tokDf($s, $a, $b)")
+  override protected def withNewChildrenInternal(newFirst: Expression,
+      newSecond: Expression, newThird: Expression): Expression =
+    copy(text = newFirst, ts = newSecond, ds = newThird)
+}
+
+/** t17's OOV counters against the broadcast SORTED top-K vocabulary
+  * (TextHash.oovStats): struct(n_tokens, n_oov) over every token
+  * occurrence of the row.
+  */
+case class OovStatsExpr(text: Expression, vocab: Expression)
+    extends BinaryExpression {
+  override def left: Expression = text
+  override def right: Expression = vocab
+  override def checkInputDataTypes():
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (text.dataType == StringType &&
+        (vocab.dataType match {
+          case ArrayType(StringType, _) => true
+          case _ => false
+        }))
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      s"$prettyName expects (string, array<string>), got " +
+        s"(${text.dataType.simpleString}, ${vocab.dataType.simpleString})")
+  override def dataType: DataType = StructType(Seq(
+    StructField("n_tokens", LongType, nullable = false),
+    StructField("n_oov", LongType, nullable = false)))
+  override def prettyName: String = "graft_oov_stats"
+  protected override def nullSafeEval(s: Any, v: Any): Any =
+    TextHash.oovStats(
+      s.asInstanceOf[org.apache.spark.unsafe.types.UTF8String],
+      v.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      (s, v) => s"graft.functions.TextHash.oovStats($s, $v)")
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(text = newLeft, vocab = newRight)
+}
+
+/** t01's per-language marker scores (TextHash.langScores) — one byte scan
+  * producing struct(s_en, s_de, s_fr, s_es); field names derive from
+  * TextHash.langMarkers so kernel and query column list can't drift.
+  */
+case class LangScoresExpr(child: Expression) extends UnaryExpression {
+  override def checkInputDataTypes():
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (child.dataType == StringType)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      s"$prettyName expects a string argument, got ${child.dataType.simpleString}")
+  override def dataType: DataType = StructType(
+    TextHash.langMarkers.map { case (lang, _) =>
+      StructField(s"s_$lang", LongType, nullable = false)
+    })
+  override def prettyName: String = "graft_lang_scores"
+  protected override def nullSafeEval(input: Any): Any =
+    TextHash.langScores(
+      input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.TextHash.langScores($c)")
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** One BPE merge round over a token array (TextHash.bpeMerge) — the
+  * applyMerge hot path: (array<string>, string, string) → array<string>.
+  * a/b usually come from the broadcast 1-row winner, so they are columns,
+  * not literals.
+  */
+case class BpeMergeExpr(toks: Expression, a: Expression, b: Expression)
+    extends TernaryExpression {
+  override def first: Expression = toks
+  override def second: Expression = a
+  override def third: Expression = b
+  override def checkInputDataTypes():
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    val ok = (toks.dataType match {
+      case ArrayType(StringType, _) => true
+      case _ => false
+    }) && a.dataType == StringType && b.dataType == StringType
+    if (ok)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      s"$prettyName expects (array<string>, string, string), got " +
+        s"(${toks.dataType.simpleString}, ${a.dataType.simpleString}, " +
+        s"${b.dataType.simpleString})")
+  }
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "graft_bpe_merge"
+  protected override def nullSafeEval(t: Any, av: Any, bv: Any): Any =
+    TextHash.bpeMerge(
+      t.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData],
+      av.asInstanceOf[org.apache.spark.unsafe.types.UTF8String],
+      bv.asInstanceOf[org.apache.spark.unsafe.types.UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      (t, av, bv) => s"graft.functions.TextHash.bpeMerge($t, $av, $bv)")
+  override protected def withNewChildrenInternal(newFirst: Expression,
+      newSecond: Expression, newThird: Expression): Expression =
+    copy(toks = newFirst, a = newSecond, b = newThird)
+}
+
+/** Distinct single-space-split tokens, first-occurrence order
+  * (TextHash.distinctTokens) — bit-identical to
+  * array_distinct(split(text, ' ')) in one fused pass. string →
+  * array<string>.
+  */
+case class DistinctTokensExpr(child: Expression) extends UnaryExpression {
+  override def checkInputDataTypes():
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (child.dataType == StringType)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      s"$prettyName expects a string argument, got ${child.dataType.simpleString}")
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "graft_distinct_tokens"
+  protected override def nullSafeEval(input: Any): Any =
+    TextHash.distinctTokens(
+      input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.TextHash.distinctTokens($c)")
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** Distinct aligned w-token passages, first-occurrence order
+  * (TextHash.passagesDistinct) — bit-identical to
+  * array_distinct(graft_passages(text, w)) in one fused pass. `w` is a
+  * plan-time constant (intLit-validated at registration).
+  */
+case class PassagesDistinctExpr(child: Expression, w: Int)
+    extends UnaryExpression {
+  require(w >= 1, s"graft_passages_distinct w=$w must be >= 1")
+  override def checkInputDataTypes():
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (child.dataType == StringType)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      s"$prettyName expects a string argument, got ${child.dataType.simpleString}")
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "graft_passages_distinct"
+  protected override def nullSafeEval(input: Any): Any =
+    TextHash.passagesDistinct(
+      input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String], w)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"graft.functions.TextHash.passagesDistinct($c, $w)")
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** t07/d12's normalization tail (TextHash.normText) over an ALREADY
+  * lowercased input: delete [.,!?;:], collapse space runs, trim edges —
+  * one byte pass replacing two regexp_replace passes. string → string.
+  */
+case class NormTextExpr(child: Expression) extends UnaryExpression {
+  override def checkInputDataTypes():
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (child.dataType == StringType)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      s"$prettyName expects a string argument, got ${child.dataType.simpleString}")
+  override def dataType: DataType = StringType
+  override def prettyName: String = "graft_norm_text"
+  protected override def nullSafeEval(input: Any): Any =
+    TextHash.normText(
+      input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.TextHash.normText($c)")
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 /** Perceptual media signature (TextHash.dHash) — m09's difference hash
   * over stride-sampled payload bytes; `bits` is a plan-time constant
   * (intLit-validated). Null when the payload is shorter than bits+1 bytes.
@@ -1294,6 +1570,26 @@ object GraftFunctions {
     "graft_thumb"        -> arity("graft_thumb", 2)(cs => ThumbHexExpr(cs(0), cs(1))),
     "graft_hex_tiles"    -> arity("graft_hex_tiles", 2)(cs => HexTilesExpr(cs(0), cs(1))),
     "graft_block_scrub"  -> arity("graft_block_scrub", 1)(cs => BlockScrubExpr(cs.head)),
+    "graft_bpeish_stats" -> arity("graft_bpeish_stats", 1)(cs =>
+      BpeishStatsExpr(cs.head)),
+    "graft_scrub_passages" -> arity("graft_scrub_passages", 3)(cs =>
+      ScrubPassagesExpr(cs(0),
+        intLit("graft_scrub_passages", "w", cs(1)), cs(2))),
+    "graft_tok_df"       -> arity("graft_tok_df", 3)(cs =>
+      TokDfExpr(cs(0), cs(1), cs(2))),
+    "graft_oov_stats"    -> arity("graft_oov_stats", 2)(cs =>
+      OovStatsExpr(cs(0), cs(1))),
+    "graft_norm_text"    -> arity("graft_norm_text", 1)(cs =>
+      NormTextExpr(cs.head)),
+    "graft_distinct_tokens" -> arity("graft_distinct_tokens", 1)(cs =>
+      DistinctTokensExpr(cs.head)),
+    "graft_bpe_merge"    -> arity("graft_bpe_merge", 3)(cs =>
+      BpeMergeExpr(cs(0), cs(1), cs(2))),
+    "graft_lang_scores"  -> arity("graft_lang_scores", 1)(cs =>
+      LangScoresExpr(cs.head)),
+    "graft_passages_distinct" -> arity("graft_passages_distinct", 2)(cs =>
+      PassagesDistinctExpr(cs(0),
+        intLit("graft_passages_distinct", "w", cs(1)))),
     "graft_quality_stats" -> arity("graft_quality_stats", 1)(cs => QualityStatsExpr(cs.head)),
     "graft_lsh_bucket"   -> arity("graft_lsh_bucket", 1, 2)(cs => LshBucketExpr(cs.head,
       if (cs.length > 1) intLit("graft_lsh_bucket", "bits", cs(1)) else 8)),

@@ -713,6 +713,515 @@ object TextHash {
     new GenericArrayData(out.toArray)
   }
 
+  /** Unsigned byte-wise compare of a byte slice against a UTF8String —
+    * UTF8String.compareTo semantics (unsigned bytes, then length), i.e.
+    * Spark's UTF8_BINARY string order and therefore the order `sort_array`
+    * / `array_sort(collect_list(...))` put broadcast model arrays in. The
+    * r21 broadcast-model kernels binary-search with this so a token/segment
+    * slice never materializes a UTF8String per probe.
+    */
+  private def cmpSliceVsU8(bytes: Array[Byte], off: Int, len: Int,
+      u: UTF8String): Int = {
+    val ul = u.numBytes()
+    val m = math.min(len, ul)
+    var k = 0
+    while (k < m) {
+      val d = (bytes(off + k) & 0xff) - (u.getByte(k) & 0xff)
+      if (d != 0) return d
+      k += 1
+    }
+    len - ul
+  }
+
+  /** Binary search of a byte slice in a SORTED array<string> (UTF8_BINARY
+    * order — the caller's sort_array contract). Returns the element index
+    * or -1.
+    */
+  private def searchSorted(arr: ArrayData, bytes: Array[Byte], off: Int,
+      len: Int): Int = {
+    var lo = 0
+    var hi = arr.numElements() - 1
+    while (lo <= hi) {
+      val mid = (lo + hi) >>> 1
+      val c = cmpSliceVsU8(bytes, off, len, arr.getUTF8String(mid))
+      if (c == 0) return mid
+      else if (c > 0) lo = mid + 1
+      else hi = mid - 1
+    }
+    -1
+  }
+
+  /** t03's token stats in ONE byte scan — replicates
+    * `regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 ]', 0)`
+    * (left-to-right, alternatives in order, greedy runs: an ASCII letter
+    * run, else an ASCII digit run, else ONE codepoint unless it is a
+    * space, at which the scan just advances) plus
+    * `size(split(text, ' +'))` (space-run count + 1 — Java split keeps
+    * leading/trailing empties at limit -1). Distinct matches are counted
+    * with the edgeNgramStats slice table (zero allocation per token);
+    * n_uniq is exact (byte-compare on hash hit). The regex form converted
+    * the row to a Java String and allocated every match into an array,
+    * then array_distinct rebuilt a hash set of UTF8Strings per row —
+    * measured 18.8 s at sf10 for t03, the t05 cost shape.
+    */
+  def bpeishStats(s: UTF8String): org.apache.spark.sql.catalyst.InternalRow = {
+    val bytes = s.getBytes
+    val n = bytes.length
+    def isLetter(b: Byte): Boolean =
+      (b >= 'a' && b <= 'z') || (b >= 'A' && b <= 'Z')
+    def isDigit(b: Byte): Boolean = b >= '0' && b <= '9'
+    // pass 0: space-run count (n_ws_tokens) + match count (sizes the table)
+    var wsRuns = 0
+    var inRun = false
+    var total = 0
+    var i = 0
+    while (i < n) {
+      val b = bytes(i)
+      if (b == ' ') {
+        if (!inRun) { wsRuns += 1; inRun = true }
+        i += 1
+      } else {
+        inRun = false
+        if (isLetter(b)) { while (i < n && isLetter(bytes(i))) i += 1 }
+        else if (isDigit(b)) { while (i < n && isDigit(bytes(i))) i += 1 }
+        else i += UTF8String.numBytesForFirstByte(b)
+        total += 1
+      }
+    }
+    // open-addressed slice table (edgeNgramStats' discipline): 64-bit byte
+    // hash, true byte-compare on hit — exact distinct count
+    var cap = 8
+    while (cap < total * 2) cap <<= 1
+    val hs = new Array[Long](cap)
+    val offs = new Array[Int](cap)
+    val lns = new Array[Int](cap)
+    var nDistinct = 0
+    def offer(off: Int, l: Int): Unit = {
+      var h = 1125899906842597L
+      var k = off
+      val end = off + l
+      while (k < end) { h = h * 31 + (bytes(k) & 0xff); k += 1 }
+      var slot = ((h ^ (h >>> 32)) & (cap - 1)).toInt
+      var done = false
+      while (!done) {
+        if (lns(slot) == 0) {
+          hs(slot) = h; offs(slot) = off; lns(slot) = l
+          nDistinct += 1; done = true
+        } else if (hs(slot) == h && lns(slot) == l && {
+            var m = 0
+            val o2 = offs(slot)
+            while (m < l && bytes(o2 + m) == bytes(off + m)) m += 1
+            m == l
+          }) done = true
+        else slot = (slot + 1) & (cap - 1)
+      }
+    }
+    i = 0
+    while (i < n) {
+      val b = bytes(i)
+      if (b == ' ') i += 1
+      else {
+        val start = i
+        if (isLetter(b)) { while (i < n && isLetter(bytes(i))) i += 1 }
+        else if (isDigit(b)) { while (i < n && isDigit(bytes(i))) i += 1 }
+        else i += UTF8String.numBytesForFirstByte(b)
+        offer(start, i - start)
+      }
+    }
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      Array[Any](total, nDistinct, wsRuns + 1))
+  }
+
+  /** t14's scrub against a broadcast boilerplate lexicon in ONE pass:
+    * slices the text into aligned `w`-token passages exactly as
+    * [[passages]] does, binary-searches each slice in the SORTED
+    * broadcast array, and rebuilds clean_text from the non-matching
+    * slices joined with single spaces (= concat_ws(" ", kept segments in
+    * text order) — passages are the byte ranges BETWEEN every w-th space,
+    * so the rebuild is a byte copy). Replaces posexplode → broadcast hash
+    * join → groupBy(doc_id) collect_list + array_sort + HOF filter/concat
+    * — the per-doc reassembly re-shuffled every segment of the corpus by
+    * doc_id (measured 17.2 s at sf10 for t14).
+    */
+  def scrubPassages(s: UTF8String, w: Int, bp: ArrayData):
+      org.apache.spark.sql.catalyst.InternalRow = {
+    require(w >= 1, s"passage width must be >= 1, got $w")
+    val bytes = s.getBytes
+    val nb = bytes.length
+    val out = new Array[Byte](nb)
+    var outW = 0
+    var removed = 0L
+    var kept = 0
+    var start = 0
+    var spaces = 0
+    def handle(endExcl: Int): Unit = {
+      if (searchSorted(bp, bytes, start, endExcl - start) >= 0) removed += 1
+      else {
+        if (kept > 0) { out(outW) = ' '; outW += 1 }
+        System.arraycopy(bytes, start, out, outW, endExcl - start)
+        outW += endExcl - start
+        kept += 1
+      }
+    }
+    var i = 0
+    while (i < nb) {
+      if (bytes(i) == 0x20) {
+        spaces += 1
+        if (spaces == w) { handle(i); start = i + 1; spaces = 0 }
+      }
+      i += 1
+    }
+    handle(nb)
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      Array[Any](UTF8String.fromBytes(java.util.Arrays.copyOf(out, outW)),
+        removed))
+  }
+
+  /** t15's per-doc corpus-frequency score against the broadcast df model
+    * (parallel sorted arrays: ts = tokens in UTF8_BINARY order, ds = their
+    * document frequencies): distinct tokens of the row (single-space
+    * split, empties kept — Spark `split(text, ' ')` + array_distinct
+    * semantics), each binary-searched in the model; found tokens count
+    * into n_toks and fold df into sum_df. A token absent from the model
+    * contributes NOTHING — exactly the old explode → inner join drop.
+    * Replaces the second corpus-scale explode + broadcast join +
+    * groupBy(doc_id) re-aggregation (measured 10.8 s at sf10 for t15).
+    */
+  def tokDf(s: UTF8String, ts: ArrayData, ds: ArrayData):
+      org.apache.spark.sql.catalyst.InternalRow = {
+    val bytes = s.getBytes
+    val n = bytes.length
+    // distinct token slices via the open-addressed table
+    var nTok = 1
+    var i = 0
+    while (i < n) { if (bytes(i) == ' ') nTok += 1; i += 1 }
+    var cap = 8
+    while (cap < nTok * 2) cap <<= 1
+    val hs = new Array[Long](cap)
+    val offs = new Array[Int](cap)
+    val lns = new Array[Int](cap)
+    val used = new Array[Boolean](cap)
+    var nToks = 0L
+    var sumDf = 0L
+    def offer(off: Int, l: Int): Unit = {
+      var h = 1125899906842597L
+      var k = off
+      val end = off + l
+      while (k < end) { h = h * 31 + (bytes(k) & 0xff); k += 1 }
+      var slot = ((h ^ (h >>> 32)) & (cap - 1)).toInt
+      var done = false
+      while (!done) {
+        if (!used(slot)) {
+          used(slot) = true; hs(slot) = h; offs(slot) = off; lns(slot) = l
+          done = true
+          val idx = searchSorted(ts, bytes, off, l)
+          if (idx >= 0) { nToks += 1L; sumDf += ds.getLong(idx) }
+        } else if (hs(slot) == h && lns(slot) == l && {
+            var m = 0
+            val o2 = offs(slot)
+            while (m < l && bytes(o2 + m) == bytes(off + m)) m += 1
+            m == l
+          }) done = true
+        else slot = (slot + 1) & (cap - 1)
+      }
+    }
+    var tokStart = 0
+    i = 0
+    while (i < n) {
+      if (bytes(i) == ' ') { offer(tokStart, i - tokStart); tokStart = i + 1 }
+      i += 1
+    }
+    offer(tokStart, n - tokStart)
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      Array[Any](nToks, sumDf))
+  }
+
+  /** t17's OOV counters against the broadcast top-K vocabulary (sorted
+    * array<string>): every token OCCURRENCE (single-space split, empties
+    * kept) counts into n_tokens; occurrences whose token misses the vocab
+    * count into n_oov — exactly the old explode → left join null-check.
+    * Replaces the corpus-scale explode + join + groupBy(doc_id) pass
+    * (measured 9.7 s at sf10 for t17).
+    */
+  def oovStats(s: UTF8String, vocab: ArrayData):
+      org.apache.spark.sql.catalyst.InternalRow = {
+    val bytes = s.getBytes
+    val n = bytes.length
+    var nTokens = 0L
+    var nOov = 0L
+    def handle(off: Int, l: Int): Unit = {
+      nTokens += 1L
+      if (searchSorted(vocab, bytes, off, l) < 0) nOov += 1L
+    }
+    var tokStart = 0
+    var i = 0
+    while (i < n) {
+      if (bytes(i) == ' ') { handle(tokStart, i - tokStart); tokStart = i + 1 }
+      i += 1
+    }
+    handle(tokStart, n - tokStart)
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      Array[Any](nTokens, nOov))
+  }
+
+  /** DISTINCT single-space-split tokens in ONE pass, FIRST-OCCURRENCE
+    * order — bit-identical to `array_distinct(split(text, ' '))` (empty
+    * tokens from leading/trailing/consecutive spaces are elements too).
+    * Fuses the split's full token array + array_distinct's per-row
+    * UTF8String hash set into the slice-table scan (zero allocation per
+    * duplicate token; one UTF8String per DISTINCT token). Feeds the
+    * t08/t15 models and the d05/d16 cached token sets.
+    */
+  def distinctTokens(s: UTF8String): ArrayData = {
+    val bytes = s.getBytes
+    val n = bytes.length
+    var nTok = 1
+    var i = 0
+    while (i < n) { if (bytes(i) == ' ') nTok += 1; i += 1 }
+    var cap = 8
+    while (cap < nTok * 2) cap <<= 1
+    val hs = new Array[Long](cap)
+    val offs = new Array[Int](cap)
+    val lns = new Array[Int](cap)
+    val used = new Array[Boolean](cap)
+    val out = new java.util.ArrayList[AnyRef](nTok)
+    def offer(off: Int, l: Int): Unit = {
+      var h = 1125899906842597L
+      var k = off
+      val end = off + l
+      while (k < end) { h = h * 31 + (bytes(k) & 0xff); k += 1 }
+      var slot = ((h ^ (h >>> 32)) & (cap - 1)).toInt
+      var done = false
+      while (!done) {
+        if (!used(slot)) {
+          used(slot) = true; hs(slot) = h; offs(slot) = off; lns(slot) = l
+          out.add(UTF8String.fromBytes(
+            java.util.Arrays.copyOfRange(bytes, off, off + l)))
+          done = true
+        } else if (hs(slot) == h && lns(slot) == l && {
+            var m = 0
+            val o2 = offs(slot)
+            while (m < l && bytes(o2 + m) == bytes(off + m)) m += 1
+            m == l
+          }) done = true
+        else slot = (slot + 1) & (cap - 1)
+      }
+    }
+    var tokStart = 0
+    i = 0
+    while (i < n) {
+      if (bytes(i) == ' ') { offer(tokStart, i - tokStart); tokStart = i + 1 }
+      i += 1
+    }
+    offer(tokStart, n - tokStart)
+    new GenericArrayData(out.toArray)
+  }
+
+  /** DISTINCT aligned `w`-token passages in ONE pass, FIRST-OCCURRENCE
+    * order — bit-identical to `array_distinct(graft_passages(text, w))`.
+    * Same fusion as [[distinctTokens]]; feeds the t14 lexicon build,
+    * whose explode previously materialized every passage TWICE (the
+    * passages array, then array_distinct's rebuilt set).
+    */
+  def passagesDistinct(s: UTF8String, w: Int): ArrayData = {
+    require(w >= 1, s"passage width must be >= 1, got $w")
+    val bytes = s.getBytes
+    val nb = bytes.length
+    val approx = nb / (4 * math.max(w, 1)) + 2
+    var cap = 8
+    while (cap < approx * 2) cap <<= 1
+    var hs = new Array[Long](cap)
+    var offs = new Array[Int](cap)
+    var lns = new Array[Int](cap)
+    var used = new Array[Boolean](cap)
+    var nSeen = 0
+    val out = new java.util.ArrayList[AnyRef](approx)
+    def grow(): Unit = {
+      val oldCap = cap
+      cap <<= 1
+      val nhs = new Array[Long](cap)
+      val noffs = new Array[Int](cap)
+      val nlns = new Array[Int](cap)
+      val nused = new Array[Boolean](cap)
+      var j = 0
+      while (j < oldCap) {
+        if (used(j)) {
+          var slot = ((hs(j) ^ (hs(j) >>> 32)) & (cap - 1)).toInt
+          while (nused(slot)) slot = (slot + 1) & (cap - 1)
+          nused(slot) = true; nhs(slot) = hs(j)
+          noffs(slot) = offs(j); nlns(slot) = lns(j)
+        }
+        j += 1
+      }
+      hs = nhs; offs = noffs; lns = nlns; used = nused
+    }
+    def offer(off: Int, l: Int): Unit = {
+      if ((nSeen + 1) * 2 > cap) grow()
+      var h = 1125899906842597L
+      var k = off
+      val end = off + l
+      while (k < end) { h = h * 31 + (bytes(k) & 0xff); k += 1 }
+      var slot = ((h ^ (h >>> 32)) & (cap - 1)).toInt
+      var done = false
+      while (!done) {
+        if (!used(slot)) {
+          used(slot) = true; hs(slot) = h; offs(slot) = off; lns(slot) = l
+          nSeen += 1
+          out.add(UTF8String.fromBytes(
+            java.util.Arrays.copyOfRange(bytes, off, off + l)))
+          done = true
+        } else if (hs(slot) == h && lns(slot) == l && {
+            var m = 0
+            val o2 = offs(slot)
+            while (m < l && bytes(o2 + m) == bytes(off + m)) m += 1
+            m == l
+          }) done = true
+        else slot = (slot + 1) & (cap - 1)
+      }
+    }
+    var start = 0
+    var spaces = 0
+    var i = 0
+    while (i < nb) {
+      if (bytes(i) == 0x20) {
+        spaces += 1
+        if (spaces == w) { offer(start, i - start); start = i + 1; spaces = 0 }
+      }
+      i += 1
+    }
+    offer(start, nb - start)
+    new GenericArrayData(out.toArray)
+  }
+
+  /** t01's stopword markers per language — canonical list here so the
+    * kernel and graft.ext.TextOps' oracle SQL share one source of truth
+    * (the blockTerms/qualityStops discipline).
+    */
+  val langMarkers: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq(" the ", " a ", " of "),
+    "de" -> Seq(" der ", " und ", " das "),
+    "fr" -> Seq(" le ", " et ", " la "),
+    "es" -> Seq(" el ", " y ", " los "))
+  private val langMarkerBytes: Array[Array[Array[Byte]]] =
+    langMarkers.map(_._2.map(_.getBytes("UTF-8")).toArray).toArray
+
+  /** t01's per-language marker scores in ONE pass over the byte array:
+    * for each language, the sum over its markers of non-overlapping
+    * occurrence counts (left-to-right, advance by pattern length on a
+    * match — `replace`'s rule, the qualityStats discipline). Replaces 12
+    * `length(text) - length(replace(text, kw, ''))` passes, each of which
+    * rebuilt the full string per row. ASCII patterns match byte-wise
+    * exactly in UTF-8; the counts are exact, so the (len1-len2)/kwlen
+    * double division they replace (always an integer value) is reproduced
+    * bit-for-bit by the integer count.
+    */
+  def langScores(s: UTF8String): org.apache.spark.sql.catalyst.InternalRow = {
+    val b = s.getBytes
+    val n = b.length
+    val out = new Array[Any](langMarkerBytes.length)
+    var lg = 0
+    while (lg < langMarkerBytes.length) {
+      val pats = langMarkerBytes(lg)
+      var total = 0L
+      var k = 0
+      while (k < pats.length) {
+        val p = pats(k)
+        val pl = p.length
+        var j = 0
+        while (j + pl <= n) {
+          var m = 0
+          while (m < pl && b(j + m) == p(m)) m += 1
+          if (m == pl) { total += 1; j += pl } else j += 1
+        }
+        k += 1
+      }
+      out(lg) = total
+      lg += 1
+    }
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(out)
+  }
+
+  /** One BPE merge round over a token array (the applyMerge hot path —
+    * s37/p14/p15/t22/t23): greedy leftmost non-overlapping scan merging
+    * every adjacent (a, b) token pair into a '_'-joined token. This IS
+    * the padded-replace form's semantics — the double-space join with
+    * single-space-padded pattern was constructed precisely so that a
+    * string match can only align on whole-token boundaries and `replace`
+    * consumes left-to-right without overlap (pinned by TextHashSpec's
+    * property test against the stock expression chain). Unmerged tokens
+    * pass through as references; only merged tokens allocate. The string
+    * form allocated the ~1 KB joined string + a full replace scan + a
+    * re-split token array PER ROW PER ROUND.
+    *
+    * Empty winner tokens are REFUSED loudly: with an empty `a` or `b` the
+    * padded pattern degenerates into bare space runs whose leftmost match
+    * no longer aligns with a unique token pair, so the equivalence above
+    * does not hold. No trained winner can be empty unless the corpus
+    * carries consecutive-space tokens AND they win a round — refusing
+    * beats silently diverging from the oracle.
+    */
+  def bpeMerge(toks: ArrayData, a: UTF8String, b: UTF8String): ArrayData = {
+    if (a.numBytes() == 0 || b.numBytes() == 0)
+      throw new IllegalArgumentException(
+        "graft_bpe_merge: empty merge-pair token — the padded-replace " +
+          "equivalence requires non-empty winner tokens")
+    val n = toks.numElements()
+    val out = new java.util.ArrayList[AnyRef](n)
+    var i = 0
+    while (i < n) {
+      val t = toks.getUTF8String(i)
+      if (i + 1 < n && t.equals(a) && toks.getUTF8String(i + 1).equals(b)) {
+        val bb = toks.getUTF8String(i + 1)
+        val merged = new Array[Byte](a.numBytes() + 1 + bb.numBytes())
+        a.writeToMemory(merged, org.apache.spark.unsafe.Platform.BYTE_ARRAY_OFFSET)
+        merged(a.numBytes()) = '_'
+        bb.writeToMemory(merged,
+          org.apache.spark.unsafe.Platform.BYTE_ARRAY_OFFSET + a.numBytes() + 1)
+        out.add(UTF8String.fromBytes(merged))
+        i += 2
+      } else {
+        out.add(t)
+        i += 1
+      }
+    }
+    new GenericArrayData(out.toArray)
+  }
+
+  /** t07/d12's normalization tail in ONE byte pass over the ALREADY
+    * LOWERCASED input (the engine keeps Spark's own `lower()` in front, so
+    * Unicode case mapping stays bit-identical to the stock path):
+    * delete [.,!?;:], collapse space runs to one space, trim edge spaces —
+    * the exact composition trim(regexp_replace(regexp_replace(x,
+    * '[.,!?;:]', ''), ' +', ' ')). Deleted punctuation does NOT break a
+    * space run (deletion happens "first"), which the pendingSpace flag
+    * reproduces: punctuation bytes are skipped without touching the flag.
+    * All patterns are ASCII bytes, safe in UTF-8 (continuation bytes are
+    * >= 0x80). Replaces two java.util.regex passes + their String
+    * materializations per row (t07 8.2 s / d12 7.5 s at sf10).
+    */
+  def normText(s: UTF8String): UTF8String = {
+    val b = s.getBytes
+    val n = b.length
+    val out = new Array[Byte](n)
+    var w = 0
+    var pendingSpace = false
+    var i = 0
+    while (i < n) {
+      val c = b(i)
+      if (c == ' ') pendingSpace = true
+      else if (c == '.' || c == ',' || c == '!' || c == '?' ||
+               c == ';' || c == ':') ()
+      else {
+        if (pendingSpace && w > 0) { out(w) = ' '; w += 1 }
+        pendingSpace = false
+        out(w) = c
+        w += 1
+      }
+      i += 1
+    }
+    UTF8String.fromBytes(java.util.Arrays.copyOf(out, w))
+  }
+
   /** m09's perceptual media signature: a difference hash (dHash — the
     * published perceptual-hash family member with PURELY LOCAL bit
     * semantics) over `bits`+1 stride-sampled payload bytes: bit i is set

@@ -733,6 +733,187 @@ class TextHashSpec extends AnyFunSuite {
       3, 1000000L, bs, cs)
     assert(r.getLong(0) === 0L && r.getLong(1) === 0L)
   }
+
+  // ---- round 21: broadcast-model / fused-scan kernels ---------------------
+
+  private val r21Texts = Seq(
+    "", " ", "   ", "a", "a b c d e f g h i", "hello world",
+    "the cat sat on the mat the cat sat again and again and again",
+    "a  b   c ", " leading twice  ", "trailing space ",
+    "trés café naïve über 中文 字符 test",
+    "ab12 mixed34runs!punct,and.more 12 34",
+    "same same same same diff",
+    "😀emoji one 😀emoji two words more words here now",
+    "x, y. z! w? v; u: t")
+
+  private def refSplitKeep(t: String): Seq[String] = t.split(" ", -1).toSeq
+
+  private def refPassages(t: String, w: Int): Seq[String] =
+    refSplitKeep(t).grouped(w).map(_.mkString(" ")).toSeq
+
+  test("bpeishStats (round 21) equals the regexp_extract_all + " +
+      "array_distinct + split(' +') form") {
+    val pat = java.util.regex.Pattern.compile("[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 ]")
+    for (t <- r21Texts) {
+      val m = pat.matcher(t)
+      val toks = scala.collection.mutable.ArrayBuffer.empty[String]
+      while (m.find()) toks += m.group()
+      val r = TextHash.bpeishStats(u(t))
+      assert(r.getInt(0) === toks.size, s"n_bpeish for '$t'")
+      assert(r.getInt(1) === toks.distinct.size, s"n_uniq_bpeish for '$t'")
+      assert(r.getInt(2) === t.split(" +", -1).length, s"n_ws_tokens for '$t'")
+    }
+  }
+
+  test("distinctTokens (round 21) equals array_distinct(split(text, ' ')): " +
+      "first-occurrence order, empty tokens kept") {
+    for (t <- r21Texts) {
+      val want = refSplitKeep(t).distinct
+      val got = {
+        val a = TextHash.distinctTokens(u(t))
+        (0 until a.numElements()).map(i => a.getUTF8String(i).toString)
+      }
+      assert(got === want, s"text '$t'")
+    }
+  }
+
+  test("passagesDistinct (round 21) equals " +
+      "array_distinct(graft_passages(text, w)) for w in 1..5") {
+    for (t <- r21Texts; w <- 1 to 5) {
+      val want = refPassages(t, w).distinct
+      val got = {
+        val a = TextHash.passagesDistinct(u(t), w)
+        (0 until a.numElements()).map(i => a.getUTF8String(i).toString)
+      }
+      assert(got === want, s"text '$t' w=$w")
+    }
+  }
+
+  test("passagesDistinct table growth: many distinct short passages " +
+      "(worst-case sizing) still exact") {
+    val t = (1 to 500).map(i => s"t$i").mkString(" ")
+    val want = refPassages(t, 1).distinct
+    val a = TextHash.passagesDistinct(u(t), 1)
+    val got = (0 until a.numElements()).map(i => a.getUTF8String(i).toString)
+    assert(got === want)
+  }
+
+  test("scrubPassages (round 21) equals the posexplode + join + reassembly " +
+      "form against a sorted lexicon") {
+    import org.apache.spark.sql.catalyst.util.GenericArrayData
+    for (t <- r21Texts; w <- Seq(1, 2, 4)) {
+      val segs = refPassages(t, w)
+      // lexicon: every other distinct segment (deterministic, non-trivial)
+      val bp = segs.distinct.zipWithIndex.filter(_._2 % 2 == 0).map(_._1)
+      val sorted = bp.map(u).sortWith((a, b) => a.compareTo(b) < 0)
+      val arr = new GenericArrayData(sorted.toArray[AnyRef])
+      val kept = segs.filterNot(bp.toSet)
+      val r = TextHash.scrubPassages(u(t), w, arr)
+      assert(r.getUTF8String(0).toString === kept.mkString(" "),
+        s"clean_text for '$t' w=$w")
+      assert(r.getLong(1) === (segs.size - kept.size).toLong,
+        s"n_removed for '$t' w=$w")
+    }
+  }
+
+  test("tokDf (round 21) equals the distinct-explode -> inner join -> agg " +
+      "form; model misses contribute nothing") {
+    import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+    val corpus = r21Texts.filter(_.nonEmpty)
+    // df model over per-doc distinct tokens (the t15 groupBy twin)
+    val df = corpus.flatMap(t => refSplitKeep(t).distinct)
+      .groupBy(identity).map { case (k, v) => k -> v.size.toLong }
+    val sorted = df.toSeq.map { case (k, v) => (u(k), v) }
+      .sortWith((a, b) => a._1.compareTo(b._1) < 0)
+    val ts = new GenericArrayData(sorted.map(_._1).toArray[AnyRef])
+    val ds = ArrayData.toArrayData(sorted.map(_._2).toArray)
+    for (t <- corpus) {
+      val distinct = refSplitKeep(t).distinct
+      val found = distinct.filter(df.contains)
+      val r = TextHash.tokDf(u(t), ts, ds)
+      assert(r.getLong(0) === found.size.toLong, s"n_toks for '$t'")
+      assert(r.getLong(1) === found.map(df).sum, s"sum_df for '$t'")
+    }
+    // all-miss doc: (0, 0) — the inner-join twin would drop it
+    val empty = new GenericArrayData(Array.empty[AnyRef])
+    val miss = TextHash.tokDf(u("zz yy"), empty,
+      ArrayData.toArrayData(Array.empty[Long]))
+    assert(miss.getLong(0) === 0L && miss.getLong(1) === 0L)
+  }
+
+  test("oovStats (round 21) equals the explode -> left join -> agg form: " +
+      "every occurrence counts, misses count as OOV") {
+    import org.apache.spark.sql.catalyst.util.GenericArrayData
+    val vocab = Seq("the", "cat", "a", "b", "", "中文")
+    val sorted = vocab.map(u).sortWith((a, b) => a.compareTo(b) < 0)
+    val arr = new GenericArrayData(sorted.toArray[AnyRef])
+    for (t <- r21Texts) {
+      val occ = refSplitKeep(t)
+      val r = TextHash.oovStats(u(t), arr)
+      assert(r.getLong(0) === occ.size.toLong, s"n_tokens for '$t'")
+      assert(r.getLong(1) === occ.count(o => !vocab.contains(o)).toLong,
+        s"n_oov for '$t'")
+    }
+  }
+
+  test("langScores (round 21) equals the 12 length-replace folds") {
+    for (t <- r21Texts :+ " the a of der und das le et la el y los "
+        :+ "over the top of the order" :+ "the the the el el") {
+      val r = TextHash.langScores(u(t))
+      TextHash.langMarkers.zipWithIndex.foreach { case ((lang, kws), i) =>
+        val want = kws.map { kw =>
+          (t.length - t.replace(kw, "").length) / kw.length
+        }.sum.toLong
+        assert(r.getLong(i) === want, s"s_$lang for '$t'")
+      }
+    }
+  }
+
+  test("bpeMerge (round 21) equals the padded-replace chain " +
+      "(join '  ' -> replace ' a  b ' -> trim -> split '  ')") {
+    import org.apache.spark.sql.catalyst.util.GenericArrayData
+    def refMerge(toks: Seq[String], a: String, b: String): Seq[String] = {
+      val joined = " " + toks.mkString("  ") + " "
+      val replaced = joined.replace(s" $a  $b ", s" ${a}_$b ")
+      replaced.replaceAll("^ +| +$", "").split("  ", -1).toSeq
+    }
+    val cases = Seq(
+      (Seq("a", "b", "c"), "a", "b"),
+      (Seq("a", "b", "a", "b"), "a", "b"),          // consecutive matches
+      (Seq("b", "b", "b"), "b", "b"),               // overlap: leftmost wins
+      (Seq("a", "a", "b"), "a", "b"),               // match not at start
+      (Seq("xa", "b"), "a", "b"),                   // no partial-token match
+      (Seq("a_b", "c"), "a_b", "c"),                // underscore tokens merge on
+      (Seq("the", "cat", "the", "cat"), "the", "cat"),
+      (Seq("中文", "字符"), "中文", "字符"),          // multi-byte
+      (Seq("only"), "a", "b"),                      // no adjacent pair
+      (Seq("a"), "a", "a"),                         // single token, pair of it
+      (Seq("a", "a", "a"), "a", "a"))               // greedy over triples
+    for ((toks, a, b) <- cases) {
+      val arr = new GenericArrayData(toks.map(u).toArray[AnyRef])
+      val got = {
+        val r = TextHash.bpeMerge(arr, u(a), u(b))
+        (0 until r.numElements()).map(i => r.getUTF8String(i).toString)
+      }
+      assert(got === refMerge(toks, a, b), s"toks=$toks a=$a b=$b")
+    }
+    // empty winner tokens refuse loudly (the padded pattern degenerates)
+    val arr = new GenericArrayData(Seq("a", "b").map(u).toArray[AnyRef])
+    intercept[IllegalArgumentException] {
+      TextHash.bpeMerge(arr, u(""), u("b"))
+    }
+  }
+
+  test("normText (round 21) equals trim(regexp_replace(regexp_replace(x, " +
+      "'[.,!?;:]', ''), ' +', ' ')) over lowercased inputs") {
+    for (t0 <- r21Texts :+ "A.B,C!D?E;F:G" :+ ". leading, punct"
+        :+ "tabs\there \t stay" :+ "a .. b ,, c") {
+      val t = t0.toLowerCase
+      val want = t.replaceAll("[.,!?;:]", "").replaceAll(" +", " ")
+        .replaceAll("^ +| +$", "")
+      assert(TextHash.normText(u(t)).toString === want, s"input '$t'")
+    }
+  }
 }
 
 class VecOpsSpec extends AnyFunSuite {

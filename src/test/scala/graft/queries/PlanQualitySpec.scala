@@ -227,13 +227,17 @@ class PlanQualitySpec extends SparkSpec {
     assert("Exchange hashpartitioning".r.findAllIn(p).size <= 2)
   }
 
-  test("t14: scrub lexicon broadcasts — corpus exchanges only for lexicon agg + per-doc rebuild") {
+  test("t14: scrub lexicon broadcasts — the only corpus exchange builds the lexicon") {
     val p = planOf("t14_passage_scrub")
-    assert(p.contains("BroadcastHashJoin"), p)
+    // Round 21: the lexicon is ONE sorted broadcast row and each doc
+    // scrubs itself in the compiled kernel — the per-doc reassembly
+    // exchange (posexplode → join → groupBy(doc_id)) is gone. The single
+    // remaining hash exchange is the lexicon count agg; the broadcast is
+    // a one-row cross (nested-loop), never a sort-merge join.
+    assert(p.contains("graft_scrub_passages"), p)
+    assert(p.contains("BroadcastNestedLoopJoin"), p)
     assert(!p.contains("SortMergeJoin"), p)
-    // one exchange builds the passage lexicon (map-side combined), one
-    // re-keys by doc_id for the order-preserving reassembly
-    assert("Exchange hashpartitioning".r.findAllIn(p).size === 2, p)
+    assert("Exchange hashpartitioning".r.findAllIn(p).size === 1, p)
   }
 
   test("t16: batching is ONE exchange — (bucket,batch) agg reuses the bucket window partitioning") {
