@@ -254,11 +254,15 @@ object TextHash {
     val th = tokenHashesRaw(s)
     if (th.length < 5) return null
     val set = new java.util.LinkedHashSet[java.lang.Long]()
+    // rolling 5-term chain (round 21) — same recurrence as gramChain
+    val lead = pow31(5)
+    var acc = 0L
+    var j = 0
+    while (j < 5) { acc = (acc * 31 + th(j)) % P; j += 1 }
     var i = 0
     while (i <= th.length - 5) {
-      var acc = th(i)
-      var j = 1
-      while (j < 5) { acc = (acc * 31 + th(i + j)) % P; j += 1 }
+      if (i > 0)
+        acc = ((acc - th(i - 1) * lead % P + P) * 31 + th(i + 4)) % P
       set.add(acc)
       i += 1
     }
@@ -281,11 +285,17 @@ object TextHash {
     val th = tokenHashesRaw(s)
     if (th.length < n) return null
     val out = new Array[Long](th.length - n + 1)
+    // rolling fold (round 21, same recurrence as the byte-gram kernels):
+    // token hashes are < P, so acc' = (acc − th₀·31^(n−1))·31 + th_n mod P
+    // is the same chain with O(1) per position instead of O(n)
+    val lead = pow31(n)
+    var acc = 0L
+    var j = 0
+    while (j < n) { acc = (acc * 31 + th(j)) % P; j += 1 }
     var i = 0
     while (i <= th.length - n) {
-      var acc = th(i)
-      var j = 1
-      while (j < n) { acc = (acc * 31 + th(i + j)) % P; j += 1 }
+      if (i > 0)
+        acc = ((acc - th(i - 1) * lead % P + P) * 31 + th(i + n - 1)) % P
       out(i) = acc
       i += 1
     }
@@ -1280,6 +1290,19 @@ object TextHash {
     * chain via ascii(substr(...)) (byte = codepoint on the ASCII
     * testdata, the m03/m04 contract).
     */
+  /** 31^(k-1) mod P — the leading-term weight the rolling byte-gram hash
+    * subtracts (round 21: the per-position O(k) gram re-fold in the three
+    * byte-gram kernels below is O(1) rolling — g' = (g − b₀·31^(k−1))·31 +
+    * b_k mod P, exactly the same value chain; all intermediates fit a
+    * long: values < P < 2^30, products < 2^60).
+    */
+  private def pow31(k: Int): Long = {
+    var p = 1L
+    var j = 1
+    while (j < k) { p = p * 31 % P; j += 1 }
+    p
+  }
+
   def byteMinhash(s: UTF8String, k: Int): java.lang.Long = {
     require(k >= 1 && k <= 64, s"byte gram width $k out of range [1, 64]")
     val bytes = s.getBytes
@@ -1287,11 +1310,16 @@ object TextHash {
     if (n < k) return null
     var m0 = Long.MaxValue; var m1 = Long.MaxValue
     var m2 = Long.MaxValue; var m3 = Long.MaxValue
+    val lead = pow31(k)
+    // first gram folds in full; every later position rolls in O(1)
+    var g = 0L
+    var j = 0
+    while (j < k) { g = (g * 31 + (bytes(j) & 0xff)) % P; j += 1 }
     var i = 0
     while (i + k <= n) {
-      var g = 0L
-      var j = 0
-      while (j < k) { g = (g * 31 + (bytes(i + j) & 0xff)) % P; j += 1 }
+      if (i > 0)
+        g = ((g - (bytes(i - 1) & 0xff) * lead % P + P) * 31 +
+          (bytes(i + k - 1) & 0xff)) % P
       val v0 = g * 2654435761L % P
       val v1 = g * 1099087573L % P
       val v2 = g * 2246822519L % P
@@ -1341,11 +1369,15 @@ object TextHash {
       b += 1
     }
     val mins = Array.fill(n)(Long.MaxValue)
+    val lead = pow31(k)
+    var g = 0L
+    var j = 0
+    while (j < k) { g = (g * 31 + (bytes(j) & 0xff)) % P; j += 1 }
     var i = 0
     while (i + k <= len) {
-      var g = 0L
-      var j = 0
-      while (j < k) { g = (g * 31 + (bytes(i + j) & 0xff)) % P; j += 1 }
+      if (i > 0)
+        g = ((g - (bytes(i - 1) & 0xff) * lead % P + P) * 31 +
+          (bytes(i + k - 1) & 0xff)) % P
       b = 0
       while (b < n) {
         val v = g * mixes(b) % P
@@ -1498,11 +1530,15 @@ object TextHash {
     val n = bytes.length
     if (n < k) return null
     val out = new Array[Long](n - k + 1)
+    val lead = pow31(k)
+    var g = 0L
+    var j = 0
+    while (j < k) { g = (g * 31 + (bytes(j) & 0xff)) % P; j += 1 }
     var i = 0
     while (i + k <= n) {
-      var g = 0L
-      var j = 0
-      while (j < k) { g = (g * 31 + (bytes(i + j) & 0xff)) % P; j += 1 }
+      if (i > 0)
+        g = ((g - (bytes(i - 1) & 0xff) * lead % P + P) * 31 +
+          (bytes(i + k - 1) & 0xff)) % P
       out(i) = g
       i += 1
     }

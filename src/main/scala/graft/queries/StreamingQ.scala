@@ -1135,22 +1135,31 @@ object StreamingQ {
 
     // s13: the graft-wire DataSource V2 connector as a STREAMING source —
     // Kafka-shaped consumption of an append-only file topic: monotone
-    // file-count offsets in the checkpoint, maxFilesPerTrigger admission
-    // control (4 wire files → 4 micro-batches), and the same parse-time
-    // filter pushdown + column pruning as the batch scan (q70). Completes
-    // the reference's Kafka-source substitution (SURVEY §2.1 S3) as a real
-    // connector rather than a built-in file source.
+    // file-count offsets in the checkpoint over a 4-file topic, and the
+    // same parse-time filter pushdown + column pruning as the batch scan
+    // (q70). Completes the reference's Kafka-source substitution (SURVEY
+    // §2.1 S3) as a real connector rather than a built-in file source.
+    //
+    // Round 21 (guide §2 — the r19 verdict's coarser-admission lever,
+    // decomposed first): at sf10 the old maxFilesPerTrigger=1 train cost
+    // 16.7-19.8 s in 4 micro-batches where the default bulk drain
+    // (ReadLimit.allAvailable — the AvailableNow posture) takes the same
+    // rows in ONE batch at 3.6 s; and the topic write's repartition(4)
+    // shuffled the whole encoded payload (4.7-9.9 s) where coalesce(4)
+    // narrows the scan without an exchange (2.9-3.4 s). Per-file
+    // admission stays spec-pinned in WireTopicSourceSpec ("one
+    // micro-batch per file"); rows and oracle are unchanged.
     Q("s13_dsv2_stream_source",
       (s, d) => withStateParts(s, inletBytes(s"$d/events.parquet")) {
         val sel = Tables.events(s, d).select(col("event_id"), col("user_id"),
           col("event_type"), col("value"), unix_micros(col("ts")).as("tsu"))
         val topic = graft.util.Scratch.dir("graft_s13_topic")
         graft.pipeline.CsvWire.encode(sel, sel.schema)
-          .repartition(4).write.mode("overwrite").text(topic)
+          .coalesce(4).write.mode("overwrite").text(topic)
         val out  = graft.util.Scratch.dir("graft_s13_out")
         val ckpt = graft.util.Scratch.dir("graft_s13_ckpt")
         val q = s.readStream.format("graft-wire").schema(sel.schema)
-          .option("maxFilesPerTrigger", 1).load(topic)
+          .load(topic)
           .filter(col("value") > 10.0)
           .select("event_id", "event_type", "value")
           .writeStream.format("parquet").outputMode("append")

@@ -856,6 +856,39 @@ class TextHashSpec extends AnyFunSuite {
     }
   }
 
+  test("byteMinhashArr / byteMinhash (round 21): the rolling gram hash " +
+      "equals the per-position naive fold") {
+    for (t <- Seq("abcdefghijklmnopqrstuvwxyz0123456789", "aaaaaaaaaaaaaaaa",
+        "trés café naïve 中文字符 mixed bytes here", "x" * 200);
+        k <- Seq(1, 2, 8, 16)) {
+      val bytes = t.getBytes("UTF-8")
+      if (bytes.length >= k) {
+        def naiveGram(i: Int): Long = {
+          var g = 0L
+          var j = 0
+          while (j < k) { g = (g * 31 + (bytes(i + j) & 0xff)) % P; j += 1 }
+          g
+        }
+        val n = 4
+        val mixes = (0 until n).map(TextHash.MinhashMixes(_))
+        val want = (0 until n).map { b =>
+          (0 to bytes.length - k).map(i => naiveGram(i) * mixes(b) % P).min
+        }
+        val got = TextHash.byteMinhashArr(u(t), k, n).toLongArray().toSeq
+        assert(got === want, s"text '$t' k=$k")
+        // byteMinhash packs the same four minima
+        val m = TextHash.byteMinhash(u(t), k).longValue()
+        val mins = (0 until 4).map { b =>
+          (0 to bytes.length - k).map(i => naiveGram(i) *
+            Seq(2654435761L, 1099087573L, 2246822519L, 3266489917L)(b) % P).min
+        }
+        val wantPacked = (mins(0) % 32768L) | ((mins(1) % 32768L) << 15) |
+          ((mins(2) % 32768L) << 30) | ((mins(3) % 32768L) << 45)
+        assert(m === wantPacked, s"byteMinhash for '$t' k=$k")
+      }
+    }
+  }
+
   test("langScores (round 21) equals the 12 length-replace folds") {
     for (t <- r21Texts :+ " the a of der und das le et la el y los "
         :+ "over the top of the order" :+ "the the the el el") {
